@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once after a warmup pass of the session (JVM +
+codegen warm); timing covers plan → execute into
+the JVM noop sink so neither Python row serialization nor driver-side
+pandas conversion pollutes the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from __spark_entry__ import queries  # noqa: E402
+from glamira_end_to_end_data_pipeline_spark import get_spark  # noqa: E402
+
+# Headline subset: the scale-relevant operators (wide agg, 3-way join,
+# range-join enrichment, window dedup, set-collect, north-star ops).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "flagship_daily_events",
+    "f_ip_enrichment",
+    "j3_computed_date_key_join",
+    "j4_composite_key_null_miss",
+    "w1_dedup_latest",
+    "a6_a7_worklist_pick",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    def consume(df):
+        # noop sink: full JVM-side execution of every row, no Python
+        # serialization and no driver collect.
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup: pay JVM/codegen startup once
+    consume(qs["flagship_daily_events"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        consume(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,862 @@
+"""Driver-facing query registry: PySpark implementation + DuckDB oracle twin.
+
+Each entry exercises one (or a tight cluster of) operator(s) from
+SURVEY.md §2 on the driver testdata tables. Registered via the
+``@query`` decorator; ``__spark_entry__.py`` re-exports ``QUERIES`` /
+``ORACLES`` verbatim.
+
+Cross-engine determinism rules (hash-compare survival):
+
+- every aggregate / computed column is aliased identically on both sides;
+- double-typed aggregates are ``round()``-ed (2dp money, 6dp ratios) so
+  summation-order ulp noise cannot flip the hash;
+- every top-k has a total-order tiebreaker;
+- set-valued results are serialized as sorted, comma-joined strings;
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  replace-all semantics; DuckDB ``dayofweek`` is 0=Sunday while Spark is
+  1=Sunday — oracles are written against these dialect differences.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from glamira_end_to_end_data_pipeline_spark.functions import (
+    bq_week,
+    date_key,
+    ip_to_int,
+    is_weekend,
+    surrogate_key,
+    ws_normalize,
+)
+from glamira_end_to_end_data_pipeline_spark.sources import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# Flagship + staging-style projection (SURVEY §2.2 P1/P2, §2.8 F1-F3)
+# ===========================================================================
+
+
+@query(
+    "flagship_daily_events",
+    """
+    SELECT cast(ts AS date) AS event_date,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def flagship_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: daily event rollup (scan→project→agg; A3/A4-style).
+
+    Scale: single hash-agg shuffle on (date, type) — low cardinality, so
+    partial aggregation collapses almost everything map-side.
+    """
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.col("ts").cast("date").alias("event_date"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "p1_typed_projection",
+    """
+    SELECT cast(event_id AS varchar) AS event_source_id,
+           ts AS event_timestamp,
+           cast(ts AS date) AS event_date,
+           cast(floor(epoch(ts)) AS bigint) AS epoch_seconds,
+           try_cast(user_id AS varchar) AS customer_source_id,
+           json_extract_string(props, '$.k') AS prop_k,
+           try_cast(json_extract_string(props, '$.k') AS double) AS prop_k_num,
+           round(value, 2) AS value
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL AND event_type <> ''
+    """,
+)
+def p1_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 + F1/F2/F3 — typed projection with safe casts and a not-null/
+    not-empty predicate, mirroring ``stg_summary.sql:4-31`` and the
+    ``$match`` at ``ip_processor.py:78``. Filters + pruned columns reach
+    the parquet scan (PushedFilters)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & (F.col("event_type") != "")
+    ).select(
+        F.col("event_id").cast("string").alias("event_source_id"),
+        F.col("ts").alias("event_timestamp"),
+        F.col("ts").cast("date").alias("event_date"),
+        F.unix_timestamp("ts").alias("epoch_seconds"),
+        F.col("user_id").cast("string").alias("customer_source_id"),
+        F.get_json_object("props", "$.k").alias("prop_k"),
+        F.get_json_object("props", "$.k").try_cast("double").alias("prop_k_num"),
+        F.round(F.col("value"), 2).alias("value"),
+    )
+
+
+@query(
+    "p6_p7_membership_coalesce",
+    """
+    SELECT event_id,
+           event_type,
+           coalesce(try_cast(json_extract_string(props, '$.k') AS bigint), user_id)
+               AS effective_id,
+           CASE WHEN event_type = 'purchase'
+                THEN 'checkout' ELSE 'browse' END AS funnel_stage
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    """,
+)
+def p6_p7_membership_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (IN-list membership, ref ``product_crawler.py:142-147``) +
+    P7 (conditional coalesce, ref ``product_crawler.py:150-177``)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_type").isin("click", "view", "purchase")).select(
+        "event_id",
+        "event_type",
+        F.coalesce(
+            F.get_json_object("props", "$.k").try_cast("bigint"),
+            F.col("user_id"),
+        ).alias("effective_id"),
+        F.when(F.col("event_type") == "purchase", F.lit("checkout"))
+        .otherwise(F.lit("browse"))
+        .alias("funnel_stage"),
+    )
+
+
+# ===========================================================================
+# Classic analytics (agg / join / top-k: SURVEY §2.3 J1, §2.4 A3, §2.6 T1)
+# ===========================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE cast(l_shipdate AS date) <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the headline wide aggregation.
+
+    Scale: predicate pushed to parquet; partial agg map-side; group key
+    cardinality ~6 so the shuffle is negligible at any SF."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           cast(o.o_orderdate AS date) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, order_date, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + A3 + T1 — 3-way join, agg, deterministic top-k.
+
+    Scale: customer filter first (selectivity ~1/5), broadcast the
+    filtered customer side into orders, shuffle join lineitem on
+    l_orderkey; top-k plans as TakeOrderedAndProject (no global sort)."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "a1_a3_topk_event_types",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY n_events DESC, event_type
+    LIMIT 5
+    """,
+)
+def a1_a3_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3/T1 — distinct-count + count + top-5, the
+    ``ip_processor.py:282-287`` country rollup re-shaped."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+@query(
+    "a2_multicol_distinct",
+    """
+    SELECT DISTINCT o_custkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE o_custkey IS NOT NULL
+    """,
+)
+def a2_multicol_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/P4 — multi-column DISTINCT under a not-null grain filter
+    (``dim_customer.sql:2-8``, ``dim_session_context.sql:5-16``)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .select("o_custkey", "o_orderstatus", "o_orderpriority")
+        .distinct()
+    )
+
+
+@query(
+    "a5_minmax_date_range",
+    """
+    SELECT cast(min(o_orderdate) AS date) - 30 AS start_date,
+           cast(max(o_orderdate) AS date) + 30 AS end_date,
+           count(*) AS n_rows
+    FROM orders
+    """,
+)
+def a5_minmax_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A4/F10 — min/max ±30-day padding (``stg_summary_date_range.sql``
+    + ``dim_date.sql:5-8``). At scale this reads parquet footer stats,
+    not data pages."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.date_sub(F.min(F.col("o_orderdate").cast("date")), 30).alias("start_date"),
+        F.date_add(F.max(F.col("o_orderdate").cast("date")), 30).alias("end_date"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "a6_a7_worklist_pick",
+    """
+    WITH urls AS (
+        SELECT user_id,
+               'https://shop.example/' || event_type ||
+                   CASE WHEN event_id % 3 = 0
+                        THEN '/catalog/product/view/id/' || (event_id % 97)
+                        ELSE '/p/' || (event_id % 97) END AS url
+        FROM events
+    )
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT url)), ',') AS all_urls,
+           coalesce(
+               list_sort(list_filter(list(DISTINCT url),
+                         u -> NOT contains(u, '/catalog/product/view/id/')))[1],
+               list_sort(list(DISTINCT url))[1]
+           ) AS chosen_url
+    FROM urls
+    GROUP BY user_id
+    """,
+)
+def a6_a7_worklist_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7 — per-key URL set-collect + SEO-preferential representative
+    pick (``product_crawler.py:153-191``), made deterministic via sorted
+    sets (SURVEY §7 watch list)."""
+    events = read_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://shop.example/"),
+        F.col("event_type"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit("/catalog/product/view/id/"),
+                (F.col("event_id") % 97).cast("string"),
+            ),
+        ).otherwise(F.concat(F.lit("/p/"), (F.col("event_id") % 97).cast("string"))),
+    )
+    with_urls = events.select("user_id", url.alias("url"))
+    urls_sorted = F.array_sort(F.collect_set("url"))
+    return with_urls.groupBy("user_id").agg(
+        F.array_join(urls_sorted, ",").alias("all_urls"),
+        F.coalesce(
+            F.element_at(
+                F.filter(
+                    urls_sorted,
+                    lambda u: ~u.contains("/catalog/product/view/id/"),
+                ),
+                1,
+            ),
+            F.element_at(urls_sorted, 1),
+        ).alias("chosen_url"),
+    )
+
+
+# ===========================================================================
+# Joins (SURVEY §2.3)
+# ===========================================================================
+
+
+@query(
+    "j1_j5_star_join_defaults",
+    """
+    WITH dim_cust AS (
+        SELECT c_custkey,
+               md5(concat_ws('-',
+                   coalesce(cast(c_custkey AS varchar), '_dbt_utils_surrogate_key_null_'),
+                   coalesce(cast(c_name AS varchar), '_dbt_utils_surrogate_key_null_')
+               )) AS customer_key,
+               c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey % 3 <> 0
+    )
+    SELECT o.o_orderkey,
+           coalesce(d.customer_key, '-1') AS customer_key,
+           coalesce(d.c_mktsegment, 'UNKNOWN') AS mktsegment,
+           round(o.o_totalprice, 2) AS total_price
+    FROM orders o
+    LEFT JOIN dim_cust d ON o.o_custkey = d.c_custkey
+    """,
+)
+def j1_j5_star_join_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + J5 + F4 — left equi-join to a dim with md5 surrogate keys and
+    '-1' defaults for unmatched FKs (``fact_sales_order.sql:34-58``). The
+    dim is deliberately filtered (c_custkey % 3 = 0 removed) so the
+    unmatched path is exercised. Dim side is broadcast."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0)
+    dim = cust.select(
+        "c_custkey",
+        surrogate_key("c_custkey", "c_name").alias("customer_key"),
+        "c_name",
+        "c_mktsegment",
+    )
+    return orders.join(
+        F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        F.coalesce(F.col("customer_key"), F.lit("-1")).alias("customer_key"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("mktsegment"),
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
+@query(
+    "j3_computed_date_key_join",
+    """
+    WITH dim_date AS (
+        SELECT DISTINCT cast(o_orderdate AS date) AS full_date,
+               cast(strftime(cast(o_orderdate AS date), '%Y%m%d') AS bigint) AS date_key
+        FROM orders
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           coalesce(d.date_key, -1) AS ship_date_key
+    FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN dim_date d ON cast(l.l_shipdate AS date) = d.full_date
+    """,
+)
+def j3_computed_date_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — left join on a *computed* date key (``fact_sales_order.sql:64-66``),
+    with the -1 long default for misses (ship dates outside order-date
+    domain). dim_date is tiny → broadcast."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    dim_date = (
+        orders.select(F.col("o_orderdate").cast("date").alias("full_date"))
+        .distinct()
+        .select("full_date", date_key("full_date").alias("date_key"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        .join(
+            F.broadcast(dim_date),
+            F.col("l_shipdate").cast("date") == dim_date.full_date,
+            "left",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.coalesce(F.col("date_key"), F.lit(-1).cast("long")).alias(
+                "ship_date_key"
+            ),
+        )
+    )
+
+
+@query(
+    "j4_composite_key_null_miss",
+    """
+    WITH fact AS (
+        SELECT l_orderkey, l_linenumber,
+               nullif(l_returnflag, 'N') AS rf,
+               l_linestatus AS ls
+        FROM lineitem
+    ),
+    dim AS (
+        SELECT DISTINCT l_returnflag AS rf, l_linestatus AS ls,
+               md5(concat_ws('-',
+                   coalesce(cast(l_returnflag AS varchar), '_dbt_utils_surrogate_key_null_'),
+                   coalesce(cast(l_linestatus AS varchar), '_dbt_utils_surrogate_key_null_')
+               )) AS status_key
+        FROM lineitem
+    )
+    SELECT f.l_orderkey, f.l_linenumber,
+           coalesce(d.status_key, '-1') AS status_key
+    FROM fact f
+    LEFT JOIN dim d ON f.rf = d.rf AND f.ls = d.ls
+    """,
+)
+def j4_composite_key_null_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — composite-key left join with SQL `=` null-miss semantics
+    (``fact_sales_order.sql:68-76``): NULLed keys must *not* match and
+    fall back to '-1'. Null-safe `<=>` would be wrong here (SURVEY §7)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif("l_returnflag", F.lit("N")).alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+    )
+    dim = (
+        li.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_linestatus").alias("ls"),
+            surrogate_key("l_returnflag", "l_linestatus").alias("status_key"),
+        )
+    )
+    return fact.join(
+        F.broadcast(dim), (fact.rf == dim.rf) & (fact.ls == dim.ls), "left"
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(dim.status_key, F.lit("-1")).alias("status_key"),
+    )
+
+
+@query(
+    "j7_anti_join_unprocessed",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+    )
+    """,
+)
+def j7_anti_join_unprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — anti-join resume pattern (``ip_processor.py:329-331``):
+    'keys not yet processed' as left_anti instead of a driver-side set.
+    The processed side is filtered (totalprice > 150k) so both matched
+    and unmatched paths are exercised."""
+    cust = read_table(spark, sf_dir, "customer")
+    processed = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000
+    )
+    return cust.join(
+        processed, cust.c_custkey == processed.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "j6_value_range_join",
+    """
+    WITH ranges AS (
+        SELECT i AS bucket_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi,
+               'b' || lpad(cast(i AS varchar), 2, '0') AS bucket
+        FROM range(50) t(i)
+    )
+    SELECT r.bucket,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
+    GROUP BY r.bucket
+    """,
+)
+def j6_value_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — range (interval) join: probe rows against [lo,hi) ranges, the
+    IP2Location lookup shape (``ip_processor.py:161-174``). Small range
+    side → broadcast nested-loop with the band predicate; see
+    operators/geo.py for the prefix-bucketed variant used at scale."""
+    events = read_table(spark, sf_dir, "events")
+    ranges = spark.range(50).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * 10.0).alias("hi"),
+        F.concat(
+            F.lit("b"), F.lpad(F.col("id").cast("string"), 2, "0")
+        ).alias("bucket"),
+    )
+    return (
+        events.join(
+            F.broadcast(ranges),
+            (events.value >= ranges.lo) & (events.value < ranges.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ===========================================================================
+# Windows / spine (SURVEY §2.5)
+# ===========================================================================
+
+
+@query(
+    "w1_dedup_latest",
+    """
+    SELECT user_id, event_id, event_type, ts AS last_seen
+    FROM (
+        SELECT user_id, event_id, event_type, ts,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def w1_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 — dedup-to-latest via row_number + qualify=1
+    (``dim_customer.sql:18``, ``dim_location.sql:21``), with event_id as
+    total-order tiebreaker for cross-engine determinism."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.col("ts").alias("last_seen"))
+    )
+
+
+@query(
+    "w3_date_spine",
+    """
+    WITH bounds AS (
+        SELECT cast(min(o_orderdate) AS date) - 30 AS lo,
+               cast(max(o_orderdate) AS date) + 30 AS hi
+        FROM orders
+    )
+    SELECT cast(d AS date) AS full_date,
+           cast(strftime(cast(d AS date), '%Y%m%d') AS bigint) AS date_key
+    FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds)
+    """,
+)
+def w3_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/F12 — contiguous date spine [min-30, max+30] (``dim_date.sql:1-11``
+    + dbt date_spine macro). Spark-first: sequence+explode, no global
+    window; generates distributed, not driver-side."""
+    orders = read_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_sub(F.min(F.col("o_orderdate").cast("date")), 30).alias("lo"),
+        F.date_add(F.max(F.col("o_orderdate").cast("date")), 30).alias("hi"),
+    )
+    return bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("full_date")
+    ).select("full_date", date_key("full_date").alias("date_key"))
+
+
+# ===========================================================================
+# Scalar-function showcases (SURVEY §2.8)
+# ===========================================================================
+
+
+@query(
+    "f_date_parts_dim",
+    """
+    WITH days AS (SELECT DISTINCT cast(o_orderdate AS date) AS d FROM orders)
+    SELECT cast(strftime(d, '%Y%m%d') AS bigint) AS date_key,
+           d AS full_date,
+           dayofmonth(d) AS day_of_month,
+           month(d) AS month_num,
+           year(d) AS year_num,
+           quarter(d) AS quarter_num,
+           dayofweek(d) + 1 AS day_of_week,
+           dayname(d) AS day_name,
+           monthname(d) AS month_name,
+           CASE WHEN dayofweek(d) IN (0, 6) THEN true ELSE false END AS is_weekend,
+           weekofyear(d) AS iso_week,
+           CASE WHEN dayofyear(d) < 1 + (8 - (dayofweek(date_trunc('year', d)) + 1)) % 7
+                THEN 0
+                ELSE cast(floor((dayofyear(d)
+                     - (1 + (8 - (dayofweek(date_trunc('year', d)) + 1)) % 7)) / 7)
+                     AS bigint) + 1 END AS bq_week
+    FROM days
+    """,
+)
+def f_date_parts_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6-F9 — the full dim_date column set (``dim_date.sql:13-26``),
+    including BigQuery WEEK semantics (Sunday-start, week 0 before the
+    first Sunday) which differ from Spark/ISO weekofyear; oracle written
+    against DuckDB's 0=Sunday dayofweek."""
+    orders = read_table(spark, sf_dir, "orders")
+    days = orders.select(F.col("o_orderdate").cast("date").alias("d")).distinct()
+    return days.select(
+        date_key("d").alias("date_key"),
+        F.col("d").alias("full_date"),
+        F.dayofmonth("d").alias("day_of_month"),
+        F.month("d").alias("month_num"),
+        F.year("d").alias("year_num"),
+        F.quarter("d").alias("quarter_num"),
+        F.dayofweek("d").alias("day_of_week"),
+        F.date_format("d", "EEEE").alias("day_name"),
+        F.date_format("d", "MMMM").alias("month_name"),
+        is_weekend("d").alias("is_weekend"),
+        F.weekofyear("d").alias("iso_week"),
+        bq_week("d").cast("long").alias("bq_week"),
+    )
+
+
+@query(
+    "f_surrogate_keys",
+    """
+    SELECT c_custkey,
+           md5(concat_ws('-',
+               coalesce(cast(c_custkey AS varchar), '_dbt_utils_surrogate_key_null_'),
+               coalesce(cast(nullif(c_mktsegment, 'BUILDING') AS varchar),
+                        '_dbt_utils_surrogate_key_null_'),
+               coalesce(cast(c_nationkey AS varchar), '_dbt_utils_surrogate_key_null_')
+           )) AS composite_key,
+           md5(concat_ws('-',
+               coalesce(cast(c_name AS varchar), '_dbt_utils_surrogate_key_null_')
+           )) AS name_key
+    FROM customer
+    """,
+)
+def f_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — dbt_utils.generate_surrogate_key byte-parity, including the
+    NULL sentinel path (nullif injects NULLs). Hash equality across
+    engines is the whole point (SURVEY §7 watch list)."""
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        surrogate_key(
+            "c_custkey",
+            F.nullif("c_mktsegment", F.lit("BUILDING")),
+            "c_nationkey",
+        ).alias("composite_key"),
+        surrogate_key("c_name").alias("name_key"),
+    )
+
+
+@query(
+    "f_ip_enrichment",
+    """
+    WITH ips AS (
+        SELECT DISTINCT
+               ((user_id * 2654435761) % 223 + 1) || '.' ||
+               ((user_id * 40503) % 256) || '.' ||
+               ((user_id * 65537) % 256) || '.' ||
+               ((user_id * 97) % 256) AS ip
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    ip_nums AS (
+        SELECT ip,
+               ((user_part[1] * 256 + user_part[2]) * 256 + user_part[3]) * 256
+                   + user_part[4] AS ip_num
+        FROM (SELECT ip, list_transform(string_split(ip, '.'),
+                     x -> cast(x AS bigint)) AS user_part FROM ips)
+    ),
+    geo AS (
+        SELECT i * 16777216 AS start_ip_num,
+               (i + 1) * 16777216 - 1 AS end_ip_num,
+               'C' || lpad(cast(i % 50 AS varchar), 2, '0') AS country_code
+        FROM range(256) t(i)
+    )
+    SELECT g.country_code,
+           count(*) AS n_ips,
+           min(n.ip) AS sample_ip
+    FROM ip_nums n
+    JOIN geo g ON n.ip_num >= g.start_ip_num AND n.ip_num <= g.end_ip_num
+    GROUP BY g.country_code
+    """,
+)
+def f_ip_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F26 + J6 + A1 — the reference's headline path (distinct IPs →
+    geo range lookup → per-country rollup, ``ip_processor.py``) on
+    synthesized dotted-quads. BASELINE comparison point: reference does
+    ~1,350-1,800 lookups/s single-core; this broadcast range join is the
+    ≥10× Spark answer."""
+    events = read_table(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".",
+        ((F.col("user_id") * 2654435761) % 223 + 1).cast("string"),
+        ((F.col("user_id") * 40503) % 256).cast("string"),
+        ((F.col("user_id") * 65537) % 256).cast("string"),
+        ((F.col("user_id") * 97) % 256).cast("string"),
+    )
+    ips = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(ip.alias("ip"))
+        .distinct()
+        .select("ip", ip_to_int("ip").alias("ip_num"))
+    )
+    geo = spark.range(256).select(
+        (F.col("id") * 16777216).alias("start_ip_num"),
+        ((F.col("id") + 1) * 16777216 - 1).alias("end_ip_num"),
+        F.concat(
+            F.lit("C"), F.lpad((F.col("id") % 50).cast("string"), 2, "0")
+        ).alias("country_code"),
+    )
+    return (
+        ips.join(
+            F.broadcast(geo),
+            (ips.ip_num >= geo.start_ip_num) & (ips.ip_num <= geo.end_ip_num),
+        )
+        .groupBy("country_code")
+        .agg(F.count("*").alias("n_ips"), F.min("ip").alias("sample_ip"))
+    )
+
+
+@query(
+    "f_string_cleaning",
+    """
+    SELECT doc_id,
+           nullif(trim(regexp_replace(text, '\\s+', ' ', 'g')), '') AS normalized,
+           substr(text, 1, 80) AS excerpt,
+           length(text) AS text_len,
+           nullif(regexp_replace('  ' || source || '   -   ', '\\s+', ' ', 'g'), '')
+               AS src_padded
+    FROM documents
+    """,
+)
+def f_string_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/F19 — whitespace normalization + truncation
+    (``product_crawler.py:235-240,454``). DuckDB regexp_replace needs the
+    'g' flag to match Spark's replace-all."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_normalize("text").alias("normalized"),
+        F.substring("text", 1, 80).alias("excerpt"),
+        F.length("text").alias("text_len"),
+        F.nullif(
+            F.regexp_replace(
+                F.concat(F.lit("  "), F.col("source"), F.lit("   -   ")),
+                r"\s+",
+                " ",
+            ),
+            F.lit(""),
+        ).alias("src_padded"),
+    )
+
+
+# ===========================================================================
+# Set operations (SURVEY §2.7 — engine completeness)
+# ===========================================================================
+
+
+@query(
+    "setops_users_vs_customers",
+    """
+    WITH ev_ids AS (SELECT DISTINCT user_id AS id FROM events),
+         cust_ids AS (SELECT DISTINCT c_custkey AS id FROM customer)
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT id FROM ev_ids UNION SELECT id FROM cust_ids)
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS n FROM (SELECT id FROM ev_ids INTERSECT SELECT id FROM cust_ids)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (SELECT id FROM ev_ids EXCEPT SELECT id FROM cust_ids)
+    """,
+)
+def setops_users_vs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — UNION / INTERSECT / EXCEPT (absent from the reference's SQL
+    but part of the engine's completeness surface)."""
+    ev = read_table(spark, sf_dir, "events").select(F.col("user_id").alias("id")).distinct()
+    cu = (
+        read_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("id"))
+        .distinct()
+    )
+
+    def count_of(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        count_of(ev.union(cu).distinct(), "union")
+        .unionByName(count_of(ev.intersect(cu), "intersect"))
+        .unionByName(count_of(ev.exceptAll(cu).distinct(), "except"))
+    )

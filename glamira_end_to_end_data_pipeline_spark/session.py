@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Semantics pinned to match the reference (SURVEY.md §1.2):
+
+- ``spark.sql.ansi.enabled=false`` — the reference relies on BigQuery
+  ``SAFE_CAST`` (NULL on failure, ``stg_summary.sql:10-12``) and
+  ``SAFE.PARSE_DATE`` (``stg_summary_date_range.sql:13-14``); non-ANSI
+  mode gives every cast/parse those semantics engine-wide.
+- session timezone UTC — the reference mixes ``TIMESTAMP_SECONDS``
+  (UTC) and ``datetime.utcnow()`` (``ip_processor.py:171``).
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting are
+  the scale story for the 7-column session-context join (SURVEY.md §4).
+
+At 100 TB the same settings hold; only cluster-level sizing
+(``spark.sql.shuffle.partitions`` baseline, executor memory) changes, and
+AQE re-plans partition counts at runtime anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "glamira_end_to_end_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master``/``shuffle_partitions`` default from the environment so the
+    same code runs on local[32] in tests and on a real cluster unchanged:
+    on a cluster, leave ``master`` to spark-submit and size shuffle
+    partitions ≈ 2-3× total cores (AQE coalesces down).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable in
+        # Spark 4 — read as long and convert in the source layer.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
