@@ -32,6 +32,14 @@ HEADLINE = [
     "j4_composite_key_null_miss",
     "w1_dedup_latest",
     "a6_a7_worklist_pick",
+    "star_fact_sales_order",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "emb_cosine_topk",
+    "emb_ann_lsh_topk",
+    "text_quality_score",
+    "text_fingerprint",
 ]
 
 

@@ -1,0 +1,290 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond-reference north-star operators (BASELINE.json): the reference's
+only dedup is key-level ``distinct`` (SURVEY §2.4 A1/A2); a training-data
+pipeline needs *content* dedup. All operators here are pure DataFrame
+compositions — no UDFs — so Catalyst/AQE own the physical plan.
+
+Scale design (100 TB):
+
+- exact dedup is one hash-shuffle on a 32-byte digest (not the full
+  text): map-side partial agg collapses most duplicates before shuffle.
+- MinHash+LSH is the linear-ish near-dup path: per-doc signatures
+  (narrow), band buckets (explode ×bands), self-join on (band, hash) —
+  shuffle keys are tiny hashes, never text. Hot buckets (boilerplate
+  docs) are the skew risk → AQE skew-join + optional bucket-size cap.
+- all-pairs n-gram Jaccard is quadratic per shared shingle; it is the
+  *verification* step over LSH candidates, not a corpus-wide scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def normalized_tokens(text_col: str = "text") -> F.Column:
+    """Lowercased whitespace tokens (shared by all text operators)."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def shingles_from_tokens(toks: F.Column | str, n: int = 3) -> F.Column:
+    """Word n-gram shingle array from a *materialized* token-array column;
+    empty array when fewer than n tokens. Guarded because Spark's
+    ``sequence(1, k)`` with k<1 counts *down*. Callers should materialize
+    the token array first — HOFs evaluate interpreted, so an inlined
+    split sub-expression re-executes per element_at."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """Inline-tokenizing variant of ``shingles_from_tokens`` — fine for
+    one-shot use on narrow inputs; prefer materializing tokens first."""
+    return shingles_from_tokens(normalized_tokens(text_col), n)
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs, distinct — the normalized form every
+    near-dup operator consumes.
+
+    Tokens are materialized as a column *before* the n-gram transform:
+    higher-order functions evaluate interpreted, so an inlined split
+    would re-run the regex once per ``element_at`` (O(tokens·n) splits
+    per row) instead of once per row."""
+    with_toks = df.select(F.col(id_col), normalized_tokens(text_col).alias("__toks"))
+    return with_toks.select(
+        F.col(id_col), F.explode(shingles_from_tokens("__toks", n)).alias("shingle")
+    ).distinct()
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact content dedup: group by md5(text), keep the minimum id as
+    canonical. One shuffle keyed on the digest."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document.
+
+    Hash family: lexicographic min of ``md5(i || '|' || shingle)`` hex
+    strings — a deterministic random permutation per seed i that is
+    byte-identical in any engine with md5 (the cross-engine property the
+    oracle comparison needs). Columns s0..s{k-1}.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_id, band_hash): signature sliced into ``bands`` bands of
+    ``num_hashes/bands`` rows, each band hashed to one bucket key."""
+    rows_per_band = num_hashes // bands
+    entries = []
+    for b in range(bands):
+        cols = [F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+        entries.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (a, b) with a < b sharing at least one band bucket —
+    the self-join shuffles only (band_id, band_hash, id)."""
+    left = bands_df.select(
+        F.col(id_col).alias("a"), F.col("band_id"), F.col("band_hash")
+    )
+    right = bands_df.select(
+        F.col(id_col).alias("b"), F.col("band_id"), F.col("band_hash")
+    )
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """True Jaccard for candidate pairs via the exploded-shingle join:
+    |A∩B| from a shared-shingle count, |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = shingles.select(F.col(id_col).alias("a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
+    candidate pairs → exact-Jaccard verify → threshold."""
+    # The shingle table feeds four plan branches (signatures, both sides
+    # of the intersection join, sizes); without persistence Catalyst
+    # re-executes scan->explode->distinct per branch. Disk-backed cache
+    # is the 100 TB-safe storage level.
+    sh = exploded_shingles(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # signatures feed both sides of the band self-join — persist or the
+    # 16-way min-md5 aggregation runs twice.
+    sig = minhash_signatures(sh, id_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
+    return jaccard_for_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Baseline all-pairs n-gram Jaccard over the shared-shingle join.
+    Quadratic in per-shingle document frequency — use as the verifier /
+    small-corpus baseline; LSH is the scale path."""
+    sh = exploded_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = (
+        sh.select(F.col(id_col).alias("a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return jaccard_for_pairs(pairs, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+_HEX_ODD = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def simhash32(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash as a '0'/'1' bitstring.
+
+    Bit b of a token's hash = parity of hex digit b of md5(token) —
+    deterministic and engine-portable. Document bit b is the sign of the
+    sum of ±1 votes over *distinct* tokens (ties → 1, via >= 0).
+    Near-dup docs (small token edits) differ in few bits.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(normalized_tokens(text_col)).alias("tok"))
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.substring("h", b + 1, 1).isin(*_HEX_ODD), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v{b}") >= 0, F.lit("1")).otherwise(F.lit("0")) for b in range(32)]
+    )
+    # integer form: bit b (weight 2^b) = vote sign — hamming distance
+    # becomes bit_count(xor), pure codegen integer math (the bitstring
+    # form would force interpreted per-char array ops on every pair).
+    sim_int = sum(
+        [F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(0) for b in range(32)],
+        start=F.lit(0),
+    ).cast("long")
+    return agg.select(F.col(id_col), bits.alias("simhash"), sim_int.alias("simhash_int"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit hash into ``chunks``
+    8-bit chunks; by pigeonhole, pairs within ``max_hamming`` ≤ chunks-1
+    share at least one exact chunk → join per chunk, then exact hamming
+    verify. Same banded-join shape as LSH — linear-ish shuffle."""
+    sh = simhash32(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    width = 32 // chunks
+    entries = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            (F.shiftright("simhash_int", c * width) % (1 << width)).alias("chunk"),
+        )
+        for c in range(chunks)
+    ]
+    banded = sh.select(
+        F.col(id_col), F.col("simhash_int"), F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, "simhash_int", "e.chunk_id", "e.chunk")
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("simhash_int").alias("sim_a"), "chunk_id", "chunk"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("simhash_int").alias("sim_b"), "chunk_id", "chunk"
+    )
+    cand = (
+        left.join(right, ["chunk_id", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,146 @@
+"""Text analysis operators (north-star, BASELINE.json): language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built-in column expressions (regex, array ops, md5) —
+per-row work with zero shuffle, so these scale embarrassingly: at
+100 TB they run map-only at parquet-scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+    normalized_tokens,
+    shingles_from_tokens,
+)
+
+# BPE-ish token regex: letter runs, digit runs, single other-symbols.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny marker lexicons for n-gram/stopword language ID. Deliberately
+# small: the operator's job is the *shape* (per-language hit counting +
+# deterministic argmax), which scales to any lexicon broadcast with the
+# plan.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "los", "de", "que", "es", "una"),
+    "fr": ("le", "la", "les", "de", "et", "est", "une"),
+}
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts, char count, mean token length."""
+    toks = normalized_tokens(text_col)
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens_ws"),
+        F.size(bpe).alias("n_tokens_bpe"),
+        F.length(text_col).alias("n_chars"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.round(num / F.greatest(den, F.lit(1)), 6)
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality features + composite score: length band,
+    punctuation density, digit density, stopword ratio (C4/Gopher-style
+    filters re-expressed as one map-only projection)."""
+    text = F.col(text_col)
+    toks = normalized_tokens(text_col)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), 0))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
+    )
+    punct_ratio = _ratio(n_punct, n_chars)
+    digit_ratio = _ratio(n_digit, n_chars)
+    stop_ratio = _ratio(stop_hits, n_tokens)
+    length_ok = (n_tokens >= 10) & (n_tokens <= 1000)
+    score = F.round(
+        F.when(length_ok, 0.4).otherwise(0.0)
+        + F.when(punct_ratio <= 0.1, 0.2).otherwise(0.0)
+        + F.when(digit_ratio <= 0.2, 0.2).otherwise(0.0)
+        + F.least(stop_ratio * 2, F.lit(0.2)),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+        F.when(score >= 0.8, "high")
+        .when(score >= 0.5, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-word language ID: count lexicon hits per language over the
+    token set, argmax with lexicographic tiebreak (deterministic)."""
+    toks = normalized_tokens(text_col)
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*words))).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    # argmax via array_max over (score, inverted-lang) structs: ties fall
+    # to the lexicographically *smallest* language code.
+    langs = sorted(LANG_MARKERS)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"score_{lang}").alias("s"),
+                    F.lit(len(langs) - i).alias("prio"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(langs)
+            ]
+        )
+    )
+    return scored.select(
+        id_col,
+        *[f"score_{lang}" for lang in langs],
+        best.getField("lang").alias("predicted_lang"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document fingerprints: full-content md5 over normalized text +
+    winnowing-style minimum 5-gram shingle hash (stable under padding)."""
+    with_toks = df.select(
+        F.col(id_col), normalized_tokens(text_col).alias("__toks")
+    )
+    norm_text = F.concat_ws(" ", F.col("__toks"))
+    min_shingle = F.array_min(
+        F.transform(shingles_from_tokens("__toks", 5), F.md5)
+    )
+    return with_toks.select(
+        F.col(id_col),
+        F.md5(norm_text).alias("content_hash"),
+        F.coalesce(min_shingle, F.md5(norm_text)).alias("min_shingle_hash"),
+    )

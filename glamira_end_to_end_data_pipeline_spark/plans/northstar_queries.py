@@ -1,0 +1,472 @@
+"""Driver-registry entries for the north-star operators (BASELINE.json):
+dedup family, embedding similarity search, text analysis.
+
+The synthetic documents are near-dup-free word soup, so dedup queries
+run over a ``corpus`` CTE that deterministically injects exact copies
+(doc_id+200000) and near-dup mutants (doc_id+100000, one token appended)
+— identically on both engines — so the interesting paths (collisions,
+candidate pairs, threshold verdicts) are actually exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glamira_end_to_end_data_pipeline_spark.operators import dedup, similarity, text
+from glamira_end_to_end_data_pipeline_spark.plans.queries import query
+from glamira_end_to_end_data_pipeline_spark.sources import read_table
+
+# ---------------------------------------------------------------------------
+# shared corpus (documents + injected dups) — Spark + SQL twins
+# ---------------------------------------------------------------------------
+
+
+def corpus_with_dups(docs: DataFrame) -> DataFrame:
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nearduptoken")).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), F.col("text")
+    )
+    return docs.select("doc_id", "text").unionByName(near).unionByName(exact)
+
+
+CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || ' nearduptoken' AS text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+# shared SQL fragments -------------------------------------------------------
+
+TOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+SHINGLES_CTE = f"""
+shingled AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM corpus
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           )) AS shingle
+    FROM shingled
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH {CORPUS_CTE.strip()}
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one hash-shuffle on the md5 digest, never the
+    text. Injected exact copies (doc_id%7) surface as n_copies=2."""
+    return dedup.exact_dedup(corpus_with_dups(_docs(spark, sf_dir)))
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {CORPUS_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    sig AS (
+        SELECT doc_id,
+               {", ".join(f"min(md5('{i}|' || shingle)) AS s{i}" for i in range(16))}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, band_id,
+               CASE band_id
+                   WHEN 0 THEN md5(concat_ws('|', s0, s1, s2, s3))
+                   WHEN 1 THEN md5(concat_ws('|', s4, s5, s6, s7))
+                   WHEN 2 THEN md5(concat_ws('|', s8, s9, s10, s11))
+                   ELSE md5(concat_ws('|', s12, s13, s14, s15))
+               END AS band_hash
+        FROM sig, (VALUES (0), (1), (2), (3)) v(band_id)
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        WHERE l.doc_id < r.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.a, c.b, count(*) AS n_inter
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.a
+        JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) near-dup detection with exact-Jaccard
+    verification at θ=0.5. The engine-portable hash family is
+    min(md5(seed||shingle)) on hex strings; band buckets make the
+    candidate join linear-ish (SURVEY north-star; scale analysis in
+    operators/dedup.py)."""
+    return dedup.minhash_near_dups(
+        corpus_with_dups(_docs(spark, sf_dir)), num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {CORPUS_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    pairs AS (
+        SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+        FROM shingles sa JOIN shingles sb ON sa.shingle = sb.shingle
+        WHERE sa.doc_id < sb.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.a, c.b, count(*) AS n_inter
+        FROM pairs c
+        JOIN shingles sa ON sa.doc_id = c.a
+        JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-gram Jaccard (θ=0.3) via the shared-shingle join —
+    the exact baseline the LSH path approximates."""
+    return dedup.ngram_jaccard_pairs(
+        corpus_with_dups(_docs(spark, sf_dir)), n=3, threshold=0.3
+    )
+
+
+_SIMHASH_VOTES_SQL = ",\n               ".join(
+    f"sum(CASE WHEN substr(h, {b + 1}, 1) IN "
+    f"('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(32)
+)
+_SIMHASH_INT_SQL = " + ".join(
+    f"(CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH {CORPUS_CTE.strip()},
+    toks AS (
+        SELECT DISTINCT doc_id, unnest({TOKENS_SQL}) AS tok FROM corpus
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    votes AS (
+        SELECT doc_id,
+               {_SIMHASH_VOTES_SQL}
+        FROM hashed GROUP BY doc_id
+    ),
+    sims AS (SELECT doc_id, ({_SIMHASH_INT_SQL})::BIGINT AS simhash_int FROM votes)
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           bit_count(xor(l.simhash_int, r.simhash_int)) AS hamming
+    FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash_int, r.simhash_int)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit, hex-parity bit family) near-dup pairs with
+    hamming ≤ 3, banded into 4 chunks for the candidate join (pigeonhole
+    guarantees recall at this radius)."""
+    return dedup.simhash_near_dups(
+        corpus_with_dups(_docs(spark, sf_dir)), max_hamming=3, chunks=4
+    ).select("a", "b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+)
+
+
+@query(
+    "emb_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec
+          FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {_COS_SQL.format(a="q_vec", b="c_vec")} AS cosine_sim
+        FROM c, q
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — the exact-recall
+    ANN baseline. Query side broadcast; corpus streams once."""
+    emb = _emb(spark, sf_dir)
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5,
+        dim=64,  # testdata embeddings are 64-d; enables codegen dot product
+    )
+
+
+@query(
+    "emb_ann_lsh_topk",
+    f"""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               ((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 4 +
+                (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 2 +
+                (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)) AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket
+          FROM v WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket
+          FROM v WHERE vec_id >= 10),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {_COS_SQL.format(a="q_vec", b="c_vec")} AS cosine_sim
+        FROM c JOIN q USING (bucket)
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-bucketed approximate top-5: random-hyperplane sign
+    buckets (3 bits) restrict candidates ~8×; the bucket expression is a
+    free partition column at 100 TB (partition-pruned probes)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.lsh_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5,
+        n_bits=3,
+        dim=64,
+    )
+
+
+@query(
+    "emb_near_dup_pairs",
+    f"""
+    WITH mutants AS (
+        SELECT vec_id + 100000 AS vec_id,
+               list_prepend(embedding[1]::DOUBLE + 0.01e0,
+                            (embedding[2:])::DOUBLE[]) AS embedding
+        FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    pool AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM mutants
+    ),
+    v AS (
+        SELECT vec_id, embedding,
+               ((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 8 +
+                (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 4 +
+                (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 2 +
+                (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)) AS bucket
+        FROM pool
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cosine_sim
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.9
+    """,
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.9) via sign-bit bucket
+    candidate join. Injected mutants (vec_id%25, first component +0.01)
+    guarantee true positives."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mutants = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
+            F.slice("embedding", 2, 10_000),
+        ).alias("embedding"),
+    )
+    pool = emb.unionByName(mutants)
+    return similarity.near_dup_pairs(pool, threshold=0.9, n_bits=4, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len({TOKENS_SQL}) AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_tokens_bpe,
+           length(text) AS n_chars,
+           round(coalesce(list_sum(list_transform({TOKENS_SQL}, t -> length(t))), 0)
+                 / greatest(len({TOKENS_SQL}), 1), 6) AS mean_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens +
+    mean token length. Map-only; scan-speed at any scale."""
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "text_quality_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {TOKENS_SQL} AS toks,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digit
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(n_punct / greatest(length(text), 1), 6) AS punct_ratio,
+               round(n_digit / greatest(length(text), 1), 6) AS digit_ratio,
+               round(len(list_filter(toks,
+                         x -> list_contains(['the','a','of','and','to','is','in'], x)))
+                     / greatest(len(toks), 1), 6) AS stopword_ratio
+        FROM t
+    )
+    SELECT doc_id, n_tokens, punct_ratio, digit_ratio, stopword_ratio,
+           round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4e0 ELSE 0.0e0 END)
+               + (CASE WHEN punct_ratio <= 0.1 THEN 0.2e0 ELSE 0.0e0 END)
+               + (CASE WHEN digit_ratio <= 0.2 THEN 0.2e0 ELSE 0.0e0 END)
+               + least(stopword_ratio * 2, 0.2e0), 6) AS quality_score,
+           CASE WHEN round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4e0 ELSE 0.0e0 END)
+                    + (CASE WHEN punct_ratio <= 0.1 THEN 0.2e0 ELSE 0.0e0 END)
+                    + (CASE WHEN digit_ratio <= 0.2 THEN 0.2e0 ELSE 0.0e0 END)
+                    + least(stopword_ratio * 2, 0.2e0), 6) >= 0.8 THEN 'high'
+                WHEN round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4e0 ELSE 0.0e0 END)
+                    + (CASE WHEN punct_ratio <= 0.1 THEN 0.2e0 ELSE 0.0e0 END)
+                    + (CASE WHEN digit_ratio <= 0.2 THEN 0.2e0 ELSE 0.0e0 END)
+                    + least(stopword_ratio * 2, 0.2e0), 6) >= 0.5 THEN 'medium'
+                ELSE 'low' END AS quality_bucket
+    FROM r
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality features + composite score as one
+    map-only projection."""
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+_LANG_SCORES_SQL = ",\n           ".join(
+    "len(list_filter({toks}, x -> list_contains([{words}], x))) AS score_{lang}".format(
+        toks=TOKENS_SQL,
+        words=", ".join(f"'{w}'" for w in words),
+        lang=lang,
+    )
+    for lang, words in sorted(text.LANG_MARKERS.items())
+)
+
+
+@query(
+    "text_language_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+           {_LANG_SCORES_SQL}
+        FROM documents
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE greatest(score_de, score_en, score_es, score_fr)
+                WHEN score_de THEN 'de'
+                WHEN score_en THEN 'en'
+                WHEN score_es THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID with deterministic lexicographic
+    tiebreak (matches the CASE-through-greatest order in the oracle)."""
+    return text.language_id(_docs(spark, sf_dir))
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(toks, ' ')) AS content_hash,
+           coalesce(
+               list_min(list_transform(
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 4, 0)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            || ' ' || toks[i+3] || ' ' || toks[i+4]),
+                   g -> md5(g))),
+               md5(array_to_string(toks, ' '))) AS min_shingle_hash
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: normalized-content md5 + winnowing-style
+    min 5-gram hash (rolling-hash family = md5 over shingles)."""
+    return text.fingerprint(_docs(spark, sf_dir))

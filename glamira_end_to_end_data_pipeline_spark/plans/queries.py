@@ -42,10 +42,21 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Drop cached blocks left by previously-run registry queries
+            # (several pipelines persist shared intermediates for
+            # diamond reuse; stale blocks from a prior query measurably
+            # degrade later ones in a long single-session run).
+            spark.catalog.clearCache()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

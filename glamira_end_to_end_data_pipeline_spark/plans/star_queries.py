@@ -515,7 +515,10 @@ def star_fact_sales_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     five broadcast left joins, '-1' unmatched defaults, `=` null-miss
     semantics on the 7-column session key."""
     events = _events(spark, sf_dir)
-    stg = models.stg_summary(summary_from_events(events))
+    # stg feeds the fact scan plus three dims — persist to avoid four
+    # recomputations of the projection diamond (same rationale at 100 TB,
+    # where stg would be a materialized staging table).
+    stg = models.stg_summary(summary_from_events(events)).persist()
     dims = {
         "product": models.dim_product(product_details_from_events(events)),
         "customer": models.dim_customer(stg),

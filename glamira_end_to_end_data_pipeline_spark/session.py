@@ -51,8 +51,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # Wide codegen (16-way md5 aggregates, 32-bit simhash sums) can
+        # fill the default 240m JIT code cache, silently de-optimizing
+        # every later query to interpreted mode (observed 40x slowdowns).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable in
         # Spark 4 — read as long and convert in the source layer.
