@@ -4,6 +4,7 @@ from glamira_end_to_end_data_pipeline_spark.plans.queries import ORACLES, QUERIE
 from glamira_end_to_end_data_pipeline_spark.plans import (  # noqa: E402,F401
     northstar_queries,
     star_queries,
+    streaming_queries,
 )
 
 __all__ = ["ORACLES", "QUERIES"]

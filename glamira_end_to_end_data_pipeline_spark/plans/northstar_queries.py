@@ -98,10 +98,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {CORPUS_CTE.strip()},
     {SHINGLES_CTE.strip()},
+    sigx AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                   % {dedup.MINHASH_P} AS x
+        FROM shingles
+    ),
     sig AS (
         SELECT doc_id,
-               {", ".join(f"min(md5('{i}|' || shingle)) AS s{i}" for i in range(16))}
-        FROM shingles GROUP BY doc_id
+               {", ".join(f"min(({a} * x + {b}) % {dedup.MINHASH_P}) AS s{i}" for i, (a, b) in enumerate(dedup.minhash_coeffs(16)))}
+        FROM sigx GROUP BY doc_id
     ),
     bands AS (
         SELECT doc_id, band_id,
@@ -137,9 +143,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands) near-dup detection with exact-Jaccard
-    verification at θ=0.5. The engine-portable hash family is
-    min(md5(seed||shingle)) on hex strings; band buckets make the
-    candidate join linear-ish (SURVEY north-star; scale analysis in
+    verification at θ=0.5. The engine-portable hash family is one md5
+    per shingle reduced to a 31-bit int, then 16 affine permutations
+    mod 2^31-1 (exact 64-bit math in both engines); band buckets make
+    the candidate join linear-ish (SURVEY north-star; scale analysis in
     operators/dedup.py)."""
     return dedup.minhash_near_dups(
         corpus_with_dups(_docs(spark, sf_dir)), num_hashes=16, bands=4, threshold=0.5
@@ -181,8 +188,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_VOTES_SQL = ",\n               ".join(
-    f"sum(CASE WHEN substr(h, {b + 1}, 1) IN "
-    f"('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v{b}"
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
     for b in range(32)
 )
 _SIMHASH_INT_SQL = " + ".join(
@@ -197,7 +203,11 @@ _SIMHASH_INT_SQL = " + ".join(
     toks AS (
         SELECT DISTINCT doc_id, unnest({TOKENS_SQL}) AS tok FROM corpus
     ),
-    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        FROM toks
+    ),
     votes AS (
         SELECT doc_id,
                {_SIMHASH_VOTES_SQL}
@@ -259,7 +269,6 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10),
         emb.filter(F.col("vec_id") >= 10),
         k=5,
-        dim=64,  # testdata embeddings are 64-d; enables codegen dot product
     )
 
 
@@ -301,7 +310,6 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") >= 10),
         k=5,
         n_bits=3,
-        dim=64,
     )
 
 
@@ -347,7 +355,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     pool = emb.unionByName(mutants)
-    return similarity.near_dup_pairs(pool, threshold=0.9, n_bits=4, dim=64)
+    return similarity.near_dup_pairs(pool, threshold=0.9, n_bits=4)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,88 @@
+"""Multimodal column plumbing: Arrow-batched mapInPandas pipelines over
+binary payload columns with typed metadata. The codec is a deterministic
+stub (no media libs in this environment); the schemas, batch shapes, and
+data paths under test are the real ones."""
+
+from __future__ import annotations
+
+import pytest
+
+from glamira_end_to_end_data_pipeline_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = mm.synthetic_media(spark, 64)
+    df.persist()
+    yield df
+    df.unpersist()
+
+
+def _names_types(schema):
+    return [(f.name, f.dataType) for f in schema.fields]
+
+
+def test_synthetic_media_schema(media):
+    assert _names_types(media.schema) == _names_types(mm.MEDIA_SCHEMA)
+    assert media.count() == 64
+    mods = {r.modality for r in media.select("modality").distinct().collect()}
+    assert mods == {"image", "audio", "video"}
+
+
+def test_extract_features_shape_and_determinism(media):
+    out = mm.extract_features(media)
+    assert out.schema == mm.FEATURES_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 64
+    for r in rows.values():
+        assert len(r.features) == mm.FEATURE_DIM
+        assert abs(sum(r.features) - 1.0) < 1e-3  # normalized histogram
+        assert r.n_bytes == 64  # 16-byte md5 × 4
+    # deterministic across executions
+    rows2 = {r.media_id: r for r in mm.extract_features(media).collect()}
+    assert all(rows[k].features == rows2[k].features for k in rows)
+
+
+def test_resize_images_metadata_scaling(media):
+    out = {r.media_id: r for r in mm.resize_images(media, max_side=256).collect()}
+    src = {r.media_id: r for r in media.filter("modality = 'image'").collect()}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        w, h = src[mid].width, src[mid].height
+        if max(w, h) <= 256:
+            assert (r.width, r.height) == (w, h)
+        else:
+            scale = 256 / max(w, h)
+            assert r.width == int(w * scale) and r.height == int(h * scale)
+            assert max(r.width, r.height) == 256
+            assert len(r.payload) <= len(src[mid].payload)
+
+
+def test_sample_video_frames_offsets(media):
+    out = mm.sample_video_frames(media, every_ms=1000)
+    rows = out.collect()
+    durs = {
+        r.media_id: r.duration_ms
+        for r in media.filter("modality = 'video'").collect()
+    }
+    by_id: dict[int, list[int]] = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r.frame_ms)
+    assert set(by_id) == set(durs)
+    for mid, offs in by_id.items():
+        expect = list(range(0, max(int(durs[mid]), 1), 1000))
+        assert sorted(offs) == expect
+    assert all(r.frame_payload is not None for r in rows)
+
+
+def test_decoder_registry_is_swappable(spark):
+    """Registering a real decoder is a dict assignment — the plan and
+    schemas are unchanged."""
+    orig = mm.DECODERS["image"]
+    try:
+        mm.DECODERS["image"] = lambda p: [float(len(p or b""))] * mm.FEATURE_DIM
+        out = mm.extract_features(mm.synthetic_media(spark, 6))
+        img = [r for r in out.collect() if r.modality == "image"]
+        assert all(r.features == [64.0] * mm.FEATURE_DIM for r in img)
+    finally:
+        mm.DECODERS["image"] = orig

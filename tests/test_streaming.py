@@ -1,0 +1,110 @@
+"""Structured Streaming incremental load (SURVEY §2.9): exactly-once
+file-arrival append + audit rows, and the tumbling-window extension."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from glamira_end_to_end_data_pipeline_spark.streaming import (
+    run_incremental_load_once,
+    tumbling_event_counts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_incremental_load_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, src, [(1, "view", 1.0), (2, "cart", 2.0)])
+    run_incremental_load_once(spark, src, tgt, audit, ckpt, SCHEMA)
+    assert spark.read.parquet(tgt).count() == 2
+
+    # second drain with no new files: nothing re-loaded (checkpoint
+    # replaces the reference's stable-job-id dedup)
+    run_incremental_load_once(spark, src, tgt, audit, ckpt, SCHEMA)
+    assert spark.read.parquet(tgt).count() == 2
+
+    # a newly arrived file loads incrementally, exactly once
+    _write_batch(spark, src, [(3, "purchase", 3.0)])
+    run_incremental_load_once(spark, src, tgt, audit, ckpt, SCHEMA)
+    got = spark.read.parquet(tgt)
+    assert got.count() == 3
+    assert {r.event_id for r in got.collect()} == {1, 2, 3}
+
+    # audit table: one row per non-empty batch, row counts match
+    arows = spark.read.parquet(audit).orderBy("batch_id").collect()
+    assert [r.row_count for r in arows if r.row_count > 0] == [2, 1]
+    assert all(r.status == "ok" for r in arows)
+    assert all(r.target_table == "events" for r in arows)
+    assert os.path.isdir(ckpt)
+
+
+def test_tumbling_window_counts_batch(spark):
+    rows = [
+        (1, "view", "2024-01-01 00:10:00"),
+        (2, "view", "2024-01-01 00:50:00"),
+        (3, "cart", "2024-01-01 00:20:00"),
+        (4, "view", "2024-01-01 01:05:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_s string"
+    ).select("event_id", "event_type", F.to_timestamp("ts_s").alias("ts"))
+    out = tumbling_event_counts(df, "1 hour").orderBy(
+        "window_start", "event_type"
+    )
+    got = [(str(r.window_start), r.event_type, r.n_events) for r in out.collect()]
+    assert got == [
+        ("2024-01-01 00:00:00", "cart", 1),
+        ("2024-01-01 00:00:00", "view", 2),
+        ("2024-01-01 01:00:00", "view", 1),
+    ]
+
+
+def test_tumbling_window_streaming_with_watermark(spark, tmp_path):
+    """Same aggregation over a real stream: watermark + append sink;
+    late (beyond-watermark) data is dropped, closed windows emit."""
+    src = str(tmp_path / "stream_src")
+    sink = str(tmp_path / "stream_sink")
+    ckpt = str(tmp_path / "stream_ckpt")
+    schema = "event_id long, event_type string, ts timestamp"
+
+    rows1 = [(1, "view", "2024-01-01 00:10:00"), (2, "view", "2024-01-01 03:00:00")]
+    spark.createDataFrame(
+        [(i, t, s) for i, t, s in rows1], "event_id long, event_type string, ts_s string"
+    ).select("event_id", "event_type", F.to_timestamp("ts_s").alias("ts")).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        tumbling_event_counts(stream, "1 hour", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(sink).collect()
+    # watermark = max(ts) - 1h = 02:00 → the 00:00-01:00 window closed
+    assert [(str(r.window_start), r.n_events) for r in got] == [
+        ("2024-01-01 00:00:00", 1)
+    ]
