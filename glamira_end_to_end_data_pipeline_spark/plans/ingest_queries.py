@@ -1,0 +1,124 @@
+"""Registry entries for the ingest/egress surface (SURVEY §2.1 S7/S9,
+§2.2 P8/P9, §2.8 F22-F24) — sources/ingest.py driven end-to-end on the
+driver testdata, with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glamira_end_to_end_data_pipeline_spark.plans.queries import query
+from glamira_end_to_end_data_pipeline_spark.sources import read_table
+from glamira_end_to_end_data_pipeline_spark.sources.ingest import (
+    route_load_events,
+    unify_master_schema,
+)
+
+
+@query(
+    "s7_master_schema_rules",
+    """
+    SELECT event_type AS label,
+           round(sum(value), 2) AS sum_value,
+           count(user_id) AS n,
+           max(length(cast(user_id AS varchar))) AS max_gclid_len
+    FROM events
+    GROUP BY 1
+    """,
+)
+def s7_master_schema_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — master-schema unification (``export_to_GCS.py:107-209``).
+    A free-schema (all-string) projection of ``events`` goes through
+    :func:`unify_master_schema`: the stringified measure is promoted back
+    to double (every value parses), the label column stays string (not
+    parseable), and the ``gclid``-named column stays string despite being
+    fully numeric (force-string rule, ``export_to_GCS.py:51,116``). The
+    aggregate only type-checks if the promotion happened; dtype
+    assertions live in tests/test_ingest.py."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("label"),
+        F.col("value").cast("string").alias("value_str"),
+        F.col("user_id").cast("string").alias("gclid"),
+    )
+    unified = unify_master_schema(ev)
+    return unified.groupBy("label").agg(
+        F.round(F.sum("value_str"), 2).alias("sum_value"),
+        F.count("gclid").alias("n"),
+        F.max(F.length("gclid")).alias("max_gclid_len"),
+    )
+
+
+@query(
+    "s9_load_routing",
+    """
+    WITH objs AS (
+        SELECT CASE doc_id % 3
+                 WHEN 0 THEN 'data_in_parquet/summary/part-' || doc_id
+                 WHEN 1 THEN 'data_in_parquet/ip locations-' || doc_id
+                 ELSE 'tmp_scratch/skip-' || doc_id
+               END ||
+               CASE doc_id % 4
+                 WHEN 0 THEN '.parquet'
+                 WHEN 1 THEN '.json'
+                 WHEN 2 THEN '.csv'
+                 ELSE '.txt'
+               END AS path
+        FROM documents
+    ),
+    kept AS (
+        SELECT path AS uri,
+               CASE WHEN path LIKE '%.parquet' THEN 'PARQUET'
+                    WHEN path LIKE '%.json' THEN 'NEWLINE_DELIMITED_JSON'
+                    WHEN path LIKE '%.csv' THEN 'CSV'
+               END AS load_format,
+               substr(path, length('data_in_parquet/') + 1) AS rel
+        FROM objs
+        WHERE path LIKE 'data_in_parquet/%'
+    )
+    SELECT uri,
+           load_format,
+           regexp_replace(
+               CASE WHEN strpos(rel, '/') > 0
+                    THEN substr(rel, 1, strpos(rel, '/') - 1)
+                    ELSE regexp_replace(rel, '\\.[^.]*$', '')
+               END,
+               '[^a-zA-Z0-9_]', '_', 'g') AS target_table,
+           md5(uri || '|' ||
+               regexp_replace(
+                   CASE WHEN strpos(rel, '/') > 0
+                        THEN substr(rel, 1, strpos(rel, '/') - 1)
+                        ELSE regexp_replace(rel, '\\.[^.]*$', '')
+                   END,
+                   '[^a-zA-Z0-9_]', '_', 'g')) AS job_id
+    FROM kept
+    WHERE load_format IS NOT NULL
+    """,
+)
+def s9_load_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 + P8/P9 + F22/F23/F24 — the load-trigger routing pipeline
+    (``trigger_bigquery_load.py``) over synthesized object-arrival paths:
+    prefix filter, extension→format dispatch (unsupported ``.txt``
+    dropped), subfolder-else-stem table inference with sanitization
+    (the ``ip locations`` space → underscore), and the portable stable
+    job id. Pure column expressions — no UDFs in the routing path."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    folder = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("data_in_parquet/summary/part-"), F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("data_in_parquet/ip locations-"), F.col("doc_id")),
+        )
+        .otherwise(F.concat(F.lit("tmp_scratch/skip-"), F.col("doc_id")))
+    )
+    ext = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(".parquet"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(".json"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(".csv"))
+        .otherwise(F.lit(".txt"))
+    )
+    objects = docs.select(F.concat(folder, ext).alias("path"))
+    return route_load_events(objects)
