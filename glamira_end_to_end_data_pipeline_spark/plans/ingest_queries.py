@@ -8,6 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from glamira_end_to_end_data_pipeline_spark.functions import (
+    clean_product_name,
+    domain_of,
+    parse_locale_price,
+    rating_value,
+)
 from glamira_end_to_end_data_pipeline_spark.plans.queries import query
 from glamira_end_to_end_data_pipeline_spark.sources import read_table
 from glamira_end_to_end_data_pipeline_spark.sources.ingest import (
@@ -122,3 +128,107 @@ def s9_load_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     objects = docs.select(F.concat(folder, ext).alias("path"))
     return route_load_events(objects)
+
+
+@query(
+    "s12_crawler_parse",
+    """
+    SELECT p_partkey AS product_id,
+           p_name AS product_name,
+           cast(round(p_retailprice * 100) AS bigint) AS price_cents,
+           (p_partkey % 5 + 1) * 10 + p_partkey % 10 AS rating_x10,
+           'glamira.' || CASE p_partkey % 3
+                           WHEN 0 THEN 'com'
+                           WHEN 1 THEN 'de'
+                           ELSE 'fr'
+                         END AS domain
+    FROM part
+    """,
+)
+def s12_crawler_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 + F14/F15/F16/F17 — the product-crawler extraction pipeline
+    (``product_crawler.py:214-295,357-474``) as pure column expressions:
+    synthesize an HTML page per ``part`` row (marketing-suffixed title,
+    EU-or-US-locale price, rating text, canonical URL), then recover
+    every field from the raw HTML alone — title cleanup, locale-aware
+    price parse, rating extraction, domain normalization. No UDFs;
+    outputs integer-coded (cents, rating*10) so the cross-engine hash is
+    float-safe. The oracle computes the expected values directly from
+    ``part``, so any extraction drift fails the gate."""
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    eu = F.col("p_partkey") % 2 == 0
+    price_txt = F.when(
+        eu,
+        F.concat(
+            (cents / 100).cast("long").cast("string"),
+            F.lit(","),
+            F.lpad((cents % 100).cast("string"), 2, "0"),
+            F.lit(" €"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("$"),
+            (cents / 100).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((cents % 100).cast("string"), 2, "0"),
+        )
+    )
+    rating_txt = F.concat(
+        F.lit("Rated "),
+        (F.col("p_partkey") % 5 + 1).cast("string"),
+        F.lit("."),
+        (F.col("p_partkey") % 10).cast("string"),
+        F.lit(" Sterne"),
+    )
+    tld = (
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("com"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    url = F.concat(
+        F.lit("https://www.glamira."),
+        tld,
+        F.lit("/catalog/product/view/id/"),
+        F.col("p_partkey").cast("string"),
+    )
+    pages = part.select(
+        "p_partkey",
+        F.concat(
+            F.lit('<html><head><title>'),
+            F.col("p_name"),
+            F.lit(" | GLAMIRA Jewelry Online</title></head>"),
+            F.lit('<body><span class="price">'),
+            price_txt,
+            F.lit('</span><div class="rating">'),
+            rating_txt,
+            F.lit('</div><a href="'),
+            url,
+            F.lit('">p</a></body></html>'),
+        ).alias("html"),
+    )
+    return pages.select(
+        F.col("p_partkey").alias("product_id"),
+        clean_product_name(
+            F.regexp_extract("html", r"<title>(.*?)</title>", 1)
+        ).alias("product_name"),
+        F.round(
+            parse_locale_price(
+                F.regexp_extract("html", r'<span class="price">(.*?)</span>', 1)
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("price_cents"),
+        F.round(
+            rating_value(
+                F.regexp_extract("html", r'<div class="rating">(.*?)</div>', 1)
+            )
+            * 10
+        )
+        .cast("long")
+        .alias("rating_x10"),
+        domain_of(F.regexp_extract("html", r'href="(.*?)"', 1)).alias("domain"),
+    )
