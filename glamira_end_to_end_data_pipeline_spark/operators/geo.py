@@ -33,7 +33,7 @@ def enrich_ips_broadcast(ips: DataFrame, geo: DataFrame) -> DataFrame:
     )
 
 
-def range_join_bucketed(ips: DataFrame, geo: DataFrame) -> DataFrame:
+def range_join_bucketed(ips: DataFrame, geo: DataFrame, how: str = "left") -> DataFrame:
     """Equi-join-able range join: explode each geo range over the /16
     buckets it spans, bucket each probe IP, hash-join on the bucket,
     then apply the residual [start, end] filter.
@@ -61,5 +61,5 @@ def range_join_bucketed(ips: DataFrame, geo: DataFrame) -> DataFrame:
         (p["bucket"] == g["bucket"])
         & (p["ip_num"] >= g["start_ip_num"])
         & (p["ip_num"] <= g["end_ip_num"]),
-        "left",
+        how,
     ).drop(g["bucket"])

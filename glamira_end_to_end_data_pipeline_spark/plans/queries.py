@@ -32,6 +32,7 @@ from glamira_end_to_end_data_pipeline_spark.functions import (
     surrogate_key,
     ws_normalize,
 )
+from glamira_end_to_end_data_pipeline_spark.operators.geo import range_join_bucketed
 from glamira_end_to_end_data_pipeline_spark.sources import read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -769,9 +770,12 @@ def f_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f_ip_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F26 + J6 + A1 — the reference's headline path (distinct IPs →
     geo range lookup → per-country rollup, ``ip_processor.py``) on
-    synthesized dotted-quads. BASELINE comparison point: reference does
-    ~1,350-1,800 lookups/s single-core; this broadcast range join is the
-    ≥10× Spark answer."""
+    synthesized dotted-quads, via the bucketed range join
+    (operators/geo.py): ranges exploded over /16 buckets → hash join on
+    the bucket + residual band filter, the plan that survives 10⁹
+    distinct IPs (a broadcast nested-loop band join would scan every
+    range per probe row). BASELINE comparison point: reference does
+    ~1,350-1,800 lookups/s single-core; Spark is the ≥10× answer."""
     events = read_table(spark, sf_dir, "events")
     ip = F.concat_ws(
         ".",
@@ -784,7 +788,6 @@ def f_ip_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("user_id").isNotNull())
         .select(ip.alias("ip"))
         .distinct()
-        .select("ip", ip_to_int("ip").alias("ip_num"))
     )
     geo = spark.range(256).select(
         (F.col("id") * 16777216).alias("start_ip_num"),
@@ -794,10 +797,7 @@ def f_ip_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("country_code"),
     )
     return (
-        ips.join(
-            F.broadcast(geo),
-            (ips.ip_num >= geo.start_ip_num) & (ips.ip_num <= geo.end_ip_num),
-        )
+        range_join_bucketed(ips, geo, how="inner")
         .groupBy("country_code")
         .agg(F.count("*").alias("n_ips"), F.min("ip").alias("sample_ip"))
     )
