@@ -33,6 +33,7 @@ from glamira_end_to_end_data_pipeline_spark.functions import (
     ws_normalize,
 )
 from glamira_end_to_end_data_pipeline_spark.operators.geo import range_join_bucketed
+from glamira_end_to_end_data_pipeline_spark.session import ensure_runtime_confs
 from glamira_end_to_end_data_pipeline_spark.sources import read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -47,6 +48,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver passes its own SparkSession — assert the dynamic
+            # semantic confs (nanos-as-long, ANSI off, UTC) on every entry.
+            ensure_runtime_confs(spark)
             # Drop cached blocks left by previously-run registry queries
             # (several pipelines persist shared intermediates for
             # diamond reuse; stale blocks from a prior query measurably

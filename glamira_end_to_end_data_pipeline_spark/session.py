@@ -23,6 +23,38 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Runtime-settable SQL confs the engine's semantics depend on. The driver
+# harness passes its OWN SparkSession into entry()/queries() (it does not
+# use get_spark()), so anything semantic must be settable after the fact:
+# these are all dynamic SQL confs, applied idempotently via
+# ensure_runtime_confs() at every read_table()/registry-query entry point.
+# Round-1 post-mortem: nanosAsLong lived only in this factory, so every
+# events read under the driver's bare session threw PARQUET_TYPE_ILLEGAL.
+_RUNTIME_CONFS = {
+    # events.ts is Parquet TIMESTAMP(NANOS) — unreadable by Spark 4
+    # without this; the source layer converts the long back to a ts.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # BigQuery SAFE_CAST / SAFE.PARSE_DATE semantics (NULL on failure).
+    "spark.sql.ansi.enabled": "false",
+    # Reference mixes TIMESTAMP_SECONDS (UTC) and datetime.utcnow().
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the semantic confs to ANY session (ours or the driver's).
+
+    Idempotent and cheap; best-effort so a host session with a locked
+    conf degrades to that single conf's default instead of erroring.
+    """
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            pass
+
+
 def get_spark(
     app_name: str = "glamira_end_to_end_data_pipeline_spark",
     master: str | None = None,
@@ -66,5 +98,8 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
+    # getOrCreate may have returned a pre-existing session whose builder
+    # configs were ignored — re-assert the dynamic semantic confs.
+    ensure_runtime_confs(spark)
     spark.sparkContext.setLogLevel("WARN")
     return spark

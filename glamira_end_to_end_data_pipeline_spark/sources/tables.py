@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from glamira_end_to_end_data_pipeline_spark.session import ensure_runtime_confs
+
 # The ten driver tables (TESTDATA.md).
 TABLES = (
     "region",
@@ -37,21 +39,72 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# path -> frozenset of column names stored as Parquet TIMESTAMP(NANOS).
+# Footer-sniffed once per path (driver-side, metadata only — no data read).
+_NANOS_COLS_CACHE: dict[str, frozenset[str]] = {}
+
+
+def _nanos_columns(path: str) -> frozenset[str]:
+    """Column names whose Parquet logical type is TIMESTAMP(NANOS).
+
+    Detected from the Parquet footer of one representative file (all
+    files under a dataset path share a writer schema in our layouts), so
+    the ns→ts repair keys on the file's actual physical type rather than
+    a hardcoded table/column heuristic."""
+    cached = _NANOS_COLS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    cols: frozenset[str] = frozenset()
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        sample = path
+        if os.path.isdir(path):
+            sample = next(
+                (
+                    os.path.join(root, f)
+                    for root, _dirs, files in os.walk(path)
+                    for f in sorted(files)
+                    if f.endswith(".parquet")
+                ),
+                path,
+            )
+        schema = pq.read_schema(sample)
+        cols = frozenset(
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        )
+    except Exception:
+        pass  # unreadable footer → no repair; Spark raises its own error
+    _NANOS_COLS_CACHE[path] = cols
+    return cols
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Accepts both ``<dir>/<name>.parquet``
     single-file layout and ``<dir>/<name>/`` directory layout so the same
-    call works against driver testdata and our own partitioned outputs."""
+    call works against driver testdata and our own partitioned outputs.
+
+    Works under ANY SparkSession (the driver harness builds its own):
+    dynamic semantic confs — notably
+    ``spark.sql.legacy.parquet.nanosAsLong``, without which Spark 4
+    refuses Parquet TIMESTAMP(NANOS) columns outright — are asserted
+    here, at the source boundary, not only in our session factory."""
+    ensure_runtime_confs(spark)
     file_path = os.path.join(sf_dir, f"{name}.parquet")
     dir_path = os.path.join(sf_dir, name)
     path = file_path if os.path.exists(file_path) else dir_path
     df = spark.read.parquet(path)
     # Parquet TIMESTAMP(NANOS) columns arrive as nanosecond longs
     # (spark.sql.legacy.parquet.nanosAsLong); convert to microsecond
-    # timestamps — same truncation DuckDB/pyarrow apply on read.
+    # timestamps — same truncation DuckDB/pyarrow apply on read. The
+    # column set comes from the Parquet footer, so any ns column in any
+    # table is repaired, not just events.ts.
+    nanos_cols = _nanos_columns(path)
     for field in df.schema.fields:
-        if isinstance(field.dataType, T.LongType) and field.metadata.get(
-            "__nanos_as_long", field.name == "ts" and name == "events"
-        ):
+        if field.name in nanos_cols and isinstance(field.dataType, T.LongType):
             # `div` is integer division — ns longs exceed double's 2^53
             # mantissa, so float division would corrupt timestamps.
             df = df.withColumn(

@@ -22,10 +22,25 @@ from glamira_end_to_end_data_pipeline_spark.testing import (  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    spark = get_spark()
+    if bare:
+        # Mimic the driver harness: a plain SparkSession with NONE of our
+        # factory confs — correctness must not depend on session provenance.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("bare-driver-mimic")
+            .master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark()
     con = duckdb.connect()
     register_duckdb_views(con, sf_dir)
 

