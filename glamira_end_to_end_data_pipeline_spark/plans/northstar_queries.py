@@ -187,12 +187,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_VOTES_SQL = ",\n               ".join(
-    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-    for b in range(32)
+# Packed-counter twins of operators/dedup.py simhash60: acc{j} holds 4
+# 15-bit set-bit counters (bits 4j..4j+3); bit b set ⟺ 2*count_b >= n.
+_SIMHASH_ACCS_SQL = ",\n               ".join(
+    "sum("
+    + " + ".join(
+        f"(((h >> {dedup.SIMHASH_FIELDS * j + k}) & 1) << {dedup.SIMHASH_COUNTER_W * k})"
+        for k in range(dedup.SIMHASH_FIELDS)
+    )
+    + f") AS acc{j}"
+    for j in range(dedup.SIMHASH_NACC)
 )
 _SIMHASH_INT_SQL = " + ".join(
-    f"(CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    f"(CASE WHEN 2 * ((acc{b // dedup.SIMHASH_FIELDS} >> "
+    f"{dedup.SIMHASH_COUNTER_W * (b % dedup.SIMHASH_FIELDS)}) & "
+    f"{(1 << dedup.SIMHASH_COUNTER_W) - 1}) >= n_toks THEN {1 << b} ELSE 0 END)"
+    for b in range(dedup.SIMHASH_BITS)
 )
 
 
@@ -205,12 +215,13 @@ _SIMHASH_INT_SQL = " + ".join(
     ),
     hashed AS (
         SELECT doc_id,
-               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
         FROM toks
     ),
     votes AS (
         SELECT doc_id,
-               {_SIMHASH_VOTES_SQL}
+               {_SIMHASH_ACCS_SQL},
+               count(*) AS n_toks
         FROM hashed GROUP BY doc_id
     ),
     sims AS (SELECT doc_id, ({_SIMHASH_INT_SQL})::BIGINT AS simhash_int FROM votes)
@@ -221,9 +232,10 @@ _SIMHASH_INT_SQL = " + ".join(
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit, hex-parity bit family) near-dup pairs with
-    hamming ≤ 3, banded into 4 chunks for the candidate join (pigeonhole
-    guarantees recall at this radius)."""
+    """SimHash(60-bit, md5 bit family) near-dup pairs with hamming ≤ 3,
+    banded into 4×15-bit chunks (32,768 buckets each) for the candidate
+    join (pigeonhole guarantees recall at this radius; 60-bit width
+    keeps random hamming-≤3 collisions negligible at corpus scale)."""
     return dedup.simhash_near_dups(
         corpus_with_dups(_docs(spark, sf_dir)), max_hamming=3, chunks=4
     ).select("a", "b", "hamming")

@@ -41,26 +41,73 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_event_counts(events, "1 hour")
 
 
-@query("mm_extract_features")
+@query(
+    "mm_extract_features",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 255)) AS media_id),
+    h AS (SELECT media_id, md5(media_id::VARCHAR) AS hx FROM ids),
+    -- payload = unhex(repeat(md5hex, 4)): the 16 md5 bytes repeated 4x
+    -- (64 bytes); stub feature 0 = (# bytes ≡ 0 mod 8) / 64 = c16/16.
+    c AS (
+        SELECT media_id,
+               len(list_filter(
+                   generate_series(0, 15),
+                   i -> ('0x' || substr(hx, 2*i + 1, 2))::INT % 8 = 0
+               )) AS c16
+        FROM h
+    )
+    SELECT media_id,
+           CASE media_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS modality,
+           64::BIGINT AS n_bytes,
+           round(c16 / 16.0, 6) AS f0
+    FROM c ORDER BY media_id
+    """,
+)
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over the synthetic media fixture:
     binary payloads → fixed-dim features via Arrow-batched mapInPandas
-    (stub codec, real plumbing). No oracle: not SQL-expressible;
-    rows-only check, semantics pinned by tests/test_multimodal.py."""
+    (stub codec, real plumbing). The stub codec is deterministic
+    arithmetic over md5-derived payload bytes, so the oracle can
+    recompute feature 0 (byte-histogram bucket 0 over 64 payload bytes)
+    exactly in SQL — every value is an exact binary fraction k/64."""
     feats = mm.extract_features(mm.synthetic_media(spark, 256))
     return feats.select(
         "media_id",
         "modality",
         "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 1), 6).cast("double").alias("f0"),
     ).orderBy("media_id")
 
 
-@query("mm_video_frame_sample")
+@query(
+    "mm_video_frame_sample",
+    """
+    -- videos: id % 3 = 2, duration_ms = id*500 + 1000, payload 64 bytes;
+    -- sampled offsets 0..duration-1 step 1000; stub frame = payload
+    -- slice [k % 64, k % 64 + 16) for frame index k → length
+    -- min(16, 64 - k % 64).
+    WITH vids AS (
+        SELECT media_id, media_id * 500 + 1000 AS dur
+        FROM (SELECT unnest(generate_series(0, 127)) AS media_id)
+        WHERE media_id % 3 = 2
+    ),
+    frames AS (
+        SELECT media_id,
+               unnest(generate_series(0, dur - 1, 1000)) AS frame_ms
+        FROM vids
+    )
+    SELECT media_id, frame_ms,
+           least(16, 64 - (frame_ms // 1000) % 64)::INT AS frame_bytes
+    FROM frames ORDER BY media_id, frame_ms
+    """,
+)
 def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled offset via
-    mapInPandas. No oracle: not SQL-expressible; rows-only check,
-    semantics pinned by tests/test_multimodal.py."""
+    mapInPandas. The stub sampler's offsets and slice lengths are
+    deterministic arithmetic over (media_id, duration_ms), so the
+    oracle recomputes them with generate_series."""
     frames = mm.sample_video_frames(mm.synthetic_media(spark, 128), every_ms=1000)
     return frames.select(
         "media_id", "frame_ms", F.length("frame_payload").alias("frame_bytes")
