@@ -22,17 +22,23 @@ from __spark_entry__ import queries  # noqa: E402
 from glamira_end_to_end_data_pipeline_spark import get_spark  # noqa: E402
 
 # Headline subset: the scale-relevant operators (wide agg, 3-way join,
-# range-join enrichment, window dedup, set-collect, north-star ops).
+# range-join enrichment, window dedup, set-collect, north-star ops) plus
+# one representative of each remaining engine surface: staging-style
+# projection scan, event-time windowed agg, Arrow-batched Python codec
+# path, text sink/source round trip.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "flagship_daily_events",
+    "p1_typed_projection",
     "f_ip_enrichment",
     "j3_computed_date_key_join",
     "j4_composite_key_null_miss",
     "w1_dedup_latest",
     "a6_a7_worklist_pick",
     "star_fact_sales_order",
+    "stream_tumbling_event_counts",
+    "s4_text_ip_worklist",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -40,6 +46,7 @@ HEADLINE = [
     "emb_ann_lsh_topk",
     "text_quality_score",
     "text_fingerprint",
+    "mm_extract_features",
 ]
 
 

@@ -5,6 +5,9 @@ driver testdata, with DuckDB oracles.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -17,8 +20,10 @@ from glamira_end_to_end_data_pipeline_spark.functions import (
 from glamira_end_to_end_data_pipeline_spark.plans.queries import query
 from glamira_end_to_end_data_pipeline_spark.sources import read_table
 from glamira_end_to_end_data_pipeline_spark.sources.ingest import (
+    read_text_worklist,
     route_load_events,
     unify_master_schema,
+    write_text_worklist,
 )
 
 
@@ -128,6 +133,42 @@ def s9_load_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     objects = docs.select(F.concat(folder, ext).alias("path"))
     return route_load_events(objects)
+
+
+@query(
+    "s4_text_ip_worklist",
+    """
+    SELECT DISTINCT
+           ((user_id * 2654435761) % 223 + 1) || '.' ||
+           ((user_id * 40503) % 256) || '.' ||
+           ((user_id * 65537) % 256) || '.' ||
+           ((user_id * 97) % 256) AS ip
+    FROM events WHERE user_id IS NOT NULL
+    """,
+)
+def s4_text_ip_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — text-file sink/source round-trip of the distinct-IP worklist
+    (``ip_processor.py:88-124`` writes unique IPs one per line, then
+    re-loads them with strip + skip-empty). The synthesized dotted-quads
+    are the same recipe as f_ip_enrichment; the entry only passes the
+    oracle if the text write→read round-trip is lossless."""
+    events = read_table(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".",
+        ((F.col("user_id") * 2654435761) % 223 + 1).cast("string"),
+        ((F.col("user_id") * 40503) % 256).cast("string"),
+        ((F.col("user_id") * 65537) % 256).cast("string"),
+        ((F.col("user_id") * 97) % 256).cast("string"),
+    )
+    ips = (
+        events.filter(F.col("user_id").isNotNull()).select(ip.alias("ip")).distinct()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_s4_worklist_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_text_worklist(ips, path, "ip")
+    return read_text_worklist(spark, path, "ip")
 
 
 @query(

@@ -179,14 +179,18 @@ def dim_session_context(stg: DataFrame) -> DataFrame:
 
 def dim_date(date_range: DataFrame) -> DataFrame:
     """Generated date dim (ref ``dim_date.sql``): spine over
-    [start-30d, end+30d] via sequence+explode (replaces dbt date_spine's
+    [start-30d, end+30d) via sequence+explode (replaces dbt date_spine's
     global-window series — distributed, no shuffle), then BigQuery-parity
-    date parts including Sunday-week-0 ``calendar_week``."""
+    date parts including Sunday-week-0 ``calendar_week``.
+
+    dbt_utils.date_spine is EXCLUSIVE of its end_date, so the last row
+    is end+29d — Spark's ``sequence`` is end-inclusive, hence the +29
+    upper bound here (round-1 ADVICE parity fix)."""
     spine = date_range.select(
         F.explode(
             F.sequence(
                 F.date_sub(F.least("start_date", "end_date"), 30),
-                F.date_add(F.greatest("start_date", "end_date"), 30),
+                F.date_add(F.greatest("start_date", "end_date"), 29),
                 F.expr("interval 1 day"),
             )
         ).alias("date_day")

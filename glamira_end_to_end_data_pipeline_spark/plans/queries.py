@@ -194,12 +194,16 @@ def p6_p7_membership_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary — the headline wide aggregation.
 
-    Scale: predicate pushed to parquet; partial agg map-side; group key
-    cardinality ~6 so the shuffle is negligible at any SF."""
+    Scale: the ship-date cut compares the raw timestamp against the
+    exclusive day boundary (``< 2000-09-03``, identical to
+    ``cast(date) <= 2000-09-02``) so the predicate reaches the parquet
+    scan as a PushedFilter and prunes row groups — a cast-wrapped column
+    is not pushable; partial agg map-side; group key cardinality ~6 so
+    the shuffle is negligible at any SF."""
     li = read_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-09-02").cast("date"))
+        li.filter(F.col("l_shipdate") < F.lit("2000-09-03 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -634,7 +638,7 @@ def w1_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH bounds AS (
         SELECT cast(min(o_orderdate) AS date) - 30 AS lo,
-               cast(max(o_orderdate) AS date) + 30 AS hi
+               cast(max(o_orderdate) AS date) + 29 AS hi
         FROM orders
     )
     SELECT cast(d AS date) AS full_date,
@@ -643,13 +647,14 @@ def w1_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w3_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3/F12 — contiguous date spine [min-30, max+30] (``dim_date.sql:1-11``
-    + dbt date_spine macro). Spark-first: sequence+explode, no global
+    """W3/F12 — contiguous date spine [min-30, max+30) (``dim_date.sql:1-11``
+    + dbt date_spine macro; the macro is exclusive of end_date, so the
+    last row is max+29). Spark-first: sequence+explode, no global
     window; generates distributed, not driver-side."""
     orders = read_table(spark, sf_dir, "orders")
     bounds = orders.agg(
         F.date_sub(F.min(F.col("o_orderdate").cast("date")), 30).alias("lo"),
-        F.date_add(F.max(F.col("o_orderdate").cast("date")), 30).alias("hi"),
+        F.date_add(F.max(F.col("o_orderdate").cast("date")), 29).alias("hi"),
     )
     return bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("full_date")
@@ -837,6 +842,117 @@ def f_string_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(""),
         ).alias("src_padded"),
+    )
+
+
+@query(
+    "f_misc_scalars",
+    """
+    SELECT doc_id,
+           try_strptime(
+               CASE WHEN doc_id % 3 = 1 THEN 'not-a-date'
+                    ELSE '2024' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
+                               || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+               END, '%Y%m%d')::DATE AS part_date,
+           nullif(CASE WHEN doc_id % 5 = 0 THEN '-' ELSE source END, '-')
+               AS src_clean,
+           array_to_string(
+               ['Home', source, 'Item ' || (doc_id % 10)::VARCHAR], ' > ')
+               AS crumb_path,
+           'Item ' || (doc_id % 10)::VARCHAR AS crumb_leaf,
+           strftime(make_timestamp((1704067200 + doc_id) * 1000000),
+                    '%Y-%m-%dT%H:%M:%S') AS iso_ts
+    FROM documents
+    """,
+)
+def f_misc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 + F20 + F21 + F25 in one oracle-checked pass over documents:
+
+    - F11 safe parse_date (``stg_summary_date_range.sql:13-14``):
+      ``to_date(s, 'yyyyMMdd')`` NULLs the injected garbage rows
+      (non-ANSI mode = BigQuery SAFE. semantics engine-wide);
+    - F20 sentinel→NULL (``ip_processor.py:167-170``);
+    - F21 breadcrumb join + leaf (``product_crawler.py:426-430``);
+    - F25 ISO-8601 timestamp formatting (``ip_processor.py:171``) over a
+      deterministic doc_id-derived timestamp (current_timestamp would
+      never hash-match across engines).
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ymd = F.concat(
+        F.lit("2024"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+    )
+    part_str = F.when(F.col("doc_id") % 3 == 1, F.lit("not-a-date")).otherwise(ymd)
+    sentinel_src = F.when(F.col("doc_id") % 5 == 0, F.lit("-")).otherwise(
+        F.col("source")
+    )
+    crumbs = F.array(
+        F.lit("Home"),
+        F.col("source"),
+        F.concat(F.lit("Item "), (F.col("doc_id") % 10).cast("string")),
+    )
+    from glamira_end_to_end_data_pipeline_spark.functions import (
+        breadcrumb_join,
+        breadcrumb_leaf,
+        nullify_sentinel,
+    )
+
+    return docs.select(
+        "doc_id",
+        F.to_date(part_str, "yyyyMMdd").alias("part_date"),
+        nullify_sentinel(sentinel_src).alias("src_clean"),
+        breadcrumb_join(crumbs).alias("crumb_path"),
+        breadcrumb_leaf(crumbs).alias("crumb_leaf"),
+        F.date_format(
+            F.timestamp_seconds(F.lit(1704067200).cast("long") + F.col("doc_id")),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        ).alias("iso_ts"),
+    )
+
+
+@query(
+    "a8_running_counters",
+    """
+    WITH per AS (
+        SELECT event_id // 1000 AS batch,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN user_id IS NOT NULL AND value IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_success
+        FROM events GROUP BY 1
+    )
+    SELECT batch, n_rows, n_success,
+           n_rows - n_success AS n_failed,
+           CAST(sum(n_rows) OVER (ORDER BY batch) AS BIGINT) AS cum_processed
+    FROM per
+    """,
+)
+def a8_running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — running counters (``ip_processor.py:386-388``,
+    ``product_crawler.py:560-572``): the reference folds
+    ``processed_count += len(batch)`` and success/failed tallies in the
+    driver loop; declaratively that is a per-batch agg plus a running
+    sum over the batch sequence. The window is over the *batch* table
+    (one row per thousand events), so the unpartitioned running-sum
+    window is tiny at any SF — the raw events never pass through a
+    single-partition window."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.floor(F.col("event_id") / 1000).alias("batch"),
+        F.col("user_id"),
+        F.col("value"),
+    )
+    ok = F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    per = ev.groupBy("batch").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_success"),
+    )
+    running = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "batch",
+        "n_rows",
+        "n_success",
+        (F.col("n_rows") - F.col("n_success")).alias("n_failed"),
+        F.sum("n_rows").over(running).alias("cum_processed"),
     )
 
 

@@ -359,9 +359,10 @@ def star_dim_session_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM stg
     ),
     spine AS (
+        -- dbt date_spine is end-exclusive: last row is end+29d
         SELECT cast(unnest(generate_series(
                    least(start_date, end_date) - 30,
-                   greatest(start_date, end_date) + 30,
+                   greatest(start_date, end_date) + 29,
                    INTERVAL 1 DAY)) AS date) AS date_day
         FROM rng
     )
@@ -468,7 +469,7 @@ def star_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_date AS (
         SELECT cast(strftime(cast(d AS date), '%Y%m%d') AS bigint) AS date_key,
                cast(d AS date) AS full_date
-        FROM (SELECT unnest(generate_series(start_date - 30, end_date + 30,
+        FROM (SELECT unnest(generate_series(start_date - 30, end_date + 29,
                                             INTERVAL 1 DAY)) AS d FROM rng)
     ),
     dim_session AS (

@@ -171,6 +171,38 @@ def route_load_events(objects: DataFrame, path_col: str = "path") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S4 — one-value-per-line text sink/source (worklist files)
+# ---------------------------------------------------------------------------
+
+
+def write_text_worklist(
+    df: DataFrame, path: str, value_col: str | None = None
+) -> None:
+    """S4 sink — one value per line, skipping blank/NULL values after
+    strip (ref ``5.data-collection-storage/ip_processor.py:88-99``: the
+    unique-IP worklist is written as a plain text file, one IP per
+    line). Distributed write — one part-file per partition; no
+    coalesce(1), so a billion-row worklist writes in parallel."""
+    col = F.col(value_col if value_col is not None else df.columns[0])
+    out = df.select(F.trim(col.cast("string")).alias("value")).filter(
+        F.col("value").isNotNull() & (F.col("value") != "")
+    )
+    out.write.mode("overwrite").text(path)
+
+
+def read_text_worklist(spark, path: str, value_col: str = "value") -> DataFrame:
+    """S4 source — read a one-per-line worklist back, stripping
+    whitespace and dropping blank lines (ref ``ip_processor.py:110-117``
+    re-loads the same file with per-line strip + skip-empty)."""
+    trimmed = F.trim(F.col("value")).alias(value_col)
+    return (
+        spark.read.text(path)
+        .select(trimmed)
+        .filter(F.col(value_col).isNotNull() & (F.col(value_col) != ""))
+    )
+
+
+# ---------------------------------------------------------------------------
 # S5 — export manifest
 # ---------------------------------------------------------------------------
 

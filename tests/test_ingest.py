@@ -81,3 +81,21 @@ def test_manifest_roundtrip(spark, tmp_path):
     got = {r["table"]: r["row_count"] for r in back.collect()}
     assert got == {"summary": 100, "ip_locations": 42}
     assert "export_ts" in back.columns
+
+
+def test_text_worklist_roundtrip(spark, tmp_path):
+    # S4 (ip_processor.py:88-124): one value per line out, strip +
+    # skip-empty back in; blanks/NULLs never reach the file.
+    from glamira_end_to_end_data_pipeline_spark.sources.ingest import (
+        read_text_worklist,
+        write_text_worklist,
+    )
+
+    df = spark.createDataFrame(
+        [("1.2.3.4",), ("  5.6.7.8  ",), ("",), ("   ",), (None,)],
+        "ip string",
+    )
+    path = str(tmp_path / "worklist")
+    write_text_worklist(df, path, "ip")
+    back = read_text_worklist(spark, path, "ip")
+    assert sorted(r["ip"] for r in back.collect()) == ["1.2.3.4", "5.6.7.8"]

@@ -1,0 +1,79 @@
+"""Physical-plan shape assertions — the 100 TB acceptance bar.
+
+Correctness gates (oracle differential, pytest) prove the small-SF
+answers; these tests pin the *plans*: filters reach the parquet scan,
+small dimensions broadcast, no nested-loop joins sneak in, and scans
+read only referenced columns. A plan regression here is a scale
+regression even when every value still matches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    """Formatted physical plan as a string (what .explain('formatted')
+    prints)."""
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from __spark_entry__ import queries
+
+    return queries()
+
+
+def test_q1_shipdate_filter_pushed(spark, registry):
+    plan = plan_of(registry["q1_pricing_summary"](spark, SF_SMALL))
+    scan = next(
+        block for block in plan.split("\n\n") if "lineitem" in block and "Scan" in block
+    )
+    assert "PushedFilters: [" in scan
+    assert "l_shipdate" in scan.split("PushedFilters:")[1].split("]")[0], (
+        "ship-date cut must reach the parquet scan (row-group pruning); "
+        "a cast-wrapped column is not pushable:\n" + scan
+    )
+
+
+def test_q1_scan_reads_only_referenced_columns(spark, registry):
+    plan = plan_of(registry["q1_pricing_summary"](spark, SF_SMALL))
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema, (
+        "column pruning regressed — scan reads unreferenced columns: " + read_schema
+    )
+
+
+def test_star_fact_join_strategy_broadcast_only(spark, registry):
+    # five dim joins, all broadcast hash; the big (events-derived) side
+    # must never be shuffled for a join, and no nested-loop fallback.
+    plan = plan_of(registry["star_fact_sales_order"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, (
+        "fact build should broadcast small dims, not sort-merge the fact side"
+    )
+
+
+def test_ip_enrichment_no_nested_loop(spark, registry):
+    # bucketed range join = hash join on the bucket key + residual band
+    # filter; a BroadcastNestedLoopJoin here scans every geo range per
+    # probe row and dies at 10^9 distinct IPs.
+    plan = plan_of(registry["f_ip_enrichment"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_partial_aggregation(spark, registry):
+    # low-cardinality rollup must partial-agg map-side before the
+    # exchange (HashAggregate appears below AND above the shuffle).
+    plan = plan_of(registry["flagship_daily_events"](spark, SF_SMALL))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan

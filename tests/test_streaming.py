@@ -108,3 +108,40 @@ def test_tumbling_window_streaming_with_watermark(spark, tmp_path):
     assert [(str(r.window_start), r.n_events) for r in got] == [
         ("2024-01-01 00:00:00", 1)
     ]
+
+
+def test_incremental_load_replay_idempotent(spark, tmp_path):
+    """Crash-after-write-before-commit: restoring the pre-batch
+    checkpoint and re-draining replays the batch into the SAME
+    batch_id directory (overwrite), so rows are never double-appended
+    — the sink is idempotent per batch, not just at-least-once."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+    ckpt_backup = str(tmp_path / "ckpt_backup")
+
+    _write_batch(spark, src, [(1, "view", 1.0), (2, "cart", 2.0)])
+    run_incremental_load_once(spark, src, tgt, audit, ckpt, SCHEMA)
+    shutil.copytree(ckpt, ckpt_backup)
+
+    _write_batch(spark, src, [(3, "purchase", 3.0)])
+    run_incremental_load_once(spark, src, tgt, audit, ckpt, SCHEMA)
+    assert spark.read.parquet(tgt).count() == 3
+
+    # simulate the crash: the target write of the last batch happened,
+    # but the checkpoint commit did not -> restart re-runs the batch
+    shutil.rmtree(ckpt)
+    shutil.copytree(ckpt_backup, ckpt)
+    run_incremental_load_once(spark, src, tgt, audit, ckpt, SCHEMA)
+
+    got = spark.read.parquet(tgt)
+    assert got.count() == 3  # replay overwrote batch_id=1, no doubles
+    assert {r.event_id for r in got.collect()} == {1, 2, 3}
+    arows = spark.read.parquet(audit).collect()
+    per_batch = {}
+    for r in arows:
+        per_batch[r.batch_id] = per_batch.get(r.batch_id, 0) + 1
+    assert all(v == 1 for v in per_batch.values()), per_batch
