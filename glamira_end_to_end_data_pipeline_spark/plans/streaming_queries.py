@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 from glamira_end_to_end_data_pipeline_spark.operators import multimodal as mm
 from glamira_end_to_end_data_pipeline_spark.plans.queries import query
 from glamira_end_to_end_data_pipeline_spark.sources import read_table
-from glamira_end_to_end_data_pipeline_spark.streaming import tumbling_event_counts
+from glamira_end_to_end_data_pipeline_spark.streaming import (
+    session_aggregate,
+    tumbling_event_counts,
+)
 
 
 @query(
@@ -39,6 +42,46 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lets DuckDB express the oracle."""
     events = read_table(spark, sf_dir, "events")
     return tumbling_event_counts(events, "1 hour")
+
+
+@query(
+    "stream_session_windows",
+    """
+    WITH ev AS (
+        SELECT user_id, ts, value, event_id FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    marked AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS s_idx
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, s_idx
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension — inactivity-gap sessionization via the native
+    ``F.session_window`` (30-min gap; a gap of exactly 30:00 merges,
+    session_end = last event + gap — semantics pinned against Spark by
+    the oracle's lag + cumulative-sum formulation). Identical code path
+    runs streaming with a watermark (streaming/sessions.py); evaluated
+    here in batch mode so DuckDB can check it."""
+    events = read_table(spark, sf_dir, "events")
+    return session_aggregate(events)
 
 
 @query(

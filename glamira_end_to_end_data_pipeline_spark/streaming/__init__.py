@@ -3,9 +3,15 @@ from glamira_end_to_end_data_pipeline_spark.streaming.incremental import (
     run_incremental_load_once,
     tumbling_event_counts,
 )
+from glamira_end_to_end_data_pipeline_spark.streaming.sessions import (
+    session_aggregate,
+    sessionize_stateful,
+)
 
 __all__ = [
     "incremental_file_load",
     "run_incremental_load_once",
+    "session_aggregate",
+    "sessionize_stateful",
     "tumbling_event_counts",
 ]

@@ -145,3 +145,84 @@ def test_incremental_load_replay_idempotent(spark, tmp_path):
     for r in arows:
         per_batch[r.batch_id] = per_batch.get(r.batch_id, 0) + 1
     assert all(v == 1 for v in per_batch.values()), per_batch
+
+
+def test_session_aggregate_batch_semantics(spark):
+    """Pin the boundary rule: a gap of exactly 30:00 merges, >30:00
+    splits; session_end = last event + gap."""
+    from glamira_end_to_end_data_pipeline_spark.streaming import session_aggregate
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:30:00", 2.0),  # gap == 30:00 -> merges
+        (1, "2024-01-01 01:00:01", 4.0),  # gap 30:01 -> new session
+        (2, "2024-01-01 05:00:00", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    got = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.total_value)
+        for r in session_aggregate(df).collect()
+    )
+    assert got == [
+        (1, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 2, 3.0),
+        (1, "2024-01-01 01:00:01", "2024-01-01 01:30:01", 1, 4.0),
+        (2, "2024-01-01 05:00:00", "2024-01-01 05:30:00", 1, 8.0),
+    ]
+
+
+def test_sessionize_stateful_streaming(spark, tmp_path):
+    """applyInPandasWithState sessionizer over a real two-batch stream:
+    mid-batch closed sessions emit immediately; the open session emits
+    when the event-time timeout fires after the watermark passes."""
+    from glamira_end_to_end_data_pipeline_spark.streaming import sessionize_stateful
+
+    src = str(tmp_path / "sess_src")
+    sink = str(tmp_path / "sess_sink")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double"
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    # batch 1: user 1 has a closed session (00:00-00:20) + an open one
+    # (02:00); user 2's 10:00 event drives the watermark to 09:00.
+    write_file(
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:20:00", 2.0),
+            (1, "2024-01-01 02:00:00", 4.0),
+            (2, "2024-01-01 10:00:00", 8.0),
+        ]
+    )
+    # batch 2: user 2's 11:00 event (gap 60m) closes the 10:00 session.
+    write_file([(2, "2024-01-01 11:00:00", 16.0)])
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.total_value)
+        for r in spark.read.parquet(sink).collect()
+    )
+    # user 1's 02:00 session closes via EventTimeTimeout (02:30 < the
+    # 09:00 watermark); user 2's 11:00 session is still open -> absent.
+    assert got == [
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:50:00", 2, 3.0),
+        (1, "2024-01-01 02:00:00", "2024-01-01 02:30:00", 1, 4.0),
+        (2, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 1, 8.0),
+    ]
