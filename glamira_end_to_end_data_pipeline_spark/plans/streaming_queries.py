@@ -12,13 +12,22 @@ pinned by tests/test_multimodal.py instead.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from glamira_end_to_end_data_pipeline_spark.operators import multimodal as mm
 from glamira_end_to_end_data_pipeline_spark.plans.queries import query
 from glamira_end_to_end_data_pipeline_spark.sources import read_table
+from glamira_end_to_end_data_pipeline_spark.sources.ingest import (
+    read_manifest,
+    write_manifest,
+)
 from glamira_end_to_end_data_pipeline_spark.streaming import (
+    run_incremental_load_once,
     session_aggregate,
     tumbling_event_counts,
 )
@@ -82,6 +91,83 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     here in batch mode so DuckDB can check it."""
     events = read_table(spark, sf_dir, "events")
     return session_aggregate(events)
+
+
+@query(
+    "s5_s6_incremental_ingest",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           (SELECT count(*) FROM events) AS total_loaded,
+           CAST(1 AS BIGINT) AS n_loaded_batches,
+           (SELECT count(*) FROM events) AS manifest_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def s5_s6_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6/S10/S11 end-to-end — the whole ingest loop the reference
+    runs as GCS-event → BigQuery load (``trigger_bigquery_load.py:
+    92-113,116-168``) + export manifest (``export_to_GCS.py:319-333``),
+    oracle-checked through every surface at once:
+
+    - S6 append sink: ``events`` is staged to parquet, drained through
+      the Structured Streaming file source into the ``batch_id=N``
+      target; per-type counts come from the *re-read target*.
+    - S10 idempotency: a second drain with no new files must load no
+      batch — ``n_loaded_batches`` stays 1 or the hash mismatches.
+    - S11 audit sink: ``total_loaded`` is the audit table's summed
+      ``row_count`` (and every status must be 'ok').
+    - S5 manifest: the export summary is written via ``df.write.json``
+      and re-read; ``manifest_rows`` comes from the round trip.
+    """
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_s5s6_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    tgt = os.path.join(base, "tgt")
+    audit = os.path.join(base, "audit")
+    ckpt = os.path.join(base, "ckpt")
+    manifest = os.path.join(base, "manifest")
+
+    staged = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    staged.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    run_incremental_load_once(spark, src, tgt, audit, ckpt, schema, "events")
+    # S10: re-drain — the checkpoint must prevent any re-load
+    run_incremental_load_once(spark, src, tgt, audit, ckpt, schema, "events")
+
+    loaded = spark.read.parquet(tgt)
+    write_manifest(
+        loaded.groupBy().agg(F.count("*").alias("row_count")).select(
+            F.lit("events").alias("table"), "row_count"
+        ),
+        manifest,
+    )
+    mani_rows = read_manifest(spark, manifest).select(
+        F.col("row_count").alias("manifest_rows")
+    )
+    audit_stats = (
+        spark.read.parquet(audit)
+        .filter((F.col("row_count") > 0) & (F.col("status") == "ok"))
+        .agg(
+            F.sum("row_count").alias("total_loaded"),
+            F.count("*").alias("n_loaded_batches"),
+        )
+    )
+    return (
+        loaded.groupBy("event_type")
+        .agg(F.count("*").alias("n_rows"))
+        .crossJoin(F.broadcast(audit_stats))
+        .crossJoin(F.broadcast(mani_rows))
+        .select(
+            "event_type", "n_rows", "total_loaded", "n_loaded_batches", "manifest_rows"
+        )
+    )
 
 
 @query(
