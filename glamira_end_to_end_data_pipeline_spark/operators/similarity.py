@@ -142,6 +142,124 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """Coarse quantizer for IVF: a small, frozen centroid set collected
+    to the driver — (cell_id, vector, norm) triples.
+
+    Seeding is deterministic (the ``n_cells`` lowest-id corpus vectors)
+    so the cross-engine oracle can reproduce the cell structure exactly;
+    a production build would Lloyd-iterate these seeds (k-means), which
+    changes only this function — the assignment/probe machinery below is
+    quantizer-agnostic. Collecting K rows is the point, not a smell: the
+    coarse quantizer IS driver-side metadata (FAISS keeps it in RAM the
+    same way), and baking it into literal expressions is what makes cell
+    assignment a pure map-side projection with no join and no shuffle."""
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).cast("long").alias("cid"),
+            _dbl(F.col(vec_col)).alias("cvec"),
+            # norm computed by the SAME fold as the row-side projections
+            # → bit-identical arithmetic on both sides of the divide
+            norm(F.col(vec_col)).alias("cnorm"),
+        )
+        .collect()
+    )
+    return [(r["cid"], list(r["cvec"]), r["cnorm"]) for r in rows]
+
+
+def _cell_scores(
+    vec: Column, vnorm: Column, cents: list[tuple[int, list[float], float]]
+) -> Column:
+    """array<struct<sim,ncid,cid>> of rounded cosine to every centroid.
+
+    Struct field order makes array_max/array_sort rank by (similarity,
+    then smallest cell id) — the same deterministic tiebreak the SQL
+    oracle's ``ORDER BY sim DESC, cid`` uses."""
+    entries = []
+    for cid, cvec, cnorm in cents:
+        cvec_lit = F.array(*[F.lit(float(x)) for x in cvec])
+        sim = F.round(dot(vec, cvec_lit) / (vnorm * F.lit(cnorm)), 6)
+        entries.append(
+            F.struct(
+                sim.alias("sim"),
+                F.lit(-cid).cast("long").alias("ncid"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+        )
+    return F.array(*entries)
+
+
+def ivf_cell(
+    vec: Column, vnorm: Column, cents: list[tuple[int, list[float], float]]
+) -> Column:
+    """Cell assignment = argmax-cosine centroid, as a pure expression.
+    Deterministic function of the vector given the frozen quantizer, so
+    it is usable as a *write-time partition column*: store the corpus
+    partitioned by cell and a probe touches nprobe/n_cells of the data
+    through ordinary Parquet partition pruning — the inverted index
+    without any index structure."""
+    return F.array_max(_cell_scores(vec, vnorm, cents))["cid"]
+
+
+def ivf_probe_cells(
+    vec: Column,
+    vnorm: Column,
+    cents: list[tuple[int, list[float], float]],
+    nprobe: int,
+) -> Column:
+    """The query side probes its ``nprobe`` nearest cells (array of cell
+    ids, best first)."""
+    ranked = F.reverse(F.array_sort(_cell_scores(vec, vnorm, cents)))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in exactly one cell
+    (argmax-cosine centroid), each query probes its ``nprobe`` nearest
+    cells, exact cosine ranks the candidates. Recall/throughput dial is
+    (n_cells, nprobe) — candidates shrink ~nprobe/n_cells vs brute force.
+
+    Plan shape at scale: assignment is map-only (literal centroid set,
+    no join); the candidate join keys on the small int cell with the
+    query side broadcast; only the window top-k shuffles, on rows
+    already cut by the cell filter. Since a corpus vector has one cell
+    and probed cells are distinct, no candidate dedup is needed."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    c = _side(corpus, id_col, vec_col, "neighbor_id", "c_vec", "c_norm").withColumn(
+        "cell", ivf_cell(F.col("c_vec"), F.col("c_norm"), cents)
+    )
+    q = _side(queries, id_col, vec_col, "query_id", "q_vec", "q_norm").withColumn(
+        "cell",
+        F.explode(ivf_probe_cells(F.col("q_vec"), F.col("q_norm"), cents, nprobe)),
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id", "neighbor_id", _pair_cosine().alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

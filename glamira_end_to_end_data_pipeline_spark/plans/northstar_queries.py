@@ -326,6 +326,66 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_ivf_topk",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS ccid, embedding AS cvec
+        FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT 8
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec
+          FROM embeddings WHERE vec_id >= 10),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 10),
+    c_cell AS (
+        SELECT neighbor_id, c_vec, ccid AS cell FROM (
+            SELECT c.neighbor_id, c.c_vec, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY c.neighbor_id
+                       ORDER BY {_COS_SQL.format(a="c_vec", b="cvec")} DESC,
+                                cent.ccid) AS rn
+            FROM c, cent) t WHERE rn = 1
+    ),
+    q_cell AS (
+        SELECT query_id, q_vec, ccid AS cell FROM (
+            SELECT q.query_id, q.q_vec, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_COS_SQL.format(a="q_vec", b="cvec")} DESC,
+                                cent.ccid) AS rn
+            FROM q, cent) t WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {_COS_SQL.format(a="q_vec", b="c_vec")} AS cosine_sim
+        FROM c_cell JOIN q_cell USING (cell)
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 — the explicit inverted-file scale path
+    beside the LSH variant: an 8-cell coarse quantizer (deterministic
+    seeds, k-means-pluggable) baked into literal expressions, so corpus
+    cell assignment is map-only and the cell doubles as a write-time
+    partition column; each query probes its 2 nearest cells. The oracle
+    recomputes the identical quantizer/assignment/probe in SQL."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5,
+        n_cells=8,
+        nprobe=2,
+    )
+
+
+@query(
     "emb_near_dup_pairs",
     f"""
     WITH mutants AS (

@@ -1,0 +1,65 @@
+"""IVF index semantics: partitioning invariants + recall vs the exact
+baseline (value parity is covered by the oracle gate in test_entry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glamira_end_to_end_data_pipeline_spark.operators import similarity
+from glamira_end_to_end_data_pipeline_spark.sources import read_table
+from tests.conftest import SF_SMALL
+
+
+def _emb(spark):
+    return read_table(spark, SF_SMALL, "embeddings")
+
+
+def test_ivf_cells_partition_the_corpus(spark):
+    """Every corpus vector lands in exactly one cell, and every cell id
+    is a centroid seed id — the invariant that makes `cell` a valid
+    write-time partition column."""
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cents = similarity.ivf_centroids(corpus, n_cells=8)
+    assert [c[0] for c in cents] == list(range(10, 18))
+    assigned = corpus.select(
+        "vec_id",
+        similarity.ivf_cell(
+            F.col("embedding"), similarity.norm(F.col("embedding")), cents
+        ).alias("cell"),
+    )
+    rows = assigned.collect()
+    assert len(rows) == corpus.count()  # one row -> one cell
+    assert {r.cell for r in rows} <= set(range(10, 18))
+    # seeds are their own nearest centroid (cosine 1.0)
+    seed_cells = {r.vec_id: r.cell for r in rows if r.vec_id < 18}
+    assert seed_cells == {i: i for i in range(10, 18)}
+
+
+def test_ivf_recall_dial(spark):
+    """The (n_cells, nprobe) dial invariants, independent of data
+    distribution: probing ALL cells degenerates to the exact baseline
+    (recall == 1.0 by construction), and partial probes stay above the
+    nprobe/n_cells information floor. (The fixture embeddings are
+    isotropic — avg pairwise cosine ~0, no cluster structure — so no
+    quantizer can do much better than that floor here; on clustered
+    real data the Lloyd-refined quantizer closes the gap.)"""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(q, c, k=5).collect()
+    }
+
+    def recall(nprobe):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(
+                q, c, k=5, n_cells=8, nprobe=nprobe
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    assert recall(8) == 1.0  # full probe == brute force, exactly
+    assert recall(2) >= 2 / 8  # partial probe beats the random floor
