@@ -27,6 +27,7 @@ from glamira_end_to_end_data_pipeline_spark.sources.ingest import (
     write_manifest,
 )
 from glamira_end_to_end_data_pipeline_spark.streaming import (
+    dedup_replayed_events,
     run_incremental_load_once,
     session_aggregate,
     tumbling_event_counts,
@@ -91,6 +92,36 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     here in batch mode so DuckDB can check it."""
     events = read_table(spark, sf_dir, "events")
     return session_aggregate(events)
+
+
+@query(
+    "stream_dedup_replayed",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup semantics checked in batch: the event feed is
+    delivered TWICE (union with itself — an at-least-once source's retry
+    storm), deduped by event_id via :func:`dedup_replayed_events`, then
+    rolled up per type. The oracle aggregates the original feed once —
+    any duplicate surviving (or original lost) mismatches the hash. The
+    same function on a stream swaps in dropDuplicatesWithinWatermark
+    (bounded state; pinned by tests/test_streaming.py)."""
+    events = read_table(spark, sf_dir, "events")
+    redelivered = events.unionAll(events)
+    return (
+        dedup_replayed_events(redelivered)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
 
 
 @query(

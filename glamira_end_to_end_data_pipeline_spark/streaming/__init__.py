@@ -1,3 +1,6 @@
+from glamira_end_to_end_data_pipeline_spark.streaming.dedup import (
+    dedup_replayed_events,
+)
 from glamira_end_to_end_data_pipeline_spark.streaming.incremental import (
     incremental_file_load,
     run_incremental_load_once,
@@ -9,6 +12,7 @@ from glamira_end_to_end_data_pipeline_spark.streaming.sessions import (
 )
 
 __all__ = [
+    "dedup_replayed_events",
     "incremental_file_load",
     "run_incremental_load_once",
     "session_aggregate",

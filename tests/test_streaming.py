@@ -226,3 +226,52 @@ def test_sessionize_stateful_streaming(spark, tmp_path):
         (1, "2024-01-01 02:00:00", "2024-01-01 02:30:00", 1, 4.0),
         (2, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 1, 8.0),
     ]
+
+
+def test_dedup_replayed_events_streaming(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: a duplicate redelivered in a
+    later micro-batch (within the watermark horizon) is dropped; new
+    keys pass through."""
+    from glamira_end_to_end_data_pipeline_spark.streaming import dedup_replayed_events
+
+    src = str(tmp_path / "dd_src")
+    sink = str(tmp_path / "dd_sink")
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts_s string, value double"
+        ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "value").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write_file([(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:10:00", 2.0)])
+    write_file([(1, "2024-01-01 00:00:00", 1.0), (3, "2024-01-01 00:20:00", 4.0)])
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        dedup_replayed_events(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.event_id for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3]  # the redelivered event_id=1 appears once
+
+
+def test_dedup_replayed_events_batch_equivalence(spark):
+    """Batch path: a twice-delivered frame dedups back to the original."""
+    from glamira_end_to_end_data_pipeline_spark.streaming import dedup_replayed_events
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:10:00", 2.0)],
+        "event_id long, ts_s string, value double",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    out = dedup_replayed_events(df.unionAll(df))
+    assert sorted(r.event_id for r in out.collect()) == [1, 2]
