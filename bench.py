@@ -38,12 +38,15 @@ HEADLINE = [
     "a6_a7_worklist_pick",
     "star_fact_sales_order",
     "stream_tumbling_event_counts",
+    "stream_session_windows",
+    "stream_dedup_replayed",
     "s4_text_ip_worklist",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "emb_cosine_topk",
     "emb_ann_lsh_topk",
+    "emb_ivf_topk",
     "text_quality_score",
     "text_fingerprint",
     "mm_extract_features",
