@@ -1,0 +1,93 @@
+"""Skew-aware join (SURVEY §4 scale techniques): explicit hot-key
+salting, for the joins AQE's skew splitting can't fix.
+
+AQE skew-join (on in the session factory) splits oversized *partitions*
+after a shuffle materializes — it helps a sort-merge join, but the
+skewed shuffle still happens, and a single pathological key (the null
+user, the default session, the bot IP — 10%+ of a clickstream) still
+hashes to one reducer on the build side. Salting removes the hotspot
+*before* the shuffle: the big side spreads each hot key across
+``n_salts`` synthetic sub-keys, the small side replicates its matching
+rows once per sub-key, and the join keys on (key, salt). Cold keys pay
+nothing (salt 0, no replication).
+
+The salt is deterministic (``xxhash64`` of caller-chosen columns, not
+``rand()``), so retried tasks and replayed batches salt identically —
+a requirement for exactly-once sinks downstream.
+
+Result-set equivalence with the plain join is exact (each big-side row
+meets each matching small-side row exactly once), which is what lets
+the oracle gate hash-compare against an unsalted SQL join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT_B = "__salt_big"
+_SALT_S = "__salt_small"
+
+
+def detect_hot_keys(
+    df: DataFrame, key_col: str, min_frac: float = 0.05
+) -> list:
+    """Keys holding ≥ ``min_frac`` of the rows — at most 1/min_frac of
+    them by construction, so the collect is bounded regardless of table
+    size. One aggregation pass (map-side partial count)."""
+    total = df.count()
+    rows = (
+        df.groupBy(key_col)
+        .count()
+        .filter(F.col("count") >= min_frac * total)
+        .select(key_col)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    hot_keys: Sequence,
+    n_salts: int = 8,
+    salt_from: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big.big_key = small.small_key`` with hot keys spread
+    over ``n_salts`` sub-keys.
+
+    ``salt_from`` names big-side columns whose hash spreads a hot key's
+    rows (default: all big-side columns). Shuffle profile at scale: the
+    big side's hot key occupies ``n_salts`` reducers instead of one; the
+    small side grows by ``len(hot_keys) × (n_salts-1)`` rows — noise for
+    a dimension table."""
+    hot = F.array(*[F.lit(k) for k in hot_keys])
+    salt_cols = [F.col(c) for c in (salt_from or big.columns)]
+
+    is_hot_b = F.array_contains(hot, F.col(big_key))
+    big_s = big.withColumn(
+        _SALT_B,
+        F.when(is_hot_b, F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    is_hot_s = F.array_contains(hot, F.col(small_key))
+    small_s = (
+        small.withColumn(
+            "__salts",
+            F.when(is_hot_s, F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(
+                F.array(F.lit(0))
+            ),
+        )
+        .withColumn(_SALT_S, F.explode("__salts"))
+        .drop("__salts")
+    )
+    cond: Column = (big_s[big_key] == small_s[small_key]) & (
+        big_s[_SALT_B] == small_s[_SALT_S]
+    )
+    return big_s.join(small_s, cond, how).drop(_SALT_B, _SALT_S)

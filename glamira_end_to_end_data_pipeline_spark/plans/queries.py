@@ -19,6 +19,9 @@ Cross-engine determinism rules (hash-compare survival):
 
 from __future__ import annotations
 
+import os
+import re
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -33,8 +36,13 @@ from glamira_end_to_end_data_pipeline_spark.functions import (
     ws_normalize,
 )
 from glamira_end_to_end_data_pipeline_spark.operators.geo import range_join_bucketed
+from glamira_end_to_end_data_pipeline_spark.operators.skew import salted_join
 from glamira_end_to_end_data_pipeline_spark.session import ensure_runtime_confs
 from glamira_end_to_end_data_pipeline_spark.sources import read_table
+from glamira_end_to_end_data_pipeline_spark.sources.bucketing import (
+    bucketed_table,
+    write_bucketed,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -555,6 +563,94 @@ def j7_anti_join_unprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         processed, cust.c_custkey == processed.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
+
+
+@query(
+    "j_skew_salted",
+    """
+    WITH l AS (
+        SELECT CASE WHEN l_linenumber <= 4 THEN 1 ELSE l_suppkey END AS skew_key,
+               l_quantity
+        FROM lineitem
+    )
+    SELECT s_name,
+           count(*) AS n_lines,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM l JOIN supplier s ON l.skew_key = s.s_suppkey
+    GROUP BY s_name
+    """,
+)
+def j_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (SURVEY §4): a synthetic pathological key
+    (~⅔ of lineitem collapses onto supplier 1 — the shape of a null
+    user / bot IP in a clickstream) is spread across 8 salts on the big
+    side with the matching dim rows replicated per salt, then joined on
+    (key, salt). The oracle is the PLAIN unsalted join — salting must be
+    invisible in the result set, hot key included."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_linenumber") <= 4, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("skew_key"),
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(
+        li,
+        sup,
+        "skew_key",
+        "s_suppkey",
+        hot_keys=[1],
+        n_salts=8,
+        salt_from=["l_orderkey", "l_linenumber"],
+    )
+    return joined.groupBy("s_name").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "j_bucketed_colocated",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located join (SURVEY §4): orders and lineitem
+    are materialized as parquet tables bucketed 8-ways on the order key
+    (``sources/bucketing.py``) — the write pays the shuffle once, and
+    the sort-merge join then runs with NO Exchange on either side
+    (plan-shape asserted in tests/test_scale_ops.py). This is the
+    recurring-join strategy for the fact build at 100 TB."""
+    tag = re.sub(r"[^a-zA-Z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{tag}")
+    write_bucketed(
+        read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        f"bt_orders_{tag}",
+        os.path.join(base, "orders"),
+        ["o_orderkey"],
+        n_buckets=8,
+    )
+    write_bucketed(
+        read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        f"bt_lineitem_{tag}",
+        os.path.join(base, "lineitem"),
+        ["l_orderkey"],
+        n_buckets=8,
+    )
+    o = bucketed_table(spark, f"bt_orders_{tag}")
+    li = bucketed_table(spark, f"bt_lineitem_{tag}")
+    joined = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
 
 
 @query(

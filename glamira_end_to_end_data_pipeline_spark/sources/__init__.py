@@ -1,7 +1,11 @@
+from glamira_end_to_end_data_pipeline_spark.sources.bucketing import (
+    bucketed_table,
+    write_bucketed,
+)
 from glamira_end_to_end_data_pipeline_spark.sources.tables import (
     TABLES,
     read_table,
     register_views,
 )
 
-__all__ = ["TABLES", "read_table", "register_views"]
+__all__ = ["TABLES", "bucketed_table", "read_table", "register_views", "write_bucketed"]

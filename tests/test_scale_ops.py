@@ -1,0 +1,88 @@
+"""Scale techniques (SURVEY §4): salted hot-key join equivalence +
+replication accounting, and the exchange-free bucketed join plan shape.
+Value parity with SQL is covered by the oracle gate (test_entry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glamira_end_to_end_data_pipeline_spark.operators.skew import (
+    detect_hot_keys,
+    salted_join,
+)
+from glamira_end_to_end_data_pipeline_spark.sources.bucketing import (
+    bucketed_table,
+    write_bucketed,
+)
+
+
+def _frames(spark):
+    big = spark.createDataFrame(
+        # key 1 is hot (6 of 9 rows); keys 2, 3 are cold; 99 matches nothing
+        [(1, i) for i in range(6)] + [(2, 10), (3, 11), (99, 12)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "cold_a"), (3, "cold_b"), (4, "unmatched")],
+        "sk long, name string",
+    )
+    return big, small
+
+
+def test_salted_join_equals_plain_join(spark):
+    big, small = _frames(spark)
+    plain = big.join(small, big.k == small.sk).select("k", "payload", "name")
+    salted = salted_join(
+        big, small, "k", "sk", hot_keys=[1], n_salts=4, salt_from=["payload"]
+    ).select("k", "payload", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_left_preserves_misses(spark):
+    big, small = _frames(spark)
+    out = salted_join(
+        big, small, "k", "sk", hot_keys=[1], n_salts=4, salt_from=["payload"], how="left"
+    )
+    miss = out.filter(F.col("k") == 99).collect()
+    assert len(miss) == 1 and miss[0]["name"] is None
+
+
+def test_salted_small_side_replicates_only_hot_keys(spark):
+    """The dim side must grow by exactly (n_salts-1) rows per hot key —
+    the accounting that keeps salting free for cold keys."""
+    big, small = _frames(spark)
+    out = salted_join(
+        big, small, "k", "sk", hot_keys=[1], n_salts=4, salt_from=["payload"]
+    )
+    # every big-side row joins exactly once: 6 hot + 2 cold matches
+    assert out.count() == 8
+    per_key = {r["k"]: r["n"] for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert per_key == {1: 6, 2: 1, 3: 1}
+
+
+def test_detect_hot_keys(spark):
+    big, _ = _frames(spark)
+    assert detect_hot_keys(big, "k", min_frac=0.5) == [1]
+    assert sorted(detect_hot_keys(big, "k", min_frac=0.1)) == [1, 2, 3, 99]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed 4-ways on the join key -> the sort-merge join
+    plan contains NO Exchange: the write-time shuffle is the only one."""
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("vb")
+    )
+    write_bucketed(a, "bt_test_a", str(tmp_path / "a"), ["k"], n_buckets=4)
+    write_bucketed(b, "bt_test_b", str(tmp_path / "b"), ["k"], n_buckets=4)
+    ta = bucketed_table(spark, "bt_test_a")
+    tb = bucketed_table(spark, "bt_test_b")
+    joined = ta.hint("merge").join(tb, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 1000
