@@ -174,6 +174,47 @@ def ivf_centroids(
     return [(r["cid"], list(r["cvec"]), r["cnorm"]) for r in rows]
 
 
+def lloyd_refine(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    n_iters: int = 1,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """Lloyd (k-means) iterations over a seed quantizer, as DataFrame
+    ops: every corpus vector is assigned to its cell via the literal
+    expression (map-only, no join), each cell's members are averaged
+    per dimension (64 partial-agg sums, ONE shuffle of K×dim doubles),
+    and the K new centroids are collected. Empty cells keep their
+    previous centroid. Use on clustered corpora, where refined cells
+    align with the clusters and recall at fixed nprobe jumps; on
+    isotropic data it converges to a Voronoi tessellation no better
+    than the seeds (see tests)."""
+    dim = len(cents[0][1])
+    for _ in range(n_iters):
+        v = _dbl(F.col(vec_col))
+        assigned = corpus.select(
+            v.alias("v"), ivf_cell(v, norm(F.col(vec_col)), cents).alias("cell")
+        )
+        means = assigned.groupBy("cell").agg(
+            *[F.avg(F.element_at("v", i + 1)).alias(f"d{i}") for i in range(dim)]
+        )
+        new = {
+            r["cell"]: [r[f"d{i}"] for i in range(dim)] for r in means.collect()
+        }
+
+        def _norm(xs: list[float]) -> float:
+            acc = 0.0
+            for x in xs:  # same left-to-right fold order as norm()
+                acc += x * x
+            return acc**0.5
+
+        cents = [
+            (cid, new[cid], _norm(new[cid])) if cid in new else (cid, vec, nrm)
+            for cid, vec, nrm in cents
+        ]
+    return cents
+
+
 def _cell_scores(
     vec: Column, vnorm: Column, cents: list[tuple[int, list[float], float]]
 ) -> Column:
@@ -228,6 +269,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in exactly one cell
     (argmax-cosine centroid), each query probes its ``nprobe`` nearest
@@ -240,6 +282,8 @@ def ivf_topk(
     already cut by the cell filter. Since a corpus vector has one cell
     and probed cells are distinct, no candidate dedup is needed."""
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    if refine_iters:
+        cents = lloyd_refine(corpus, cents, refine_iters, vec_col)
     c = _side(corpus, id_col, vec_col, "neighbor_id", "c_vec", "c_norm").withColumn(
         "cell", ivf_cell(F.col("c_vec"), F.col("c_norm"), cents)
     )

@@ -1052,6 +1052,88 @@ def a8_running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a_approx_sketches",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS approx_distinct_ok,
+           round(median(value), 2) AS median_value,
+           TRUE AS approx_median_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB form of A1/A2's distinct counts:
+    HyperLogLog++ (``approx_count_distinct``, constant memory per group
+    vs a distinct shuffle) and KLL-style quantiles
+    (``percentile_approx``). Sketches differ across engines by design,
+    so the oracle checks the *error envelope*: the entry emits booleans
+    asserting the approximation lands within 10% of the exact value it
+    also computes — an engine whose sketch drifts out of contract
+    hash-mismatches the oracle's TRUE."""
+    events = read_table(spark, sf_dir, "events")
+    agged = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx_users"),
+        F.median("value").alias("__median_exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("__median_approx"),
+    )
+    return agged.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("__approx_users") - F.col("n_users_exact"))
+            <= 0.1 * F.col("n_users_exact")
+        ).alias("approx_distinct_ok"),
+        F.round("__median_exact", 2).alias("median_value"),
+        (
+            F.abs(F.col("__median_approx") - F.col("__median_exact"))
+            <= 0.1 * F.abs(F.col("__median_exact")) + F.lit(0.01)
+        ).alias("approx_median_ok"),
+    )
+
+
+@query(
+    "a_multigrain_rollup",
+    """
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS event_date, value FROM events
+    )
+    SELECT coalesce(event_type, 'ALL') AS event_type_g,
+           coalesce(CAST(event_date AS VARCHAR), 'ALL') AS event_date_g,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM e GROUP BY ROLLUP (event_type, event_date)
+    """,
+)
+def a_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain aggregation via ``rollup`` — (type, day), (type),
+    and grand-total grains in ONE pass instead of three queries over
+    the fact table (at 100 TB, one scan instead of three). Subtotal
+    rows label their rolled-up grain 'ALL' (the fixture has no NULL
+    keys, so the label is unambiguous)."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type", F.to_date("ts").alias("event_date"), "value"
+        )
+        .rollup("event_type", "event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type_g"),
+            F.coalesce(F.col("event_date").cast("string"), F.lit("ALL")).alias(
+                "event_date_g"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ===========================================================================
 # Set operations (SURVEY §2.7 — engine completeness)
 # ===========================================================================
