@@ -364,3 +364,59 @@ def simhash_near_dups(
     return cand.select("a", "b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "a",
+    id_b: str = "b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph → one canonical
+    representative per group (the minimum doc id), by iterative
+    min-label propagation: label(u) ← min(label(u), labels of u's
+    neighbors) until fixpoint. Near-dup clusters have tiny diameters
+    (a dup of a dup of a dup is rare), so this converges in a handful
+    of rounds; each round is one join + one min-agg, both keyed on the
+    node id — the standard large-graph CC shape (GraphX/Pregel without
+    the framework). ``localCheckpoint`` cuts the loop's lineage so the
+    plan does not grow with iterations (on a cluster, a reliable
+    checkpoint dir serves the same purpose).
+
+    Returns (doc_id, cluster_id) for every node that appears in a pair;
+    untouched documents are implicitly their own singletons.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    )
+    edges = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(labels, edges["v"] == labels["node"]).select(
+            edges["u"].alias("node"), labels["label"]
+        )
+        new_labels = (
+            nbr.unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

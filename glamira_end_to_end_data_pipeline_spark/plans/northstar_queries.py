@@ -93,10 +93,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(corpus_with_dups(_docs(spark, sf_dir)))
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {CORPUS_CTE.strip()},
+# MinHash+LSH pipeline as reusable CTEs ending in `pairs` (a, b, jaccard)
+# — shared by the pair entry and the connected-components clusters entry.
+MINHASH_PAIRS_CTES = f"""{CORPUS_CTE.strip()},
     {SHINGLES_CTE.strip()},
     sigx AS (
         SELECT doc_id,
@@ -132,13 +131,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN shingles sa ON sa.doc_id = c.a
         JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
         GROUP BY c.a, c.b
-    )
-    SELECT i.a, i.b,
-           round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sizes za ON za.doc_id = i.a
-    JOIN sizes zb ON zb.doc_id = i.b
-    WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.5
+    ),
+    pairs AS (
+        SELECT i.a, i.b,
+               round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.a
+        JOIN sizes zb ON zb.doc_id = i.b
+        WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.5
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {MINHASH_PAIRS_CTES}
+    SELECT a, b, jaccard FROM pairs
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,6 +158,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py)."""
     return dedup.minhash_near_dups(
         corpus_with_dups(_docs(spark, sf_dir)), num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    )
+    SELECT node AS doc_id,
+           min(r) AS cluster_id,
+           node = min(r) AS is_representative
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clustering*: the MinHash pair graph collapsed into
+    connected components by iterative min-label propagation
+    (``operators/dedup.py::duplicate_clusters``) — the step that turns
+    pairwise verdicts into a keep/drop decision (keep the minimum-id
+    representative per component). The oracle computes the same
+    components with a recursive reachability CTE over the identical
+    pair set, so both the pair pipeline AND the iterative convergence
+    are hash-checked cross-engine."""
+    pairs = dedup.minhash_near_dups(
+        corpus_with_dups(_docs(spark, sf_dir)), num_hashes=16, bands=4, threshold=0.5
+    )
+    labels = dedup.duplicate_clusters(pairs)
+    return labels.withColumn(
+        "is_representative", F.col("doc_id") == F.col("cluster_id")
     )
 
 

@@ -77,3 +77,22 @@ def test_flagship_partial_aggregation(spark, registry):
     plan = plan_of(registry["flagship_daily_events"](spark, SF_SMALL))
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_duplicate_clusters_multihop_chain(spark):
+    """Min-label propagation must cross multi-hop chains (a dup of a
+    dup), merge cliques, and leave disjoint components apart."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12, isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
