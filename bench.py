@@ -29,12 +29,17 @@ from glamira_end_to_end_data_pipeline_spark import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customers",
     "flagship_daily_events",
     "p1_typed_projection",
     "f_ip_enrichment",
     "j3_computed_date_key_join",
     "j4_composite_key_null_miss",
+    "j_skew_salted",
+    "j_bucketed_colocated",
     "w1_dedup_latest",
+    "a_multigrain_rollup",
     "a6_a7_worklist_pick",
     "star_fact_sales_order",
     "stream_tumbling_event_counts",

@@ -1250,6 +1250,50 @@ def a_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a_pivot_daily_mix",
+    """
+    WITH w AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               count(*) FILTER (event_type = 'click')    AS click,
+               count(*) FILTER (event_type = 'error')    AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup')   AS signup,
+               count(*) FILTER (event_type = 'view')     AS view
+        FROM events GROUP BY 1
+    )
+    SELECT event_date, event_type, n_events FROM (
+        SELECT event_date, 'click' AS event_type, click AS n_events FROM w
+        UNION ALL SELECT event_date, 'error', error FROM w
+        UNION ALL SELECT event_date, 'purchase', purchase FROM w
+        UNION ALL SELECT event_date, 'signup', signup FROM w
+        UNION ALL SELECT event_date, 'view', view FROM w
+    ) WHERE n_events IS NOT NULL
+    """,
+)
+def a_pivot_daily_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip: per-day event-type counts pivoted
+    into a wide frame (explicit value list — no extra distinct pass, a
+    scale requirement: ``pivot(col)`` without values runs a collect),
+    then melted back long via ``unpivot``. The oracle builds the same
+    wide table with FILTER aggregates and unions it back — the round
+    trip must reproduce the plain groupBy exactly."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    events = read_table(spark, sf_dir, "events")
+    wide = (
+        events.select(F.to_date("ts").alias("event_date"), "event_type")
+        .groupBy("event_date")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.unpivot(
+        ids=["event_date"],
+        values=types,
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    ).filter(F.col("n_events").isNotNull())
+
+
 # ===========================================================================
 # Set operations (SURVEY §2.7 — engine completeness)
 # ===========================================================================
