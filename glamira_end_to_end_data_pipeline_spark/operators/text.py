@@ -144,3 +144,39 @@ def fingerprint(
         F.md5(norm_text).alias("content_hash"),
         F.coalesce(min_shingle, F.md5(norm_text)).alias("min_shingle_hash"),
     )
+
+
+# PII scrubbing (training-data hygiene): each pattern is deliberately
+# RE2-and-Java-regex compatible (no lookaround, no backrefs) so the
+# exact same pattern string runs on Spark and the DuckDB oracle.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}"),
+)
+
+
+def scrub_pii(col: Column | str, replacement: str = "[PII]") -> Column:
+    """Redact every PII pattern, applied in declaration order (email
+    before ipv4, so a dotted-quad inside an email never half-matches).
+    Pure regexp_replace chain — map-only, scan-speed at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, replacement)
+    return c
+
+
+def pii_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII hit counts (one regexp_count per pattern) plus
+    the scrubbed text — the audit artifact a redaction pipeline keeps."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+            for name, pat in PII_PATTERNS
+        ],
+        scrub_pii(t).alias("scrubbed"),
+    )

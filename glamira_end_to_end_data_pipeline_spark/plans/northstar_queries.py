@@ -596,3 +596,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: normalized-content md5 + winnowing-style
     min 5-gram hash (rolling-hash family = md5 over shingles)."""
     return text.fingerprint(_docs(spark, sf_dir))
+
+
+_PII_E, _PII_P, _PII_I = (p for _, p in text.PII_PATTERNS)
+_PII_ORACLE = """
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact u' || doc_id || '@example.com'
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN ' call +1 555-123-4567' ELSE '' END
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' from 10.' || (doc_id % 200) || '.0.'
+                                 || (doc_id % 250)
+                            ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               text, '{e}', '[PII]', 'g'), '{p}', '[PII]', 'g'),
+               '{i}', '[PII]', 'g')) AS scrubbed_md5
+    FROM injected
+""".format(e=_PII_E, p=_PII_P, i=_PII_I)
+
+
+@query("text_pii_scrub", _PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data hygiene): deterministic emails /
+    phones / IPv4s are injected per doc_id (the corpus is PII-free word
+    soup), counted, and scrubbed. The md5 of the scrubbed text is
+    hash-compared cross-engine, so BOTH the hit counts and the exact
+    replacement behavior of every pattern are gate-checked — the
+    pattern strings themselves are shared between the Spark operator
+    (operators/text.py::PII_PATTERNS) and this oracle."""
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" call +1 555-123-4567")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    stats = text.pii_stats(injected)
+    return stats.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    )

@@ -26,6 +26,10 @@ from glamira_end_to_end_data_pipeline_spark.sources.ingest import (
     read_manifest,
     write_manifest,
 )
+from glamira_end_to_end_data_pipeline_spark.sources.lake import (
+    read_partitioned,
+    write_partitioned,
+)
 from glamira_end_to_end_data_pipeline_spark.streaming import (
     dedup_replayed_events,
     run_incremental_load_once,
@@ -198,6 +202,40 @@ def s5_s6_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "n_rows", "total_loaded", "n_loaded_batches", "manifest_rows"
         )
+    )
+
+
+@query(
+    "s_partitioned_lake",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type
+    """,
+)
+def s_partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake round trip: events land partitioned by
+    event_date (repartition-first write — one file per day, not
+    tasks×days small files), then a single day is read back through
+    partition pruning (PartitionFilters plan shape pinned in
+    tests/test_scale_ops.py) and rolled up. The oracle computes the
+    same day's rollup straight from the source table — a pruning bug
+    that drops or double-reads a file mismatches the hash."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_lake_{tag}")
+    events = read_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.to_date("ts").alias("event_date")
+    )
+    write_partitioned(events, base, ["event_date"])
+    day = read_partitioned(spark, base).filter(
+        F.col("event_date") == F.lit("2024-01-15").cast("date")
+    )
+    return day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
     )
 
 

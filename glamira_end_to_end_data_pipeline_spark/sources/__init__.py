@@ -2,10 +2,22 @@ from glamira_end_to_end_data_pipeline_spark.sources.bucketing import (
     bucketed_table,
     write_bucketed,
 )
+from glamira_end_to_end_data_pipeline_spark.sources.lake import (
+    read_partitioned,
+    write_partitioned,
+)
 from glamira_end_to_end_data_pipeline_spark.sources.tables import (
     TABLES,
     read_table,
     register_views,
 )
 
-__all__ = ["TABLES", "bucketed_table", "read_table", "register_views", "write_bucketed"]
+__all__ = [
+    "TABLES",
+    "bucketed_table",
+    "read_partitioned",
+    "read_table",
+    "register_views",
+    "write_bucketed",
+    "write_partitioned",
+]

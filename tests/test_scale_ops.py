@@ -86,3 +86,29 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
     assert joined.count() == 1000
+
+
+def test_partitioned_lake_prunes_directories(spark, tmp_path):
+    """A partition-column filter must cut the scanned file set to the
+    matching directory (PartitionFilters), and the repartition-first
+    write must produce one file per partition value."""
+    from glamira_end_to_end_data_pipeline_spark.sources.lake import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    df = spark.range(0, 300).select(
+        (F.col("id") % 3).cast("string").alias("day"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "lake")
+    write_partitioned(df, path, ["day"], sort_cols=["v"])
+
+    full = read_partitioned(spark, path)
+    one = full.filter(F.col("day") == "1")
+    # repartition-first write: exactly one file per partition value
+    assert len(full.inputFiles()) == 3
+    # the day filter reaches the scan as a PartitionFilter (directory
+    # pruning), not a post-scan Filter
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan or "PartitionFilters: [(day" in plan, plan
+    assert one.count() == 100
