@@ -12,6 +12,10 @@ spine generation), not the synthetic mapping.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -437,9 +441,9 @@ def star_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     return models.dim_location(ip_locations_from_events(_events(spark, sf_dir)))
 
 
-@query(
-    "star_fact_sales_order",
-    f"""
+# Full fact-model oracle — shared by the batch entry and the streaming
+# incremental capstone (identical final fact rows by construction).
+FACT_ORACLE_SQL = f"""
     WITH {SUMMARY_CTE.strip()},
     {STG_CTE.strip()},
     {PRODUCT_DETAILS_CTE.strip()},
@@ -509,8 +513,10 @@ def star_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND stg.store_id = dsc.store_id
        AND stg.api_version = dsc.api_version
     WHERE stg.order_source_id IS NOT NULL
-    """,
-)
+    """
+
+
+@query("star_fact_sales_order", FACT_ORACLE_SQL)
 def star_fact_sales_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-J5/F4 — the full fact model (ref ``fact_sales_order.sql``):
     five broadcast left joins, '-1' unmatched defaults, `=` null-miss
@@ -535,3 +541,68 @@ def star_fact_sales_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims["date"],
         dims["session"],
     )
+
+
+@query("stream_star_fact_incremental", FACT_ORACLE_SQL)
+def stream_star_fact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone integration — the reference's WHOLE pipeline (ingest →
+    staging → star build, ``trigger_bigquery_load.py`` +
+    ``fact_sales_order.sql``) as one incremental streaming flow:
+
+    staging rows land in three parquet chunks, a Structured Streaming
+    file source drains them one file per micro-batch, and each batch is
+    joined to the (stable, broadcast) dimensions inside ``foreachBatch``
+    and appended to an idempotent ``batch_id=N`` fact partition. The
+    fact model is row-wise over staging (each dim join matches ≤ 1
+    row), so the union of per-batch facts must equal the one-shot batch
+    fact — the oracle IS the batch fact SQL, hash-compared against the
+    re-read incremental output. This is the 100 TB operating mode: dims
+    refresh slowly, the fact grows append-only, and a replayed batch
+    rewrites its own partition instead of double-appending."""
+    events = _events(spark, sf_dir)
+    stg = models.stg_summary(summary_from_events(events)).persist()
+    dims = {
+        "product": models.dim_product(product_details_from_events(events)),
+        "customer": models.dim_customer(stg),
+        "location": models.dim_location(ip_locations_from_events(events)),
+        "date": models.dim_date(models.stg_summary_date_range(stg)),
+        "session": models.dim_session_context(stg),
+    }
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_streamstar_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "stg")
+    fact_dir = os.path.join(base, "fact")
+    ckpt = os.path.join(base, "ckpt")
+
+    # stage in three deterministic chunks -> three micro-batches
+    chunk = F.pmod(F.xxhash64(F.col("order_source_id").cast("string")), F.lit(3))
+    for i in range(3):
+        stg.filter(chunk == i).coalesce(1).write.mode("append").parquet(src)
+    stg_schema = spark.read.parquet(src).schema
+
+    def build_batch(batch: DataFrame, batch_id: int) -> None:
+        fact = models.fact_sales_order(
+            batch,
+            dims["product"],
+            dims["customer"],
+            dims["location"],
+            dims["date"],
+            dims["session"],
+        )
+        fact.write.mode("overwrite").parquet(
+            os.path.join(fact_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(stg_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(build_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(fact_dir).drop("batch_id")
