@@ -39,6 +39,9 @@ HEADLINE = [
     "j_skew_salted",
     "j_bucketed_colocated",
     "w1_dedup_latest",
+    "w4_rolling_user_value",
+    "w5_scd2_user_segments",
+    "j8_asof_event_segments",
     "a_multigrain_rollup",
     "a6_a7_worklist_pick",
     "star_fact_sales_order",

@@ -1,0 +1,120 @@
+"""Slowly-changing-dimension (Type 2) versioning and as-of joins.
+
+The reference's dbt dims are dedup-to-latest (Type 1: ``dim_customer.sql:18``
+keeps only the newest row per key). The natural warehouse extension — and
+the shape dbt ships as *snapshots* — is Type 2: keep every distinct state
+as a version row with a validity interval, then resolve "which version was
+active at time T" with an as-of join.
+
+Spark-first design, both halves one-shuffle:
+
+- ``scd2_versions``: change detection is ``lag`` over (key, ts); version
+  rows are the change points only, so the output is |changes|, not
+  |events|. Both windows (lag + lead) share the same partitioning, so
+  Catalyst plans a single Exchange on the key.
+- ``asof_join``: the classic sort-merge trick — UNION state rows and probe
+  rows, sort per key by (ts, kind), and let ``last(value, ignorenulls)``
+  carry the latest state forward onto each probe row. One shuffle on the
+  key, zero range-join explosion: at 100 TB this is the only as-of shape
+  that survives (an inequality join degenerates to per-key cross products
+  under skew; the union-window is linear in |states| + |probes| and
+  AQE-splittable like any other sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_versions(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse an event stream into SCD2 version rows.
+
+    A version starts at every row whose ``state_col`` differs from the
+    previous row's (per key, ordered by ``ts_col, tiebreak_col``). When
+    several changes share one timestamp the last one (max tiebreak) wins
+    the version slot — mirrored in the oracle — so the result is total-
+    order deterministic.
+
+    Returns: key, segment, valid_from, valid_to (NULL = open), version_no
+    (1-based per key), is_current.
+    """
+    w_order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = df.select(
+        F.col(key_col),
+        F.col(state_col).alias("segment"),
+        F.col(ts_col).alias("valid_from"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.lag(state_col).over(w_order).alias("_prev"),
+    ).filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("segment")))
+
+    # One version per (key, valid_from): the last change at that instant
+    # defines the state from then on.
+    w_dedup = Window.partitionBy(key_col, "valid_from").orderBy(F.desc("_tb"))
+    starts = (
+        changed.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_prev", "_tb")
+    )
+
+    w_ver = Window.partitionBy(key_col).orderBy("valid_from")
+    return starts.select(
+        F.col(key_col),
+        "segment",
+        "valid_from",
+        F.lead("valid_from").over(w_ver).alias("valid_to"),
+        F.row_number().over(w_ver).alias("version_no"),
+        F.lead("valid_from").over(w_ver).isNull().alias("is_current"),
+    )
+
+
+def asof_join(
+    probe: DataFrame,
+    states: DataFrame,
+    key_col: str,
+    probe_ts_col: str,
+    state_ts_col: str,
+    value_col: str,
+    default: str | None = None,
+) -> DataFrame:
+    """Left as-of join: attach the latest state with
+    ``state_ts <= probe_ts`` to every probe row.
+
+    Union-window implementation (see module docstring): state rows sort
+    *before* probe rows at equal timestamps (``_kind`` 0 < 1), so a state
+    becoming valid exactly at the probe instant IS picked up — matching
+    DuckDB's ``ASOF JOIN ... ON probe.ts >= state.ts`` semantics.
+    """
+    probe_cols = probe.columns
+    tagged_states = states.select(
+        F.col(key_col).alias("_key"),
+        F.col(state_ts_col).alias("_ts"),
+        F.col(value_col).alias("_state"),
+        F.lit(0).alias("_kind"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_cols],
+    )
+    tagged_probes = probe.select(
+        F.col(key_col).alias("_key"),
+        F.col(probe_ts_col).alias("_ts"),
+        F.lit(None).cast(states.schema[value_col].dataType).alias("_state"),
+        F.lit(1).alias("_kind"),
+        *probe_cols,
+    )
+    w = (
+        Window.partitionBy("_key")
+        .orderBy("_ts", "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        tagged_states.unionByName(tagged_probes)
+        .withColumn("_asof", F.last("_state", ignorenulls=True).over(w))
+        .filter(F.col("_kind") == 1)
+    )
+    asof = F.col("_asof") if default is None else F.coalesce("_asof", F.lit(default))
+    return out.select(*probe_cols, asof.alias(value_col))

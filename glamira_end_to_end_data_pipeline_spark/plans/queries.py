@@ -873,6 +873,144 @@ def w3_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("full_date", date_key("full_date").alias("date_key"))
 
 
+# Shared SCD2 CTE chain (DuckDB): events → change points → deduped
+# version starts. Twin of operators/scd.py::scd2_versions. The source
+# predicate is injectable so the as-of entry can version a sub-stream.
+_SCD2_STARTS_CTES_TPL = """
+ordered AS (
+    SELECT user_id, event_type AS segment, ts, event_id,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_seg
+    FROM events WHERE {where}
+),
+changed AS (
+    SELECT user_id, segment, ts AS valid_from, event_id
+    FROM ordered
+    WHERE prev_seg IS NULL OR prev_seg <> segment
+),
+starts AS (
+    SELECT user_id, segment, valid_from
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id, valid_from ORDER BY event_id DESC
+               ) AS rn
+        FROM changed
+    )
+    WHERE rn = 1
+)
+"""
+
+
+@query(
+    "w5_scd2_user_segments",
+    f"""
+    WITH {_SCD2_STARTS_CTES_TPL.format(where="true").strip()}
+    SELECT user_id, segment, valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           cast(row_number() OVER w AS int) AS version_no,
+           (lead(valid_from) OVER w IS NULL) AS is_current
+    FROM starts
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+)
+def w5_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (dbt-snapshot shape): collapse the event
+    stream into per-user segment version rows with validity intervals.
+
+    Scale: output is |changes| not |events|; lag/dedup/lead windows share
+    one Exchange on user_id (see operators/scd.py)."""
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import scd2_versions
+
+    events = read_table(spark, sf_dir, "events")
+    return scd2_versions(events, "user_id", "event_type", "ts", "event_id")
+
+
+@query(
+    "j8_asof_event_segments",
+    f"""
+    WITH {_SCD2_STARTS_CTES_TPL.format(where="event_id % 2 = 0").strip()}
+    SELECT p.event_id, p.user_id, p.ts,
+           coalesce(s.segment, 'none') AS segment_at_event
+    FROM (
+        SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1
+    ) p
+    ASOF LEFT JOIN starts s
+      ON p.user_id = s.user_id AND p.ts >= s.valid_from
+    """,
+)
+def j8_asof_event_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join between two interleaved streams: the even-event_id
+    sub-stream is the dimension-update feed (SCD2-versioned), and every
+    odd-event_id row probes "which segment version was active at my
+    timestamp?" — 'none' before the user's first update.
+
+    Spark-first: union-window merge (operators/scd.py::asof_join) — one
+    shuffle on the key, linear in |states|+|probes|, no inequality-join
+    explosion; the DuckDB oracle uses its native ASOF LEFT JOIN, so the
+    hash match proves the union-window trick IS as-of semantics."""
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import (
+        asof_join,
+        scd2_versions,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    starts = scd2_versions(
+        events.filter(F.col("event_id") % 2 == 0),
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+    ).select("user_id", "segment", "valid_from")
+    probes = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        probes,
+        starts,
+        key_col="user_id",
+        probe_ts_col="ts",
+        state_ts_col="valid_from",
+        value_col="segment",
+        default="none",
+    ).withColumnRenamed("segment", "segment_at_event")
+
+
+@query(
+    "w4_rolling_user_value",
+    """
+    SELECT user_id, event_id,
+           cast(count(*) OVER w AS bigint) AS n_events_1h,
+           round(sum(value) OVER w, 2) AS value_1h
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY cast(floor(epoch(ts)) AS bigint)
+        RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def w4_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — event-time rolling window: per user, count/sum of events in
+    the trailing hour (RANGE frame on epoch seconds, peers included).
+
+    Scale: one shuffle on user_id, then a per-partition ordered sweep —
+    Spark's range-frame window is O(n) per key with a sliding aggregate
+    buffer, never materializing the frame."""
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 2).alias("value_1h"),
+    )
+
+
 # ===========================================================================
 # Scalar-function showcases (SURVEY §2.8)
 # ===========================================================================

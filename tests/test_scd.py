@@ -1,0 +1,88 @@
+"""SCD2 versioning + as-of join semantics and plan-shape pins."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from glamira_end_to_end_data_pipeline_spark.operators.scd import (
+    asof_join,
+    scd2_versions,
+)
+from tests.conftest import SF_SMALL
+from tests.test_plans import plan_of
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_scd2_versions_semantics(spark):
+    rows = [
+        # user 1: a → a (no change) → b → a
+        (1, _ts(1), 10, "a"),
+        (1, _ts(2), 11, "a"),
+        (1, _ts(3), 12, "b"),
+        (1, _ts(5), 13, "a"),
+        # user 2: two conflicting changes at the same instant — the
+        # higher tiebreak (event_id 21) must win the version slot.
+        (2, _ts(1), 20, "x"),
+        (2, _ts(1), 21, "y"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, seg string")
+    out = scd2_versions(df, "user_id", "seg", "ts", "event_id")
+    got = {
+        (r.user_id, r.version_no): (r.segment, r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): ("a", _ts(1), _ts(3), False),
+        (1, 2): ("b", _ts(3), _ts(5), False),
+        (1, 3): ("a", _ts(5), None, True),
+        (2, 1): ("y", _ts(1), None, True),
+    }
+
+
+def test_asof_join_semantics(spark):
+    states = spark.createDataFrame(
+        [(1, _ts(2), "v1"), (1, _ts(4), "v2"), (2, _ts(3), "w1")],
+        "k int, vf timestamp, seg string",
+    )
+    probes = spark.createDataFrame(
+        [
+            (100, 1, _ts(1)),   # before any state -> default
+            (101, 1, _ts(2)),   # exactly at a state ts -> inclusive pickup
+            (102, 1, _ts(3)),   # between versions -> v1
+            (103, 1, _ts(9)),   # after last -> v2
+            (104, 3, _ts(5)),   # key with no states -> default
+        ],
+        "pid int, k int, pts timestamp",
+    )
+    out = asof_join(
+        probes, states,
+        key_col="k", probe_ts_col="pts", state_ts_col="vf",
+        value_col="seg", default="none",
+    )
+    got = {r.pid: r.seg for r in out.collect()}
+    assert got == {100: "none", 101: "v1", 102: "v1", 103: "v2", 104: "none"}
+    assert out.columns == ["pid", "k", "pts", "seg"]
+
+
+def test_asof_plan_is_two_exchanges_no_join(spark, registry=None):
+    """The union-window as-of must not plan a join at all (no nested
+    loop, no range explosion): one Exchange for the SCD2 build, one for
+    the merge window."""
+    from __spark_entry__ import queries
+
+    plan = plan_of(queries()["j8_asof_event_segments"](spark, SF_SMALL))
+    assert plan.count("+- Exchange") == 2, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange(spark):
+    """lag-detect, same-instant dedup, and lead/version windows must all
+    share one shuffle on the key."""
+    from __spark_entry__ import queries
+
+    plan = plan_of(queries()["w5_scd2_user_segments"](spark, SF_SMALL))
+    assert plan.count("+- Exchange") == 1, plan
