@@ -8,7 +8,7 @@ per-row work with zero shuffle, so these scale embarrassingly: at
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
@@ -164,6 +164,74 @@ def scrub_pii(col: Column | str, replacement: str = "[PII]") -> Column:
     for _, pat in PII_PATTERNS:
         c = F.regexp_replace(c, pat, replacement)
     return c
+
+
+def split_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic hash bucket in [0, n_buckets): first 8 hex chars of
+    md5(id) as an int, mod n_buckets. Engine-portable (md5 is identical
+    everywhere) and stable across runs/machines — the property a
+    train/val/test split MUST have so no document ever migrates between
+    splits when the corpus is re-processed or grows."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hex8 = F.substring(F.md5(c.cast("string")), 1, 8)
+    return F.conv(hex8, 16, 10).cast("long") % n_buckets
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign train/val/test by hash bucket (map-only, no shuffle,
+    no sampling state). Holdout membership is a pure function of the
+    document id — re-runs, backfills, and incremental appends all land
+    every doc in the same split."""
+    b = split_bucket(id_col)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (GPT-style pretraining): order
+    documents deterministically (content md5, id tiebreak) within each
+    stratum, lay them end-to-end, and cut chunks every ``budget`` tokens.
+    A doc belongs to the chunk its starting offset falls in.
+
+    Scale: one shuffle on the stratum + an ordered window sweep — at
+    100 TB you'd range-partition (stratum, fp) so each executor sorts a
+    slice and the running offset is a two-pass prefix sum; Spark's
+    window over the stratum partition is exactly that shape."""
+    toks = F.size(normalized_tokens(text_col))
+    base = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col),
+        F.md5(text_col).alias("fp"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy("fp", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "stratum",
+        id_col,
+        "n_tokens",
+        offset.alias("start_offset"),
+        F.floor(offset / budget).alias("chunk_id"),
+    )
 
 
 def pii_stats(

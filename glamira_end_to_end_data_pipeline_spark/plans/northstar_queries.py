@@ -598,6 +598,77 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_docs(spark, sf_dir))
 
 
+@query(
+    "text_split_assign",
+    """
+    WITH assigned AS (
+        SELECT lang, n_chars,
+               ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS sum_chars
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by md5 bucket of
+    doc_id) summarized per language stratum. Split membership is a pure
+    function of the id — stable under re-runs, backfills, and corpus
+    growth (operators/text.py::split_assign); the per-stratum counts
+    verify the hash family agrees bucket-for-bucket across engines."""
+    assigned = text.split_assign(_docs(spark, sf_dir))
+    return assigned.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@query(
+    "text_pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT lang AS stratum, doc_id, md5(text) AS fp,
+               len({TOKENS_SQL}) AS n_toks
+        FROM documents
+    ),
+    laid AS (
+        SELECT stratum, doc_id, n_toks,
+               coalesce(sum(n_toks) OVER (
+                   PARTITION BY stratum ORDER BY fp, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start_offset
+        FROM t
+    )
+    SELECT stratum,
+           cast(floor(start_offset / 2048) AS bigint) AS chunk_id,
+           count(*) AS n_docs,
+           cast(sum(n_toks) AS bigint) AS chunk_tokens,
+           min(doc_id) AS first_doc_id
+    FROM laid
+    GROUP BY 1, 2
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk, the GPT-pretraining shape):
+    docs laid end-to-end in deterministic (md5, id) order per language,
+    chunk boundary every 2048 tokens, summarized per chunk. The window
+    prefix-sum IS the distributed packing pass
+    (operators/text.py::pack_sequences)."""
+    packed = text.pack_sequences(_docs(spark, sf_dir), budget=2048)
+    return packed.groupBy("stratum", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
 _PII_E, _PII_P, _PII_I = (p for _, p in text.PII_PATTERNS)
 _PII_ORACLE = """
     WITH injected AS (

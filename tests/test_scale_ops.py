@@ -112,3 +112,40 @@ def test_partitioned_lake_prunes_directories(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan or "PartitionFilters: [(day" in plan, plan
     assert one.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split + sequence packing (operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    """A doc's split must be a pure function of its id: assigning over a
+    subset and over the full corpus must agree on the shared ids."""
+    from glamira_end_to_end_data_pipeline_spark.operators.text import split_assign
+
+    full = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    subset = full.filter(F.col("doc_id") % 3 == 0)
+    a = {r.doc_id: r.split for r in split_assign(full).collect()}
+    b = {r.doc_id: r.split for r in split_assign(subset).collect()}
+    assert all(a[k] == v for k, v in b.items())
+    # rough proportions hold (hash uniformity at n=500)
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.7 < train < 0.9
+
+
+def test_pack_sequences_chunks_are_contiguous_and_budgeted(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.text import pack_sequences
+
+    rows = [(i, "en", "tok " * (i % 50 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = pack_sequences(df, budget=100).orderBy("start_offset").collect()
+    # offsets are an exact running sum in pack order
+    run = 0
+    for r in out:
+        assert r.start_offset == run
+        assert r.chunk_id == run // 100
+        run += r.n_tokens
+    # every chunk except possibly the last starts within budget of its id
+    assert {r.chunk_id for r in out} == set(range(out[-1].chunk_id + 1))
