@@ -100,15 +100,49 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec_col: Column, n_bits: int = 3) -> Column:
-    """Random-hyperplane LSH bucket: sign bit of the first ``n_bits``
-    components (the testdata embeddings are near-isotropic, so axis
-    hyperplanes are as good as random ones and need no side state).
-    Deterministic pure expression → usable as a partition column."""
-    bit = lambda i: F.when(F.element_at(vec_col, i + 1) >= 0, 1).otherwise(0)  # noqa: E731
+EMBEDDING_DIM = 64
+PLANE_SEED = "lsh-v1"
+
+
+def rademacher_planes(
+    n_bits: int, dim: int = EMBEDDING_DIM, seed: str = PLANE_SEED
+) -> list[list[int]]:
+    """Deterministic pseudo-random ±1 hyperplanes: weight (p, d) is the
+    top bit of md5(seed:p:d). Rademacher projections satisfy the same
+    Johnson-Lindenstrauss/SimHash guarantees as Gaussian planes, and
+    md5-derivation makes them a pure function of (seed, shape) — no RNG
+    state, no side files, identical on every engine/version, so the
+    bucket remains usable as a write-time partition column AND exactly
+    reproducible in the DuckDB oracle."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0] < 128 else -1
+            for d in range(dim)
+        ]
+        for p in range(n_bits)
+    ]
+
+
+def hyperplane_bucket(
+    vec_col: Column, n_bits: int = 3, dim: int = EMBEDDING_DIM
+) -> Column:
+    """Random-hyperplane LSH bucket: bit p is the sign of the vector's
+    projection onto Rademacher plane p (full-dimension — every component
+    contributes, unlike an axis-aligned truncation that keys on
+    fixture-specific leading dims). Deterministic pure expression →
+    usable as a partition column; projection is the proven fold shape
+    (see module docstring), left-to-right so bits match the oracle."""
     out = F.lit(0)
-    for i in range(n_bits):
-        out = out * 2 + bit(i)
+    for plane in rademacher_planes(n_bits, dim):
+        w = F.array(*[F.lit(float(x)) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(_dbl(vec_col), w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out * 2 + F.when(proj >= 0, 1).otherwise(0)
     return out
 
 

@@ -291,6 +291,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding similarity
 # ---------------------------------------------------------------------------
 
+def _bucket_sql(col: str, n_bits: int) -> str:
+    """DuckDB twin of similarity.hyperplane_bucket: same md5-derived
+    Rademacher planes, same left-to-right projection order (term-by-term
+    ±x addition is bit-exact vs the Spark fold), same sign threshold."""
+    planes = similarity.rademacher_planes(n_bits)
+    bits = []
+    for p, plane in enumerate(planes):
+        terms = " + ".join(
+            f"({'' if w > 0 else '-'}{col}[{d + 1}]::DOUBLE)"
+            for d, w in enumerate(plane)
+        )
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN 1 ELSE 0 END) * {2 ** (len(planes) - 1 - p)}")
+    return "(" + " + ".join(bits) + ")"
+
+
 _COS_SQL = (
     "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
     "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
@@ -335,9 +350,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH v AS (
         SELECT vec_id, embedding,
-               ((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 4 +
-                (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 2 +
-                (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)) AS bucket
+               {_bucket_sql("embedding", 3)} AS bucket
         FROM embeddings
     ),
     q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket
@@ -446,10 +459,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     v AS (
         SELECT vec_id, embedding,
-               ((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 8 +
-                (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 4 +
-                (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 2 +
-                (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)) AS bucket
+               {_bucket_sql("embedding", 4)} AS bucket
         FROM pool
     )
     SELECT a.vec_id AS a, b.vec_id AS b,
