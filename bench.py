@@ -48,6 +48,8 @@ HEADLINE = [
     "stream_tumbling_event_counts",
     "stream_session_windows",
     "stream_dedup_replayed",
+    "stream_interval_join_attribution",
+    "f_pandas_udaf_robust_stats",
     "s4_text_ip_worklist",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -234,6 +234,29 @@ def pack_sequences(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data serving: shard =
+    md5-bucket of the id, position = rank of md5 within the shard.
+    Together (shard, pos) is a reproducible pseudo-random permutation of
+    the corpus — the 'shuffle the dataset before training' step — with
+    NO global ordering anywhere: ordering happens per shard (window
+    partitioned by shard), so the plan is one shuffle on small keys and
+    scales linearly. A global row_number (single-partition sort) would
+    be the anti-pattern this operator exists to avoid."""
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
 def pii_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -679,6 +679,30 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_shuffle_shards",
+    """
+    WITH t AS (
+        SELECT doc_id, md5(cast(doc_id AS varchar)) AS h,
+               cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 4))::BIGINT
+                   % 16 AS int) AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           cast(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS int) AS pos
+    FROM t
+    """,
+)
+def text_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (training-data serving order):
+    md5-derived shard + within-shard rank = a reproducible pseudo-random
+    permutation with no global sort (operators/text.py::shuffle_shards).
+    The oracle recomputes the identical permutation, so shard assignment
+    AND order agree hash-for-hash across engines."""
+    return text.shuffle_shards(_docs(spark, sf_dir), n_shards=16)
+
+
 _PII_E, _PII_P, _PII_I = (p for _, p in text.PII_PATTERNS)
 _PII_ORACLE = """
     WITH injected AS (

@@ -1349,6 +1349,73 @@ def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_exact_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (the non-sketch complement of
+    a_approx_sketches): Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation-at-(n-1)p
+    definition, so the values hash-match exactly. Exact percentiles
+    need the full group sorted — the 100 TB answer is the sketch entry;
+    this one exists because sub-percent finals (pricing reports) still
+    need the exact form on filtered slices."""
+    events = read_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.9D))")
+    return (
+        events.groupBy("event_type")
+        .agg(pct.alias("__p"))
+        .select(
+            "event_type",
+            F.round(F.element_at("__p", 1), 6).alias("p25"),
+            F.round(F.element_at("__p", 2), 6).alias("p50"),
+            F.round(F.element_at("__p", 3), 6).alias("p90"),
+        )
+    )
+
+
+@query(
+    "f_pandas_udaf_robust_stats",
+    """
+    WITH med AS (
+        SELECT event_type, median(value) AS m FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           round(any_value(med.m), 6) AS median_value,
+           round(median(abs(e.value - med.m)), 6) AS mad_value
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def f_pandas_udaf_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 UDAF surface — Arrow-batched grouped-agg Pandas UDFs
+    (median + median-absolute-deviation per event type). Median is
+    sort-based, so numpy and DuckDB agree bit-for-bit — a custom
+    aggregate whose cross-engine correctness is still hash-checkable.
+
+    Scale: grouped-agg pandas UDFs hash-shuffle rows to their group
+    like any agg, then evaluate per group over Arrow batches — fine
+    for bounded group counts; a_approx_sketches is the unbounded-
+    cardinality path."""
+    from glamira_end_to_end_data_pipeline_spark.functions.udafs import (
+        mad_udaf,
+        median_udaf,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(median_udaf("value"), 6).alias("median_value"),
+        F.round(mad_udaf("value"), 6).alias("mad_value"),
+    )
+
+
+@query(
     "a_multigrain_rollup",
     """
     WITH e AS (
@@ -1382,6 +1449,46 @@ def a_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("event_date").cast("string"), F.lit("ALL")).alias(
                 "event_date_g"
             ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "a_cube_weekday_mix",
+    """
+    WITH e AS (
+        SELECT event_type,
+               dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+               value
+        FROM events
+    )
+    SELECT coalesce(event_type, 'ALL') AS event_type_g,
+           coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow_g,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM e
+    GROUP BY CUBE (event_type, dow)
+    """,
+)
+def a_cube_weekday_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all four grains of (type, weekday) in one scan: the full
+    cross of subtotals that rollup's hierarchy misses ((dow) alone is a
+    cube-only grain). Same single-pass-at-100TB rationale as
+    a_multigrain_rollup; weekday via dayofweek with the Spark 1=Sunday
+    convention (DuckDB is 0=Sunday, adjusted in the oracle)."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.select("event_type", F.dayofweek(F.to_date("ts")).alias("dow"), "value")
+        .cube("event_type", "dow")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type_g"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow_g"),
             "n_events",
             "total_value",
         )

@@ -31,6 +31,7 @@ from glamira_end_to_end_data_pipeline_spark.sources.lake import (
     write_partitioned,
 )
 from glamira_end_to_end_data_pipeline_spark.streaming import (
+    attribution_join,
     dedup_replayed_events,
     run_incremental_load_once,
     session_aggregate,
@@ -125,6 +126,36 @@ def stream_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
+    )
+
+
+@query(
+    "stream_interval_join_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 24 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def stream_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension — stream-stream interval join (click→purchase
+    attribution, 24 h lookback), evaluated in batch so DuckDB can
+    hash-check the band semantics. The identical function joins two
+    watermarked streams with bounded state (pinned equal-to-batch in
+    tests/test_streaming.py)."""
+    events = read_table(spark, sf_dir, "events")
+    return attribution_join(
+        events.filter(F.col("event_type") == "purchase"),
+        events.filter(F.col("event_type") == "click"),
+        lookback="24 hours",
     )
 
 

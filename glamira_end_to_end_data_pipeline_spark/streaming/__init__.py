@@ -6,12 +6,16 @@ from glamira_end_to_end_data_pipeline_spark.streaming.incremental import (
     run_incremental_load_once,
     tumbling_event_counts,
 )
+from glamira_end_to_end_data_pipeline_spark.streaming.joins import (
+    attribution_join,
+)
 from glamira_end_to_end_data_pipeline_spark.streaming.sessions import (
     session_aggregate,
     sessionize_stateful,
 )
 
 __all__ = [
+    "attribution_join",
     "dedup_replayed_events",
     "incremental_file_load",
     "run_incremental_load_once",

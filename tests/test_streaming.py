@@ -275,3 +275,75 @@ def test_dedup_replayed_events_batch_equivalence(spark):
     ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "value")
     out = dedup_replayed_events(df.unionAll(df))
     assert sorted(r.event_id for r in out.collect()) == [1, 2]
+
+
+def test_attribution_join_streaming_equals_batch(spark, tmp_path):
+    """Stream-stream interval join: the same attribution_join over two
+    watermarked file streams (drained across micro-batches) must produce
+    exactly the batch result — including a cross-batch match (purchase
+    arriving one batch after its click)."""
+    from glamira_end_to_end_data_pipeline_spark.streaming import attribution_join
+
+    src = str(tmp_path / "att_src")
+    sink = str(tmp_path / "att_sink")
+    ckpt = str(tmp_path / "att_ckpt")
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_s string, event_type string"
+        ).select(
+            "event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: user 1 clicks then purchases (same batch); user 2 clicks.
+    write_file(
+        [
+            (1, 1, "2024-01-01 00:00:00", "click"),
+            (2, 1, "2024-01-01 01:00:00", "purchase"),
+            (3, 2, "2024-01-01 02:00:00", "click"),
+        ]
+    )
+    # batch 2: user 2's purchase matches the batch-1 click (cross-batch
+    # state); user 1's stale purchase (>24h after its click) must NOT
+    # match; a click AFTER a purchase must not match either.
+    write_file(
+        [
+            (4, 2, "2024-01-01 20:00:00", "purchase"),
+            (5, 1, "2024-01-03 00:00:00", "purchase"),
+            (6, 2, "2024-01-01 23:00:00", "click"),
+        ]
+    )
+
+    def sides(df):
+        return (
+            df.filter(F.col("event_type") == "purchase"),
+            df.filter(F.col("event_type") == "click"),
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        attribution_join(*sides(stream))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = sorted(
+        (r.purchase_id, r.click_id) for r in spark.read.parquet(sink).collect()
+    )
+    batch = sorted(
+        (r.purchase_id, r.click_id)
+        for r in attribution_join(*sides(spark.read.parquet(src))).collect()
+    )
+    assert streamed == batch == [(2, 1), (4, 3)]
