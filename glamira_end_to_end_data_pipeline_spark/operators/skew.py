@@ -48,6 +48,47 @@ def detect_hot_keys(
     return [r[0] for r in rows]
 
 
+def salted_agg(
+    df: DataFrame,
+    key_col: str,
+    agg_exprs: dict[str, str],
+    n_salts: int = 8,
+    salt_from: Sequence[str] | None = None,
+) -> DataFrame:
+    """Two-stage salted aggregation for skewed group keys: stage 1
+    aggregates on (key, salt) — the hot key's rows spread over
+    ``n_salts`` reducers — stage 2 merges the ``n_salts`` partials per
+    key (tiny shuffle: |keys|·n_salts rows).
+
+    ``agg_exprs`` maps output column → 'count' | 'sum:<col>' |
+    'min:<col>' | 'max:<col>' — the decomposable aggregates (partial
+    merges with sum/sum/min/max respectively). Non-decomposable
+    aggregates (exact median) can't two-stage; use sketches instead.
+
+    Note Spark's hash aggregate already does map-side partials, which
+    handles *moderate* skew; explicit salting matters when a hot key's
+    post-partial row count per map task still floods one reducer
+    (billions of rows per key at 100 TB) or the agg carries wide state."""
+    merge_fn = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    salt_cols = [F.col(c) for c in (salt_from or df.columns)]
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int")
+    )
+
+    partials, finals = [], []
+    for out, spec in agg_exprs.items():
+        op, _, col = spec.partition(":")
+        part = F.count(F.lit(1)) if op == "count" else getattr(F, op)(col)
+        partials.append(part.alias(f"__p_{out}"))
+        finals.append(merge_fn[op](f"__p_{out}").alias(out))
+    return (
+        salted.groupBy(key_col, "__salt")
+        .agg(*partials)
+        .groupBy(key_col)
+        .agg(*finals)
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

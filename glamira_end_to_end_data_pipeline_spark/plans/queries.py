@@ -728,6 +728,59 @@ def j_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_skewed_salted_agg",
+    """
+    WITH l AS (
+        SELECT CASE WHEN l_linenumber <= 4 THEN 1 ELSE l_suppkey END AS skew_key,
+               l_quantity
+        FROM lineitem
+    )
+    SELECT skew_key,
+           count(*) AS n_lines,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(min(l_quantity), 2) AS min_qty,
+           round(max(l_quantity), 2) AS max_qty
+    FROM l GROUP BY skew_key
+    """,
+)
+def a_skewed_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (SURVEY §4) over the same
+    pathological key as j_skew_salted (~2/3 of lineitem on one key):
+    partials on (key, salt) spread the hot key across 8 reducers, a
+    tiny second shuffle merges |keys|x8 partial rows. The oracle is the
+    plain one-stage GROUP BY — the decomposition must be invisible."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_linenumber") <= 4, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("skew_key"),
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    from glamira_end_to_end_data_pipeline_spark.operators.skew import salted_agg
+
+    agged = salted_agg(
+        li,
+        "skew_key",
+        {
+            "n_lines": "count",
+            "sum_qty": "sum:l_quantity",
+            "min_qty": "min:l_quantity",
+            "max_qty": "max:l_quantity",
+        },
+        n_salts=8,
+        salt_from=["l_orderkey", "l_linenumber"],
+    )
+    return agged.select(
+        "skew_key",
+        "n_lines",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("min_qty", 2).alias("min_qty"),
+        F.round("max_qty", 2).alias("max_qty"),
+    )
+
+
+@query(
     "j_bucketed_colocated",
     """
     SELECT o_orderpriority,

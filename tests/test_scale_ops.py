@@ -149,3 +149,57 @@ def test_pack_sequences_chunks_are_contiguous_and_budgeted(spark):
         run += r.n_tokens
     # every chunk except possibly the last starts within budget of its id
     assert {r.chunk_id for r in out} == set(range(out[-1].chunk_id + 1))
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """Stage-1 of the salted agg must place the hot key's rows in
+    several salt partials (the whole point); the merged result must
+    equal the plain aggregation."""
+    from glamira_end_to_end_data_pipeline_spark.operators.skew import salted_agg
+
+    rows = [(1 if i % 3 else i, float(i % 7), i) for i in range(600)]
+    df = spark.createDataFrame(rows, "k long, v double, uid long")
+    out = salted_agg(
+        df, "k", {"n": "count", "s": "sum:v"}, n_salts=8, salt_from=["uid"]
+    )
+    plain = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    assert sorted((r.k, r.n, round(r.s, 9)) for r in out.collect()) == sorted(
+        (r.k, r.n, round(r.s, 9)) for r in plain.collect()
+    )
+    # the hot key (k=1, ~400 rows) really fans out over salts
+    salted = df.withColumn(
+        "salt", F.pmod(F.xxhash64("uid"), F.lit(8)).cast("int")
+    ).filter(F.col("k") == 1)
+    assert salted.select("salt").distinct().count() == 8
+
+
+def test_interval_join_plan_is_hash_or_merge_join(spark):
+    """The stream-stream attribution join must plan as an equi-join on
+    the user key (band predicate as post-condition), never a nested
+    loop."""
+    from __spark_entry__ import queries
+    from tests.test_plans import plan_of
+    from tests.conftest import SF_SMALL
+
+    plan = plan_of(queries()["stream_interval_join_attribution"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_shuffle_shards_is_single_exchange_permutation(spark):
+    """Shard+rank must be one shuffle (no global sort) and a bijection
+    onto 1..n within each shard."""
+    from glamira_end_to_end_data_pipeline_spark.operators.text import shuffle_shards
+    from tests.test_plans import plan_of
+
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(docs, n_shards=4)
+    assert plan_of(out).count("+- Exchange") == 1
+    rows = out.collect()
+    assert len({(r.shard, r.pos) for r in rows}) == 300
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_shard.values())
