@@ -58,6 +58,7 @@ HEADLINE = [
     "emb_ann_lsh_topk",
     "emb_ivf_topk",
     "text_quality_score",
+    "text_decontaminate",
     "text_fingerprint",
     "mm_extract_features",
 ]

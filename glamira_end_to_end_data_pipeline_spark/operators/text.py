@@ -257,6 +257,77 @@ def shuffle_shards(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one word ``n``-gram with the benchmark/eval set (the standard
+    pretraining hygiene step — leaked eval text inflates scores).
+
+    Shape: explode DISTINCT n-gram hashes on both sides (never the
+    text), inner-join on the 32-hex digest, count shared grams per doc,
+    left-join the verdict back. At 100 TB the benchmark side is tiny —
+    its gram set broadcasts — so the scan-heavy side is map-only +
+    one broadcast probe; corpus docs with zero hits never shuffle."""
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        toks = normalized_tokens(text_col)
+        return (
+            df.select(F.col(id_col).alias(out), toks.alias("__toks"))
+            .select(out, F.explode(shingles_from_tokens("__toks", n)).alias("__g"))
+            .select(out, F.md5("__g").alias("gram_hash"))
+            .distinct()
+        )
+
+    hits = (
+        grams(corpus, "c_id")
+        .join(F.broadcast(grams(benchmark, "b_id").select("gram_hash").distinct()),
+              "gram_hash")
+        .groupBy("c_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits, corpus[id_col] == hits["c_id"], "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition filter: the duplicate-n-gram fraction
+    (1 − distinct/total) catches boilerplate and loop-generated text.
+    Pure array expressions — map-only, scan-speed."""
+    with_toks = df.select(
+        F.col(id_col), normalized_tokens(text_col).alias("__toks")
+    )
+    g = shingles_from_tokens("__toks", n)
+    total = F.size(g)
+    distinct = F.size(F.array_distinct(g))
+    frac = F.round(
+        (total - distinct) / F.greatest(total, F.lit(1)).cast("double"), 6
+    )
+    return with_toks.select(
+        F.col(id_col),
+        total.alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+        frac.alias("dup_fraction"),
+        (frac > threshold).alias("flagged"),
+    )
+
+
 def pii_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

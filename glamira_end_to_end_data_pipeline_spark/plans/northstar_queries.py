@@ -703,6 +703,93 @@ def text_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.shuffle_shards(_docs(spark, sf_dir), n_shards=16)
 
 
+def _grams_sql(n: int) -> str:
+    """DuckDB word n-gram list over a ``toks`` column (twin of
+    dedup.shingles_from_tokens: empty list below n tokens)."""
+    concat = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)), "
+        f"i -> {concat})"
+    )
+
+
+@query(
+    "text_decontaminate",
+    f"""
+    WITH {CORPUS_CTE.strip()},
+    ct AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM corpus),
+    cg AS (
+        SELECT DISTINCT doc_id, md5(gram) AS gram_hash
+        FROM (SELECT doc_id, unnest({_grams_sql(8)}) AS gram FROM ct)
+    ),
+    bt AS (SELECT doc_id, {TOKENS_SQL} AS toks
+           FROM documents WHERE doc_id % 10 = 0),
+    bg AS (
+        SELECT DISTINCT md5(gram) AS gram_hash
+        FROM (SELECT unnest({_grams_sql(8)}) AS gram FROM bt)
+    ),
+    hits AS (
+        SELECT cg.doc_id, count(*) AS n_shared
+        FROM cg JOIN bg USING (gram_hash)
+        GROUP BY cg.doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(h.n_shared, 0) AS n_shared_grams,
+           coalesce(h.n_shared, 0) > 0 AS contaminated
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pretraining hygiene): every corpus doc
+    sharing an 8-gram with the 'benchmark' slice (doc_id%10 originals)
+    is flagged — catching their injected near-dup mutants and the
+    benchmark members themselves. The benchmark gram set broadcasts;
+    clean docs never shuffle (operators/text.py::decontaminate)."""
+    docs = _docs(spark, sf_dir)
+    corpus = corpus_with_dups(docs)
+    benchmark = docs.filter(F.col("doc_id") % 10 == 0)
+    return text.decontaminate(corpus, benchmark, n=8)
+
+
+@query(
+    "text_repetition_filter",
+    f"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' ' || text
+                    ELSE text END AS text
+        FROM documents
+    ),
+    t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM injected),
+    g AS (SELECT doc_id, {_grams_sql(3)} AS grams FROM t)
+    SELECT doc_id,
+           len(grams) AS total_ngrams,
+           len(list_distinct(grams)) AS distinct_ngrams,
+           round((len(grams) - len(list_distinct(grams)))
+                 / greatest(len(grams), 1), 6) AS dup_fraction,
+           (round((len(grams) - len(list_distinct(grams)))
+                  / greatest(len(grams), 1), 6) > 0.2) AS flagged
+    FROM g
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: duplicate-3-gram fraction per
+    doc; docs with doc_id%13 are injected as self-concatenations
+    (dup fraction ≈ 0.5) so the flag path is exercised. Map-only —
+    scan-speed at any scale (operators/text.py::repetition_stats)."""
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.repetition_stats(injected, n=3, threshold=0.2)
+
+
 _PII_E, _PII_P, _PII_I = (p for _, p in text.PII_PATTERNS)
 _PII_ORACLE = """
     WITH injected AS (
