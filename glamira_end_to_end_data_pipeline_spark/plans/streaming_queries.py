@@ -310,6 +310,67 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+_MM_COS = (
+    "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+)
+
+
+@query(
+    "mm_feature_ann_topk",
+    f"""
+    WITH ids AS (SELECT unnest(generate_series(0, 255)) AS media_id),
+    h AS (SELECT media_id, md5(media_id::VARCHAR) AS hx FROM ids),
+    -- stub feature j = (# payload bytes ≡ j mod 8)/64 = count-over-16
+    -- md5 bytes / 16 (payload is the 16 md5 bytes repeated 4x); every
+    -- value is an exact binary fraction k/16 → float32/decimal-exact.
+    f AS (
+        SELECT media_id,
+               list_transform(generate_series(0, 7), j ->
+                   round(len(list_filter(generate_series(0, 15),
+                       i -> ('0x' || substr(hx, 2*i + 1, 2))::INT % 8 = j))
+                       / 16.0, 6)
+               ) AS feat
+        FROM h
+    ),
+    q AS (SELECT media_id AS query_id, feat AS q_vec FROM f WHERE media_id < 8),
+    c AS (SELECT media_id AS neighbor_id, feat AS c_vec FROM f WHERE media_id >= 8),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {_MM_COS.format(a="q_vec", b="c_vec")} AS cosine_sim
+        FROM c, q
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def mm_feature_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → similarity composition: stub-encoded media features
+    (Arrow mapInPandas) feed the SAME brute-force cosine top-k operator
+    the embedding family uses — the 'embed then search' pipeline in one
+    plan. The stub's byte-histogram features are exact binary fractions,
+    so the cross-engine hash check covers the full vector, not just one
+    component."""
+    from glamira_end_to_end_data_pipeline_spark.operators import similarity
+
+    feats = mm.extract_features(mm.synthetic_media(spark, 256)).select(
+        "media_id", "features"
+    )
+    return similarity.brute_force_topk(
+        feats.filter(F.col("media_id") < 8),
+        feats.filter(F.col("media_id") >= 8),
+        k=3,
+        id_col="media_id",
+        vec_col="features",
+    )
+
+
 @query(
     "mm_video_frame_sample",
     """
