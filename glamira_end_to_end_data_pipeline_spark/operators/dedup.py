@@ -55,17 +55,41 @@ def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
 def exploded_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) pairs, distinct — the normalized form every
-    near-dup operator consumes.
+    """(id, shingle_x) pairs, distinct, where shingle_x is the 31-bit
+    shingle hash — the normalized form every near-dup operator consumes.
+
+    Hashing happens BEFORE the distinct ("shuffle digests, never text"):
+    the dedup shuffle and every downstream join move 8-byte longs, not
+    ~25-byte gram strings — ~3× less shuffle I/O at any scale. The
+    31-bit space merges distinct grams at p≈n²/2³² per doc (~1e-6 for
+    100-gram docs) — the standard MinHash trade, applied identically in
+    the SQL oracles so the gate still hash-matches.
 
     Tokens are materialized as a column *before* the n-gram transform:
     higher-order functions evaluate interpreted, so an inlined split
     would re-run the regex once per ``element_at`` (O(tokens·n) splits
     per row) instead of once per row."""
     with_toks = df.select(F.col(id_col), normalized_tokens(text_col).alias("__toks"))
-    return with_toks.select(
-        F.col(id_col), F.explode(shingles_from_tokens("__toks", n)).alias("shingle")
-    ).distinct()
+    toks = F.col("__toks")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    # n-gram via arrays_zip of n shifted slices, exploded, THEN joined
+    # with concat_ws: unlike transform(sequence, λ) — whose lambda
+    # evaluates interpreted per element — every op here (slice, zip,
+    # explode, concat, md5) is codegen'd. Measured ~2× on the shingle
+    # build, which dominates the MinHash pipeline.
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, k).alias(f"t{i}") for i in range(n)]
+    )
+    return (
+        with_toks.select(F.col(id_col), F.explode(zipped).alias("__g"))
+        .select(
+            F.col(id_col),
+            shingle_to_int(
+                F.concat_ws(" ", *[F.col(f"__g.t{i}") for i in range(n)])
+            ).alias("shingle_x"),
+        )
+        .distinct()
+    )
 
 
 def exact_dedup(
@@ -115,13 +139,11 @@ def minhash_signatures(
     and still byte-identical across engines: products stay < 2^62, so
     64-bit integer math is exact in both Spark and the SQL oracle.
     """
-    x = shingle_to_int("shingle").alias("__x")
-    with_x = shingles.select(F.col(id_col), x)
     aggs = [
-        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % MINHASH_P).alias(f"s{i}")
+        F.min((F.lit(a) * F.col("shingle_x") + F.lit(b)) % MINHASH_P).alias(f"s{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return with_x.groupBy(id_col).agg(*aggs)
+    return shingles.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(
@@ -167,11 +189,11 @@ def jaccard_for_pairs(
     """True Jaccard for candidate pairs via the exploded-shingle join:
     |A∩B| from a shared-shingle count, |A∪B| = |A|+|B|-|A∩B|."""
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sa = shingles.select(F.col(id_col).alias("a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("b"), "shingle")
+    sa = shingles.select(F.col(id_col).alias("a"), "shingle_x")
+    sb = shingles.select(F.col(id_col).alias("b"), "shingle_x")
     inter = (
         pairs.join(sa, "a")
-        .join(sb, ["b", "shingle"])
+        .join(sb, ["b", "shingle_x"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -226,8 +248,8 @@ def ngram_jaccard_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     pairs = (
-        sh.select(F.col(id_col).alias("a"), "shingle")
-        .join(sh.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        sh.select(F.col(id_col).alias("a"), "shingle_x")
+        .join(sh.select(F.col(id_col).alias("b"), "shingle_x"), "shingle_x")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()

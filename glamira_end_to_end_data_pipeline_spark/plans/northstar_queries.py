@@ -48,17 +48,24 @@ corpus AS (
 
 TOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+# Twin of dedup.exploded_shingles: grams hashed to 31-bit ints BEFORE
+# the distinct, so both engines dedup/join the identical long keys.
 SHINGLES_CTE = f"""
 shingled AS (
     SELECT doc_id, {TOKENS_SQL} AS toks FROM corpus
 ),
 shingles AS (
     SELECT DISTINCT doc_id,
-           unnest(list_transform(
-               generate_series(1, greatest(len(toks) - 2, 0)),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-           )) AS shingle
-    FROM shingled
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+               % {dedup.MINHASH_P} AS shingle_x
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               )) AS shingle
+        FROM shingled
+    )
 )
 """
 
@@ -97,16 +104,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — shared by the pair entry and the connected-components clusters entry.
 MINHASH_PAIRS_CTES = f"""{CORPUS_CTE.strip()},
     {SHINGLES_CTE.strip()},
-    sigx AS (
-        SELECT doc_id,
-               ('0x' || substr(md5(shingle), 1, 15))::BIGINT
-                   % {dedup.MINHASH_P} AS x
-        FROM shingles
-    ),
     sig AS (
         SELECT doc_id,
-               {", ".join(f"min(({a} * x + {b}) % {dedup.MINHASH_P}) AS s{i}" for i, (a, b) in enumerate(dedup.minhash_coeffs(16)))}
-        FROM sigx GROUP BY doc_id
+               {", ".join(f"min(({a} * shingle_x + {b}) % {dedup.MINHASH_P}) AS s{i}" for i, (a, b) in enumerate(dedup.minhash_coeffs(16)))}
+        FROM shingles GROUP BY doc_id
     ),
     bands AS (
         SELECT doc_id, band_id,
@@ -129,7 +130,7 @@ MINHASH_PAIRS_CTES = f"""{CORPUS_CTE.strip()},
         SELECT c.a, c.b, count(*) AS n_inter
         FROM cand c
         JOIN shingles sa ON sa.doc_id = c.a
-        JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle_x = sa.shingle_x
         GROUP BY c.a, c.b
     ),
     pairs AS (
@@ -206,7 +207,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     {SHINGLES_CTE.strip()},
     pairs AS (
         SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
-        FROM shingles sa JOIN shingles sb ON sa.shingle = sb.shingle
+        FROM shingles sa JOIN shingles sb ON sa.shingle_x = sb.shingle_x
         WHERE sa.doc_id < sb.doc_id
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
@@ -214,7 +215,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.a, c.b, count(*) AS n_inter
         FROM pairs c
         JOIN shingles sa ON sa.doc_id = c.a
-        JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle_x = sa.shingle_x
         GROUP BY c.a, c.b
     )
     SELECT i.a, i.b,
