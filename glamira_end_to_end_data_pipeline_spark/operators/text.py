@@ -269,23 +269,26 @@ def decontaminate(
     pretraining hygiene step — leaked eval text inflates scores).
 
     Shape: explode DISTINCT n-gram hashes on both sides (never the
-    text), inner-join on the 32-hex digest, count shared grams per doc,
+    text — dedup.exploded_shingles hashes before its distinct, so only
+    longs shuffle), inner-join on the hash, count shared grams per doc,
     left-join the verdict back. At 100 TB the benchmark side is tiny —
     its gram set broadcasts — so the scan-heavy side is map-only +
     one broadcast probe; corpus docs with zero hits never shuffle."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        exploded_shingles,
+    )
+
     def grams(df: DataFrame, out: str) -> DataFrame:
-        toks = normalized_tokens(text_col)
-        return (
-            df.select(F.col(id_col).alias(out), toks.alias("__toks"))
-            .select(out, F.explode(shingles_from_tokens("__toks", n)).alias("__g"))
-            .select(out, F.md5("__g").alias("gram_hash"))
-            .distinct()
+        return exploded_shingles(df, id_col, text_col, n).withColumnRenamed(
+            id_col, out
         )
 
     hits = (
         grams(corpus, "c_id")
-        .join(F.broadcast(grams(benchmark, "b_id").select("gram_hash").distinct()),
-              "gram_hash")
+        .join(
+            F.broadcast(grams(benchmark, "b_id").select("shingle_x").distinct()),
+            "shingle_x",
+        )
         .groupBy("c_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

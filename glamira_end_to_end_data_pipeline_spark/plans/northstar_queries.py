@@ -720,18 +720,21 @@ def _grams_sql(n: int) -> str:
     WITH {CORPUS_CTE.strip()},
     ct AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM corpus),
     cg AS (
-        SELECT DISTINCT doc_id, md5(gram) AS gram_hash
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT
+                   % {dedup.MINHASH_P} AS gx
         FROM (SELECT doc_id, unnest({_grams_sql(8)}) AS gram FROM ct)
     ),
     bt AS (SELECT doc_id, {TOKENS_SQL} AS toks
            FROM documents WHERE doc_id % 10 = 0),
     bg AS (
-        SELECT DISTINCT md5(gram) AS gram_hash
+        SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT
+                   % {dedup.MINHASH_P} AS gx
         FROM (SELECT unnest({_grams_sql(8)}) AS gram FROM bt)
     ),
     hits AS (
         SELECT cg.doc_id, count(*) AS n_shared
-        FROM cg JOIN bg USING (gram_hash)
+        FROM cg JOIN bg USING (gx)
         GROUP BY cg.doc_id
     )
     SELECT c.doc_id,
