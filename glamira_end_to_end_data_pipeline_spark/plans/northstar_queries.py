@@ -794,6 +794,39 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(injected, n=3, threshold=0.2)
 
 
+@query(
+    "text_vocab_topk",
+    f"""
+    WITH tok AS (
+        SELECT unnest({TOKENS_SQL}) AS token FROM documents
+    )
+    SELECT token, count(*) AS n_occurrences
+    FROM tok
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction (tokenizer-training input): global token
+    frequencies, top-100 with lexicographic tiebreak. Explode is
+    map-side; the count collapses map-side via partial aggregation
+    (token cardinality ≪ token occurrences), and the top-k is a
+    TakeOrdered over |vocab| rows — no global sort of occurrences."""
+    docs = _docs(spark, sf_dir)
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        normalized_tokens,
+    )
+
+    return (
+        docs.select(F.explode(normalized_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(100)
+    )
+
+
 _PII_E, _PII_P, _PII_I = (p for _, p in text.PII_PATTERNS)
 _PII_ORACLE = """
     WITH injected AS (
