@@ -234,6 +234,37 @@ def pack_sequences(
     )
 
 
+def stratified_quality_filter(
+    df: DataFrame,
+    min_pct: float = 0.25,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Percentile-based quality filtering per stratum: score every doc
+    (map-only), rank within its language, drop the bottom ``min_pct``.
+
+    Per-stratum thresholds are the standard fix for absolute-cutoff
+    bias (a global threshold over-prunes whichever language the scorer
+    is miscalibrated for). One shuffle on the stratum; the scorer adds
+    zero shuffles."""
+    scored = quality_score(df, id_col, text_col).select(id_col, "quality_score")
+    with_stratum = df.select(F.col(id_col), F.col(stratum_col)).join(
+        scored, id_col
+    )
+    w = Window.partitionBy(stratum_col).orderBy("quality_score", id_col)
+    ranked = with_stratum.withColumn(
+        "q_rank", F.round(F.percent_rank().over(w), 6)
+    )
+    return ranked.select(
+        id_col,
+        stratum_col,
+        "quality_score",
+        "q_rank",
+        (F.col("q_rank") >= min_pct).alias("kept"),
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     n_shards: int = 16,

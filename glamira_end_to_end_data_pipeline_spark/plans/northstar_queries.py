@@ -794,6 +794,61 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(injected, n=3, threshold=0.2)
 
 
+# Quality-score CTE chain ending in scored(doc_id, lang, quality_score)
+# — twin of operators/text.py::quality_score (same as the
+# text_quality_score oracle, carrying lang through).
+_QSCORE_CTES = f"""
+qt AS (
+    SELECT doc_id, lang, text, {TOKENS_SQL} AS toks,
+           len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+           len(regexp_extract_all(text, '[0-9]')) AS n_digit
+    FROM documents
+),
+qr AS (
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           round(n_punct / greatest(length(text), 1), 6) AS punct_ratio,
+           round(n_digit / greatest(length(text), 1), 6) AS digit_ratio,
+           round(len(list_filter(toks,
+                     x -> list_contains(['the','a','of','and','to','is','in'], x)))
+                 / greatest(len(toks), 1), 6) AS stopword_ratio
+    FROM qt
+),
+scored AS (
+    SELECT doc_id, lang,
+           round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4e0 ELSE 0.0e0 END)
+               + (CASE WHEN punct_ratio <= 0.1 THEN 0.2e0 ELSE 0.0e0 END)
+               + (CASE WHEN digit_ratio <= 0.2 THEN 0.2e0 ELSE 0.0e0 END)
+               + least(stopword_ratio * 2, 0.2e0), 6) AS quality_score
+    FROM qr
+)
+"""
+
+
+@query(
+    "text_quality_filter_stratified",
+    f"""
+    WITH {_QSCORE_CTES.strip()},
+    ranked AS (
+        SELECT doc_id, lang, quality_score,
+               round(percent_rank() OVER (
+                   PARTITION BY lang ORDER BY quality_score, doc_id
+               ), 6) AS q_rank
+        FROM scored
+    )
+    SELECT doc_id, lang, quality_score, q_rank,
+           (q_rank >= 0.25) AS kept
+    FROM ranked
+    """,
+)
+def text_quality_filter_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile quality filtering (drop the bottom
+    quartile of each stratum) — the absolute-cutoff-bias fix every
+    multilingual corpus pipeline needs. Map-only scoring + one shuffle
+    on the stratum (operators/text.py::stratified_quality_filter)."""
+    return text.stratified_quality_filter(_docs(spark, sf_dir), min_pct=0.25)
+
+
 @query(
     "text_vocab_topk",
     f"""
