@@ -203,3 +203,14 @@ def test_shuffle_shards_is_single_exchange_permutation(spark):
     for r in rows:
         by_shard.setdefault(r.shard, []).append(r.pos)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_shard.values())
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """The benchmark gram set must broadcast (clean corpus docs never
+    shuffle for the probe)."""
+    from __spark_entry__ import queries
+    from tests.test_plans import plan_of
+    from tests.conftest import SF_SMALL
+
+    plan = plan_of(queries()["text_decontaminate"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
