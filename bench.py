@@ -29,6 +29,7 @@ from glamira_end_to_end_data_pipeline_spark import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_semi_join_priority",
     "q5_local_supplier_volume",
     "q18_large_volume_customers",
     "flagship_daily_events",

@@ -566,6 +566,42 @@ def j7_anti_join_unprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_semi_join_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_semi_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS as a left-semi join (the one join
+    variant j7's anti doesn't cover): 1996 orders with at least one
+    returned line, counted by priority. Semi-join keeps only the probe
+    side's columns and short-circuits on first match — at scale the
+    build side ships only l_orderkey after the returnflag pushdown."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    returned = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
     "q5_local_supplier_volume",
     """
     SELECT n.n_name,
@@ -1062,6 +1098,103 @@ def w4_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_events_1h"),
         F.round(F.sum("value").over(w), 2).alias("value_1h"),
     )
+
+
+@query(
+    "dq_schema_checks",
+    """
+    WITH staged AS (
+        SELECT * FROM events
+        UNION ALL
+        SELECT -1, NULL, NULL, 'bogus', 0.0, NULL FROM range(2)
+    ),
+    okeys AS (
+        SELECT o_custkey FROM orders
+        UNION ALL SELECT 999999999
+    )
+    SELECT 'events_ts_not_null' AS check_name,
+           (SELECT count(*) FROM staged WHERE ts IS NULL) AS failures,
+           (SELECT count(*) FROM staged WHERE ts IS NULL) = 0 AS passed
+    UNION ALL
+    SELECT 'events_user_id_not_null',
+           (SELECT count(*) FROM staged WHERE user_id IS NULL),
+           (SELECT count(*) FROM staged WHERE user_id IS NULL) = 0
+    UNION ALL
+    SELECT 'events_type_accepted',
+           (SELECT count(*) FROM staged WHERE event_type NOT IN
+               ('click', 'view', 'purchase', 'signup', 'error')),
+           (SELECT count(*) FROM staged WHERE event_type NOT IN
+               ('click', 'view', 'purchase', 'signup', 'error')) = 0
+    UNION ALL
+    SELECT 'events_event_id_unique',
+           (SELECT count(*) FROM
+               (SELECT event_id FROM staged GROUP BY 1 HAVING count(*) > 1)),
+           (SELECT count(*) FROM
+               (SELECT event_id FROM staged GROUP BY 1 HAVING count(*) > 1)) = 0
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           (SELECT count(*) FROM
+               (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)),
+           (SELECT count(*) FROM
+               (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) = 0
+    UNION ALL
+    SELECT 'orders_custkey_relationship',
+           (SELECT count(*) FROM okeys WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           (SELECT count(*) FROM okeys WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+    """,
+)
+def dq_schema_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style schema tests as one report query (the `dbt test`
+    surface the reference's dbt project names but never declares —
+    SURVEY §5): unique / not_null / accepted_values / relationships
+    with dbt's exact failure semantics. Deterministic violations are
+    injected (two bogus event rows, one orphan order key) so every
+    failure path is exercised, not just the green ones.
+
+    Scale: the three row-predicate checks fuse into ONE scan of events
+    (operators/dq.py::row_checks); unique and relationships each cost
+    one shuffle — same as dbt, minus the N separate queries."""
+    from glamira_end_to_end_data_pipeline_spark.operators import dq
+
+    events = read_table(spark, sf_dir, "events")
+    bad = spark.range(2).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit("bogus").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    staged = events.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).unionByName(bad)
+
+    orders = read_table(spark, sf_dir, "orders")
+    okeys = orders.select("o_custkey").unionByName(
+        spark.range(1).select(F.lit(999999999).cast("long").alias("o_custkey"))
+    )
+    customer = read_table(spark, sf_dir, "customer")
+
+    parts = [
+        dq.row_checks(
+            staged,
+            {
+                "events_ts_not_null": F.col("ts").isNull(),
+                "events_user_id_not_null": F.col("user_id").isNull(),
+                "events_type_accepted": ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                ),
+            },
+        ),
+        dq.unique_check(staged, "events_event_id_unique", "event_id"),
+        dq.unique_check(orders, "orders_orderkey_unique", "o_orderkey"),
+        dq.relationship_check(
+            okeys, customer, "orders_custkey_relationship", "o_custkey", "c_custkey"
+        ),
+    ]
+    return dq.dq_report(parts)
 
 
 # ===========================================================================
