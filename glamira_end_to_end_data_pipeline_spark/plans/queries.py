@@ -566,6 +566,46 @@ def j7_anti_join_unprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j9_not_in_null_aware",
+    """
+    WITH probe AS (
+        SELECT event_type,
+               CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END AS uid
+        FROM events
+    )
+    SELECT event_type, count(*) AS n_unmatched
+    FROM probe
+    WHERE uid NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 50)
+    GROUP BY event_type
+    """,
+)
+def j9_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with nullable probe keys — null-aware anti-join
+    semantics, deliberately DIFFERENT from j7's NOT EXISTS/left_anti:
+    a NULL probe key is never 'not in' a non-empty list (three-valued
+    logic drops it), while left_anti would keep it. Expressed through
+    the SQL API (the DataFrame API has no null-aware anti); Spark plans
+    a BroadcastHashJoin LeftAnti with isNullAware=true. Every 11th
+    event's key is nulled so the dropped-row path is exercised."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("__naaj_events")
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("__naaj_customer")
+    return spark.sql(
+        """
+        WITH probe AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END AS uid
+            FROM __naaj_events
+        )
+        SELECT event_type, count(*) AS n_unmatched
+        FROM probe
+        WHERE uid NOT IN (SELECT c_custkey FROM __naaj_customer
+                          WHERE c_custkey < 50)
+        GROUP BY event_type
+        """
+    )
+
+
+@query(
     "q4_semi_join_priority",
     """
     SELECT o.o_orderpriority, count(*) AS order_count
@@ -1195,6 +1235,60 @@ def dq_schema_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return dq.dq_report(parts)
+
+
+@query(
+    "f_json_parse_corrupt",
+    """
+    WITH staged AS (
+        SELECT event_type,
+               CASE WHEN event_id % 9 = 0 THEN '{' || props
+                    ELSE props END AS props
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           cast(sum(CASE WHEN json_valid(props)
+                    THEN 0 ELSE 1 END) AS bigint) AS n_corrupt,
+           cast(sum(CASE WHEN json_valid(props)
+                    THEN cast(props ->> 'k' AS bigint) ELSE 0 END)
+               AS bigint) AS sum_k
+    FROM staged
+    GROUP BY event_type
+    """,
+)
+def f_json_parse_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance (the PERMISSIVE-parse contract every
+    raw-JSON ingest needs): every 9th props value is prefix-corrupted
+    (invalid from the first token — Jackson tolerates TRAILING garbage
+    after a complete object, so suffix corruption would not register),
+    parsed with ``from_json`` (NULL on malformed, never a task
+    failure), and the per-type report counts corrupt rows and sums the
+    surviving payloads. Oracle uses DuckDB's ``json_valid`` — the hash
+    match pins Spark's corrupt-detection to an independent JSON
+    validator."""
+    events = read_table(spark, sf_dir, "events")
+    staged = events.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 9 == 0, F.concat(F.lit("{"), F.col("props"))
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = staged.withColumn(
+        "__p", F.from_json("props", "struct<k: bigint>")
+    )
+    # PERMISSIVE from_json yields a struct with NULL FIELDS on malformed
+    # input (not a NULL struct) — corrupt ⟺ k is null, since every
+    # well-formed props carries k.
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("__p.k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.coalesce(F.col("__p.k"), F.lit(0))).cast("long").alias("sum_k"),
+    )
 
 
 # ===========================================================================

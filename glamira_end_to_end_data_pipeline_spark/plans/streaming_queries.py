@@ -100,6 +100,49 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_window_counts",
+    """
+    WITH g AS (
+        SELECT event_type, ts,
+               date_trunc('hour', ts)
+                   + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                          ELSE INTERVAL 0 MINUTE END AS g30
+        FROM events
+    ),
+    w AS (
+        SELECT event_type,
+               unnest([g30, g30 - INTERVAL 30 MINUTE]) AS window_start
+        FROM g
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events
+    FROM w
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension — sliding (hopping) windows: 1-hour windows every
+    30 minutes, so each event lands in exactly two. ``F.window(ts, len,
+    slide)`` expands rows window-side BEFORE the aggregation — the
+    oracle mirrors that with an explicit 2-element unnest of the
+    containing window starts. Same code path streams with a watermark."""
+    events = read_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        events.groupBy(w.alias("__w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
     "stream_dedup_replayed",
     """
     SELECT event_type,
@@ -233,6 +276,42 @@ def s5_s6_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "n_rows", "total_loaded", "n_loaded_batches", "manifest_rows"
         )
+    )
+
+
+@query(
+    "s_csv_round_trip",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           cast(sum(event_id) AS bigint) AS sum_ids,
+           cast(sum(user_id) AS bigint) AS sum_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s_csv_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source round trip (format breadth beside parquet, text,
+    and JSON manifest): exact-typed columns staged with header, read
+    back with an explicit schema (never inferSchema — a second pass
+    over the data at scale), aggregated from the RE-READ copy. The
+    oracle aggregates the original table — any encode/decode drift
+    mismatches the hash."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_csv_{tag}")
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    events.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema("event_id long, user_id long, event_type string")
+        .option("header", "true")
+        .csv(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_ids"),
+        F.sum("user_id").alias("sum_users"),
     )
 
 
