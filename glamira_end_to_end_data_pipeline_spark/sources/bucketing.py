@@ -31,10 +31,18 @@ def write_bucketed(
     bucket_cols: Sequence[str],
     n_buckets: int = 8,
     sort: bool = True,
+    reuse: bool = True,
 ) -> None:
     """Materialize ``df`` as a bucketed parquet table at ``path``,
-    registered as ``table_name`` in the session catalog. Overwrites —
-    re-running a build is idempotent."""
+    registered as ``table_name`` in the session catalog.
+
+    With ``reuse`` (default) an already-registered table is kept as-is —
+    bucketing is write-once/query-many, so a session that builds the
+    same immutable input twice (e.g. the oracle gate running an entry
+    repeatedly) pays the bucketing shuffle once. Pass ``reuse=False``
+    for mutable inputs."""
+    if reuse and df.sparkSession.catalog.tableExists(table_name):
+        return
     cols = list(bucket_cols)
     writer = (
         df.write.mode("overwrite")
