@@ -1002,6 +1002,72 @@ def w3_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("full_date", date_key("full_date").alias("date_key"))
 
 
+@query(
+    "w6_forward_fill",
+    """
+    WITH daily AS (
+        SELECT user_id, cast(ts AS date) AS day,
+               round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(cast(ts AS date)) AS lo,
+                 max(cast(ts AS date)) AS hi FROM events),
+    spine AS (
+        SELECT cast(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS date)
+            AS day FROM b
+    ),
+    grid AS (
+        SELECT u.user_id, s.day
+        FROM (SELECT DISTINCT user_id FROM events) u, spine s
+    ),
+    j AS (
+        SELECT g.user_id, g.day, d.v
+        FROM grid g LEFT JOIN daily d
+          ON d.user_id = g.user_id AND d.day = g.day
+    )
+    SELECT user_id, day,
+           round(coalesce(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0), 2) AS filled_value,
+           (v IS NOT NULL) AS was_observed
+    FROM j
+    """,
+)
+def w6_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — time-series gap filling: the (user × day) grid from a date
+    spine, daily totals forward-filled across silent days via
+    ``last(v, ignorenulls)`` (leading gaps → 0). The spine is bounded
+    (days between min and max) so the grid cross-join broadcasts it —
+    at 100 TB the users side streams and the grid is |users|·|days|
+    rows with no shuffle until the fill window's own key shuffle."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    grid = events.select("user_id").distinct().crossJoin(F.broadcast(spine))
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.round(
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)), 2
+        ).alias("filled_value"),
+        F.col("v").isNotNull().alias("was_observed"),
+    )
+
+
 # Shared SCD2 CTE chain (DuckDB): events → change points → deduped
 # version starts. Twin of operators/scd.py::scd2_versions. The source
 # predicate is injectable so the as-of entry can version a sub-stream.

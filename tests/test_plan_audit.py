@@ -35,6 +35,7 @@ BNLJ_OK = {
     # constant-folds into a 1-row x <=1-row BNLJ existence branch (with
     # LocalLimit) beside the real BroadcastHashJoin LeftAnti — O(1) work.
     "dq_schema_checks",
+    "w6_forward_fill",  # users x broadcast bounded date spine (the grid)
 }
 
 
