@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis) for the scalar library — invariants
+over adversarial inputs (unicode, whitespace runs, empties, nulls) that
+fixed-fixture oracles cannot enumerate.
+
+Each property generates a BATCH of examples and runs one Spark job over
+it (hypothesis drives the data, Spark evaluates the column expression,
+plain Python recomputes the expectation), keeping example counts low
+enough for JVM round-trip cost."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from glamira_end_to_end_data_pipeline_spark.functions import (
+    ip_to_int,
+    surrogate_key,
+    ws_normalize,
+)
+from glamira_end_to_end_data_pipeline_spark.operators.text import (
+    scrub_pii,
+    split_bucket,
+)
+
+SETTLE = settings(max_examples=5, deadline=None)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SETTLE
+@given(texts)
+def test_ws_normalize_canonical_and_idempotent(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    out = df.select(
+        ws_normalize("s").alias("once"),
+        ws_normalize(ws_normalize("s")).alias("twice"),
+    ).collect()
+    ascii_ws = " \t\n\r\x0b\x0c"  # Java \s is ASCII-only (no NBSP etc.)
+    for r in out:
+        if r.once is not None:
+            assert r.once == r.once.strip(ascii_ws)
+            assert "  " not in r.once
+            assert r.once != ""
+        assert r.once == r.twice  # idempotent (NULL included)
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=30)),
+            st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_surrogate_key_matches_dbt_macro_bytes(spark, rows):
+    """Key == md5 of '-'-joined values with the dbt NULL sentinel —
+    byte parity with dbt_utils.generate_surrogate_key for ANY input."""
+    df = spark.createDataFrame(rows, "a string, b long")
+    got = df.select("a", "b", surrogate_key("a", "b").alias("k")).collect()
+    for r in got:
+        a = r.a if r.a is not None else "_dbt_utils_surrogate_key_null_"
+        b = str(r.b) if r.b is not None else "_dbt_utils_surrogate_key_null_"
+        assert r.k == hashlib.md5(f"{a}-{b}".encode()).hexdigest()
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.one_of(
+            st.from_regex(r"\A\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\Z"),
+            st.text(max_size=20),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_ip_to_int_parses_or_nulls(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "ip string")
+    out = df.select("ip", ip_to_int("ip").alias("n")).collect()
+    for r in out:
+        # re.ASCII: Java's \d (Spark rlike) is ASCII-only — unicode
+        # digits like ARABIC-INDIC ZERO must NOT count as octets
+        # (hypothesis found exactly that case).
+        m = re.fullmatch(
+            r"(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})", r.ip or "", re.ASCII
+        )
+        if m:
+            expected = 0
+            for g in m.groups():
+                expected = expected * 256 + int(g)
+            assert r.n == expected
+        else:
+            assert r.n is None
+
+
+@SETTLE
+@given(st.lists(st.integers(0, 2**60), min_size=1, max_size=30))
+def test_split_bucket_range_and_stability(spark, ids):
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = df.select(
+        "doc_id",
+        split_bucket("doc_id").alias("b1"),
+        split_bucket("doc_id").alias("b2"),
+    ).collect()
+    for r in out:
+        assert 0 <= r.b1 < 100
+        assert r.b1 == r.b2
+        expected = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 100
+        assert r.b1 == expected
+
+
+@SETTLE
+@given(texts)
+def test_scrub_pii_leaves_no_matches(spark, vals):
+    from glamira_end_to_end_data_pipeline_spark.operators.text import PII_PATTERNS
+
+    # salt the corpus with guaranteed PII so the scrub always has work
+    vals = vals + ["mail me at a.b@example.com or 555-123-4567 from 10.0.0.1"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    out = df.select(scrub_pii("s").alias("clean")).collect()
+    for r in out:
+        for _, pat in PII_PATTERNS:
+            assert not re.search(pat, r.clean), (pat, r.clean)
