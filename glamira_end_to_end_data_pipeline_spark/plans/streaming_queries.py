@@ -316,6 +316,50 @@ def s_csv_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_schema_evolution",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           cast(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS bigint) AS n_v2_rows,
+           cast(sum(CASE WHEN event_id % 2 = 0 THEN user_id
+                    ELSE 0 END) AS bigint) AS sum_v2_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution (the lake reality: writers add columns
+    over time): a v1 batch (event_id, event_type) and a widened v2
+    batch (+user_id) land in one dataset; ``mergeSchema`` unifies the
+    read schema, with NULL user_id for v1 files. The report counts v2
+    rows and sums the evolved column — a reader that drops v1 files or
+    misaligns the merged schema mismatches the oracle (which computes
+    the same split straight from the source)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_evo_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    events = read_table(spark, sf_dir, "events")
+    v1 = events.filter(F.col("event_id") % 2 == 1).select("event_id", "event_type")
+    v2 = events.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "user_id"
+    )
+    v1.write.mode("append").parquet(base)
+    v2.write.mode("append").parquet(base)
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    # v2-ness is detected from the DATA (user_id materialized non-null
+    # after the merge), proving v1 files surfaced the evolved column as
+    # NULL rather than being dropped or misaligned.
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("user_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_v2_rows"),
+        F.sum(F.coalesce("user_id", F.lit(0))).cast("long").alias("sum_v2_users"),
+    )
+
+
+@query(
     "s_partitioned_lake",
     """
     SELECT event_type,
