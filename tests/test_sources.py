@@ -46,3 +46,27 @@ def test_non_nanos_tables_unaffected(spark):
         isinstance(f.dataType, T.TimestampType) and f.name.startswith("o_order")
         for f in df.schema.fields
     ) or df.limit(1).count() == 1
+
+
+def test_csv_round_trip_survives_quoting_edge_cases(spark, tmp_path):
+    """CSV escaping: delimiters, quotes, and embedded newlines must
+    round-trip byte-exact — embedded newlines additionally require the
+    multiLine read option (single-line mode would shred the record)."""
+    rows = [
+        (1, "plain"),
+        (2, "comma, inside"),
+        (3, 'quote "x" inside'),
+        (4, "new\nline"),
+        (5, "unicode ✓ déjà"),
+        (6, None),
+    ]
+    path = str(tmp_path / "csv_edge")
+    df = spark.createDataFrame(rows, "id long, s string")
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema("id long, s string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    assert sorted((r.id, r.s) for r in back.collect()) == sorted(rows)
