@@ -176,6 +176,43 @@ def lsh_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector scalar quantization to int8 codes — the 4× storage
+    compression every large vector store applies before indexing
+    (FAISS SQ8 shape): code = round((x − min)·255/(max − min)),
+    dequant = min + code·(max − min)/255.
+
+    Map-only (per-row min/max, transform, fold — no shuffle); the
+    entry's oracle checks an INTEGER checksum of the codes, so any
+    cross-engine floating-point divergence in the scale math flips an
+    exact value rather than hiding in rounded decimals.
+
+    Returns: id, v_min/v_max (the dequant metadata), code_sum (integer
+    checksum of all codes), mean_abs_err (mean |x − dequant(code)|,
+    bounded by half a step)."""
+    v = _dbl(F.col(vec_col))
+    v_min, v_max = F.array_min(v), F.array_max(v)
+    scale = (v_max - v_min) / F.lit(255.0)
+    codes = F.transform(v, lambda x: F.round((x - v_min) / scale).cast("long"))
+    dequant_err = F.zip_with(
+        v, codes, lambda x, c: F.abs(x - (v_min + c.cast("double") * scale))
+    )
+    n = F.size(v)
+    return df.select(
+        F.col(id_col),
+        F.round(v_min, 6).alias("v_min"),
+        F.round(v_max, 6).alias("v_max"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        F.round(
+            F.aggregate(dequant_err, F.lit(0.0), lambda a, e: a + e) / n, 6
+        ).alias("mean_abs_err"),
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 8,

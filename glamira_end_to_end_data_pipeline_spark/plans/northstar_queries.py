@@ -78,6 +78,38 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "embeddings")
 
 
+@query(
+    "emb_quantize_int8",
+    """
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS x,
+               list_min(embedding::DOUBLE[]) AS mn,
+               list_max(embedding::DOUBLE[]) AS mx
+        FROM embeddings
+    ),
+    s AS (SELECT vec_id, x, mn, mx, (mx - mn) / 255.0 AS sc FROM v)
+    SELECT vec_id,
+           round(mn, 6) AS v_min,
+           round(mx, 6) AS v_max,
+           cast(list_sum(list_transform(x,
+               e -> cast(round((e - mn) / sc) AS bigint))) AS bigint)
+               AS code_sum,
+           round(list_sum(list_transform(x,
+               e -> abs(e - (mn + round((e - mn) / sc) * sc)))) / len(x), 6)
+               AS mean_abs_err
+    FROM s
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column (FAISS-SQ8
+    shape, 4x storage cut before indexing) — map-only, no shuffle. The
+    oracle's code_sum is an INTEGER checksum over all 64 codes per
+    vector: any cross-engine divergence in the scale arithmetic flips
+    an exact value instead of hiding under decimal rounding.
+    Precondition: non-constant vectors (the scale is (max-min)/255)."""
+    return similarity.quantize_int8(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
