@@ -58,6 +58,7 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_ann_lsh_topk",
     "emb_ivf_topk",
+    "emb_quantize_int8",
     "text_quality_score",
     "text_decontaminate",
     "text_fingerprint",
