@@ -1068,6 +1068,99 @@ def w6_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w7_new_vs_returning",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(cast(ts AS date)) AS first_day FROM events
+        GROUP BY user_id
+    ),
+    daily AS (
+        SELECT cast(e.ts AS date) AS day,
+               count(DISTINCT e.user_id) AS n_active,
+               count(DISTINCT CASE WHEN f.first_day = cast(e.ts AS date)
+                              THEN e.user_id END) AS n_new
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+        GROUP BY 1
+    )
+    SELECT day, n_active, n_new,
+           (n_active - n_new) AS n_returning,
+           cast(sum(n_new) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS bigint) AS cumulative_users
+    FROM daily
+    """,
+)
+def w7_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily actives + the cumulative acquisition
+    curve: first-seen day per user (one agg), joined back to the daily
+    grain, running sum over the bounded day axis. The final window is
+    a GLOBAL ordered frame — safe ONLY because its input is |days|
+    rows (pre-aggregated), never raw events; the heavy lifting stays
+    in keyed aggregations."""
+    events = read_table(spark, sf_dir, "events")
+    ev = events.select("user_id", F.col("ts").cast("date").alias("day"))
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        ev.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.countDistinct(
+                F.when(F.col("first_day") == F.col("day"), F.col("user_id"))
+            ).alias("n_new"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w).alias("cumulative_users"),
+    )
+
+
+@query(
+    "a_cohort_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('week', cast(ts AS date))) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               date_trunc('week', cast(e.ts AS date)) AS active_week
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT cast(cohort_week AS date) AS cohort_week,
+           cast(floor(date_diff('day', cohort_week, active_week) / 7)
+               AS bigint) AS weeks_since,
+           count(*) AS n_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, one
+    row per (cohort, weeks-since-acquisition) with the count still
+    active — THE product-analytics rollup. Two keyed aggregations and
+    a distinct; the matrix is |weeks|² rows regardless of event
+    volume."""
+    events = read_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("week")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = ev.join(first_seen, "user_id").select(
+        "user_id", "cohort_week", F.col("week").alias("active_week")
+    ).distinct()
+    return activity.groupBy(
+        "cohort_week",
+        F.floor(F.datediff("active_week", "cohort_week") / 7).alias("weeks_since"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
 # Shared SCD2 CTE chain (DuckDB): events → change points → deduped
 # version starts. Twin of operators/scd.py::scd2_versions. The source
 # predicate is injectable so the as-of entry can version a sub-stream.
