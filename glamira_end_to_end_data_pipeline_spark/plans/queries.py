@@ -1161,6 +1161,125 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_users"))
 
 
+@query(
+    "a_funnel_conversion",
+    """
+    WITH stage_times AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           cast(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+               AS bigint) AS reached_view,
+           cast(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS bigint) AS clicked_after_view,
+           cast(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_buy > t_click
+                    THEN 1 ELSE 0 END) AS bigint) AS bought_after_click
+    FROM stage_times
+    """,
+)
+def a_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per-user first-touch
+    time per stage via conditional min — ONE aggregation pass over
+    events, no joins, no per-user sorting — then strict time-ordered
+    conversion counts. The conditional-min trick is the scalable funnel
+    shape: |users| rows of state regardless of event volume."""
+    events = read_table(spark, sf_dir, "events")
+    stages = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(viewed, 1).otherwise(0)).cast("long").alias("reached_view"),
+        F.sum(F.when(clicked, 1).otherwise(0))
+        .cast("long")
+        .alias("clicked_after_view"),
+        F.sum(F.when(bought, 1).otherwise(0))
+        .cast("long")
+        .alias("bought_after_click"),
+    )
+
+
+@query(
+    "w8_event_transitions",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n_transitions
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def w8_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix (Markov bigrams): each user's
+    event stream ordered by time, lead() pairs consecutive events, one
+    count per (from, to). One shuffle on user_id for the window, then
+    a low-cardinality agg that collapses map-side."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@query(
+    "w9_ntile_quartiles",
+    """
+    WITH t AS (
+        SELECT event_type, value, event_id,
+               ntile(4) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS quartile
+        FROM events
+    )
+    SELECT event_type, quartile,
+           count(*) AS n_events,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM t GROUP BY 1, 2
+    """,
+)
+def w9_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: equal-count quartiles of value within each
+    event type (event_id tiebreak makes the boundary assignment
+    total-order deterministic), summarized per bucket — the windowed
+    complement of a_exact_percentiles' point estimates."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.select(
+            "event_type", "value", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
 # Shared SCD2 CTE chain (DuckDB): events → change points → deduped
 # version starts. Twin of operators/scd.py::scd2_versions. The source
 # predicate is injectable so the as-of entry can version a sub-stream.
