@@ -96,3 +96,14 @@ def test_duplicate_clusters_multihop_chain(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_q6_all_predicates_pushed(spark, registry):
+    """Q6's three range predicates must reach the Parquet scan."""
+    plan = plan_of(registry["q6_forecast_revenue"](spark, SF_SMALL))
+    scan = next(
+        seg for seg in plan.split("\n\n") if "Scan parquet" in seg and "lineitem" in seg
+    )
+    assert "PushedFilters:" in scan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan.split("PushedFilters:")[1].split("\n")[0], scan
