@@ -495,6 +495,51 @@ def mm_feature_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_resize_images",
+    """
+    -- images: id % 3 = 0, w = (id%7)*100+100, h = (id%5)*100+100,
+    -- payload 64 bytes; stub resize to max_side 256: unchanged when
+    -- max(w,h) <= 256, else dims scale by 256/max (int-truncated) and
+    -- the payload keeps floor(64*scale^2) bytes (>=1).
+    WITH ids AS (SELECT unnest(generate_series(0, 127)) AS media_id),
+    img AS (
+        SELECT media_id,
+               ((media_id % 7) * 100 + 100) AS w,
+               ((media_id % 5) * 100 + 100) AS h
+        FROM ids WHERE media_id % 3 = 0
+    )
+    SELECT media_id,
+           CASE WHEN greatest(w, h) <= 256 THEN w
+                ELSE cast(floor(w * (256.0 / greatest(w, h))) AS int)
+           END AS width,
+           CASE WHEN greatest(w, h) <= 256 THEN h
+                ELSE cast(floor(h * (256.0 / greatest(w, h))) AS int)
+           END AS height,
+           CASE WHEN greatest(w, h) <= 256 THEN cast(64 AS bigint)
+                ELSE greatest(1, cast(floor(
+                    64 * (256.0 / greatest(w, h)) * (256.0 / greatest(w, h)))
+                    AS bigint))
+           END AS n_bytes
+    FROM img
+    """,
+)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (mapInPandas; stub resampler): metadata
+    dims rescale exactly as a real resizer would and the payload
+    truncates by the area ratio — deterministic arithmetic over the
+    synthetic fixture, so dims AND payload length are oracle-checked.
+    Completes the multimodal surface: every mm operator now has a
+    hash-checked registry entry."""
+    resized = mm.resize_images(mm.synthetic_media(spark, 128), max_side=256)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+@query(
     "mm_video_frame_sample",
     """
     -- videos: id % 3 = 2, duration_ms = id*500 + 1000, payload 64 bytes;
