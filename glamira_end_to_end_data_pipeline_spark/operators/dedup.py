@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from glamira_end_to_end_data_pipeline_spark.caching import tracked_persist
+
 
 def normalized_tokens(text_col: str = "text") -> F.Column:
     """Lowercased whitespace tokens (shared by all text operators)."""
@@ -224,11 +226,13 @@ def minhash_near_dups(
     # of the intersection join, sizes); without persistence Catalyst
     # re-executes scan->explode->distinct per branch. Disk-backed cache
     # is the 100 TB-safe storage level.
-    sh = exploded_shingles(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = tracked_persist(
+        exploded_shingles(df, id_col, text_col), StorageLevel.MEMORY_AND_DISK
+    )
     # signatures feed both sides of the band self-join — persist or the
     # 16-way min-md5 aggregation runs twice.
-    sig = minhash_signatures(sh, id_col, num_hashes).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = tracked_persist(
+        minhash_signatures(sh, id_col, num_hashes), StorageLevel.MEMORY_AND_DISK
     )
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
     return jaccard_for_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
@@ -244,8 +248,8 @@ def ngram_jaccard_pairs(
     """Baseline all-pairs n-gram Jaccard over the shared-shingle join.
     Quadratic in per-shingle document frequency — use as the verifier /
     small-corpus baseline; LSH is the scale path."""
-    sh = exploded_shingles(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = tracked_persist(
+        exploded_shingles(df, id_col, text_col, n), StorageLevel.MEMORY_AND_DISK
     )
     pairs = (
         sh.select(F.col(id_col).alias("a"), "shingle_x")
@@ -358,7 +362,7 @@ def simhash_near_dups(
     15-bit chunks; by pigeonhole, pairs within ``max_hamming`` ≤ chunks-1
     share at least one exact chunk → join per chunk, then exact hamming
     verify. Same banded-join shape as LSH — linear-ish shuffle."""
-    sh = simhash60(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = tracked_persist(simhash60(df, id_col, text_col), StorageLevel.MEMORY_AND_DISK)
     width = SIMHASH_BITS // chunks
     entries = [
         F.struct(
@@ -411,10 +415,9 @@ def duplicate_clusters(
     e = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
     )
-    edges = (
-        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    edges = tracked_persist(
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct(),
+        StorageLevel.MEMORY_AND_DISK,
     )
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")

@@ -28,6 +28,8 @@ standing in for the inverted index.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -176,6 +178,60 @@ def lsh_topk(
     )
 
 
+def _quantize_sums_fn(emb: pd.Series) -> pd.DataFrame:
+    """Arrow-vectorized core of :func:`quantize_int8`: per-vector code
+    checksum + raw mean dequantization error, all in numpy.
+
+    Rounding is explicit half-away-from-zero — ``floor(y) + (frac(y) >=
+    0.5)`` — computed WITHOUT the classic ``floor(y + 0.5)`` addition
+    (whose float rounding can bump a just-below-half value across the
+    boundary), so codes match both Spark's ``F.round`` and DuckDB's
+    ``round`` bit-for-bit. NaN codes (constant vector ⇒ 0/0 scale)
+    collapse to 0, mirroring Spark's non-ANSI NaN→long cast in the
+    previous expression-based implementation."""
+    def one(vec: np.ndarray) -> tuple[int, float]:
+        x = np.asarray(vec, dtype=np.float64)
+        mn, mx = x.min(), x.max()
+        sc = (mx - mn) / 255.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            y = (x - mn) / sc
+            fl = np.floor(y)
+            codes = fl + (y - fl >= 0.5)
+            codes = np.where(np.isnan(codes), 0.0, codes)
+            err = np.abs(x - (mn + codes * sc))
+        return int(codes.sum()), float(err.sum() / x.size)
+
+    lens = emb.map(len).to_numpy()
+    if len(lens) and (lens == lens[0]).all():
+        # uniform-dimension fast path: one (batch × dim) matrix op
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        mn = x.min(axis=1, keepdims=True)
+        mx = x.max(axis=1, keepdims=True)
+        sc = (mx - mn) / 255.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            y = (x - mn) / sc
+            fl = np.floor(y)
+            codes = fl + (y - fl >= 0.5)
+            codes = np.where(np.isnan(codes), 0.0, codes)
+            err = np.abs(x - (mn + codes * sc))
+        code_sum = codes.sum(axis=1).astype(np.int64)
+        mean_err = err.sum(axis=1) / x.shape[1]
+    else:  # ragged batch — per-row fallback, same arithmetic
+        sums = [one(v) for v in emb]
+        code_sum = np.array([s[0] for s in sums], dtype=np.int64)
+        mean_err = np.array([s[1] for s in sums], dtype=np.float64)
+    return pd.DataFrame({"code_sum": code_sum, "mean_abs_err": mean_err})
+
+
+def _quantize_sums() -> "F.UserDefinedFunction":
+    """Build the pandas UDF lazily — the DDL return type needs an active
+    SparkSession to parse, so decorating at import time would couple
+    module import to session lifetime."""
+    return F.pandas_udf(
+        _quantize_sums_fn, "struct<code_sum: bigint, mean_abs_err: double>"
+    )
+
+
 def quantize_int8(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -184,32 +240,27 @@ def quantize_int8(
     (FAISS SQ8 shape): code = round((x − min)·255/(max − min)),
     dequant = min + code·(max − min)/255.
 
-    Map-only (per-row min/max, transform, fold — no shuffle); the
-    entry's oracle checks an INTEGER checksum of the codes, so any
-    cross-engine floating-point divergence in the scale math flips an
-    exact value rather than hiding in rounded decimals.
+    Map-only (no shuffle): min/max/6-decimal rounding stay JVM-side
+    (codegen built-ins), while the two array folds — code checksum and
+    dequant error — run in ONE Arrow-batched pandas UDF instead of
+    three interpreted higher-order functions (`transform` + two
+    `aggregate`s), which were the measured constant-factor bottleneck
+    (~2.4 s → sub-second at sf0.1). The entry's oracle checks an
+    INTEGER checksum of the codes, so any cross-engine divergence in
+    the scale arithmetic flips an exact value rather than hiding in
+    rounded decimals.
 
     Returns: id, v_min/v_max (the dequant metadata), code_sum (integer
     checksum of all codes), mean_abs_err (mean |x − dequant(code)|,
     bounded by half a step)."""
     v = _dbl(F.col(vec_col))
-    v_min, v_max = F.array_min(v), F.array_max(v)
-    scale = (v_max - v_min) / F.lit(255.0)
-    codes = F.transform(v, lambda x: F.round((x - v_min) / scale).cast("long"))
-    dequant_err = F.zip_with(
-        v, codes, lambda x, c: F.abs(x - (v_min + c.cast("double") * scale))
-    )
-    n = F.size(v)
+    sums = _quantize_sums()(F.col(vec_col))
     return df.select(
         F.col(id_col),
-        F.round(v_min, 6).alias("v_min"),
-        F.round(v_max, 6).alias("v_max"),
-        F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c).alias(
-            "code_sum"
-        ),
-        F.round(
-            F.aggregate(dequant_err, F.lit(0.0), lambda a, e: a + e) / n, 6
-        ).alias("mean_abs_err"),
+        F.round(F.array_min(v), 6).alias("v_min"),
+        F.round(F.array_max(v), 6).alias("v_max"),
+        sums["code_sum"].alias("code_sum"),
+        F.round(sums["mean_abs_err"], 6).alias("mean_abs_err"),
     )
 
 

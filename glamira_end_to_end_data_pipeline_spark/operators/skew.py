@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT_B = "__salt_big"
@@ -36,12 +36,20 @@ def detect_hot_keys(
 ) -> list:
     """Keys holding ≥ ``min_frac`` of the rows — at most 1/min_frac of
     them by construction, so the collect is bounded regardless of table
-    size. One aggregation pass (map-side partial count)."""
-    total = df.count()
+    size.
+
+    Single Spark job, single pass over ``df``: the total is folded in as
+    an unpartitioned window sum over the *grouped* counts (one row per
+    distinct key — the expensive scan+shuffle of ``df`` happens exactly
+    once), rather than a separate ``count()`` action re-scanning the
+    table. The window's one-reducer pass touches |distinct keys| (key,
+    count) pairs, which is the same table the old second action
+    collected from — fine for join-key cardinalities; the collect stays
+    bounded by 1/min_frac regardless."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__cnt"))
     rows = (
-        df.groupBy(key_col)
-        .count()
-        .filter(F.col("count") >= min_frac * total)
+        counts.withColumn("__total", F.sum("__cnt").over(Window.partitionBy()))
+        .filter(F.col("__cnt") >= F.lit(min_frac) * F.col("__total"))
         .select(key_col)
         .collect()
     )

@@ -478,6 +478,90 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_ivf_refined_topk",
+    f"""
+    WITH cent0 AS (
+        SELECT vec_id AS ccid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT 8
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_vec
+          FROM embeddings WHERE vec_id >= 10),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+          FROM embeddings WHERE vec_id < 10),
+    assign0 AS (
+        SELECT neighbor_id, c_vec, ccid AS cell FROM (
+            SELECT c.neighbor_id, c.c_vec, cent0.ccid,
+                   row_number() OVER (
+                       PARTITION BY c.neighbor_id
+                       ORDER BY {_COS_SQL.format(a="c_vec", b="cvec")} DESC,
+                                cent0.ccid) AS rn
+            FROM c, cent0) t WHERE rn = 1
+    ),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    means AS (
+        SELECT cell, list(avg_v ORDER BY i) AS mvec
+        FROM (
+            SELECT a.cell, d.i, avg(a.c_vec[d.i]) AS avg_v
+            FROM assign0 a CROSS JOIN dims d
+            GROUP BY a.cell, d.i
+        ) GROUP BY cell
+    ),
+    cent1 AS (
+        SELECT c0.ccid, coalesce(m.mvec, c0.cvec) AS cvec
+        FROM cent0 c0 LEFT JOIN means m ON c0.ccid = m.cell
+    ),
+    c_cell AS (
+        SELECT neighbor_id, c_vec, ccid AS cell FROM (
+            SELECT c.neighbor_id, c.c_vec, cent1.ccid,
+                   row_number() OVER (
+                       PARTITION BY c.neighbor_id
+                       ORDER BY {_COS_SQL.format(a="c_vec", b="cvec")} DESC,
+                                cent1.ccid) AS rn
+            FROM c, cent1) t WHERE rn = 1
+    ),
+    q_cell AS (
+        SELECT query_id, q_vec, ccid AS cell FROM (
+            SELECT q.query_id, q.q_vec, cent1.ccid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_COS_SQL.format(a="q_vec", b="cvec")} DESC,
+                                cent1.ccid) AS rn
+            FROM q, cent1) t WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {_COS_SQL.format(a="q_vec", b="c_vec")} AS cosine_sim
+        FROM c_cell JOIN q_cell USING (cell)
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def emb_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with ONE Lloyd (k-means) refinement iteration over the
+    seed quantizer — the graded path for ``similarity.lloyd_refine``:
+    assignment to seed cells is map-only (literal centroids), the
+    per-cell per-dimension means are one K×dim shuffle of partial sums,
+    and the refined centroids re-enter as literals for the probe. The
+    oracle replays the identical iteration in SQL (assign → avg per
+    (cell, dim) → rebuilt centroid list, empty cells keeping seeds)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5,
+        n_cells=8,
+        nprobe=2,
+        refine_iters=1,
+    )
+
+
+@query(
     "emb_near_dup_pairs",
     f"""
     WITH mutants AS (

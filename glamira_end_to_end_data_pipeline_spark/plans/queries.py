@@ -37,6 +37,7 @@ from glamira_end_to_end_data_pipeline_spark.functions import (
 )
 from glamira_end_to_end_data_pipeline_spark.operators.geo import range_join_bucketed
 from glamira_end_to_end_data_pipeline_spark.operators.skew import salted_join
+from glamira_end_to_end_data_pipeline_spark.caching import release_tracked
 from glamira_end_to_end_data_pipeline_spark.session import ensure_runtime_confs
 from glamira_end_to_end_data_pipeline_spark.sources import read_table
 from glamira_end_to_end_data_pipeline_spark.sources.bucketing import (
@@ -59,11 +60,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             # The driver passes its own SparkSession — assert the dynamic
             # semantic confs (nanos-as-long, ANSI off, UTC) on every entry.
             ensure_runtime_confs(spark)
-            # Drop cached blocks left by previously-run registry queries
+            # Drop cached blocks left by previously-run registry entries
             # (several pipelines persist shared intermediates for
             # diamond reuse; stale blocks from a prior query measurably
-            # degrade later ones in a long single-session run).
-            spark.catalog.clearCache()
+            # degrade later ones in a long single-session run). Scoped to
+            # engine-tracked persists only — a host application's own
+            # caches in the same session are never touched.
+            release_tracked()
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped
@@ -789,6 +792,183 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
         .limit(20)
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH eu AS (
+        SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, n.n_name,
+           round(s.s_acctbal, 2) AS s_acctbal,
+           round(e.l_extendedprice, 2) AS min_price
+    FROM part p
+    JOIN eu e ON p.p_partkey = e.l_partkey
+    JOIN supplier s ON e.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size <= 25
+      AND e.l_extendedprice = (
+          SELECT min(e2.l_extendedprice) FROM eu e2
+          WHERE e2.l_partkey = p.p_partkey
+      )
+    ORDER BY s_acctbal DESC, p.p_partkey, s.s_name
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated scalar MIN subquery, decorrelated.
+    (No ``partsupp`` in the testdata, so lineitem stands in as the
+    part×supplier price fact.) The correlated ``= (SELECT min(...))``
+    becomes: aggregate min price per part over the regional fact (one
+    shuffle on l_partkey, map-side partials), then an equi-join back on
+    (partkey, price) — the standard decorrelation Catalyst itself applies
+    to scalar subqueries. All dimension joins broadcast; the only
+    big-side shuffles are the min-agg and the join-back, both keyed on
+    l_partkey so AQE can plan them into one exchange reuse. Equality is
+    on STORED doubles (no arithmetic before the compare) — exact
+    cross-engine."""
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = read_table(spark, sf_dir, "nation")
+    supplier = read_table(spark, sf_dir, "supplier")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+
+    eu_supp = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu = li.join(
+        F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey")
+    ).select("l_partkey", "l_suppkey", "l_extendedprice")
+
+    # min-per-part + join-back share the `eu` lineage — alias both sides
+    # so the (partkey, price) equi-join resolves unambiguously.
+    min_price = (
+        eu.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("__min_price"))
+        .alias("mp")
+    )
+    best = (
+        eu.alias("eu")
+        .join(
+            min_price,
+            (F.col("eu.l_partkey") == F.col("mp.l_partkey"))
+            & (F.col("eu.l_extendedprice") == F.col("mp.__min_price")),
+        )
+        .select(
+            F.col("eu.l_partkey").alias("l_partkey"),
+            F.col("eu.l_suppkey").alias("l_suppkey"),
+            F.col("eu.l_extendedprice").alias("l_extendedprice"),
+        )
+    )
+
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(eu_supp.alias("sup2")), best.l_suppkey == F.col("sup2.s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.round("l_extendedprice", 2).alias("min_price"),
+        )
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the multi-semi/anti SELF-join pattern: among
+    finalized ('F') orders, count per supplier the returned ('R') lines
+    where the order involves ANOTHER supplier (EXISTS → left-semi) but
+    no OTHER supplier's line was returned (NOT EXISTS → left-anti).
+    (No receipt/commit dates in the testdata, so l_returnflag='R' is
+    the fault marker.)
+
+    Both correlated subqueries carry the non-equi ``suppkey <>``
+    conjunct, so they plan as sort-merge semi/anti joins keyed on
+    l_orderkey with the inequality as a post-join residual — all three
+    lineitem branches shuffle on the SAME key, which at 100 TB is the
+    case for bucketing lineitem by l_orderkey once and paying zero
+    Exchange on every branch (see sources/bucketing.py)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    orders_f = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+
+    waiting = (
+        l1.join(orders_f, l1.ok == orders_f.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("ok") == l2.ok2) & (F.col("sk") != l2.sk2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("ok") == l3.ok3) & (F.col("sk") != l3.sk3),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supplier), waiting.sk == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
     )
 
 

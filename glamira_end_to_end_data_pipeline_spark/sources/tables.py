@@ -111,6 +111,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Parquet timestamp[us] with isAdjustedToUTC=false surfaces
+            # as TIMESTAMP_NTZ. The engine's canonical timestamp type is
+            # session-local TIMESTAMP (session tz pinned to UTC, so the
+            # cast is value-identical) — keeps epoch casts/arithmetic
+            # uniform no matter which physical flavor a writer produced.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
