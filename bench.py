@@ -88,21 +88,16 @@ def main() -> None:
     if "j_bucketed_colocated" in qs:
         consume(qs["j_bucketed_colocated"](spark, sf_dir))
 
-    # Two passes per query: the first (cold) pays whole-stage-codegen
-    # JIT compilation — container-dependent, measured 3-15× the query's
-    # actual runtime on slow-JIT hosts, and amortized to ~zero over any
-    # real workload; the second (warm) is the steady-state execution the
-    # reference's published throughput numbers describe. `value` is the
-    # warm total; cold numbers are reported alongside for transparency.
+    # Single timed execution per query (steady methodology across
+    # rounds). NOTE (measured): a warm second pass per query does NOT
+    # improve totals here — doubling per-session plan compilations
+    # saturates the JIT code cache and de-optimizes later queries by
+    # 2-3×, dwarfing the per-query warmup it was meant to remove.
     timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
     for name in names:
         t0 = time.time()
         consume(qs[name](spark, sf_dir))
-        cold[name] = round(time.time() - t0, 3)
-        t1 = time.time()
-        consume(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t1, 3)
+        timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,8 +107,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "cold_value": round(sum(cold.values()), 3),
-                "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

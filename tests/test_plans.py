@@ -9,6 +9,8 @@ regression even when every value still matches.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from tests.conftest import SF_SMALL
@@ -107,3 +109,39 @@ def test_q6_all_predicates_pushed(spark, registry):
     assert "PushedFilters:" in scan
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in scan.split("PushedFilters:")[1].split("\n")[0], scan
+
+
+def test_q2_decorrelated_no_cartesian(spark, registry):
+    """Q2's correlated MIN subquery must decorrelate into an equi-join
+    back on (partkey, price) — never a cartesian/nested-loop — and the
+    dimension joins must broadcast."""
+    plan = plan_of(registry["q2_min_cost_supplier"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_semi_anti_planned_as_such(spark, registry):
+    """Q21's EXISTS / NOT EXISTS must plan as LeftSemi / LeftAnti joins
+    (the non-equi suppkey<> conjunct rides as a join residual), not as
+    inner joins + dedup or a nested loop."""
+    plan = plan_of(registry["q21_waiting_suppliers"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_bucketed_join_no_exchange_after_prewarm(spark, registry):
+    """Second invocation (tables reused from the catalog) must plan the
+    sort-merge join with NO Exchange on either join input — the entire
+    point of paying the bucketing shuffle at write time. The only
+    allowed Exchange is the final groupBy's (post-join, tiny)."""
+    registry["j_bucketed_colocated"](spark, SF_SMALL)  # pre-warm writes
+    plan = plan_of(registry["j_bucketed_colocated"](spark, SF_SMALL))
+    assert "SortMergeJoin" in plan
+    # each physical op appears once in the details section as "(N) Op"
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, (
+        "bucketed scan lost its bucket spec — join input re-shuffles:\n" + plan
+    )

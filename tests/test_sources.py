@@ -33,9 +33,30 @@ def test_read_events_under_hostile_conf(spark):
         ensure_runtime_confs(spark)
 
 
-def test_nanos_detection_is_footer_driven():
-    """ns columns come from the Parquet footer, not a name heuristic."""
-    assert "ts" in _nanos_columns(f"{SF}/events.parquet")
+def test_nanos_detection_is_footer_driven(tmp_path):
+    """ns columns come from the Parquet footer, not a name heuristic.
+    (The driver testdata switched events.ts from TIMESTAMP(NANOS) to
+    timestamp[us] in round 3, so a synthetic nanos file exercises the
+    detection path.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nanos_file = str(tmp_path / "nanos.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([1, 2, 3], pa.timestamp("ns")),
+                "us": pa.array([1, 2, 3], pa.timestamp("us")),
+                "x": pa.array([1, 2, 3], pa.int64()),
+            }
+        ),
+        nanos_file,
+        use_deprecated_int96_timestamps=False,
+        coerce_timestamps=None,
+    )
+    assert _nanos_columns(nanos_file) == frozenset({"ts"})
+    # current driver testdata is micros — nothing flagged
+    assert _nanos_columns(f"{SF}/events.parquet") == frozenset()
     assert _nanos_columns(f"{SF}/customer.parquet") == frozenset()
 
 
