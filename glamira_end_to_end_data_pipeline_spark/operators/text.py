@@ -234,6 +234,55 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking (RAG / context-window prep): split
+    each document into chunks of ``chunk_tokens`` whitespace tokens with
+    ``overlap`` tokens shared between consecutive chunks (stride =
+    chunk_tokens − overlap). The last window clamps at the text end, so
+    every token lands in ≥1 chunk and no empty trailing chunk is
+    emitted.
+
+    Map-only — tokenize → per-row window-start sequence → posexplode →
+    slice — no shuffle, scan-speed at 100 TB; chunk_id is a free
+    write-time partition/sort column for downstream embedding jobs."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # integer-exact window count: 1 + ceil((n - chunk)/stride) for
+    # n > chunk, else 1 — identical arithmetic on both engines
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    # floor((extra + stride-1)/stride): exact in double for any real
+    # token count (< 2^52)
+    n_chunks = (
+        F.lit(1) + F.floor((extra + F.lit(stride - 1)) / F.lit(stride))
+    ).cast("int")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)),
+    ).select(
+        id_col,
+        F.col("pos").alias("chunk_id"),
+        F.slice(
+            "__toks", F.col("pos") * stride + 1, F.lit(chunk_tokens)
+        ).alias("__chunk"),
+    )
+    return base.select(
+        id_col,
+        "chunk_id",
+        F.size("__chunk").alias("n_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )
+
+
 def stratified_quality_filter(
     df: DataFrame,
     min_pct: float = 0.25,

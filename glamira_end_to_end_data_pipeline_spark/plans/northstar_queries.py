@@ -966,6 +966,41 @@ def text_quality_filter_stratified(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "text_chunk_documents",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, t,
+               1 + (greatest(len(t) - 32, 0) + 23) // 24 AS n_chunks
+        FROM toks
+    ),
+    expanded AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, n_chunks - 1))::BIGINT AS chunk_id
+        FROM sized
+    )
+    SELECT doc_id, chunk_id,
+           len(t[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_tokens,
+           array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+               AS chunk_text
+    FROM expanded
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for RAG/context-window prep: 32-token
+    chunks, 8-token overlap (stride 24), last window clamped at the
+    text end. Map-only (tokenize → posexplode window starts → slice) —
+    no shuffle; chunk_id doubles as a write-time partition/sort column
+    for the downstream embedding job."""
+    return text.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=32, overlap=8
+    )
+
+
+@query(
     "text_vocab_topk",
     f"""
     WITH tok AS (

@@ -6,6 +6,11 @@ from glamira_end_to_end_data_pipeline_spark.sources.lake import (
     read_partitioned,
     write_partitioned,
 )
+from glamira_end_to_end_data_pipeline_spark.sources.mongo import (
+    mongo_reader_options,
+    read_collection_or_lake,
+    read_mongo,
+)
 from glamira_end_to_end_data_pipeline_spark.sources.tables import (
     TABLES,
     read_table,
@@ -15,6 +20,9 @@ from glamira_end_to_end_data_pipeline_spark.sources.tables import (
 __all__ = [
     "TABLES",
     "bucketed_table",
+    "mongo_reader_options",
+    "read_collection_or_lake",
+    "read_mongo",
     "read_partitioned",
     "read_table",
     "register_views",

@@ -69,6 +69,43 @@ def test_non_nanos_tables_unaffected(spark):
     ) or df.limit(1).count() == 1
 
 
+def test_mongo_reader_options_shape():
+    from glamira_end_to_end_data_pipeline_spark.sources.mongo import (
+        mongo_reader_options,
+    )
+
+    opts = mongo_reader_options(
+        "mongodb://db.example.com:27017",
+        "glamira",
+        "summary",
+        pipeline='[{"$match": {"event_type": "view"}}]',
+    )
+    assert opts["connection.uri"].startswith("mongodb://")
+    assert opts["database"] == "glamira"
+    assert opts["collection"] == "summary"
+    assert "aggregation.pipeline" in opts  # predicate pushdown hook
+    assert "SamplePartitioner" in opts["partitioner"]
+
+
+def test_mongo_read_raises_actionable_error_without_connector(spark):
+    from glamira_end_to_end_data_pipeline_spark.sources.mongo import read_mongo
+
+    try:
+        read_mongo(spark, "mongodb://localhost:27017", "db", "coll")
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as exc:
+        assert "--packages" in str(exc) and "read_table" in str(exc)
+
+
+def test_collection_or_lake_falls_back_to_parquet(spark):
+    from glamira_end_to_end_data_pipeline_spark.sources.mongo import (
+        read_collection_or_lake,
+    )
+
+    df = read_collection_or_lake(spark, SF, "events")
+    assert df.limit(3).count() == 3
+
+
 def test_csv_round_trip_survives_quoting_edge_cases(spark, tmp_path):
     """CSV escaping: delimiters, quotes, and embedded newlines must
     round-trip byte-exact — embedded newlines additionally require the

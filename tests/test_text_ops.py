@@ -1,0 +1,99 @@
+"""Unit tests for text operators and engine-scoped caching added in
+round 3: sliding-window chunking, tracked-persist release, one-job
+hot-key detection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glamira_end_to_end_data_pipeline_spark.caching import (
+    release_tracked,
+    tracked_persist,
+)
+from glamira_end_to_end_data_pipeline_spark.operators.skew import detect_hot_keys
+from glamira_end_to_end_data_pipeline_spark.operators.text import chunk_documents
+
+
+def _chunks(spark, text, chunk_tokens=4, overlap=1):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    return [(r.chunk_id, r.n_tokens, r.chunk_text) for r in rows]
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    assert _chunks(spark, "a b c") == [(0, 3, "a b c")]
+
+
+def test_chunking_exact_boundary_no_empty_tail(spark):
+    # 4 tokens, chunk=4: exactly one window, no empty second chunk
+    assert _chunks(spark, "a b c d") == [(0, 4, "a b c d")]
+
+
+def test_chunking_overlap_carried(spark):
+    # chunk=4, overlap=1 -> stride 3: windows [1..4], [4..7], [7..9]
+    got = _chunks(spark, "t1 t2 t3 t4 t5 t6 t7 t8 t9")
+    assert got == [
+        (0, 4, "t1 t2 t3 t4"),
+        (1, 4, "t4 t5 t6 t7"),
+        (2, 3, "t7 t8 t9"),
+    ]
+
+
+def test_chunking_every_token_covered(spark):
+    text = " ".join(f"w{i}" for i in range(100))
+    got = _chunks(spark, text, chunk_tokens=32, overlap=8)
+    covered = set()
+    for _, _, chunk in got:
+        covered.update(chunk.split(" "))
+    assert covered == {f"w{i}" for i in range(100)}
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    try:
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_tracked_persist_release_only_engine_blocks(spark):
+    """release_tracked must unpersist engine-tracked frames and leave
+    host-session caches alone."""
+    host = spark.range(100).persist()
+    host.count()
+    engine = tracked_persist(spark.range(50))
+    engine.count()
+    assert engine.storageLevel.useMemory
+    release_tracked()
+    assert not engine.storageLevel.useMemory, "tracked block not released"
+    assert host.storageLevel.useMemory, "host cache was wrongly nuked"
+    host.unpersist()
+
+
+def test_release_tracked_idempotent_and_empty_safe(spark):
+    release_tracked()
+    release_tracked()
+
+
+def test_detect_hot_keys_single_action(spark, monkeypatch):
+    """Hot-key detection finds exactly the >=min_frac keys — with ONE
+    action over ONE pass of the input (the total folds into the same
+    aggregation as a window sum; no separate count() scan). Job counts
+    are an AQE artifact, so the single-pass contract is asserted by
+    banning a second action outright."""
+    rows = [(k,) for k in ["hot"] * 60 + ["warm"] * 25 + list("abcdefghij")]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    def _no_count(self):
+        raise AssertionError("detect_hot_keys must not run a count() action")
+
+    monkeypatch.setattr(ClassicDF, "count", _no_count)
+    got = set(detect_hot_keys(df, "k", min_frac=0.2))
+    assert got == {"hot", "warm"}
