@@ -461,3 +461,174 @@ def near_dup_pairs(
         .select("a", "b", _pair_cosine().alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — FAISS-parity compression + ADC search
+# ---------------------------------------------------------------------------
+
+
+def pq_centroids(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace codebooks for product quantization: the vector is
+    split into ``m`` contiguous subvectors; subspace ``s``'s codebook is
+    the ``k`` lowest-id corpus vectors' ``s``-th subvectors.
+
+    Deterministic seeding (same rationale as :func:`ivf_centroids`) so
+    the cross-engine oracle reproduces the codebooks exactly; a
+    production build k-means-refines each subspace independently — only
+    this function changes. Codebooks are driver-side metadata by design
+    (FAISS keeps them in RAM): m·k·(dim/m) floats ≈ the size of ``k``
+    vectors, regardless of corpus size."""
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(_dbl(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    dim = len(rows[0]["v"])
+    sub = dim // m
+    return [
+        [(j, list(rows[j]["v"][s * sub : (s + 1) * sub])) for j in range(k)]
+        for s in range(m)
+    ]
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance as the proven fold shape (left-to-right,
+    engine-portable bits), rounded to 6dp for cross-engine argmin."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        6,
+    )
+
+
+def _pq_sub_code(
+    vec: Column, s: int, sub: int, codebook: list[tuple[int, list[float]]]
+) -> Column:
+    """argmin-distance code for subspace ``s``: max over
+    struct(-dist, -cid, cid) = smallest distance, then smallest code id
+    — the deterministic tiebreak the SQL oracle mirrors."""
+    subvec = F.slice(vec, s * sub + 1, sub)
+    entries = []
+    for cid, cvec in codebook:
+        cvec_lit = F.array(*[F.lit(float(x)) for x in cvec])
+        d = _sq_l2(subvec, cvec_lit)
+        entries.append(
+            F.struct(
+                (-d).alias("negd"),
+                F.lit(-cid).alias("ncid"),
+                F.lit(cid).alias("cid"),
+                d.alias("dist"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return F.struct(best["cid"].alias("code"), best["dist"].alias("dist"))
+
+
+def pq_codes(
+    df: DataFrame,
+    cents: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress each vector to an ``m``-subspace PQ code — dim·4 bytes
+    → m·log2(k) bits (64-dim float → 32 bits at m=8, k=16), the
+    compression that lets a 100 TB corpus's index live in cluster RAM.
+
+    Map-only: every subspace code is a pure literal-codebook argmin
+    over the vector slice; no join, no shuffle. Returns the packed code
+    (base-k digits, subspace 0 least significant) plus the total
+    squared reconstruction error — the quantization-quality metric."""
+    m = len(cents)
+    k = len(cents[0])
+    v = _dbl(F.col(vec_col))
+    dim_sub = len(cents[0][0][1])
+    subs = [_pq_sub_code(v, s, dim_sub, cents[s]) for s in range(m)]
+    packed = subs[0]["code"].cast("long")
+    for s in range(1, m):
+        packed = packed + subs[s]["code"].cast("long") * F.lit(k**s).cast("long")
+    err = subs[0]["dist"]
+    for s in range(1, m):
+        err = err + subs[s]["dist"]
+    return df.select(
+        F.col(id_col),
+        packed.alias("pq_code"),
+        F.round(err, 6).alias("recon_sq_err"),
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    cents: list[list[tuple[int, list[float]]]],
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
+    touched ONLY as (id, 32-bit code); per query, the distance to every
+    centroid of every subspace (m·k scalars) forms a lookup table, and
+    approx distance = Σ_s table[s][code_s].
+
+    Shape at 100 TB: the query×subspace×centroid table is tiny
+    (|Q|·m·k rows) and broadcast; corpus codes are unpacked map-side
+    into (s, code) pairs and the per-(query, vec) sum is one shuffle of
+    longs — no vector ever moves after encoding."""
+    m = len(cents)
+    k = len(cents[0])
+    dim_sub = len(cents[0][0][1])
+    qv = _dbl(F.col(vec_col))
+    # (query_id, s, code, d) lookup rows via explode of literal structs
+    entries = []
+    for s in range(m):
+        subvec = F.slice(qv, s * dim_sub + 1, dim_sub)
+        for cid, cvec in cents[s]:
+            cvec_lit = F.array(*[F.lit(float(x)) for x in cvec])
+            entries.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.lit(cid).alias("code"),
+                    _sq_l2(subvec, cvec_lit).alias("d"),
+                )
+            )
+    lut = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(F.array(*entries)).alias("e")
+    ).select("query_id", "e.s", "e.code", "e.d")
+
+    # corpus side: unpack base-k digits map-side
+    digits = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    # k is a power of two -> x / k**s is exact in
+                    # double; cast truncates to the base-k digit
+                    (F.col("pq_code") / F.lit(k**s)).cast("long") % F.lit(k)
+                    for s in range(m)
+                ]
+            )
+        ).alias("s", "code"),
+    )
+    scored = (
+        digits.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_sq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_sq_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
+    )

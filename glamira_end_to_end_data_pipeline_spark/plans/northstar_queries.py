@@ -561,6 +561,107 @@ def emb_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ codebook + code-assignment CTEs shared by the codes and ADC entries.
+# Codebook: subspace s∈[0,8) × centroid j∈[0,16); centroid j of subspace
+# s = seed vector j's s-th 8-dim subvector. Distances use explicit
+# (a-b)*(a-b) (NOT ^2 — DuckDB pow may differ in the last ulp), rounded
+# to 6dp before the argmin, matching similarity._sq_l2.
+_PQ_CTES = """
+    seeds AS (
+        SELECT embedding::DOUBLE[] AS v,
+               row_number() OVER (ORDER BY vec_id) - 1 AS j
+        FROM (SELECT * FROM embeddings WHERE vec_id >= 10
+              ORDER BY vec_id LIMIT 16)
+    ),
+    cb AS (
+        SELECT sub.i AS s, j, v[sub.i*8+1 : sub.i*8+8] AS cvec
+        FROM seeds, (SELECT unnest(generate_series(0, 7)) AS i) sub
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id >= 10),
+    dists AS (
+        SELECT c.vec_id, cb.s, cb.j,
+               round(list_sum(list_transform(generate_series(1, 8),
+                   i -> (c.v[cb.s*8 + i] - cb.cvec[i])
+                      * (c.v[cb.s*8 + i] - cb.cvec[i]))), 6) AS d
+        FROM corpus c, cb
+    ),
+    best AS (
+        SELECT vec_id, s, j AS code, d FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d, j) AS rn
+            FROM dists) t WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "emb_pq_codes",
+    f"""
+    WITH {_PQ_CTES.strip()}
+    SELECT vec_id,
+           sum(cast(code AS BIGINT) * (1::BIGINT << (4 * s)))::BIGINT
+               AS pq_code,
+           round(sum(d), 6) AS recon_sq_err
+    FROM best
+    GROUP BY vec_id
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (FAISS PQ8x4 shape): 64-dim float vector →
+    8 subspace codes of 4 bits = ONE 32-bit int per vector, the
+    compression that fits a trillion-vector index in cluster RAM.
+    Map-only literal-codebook argmin per subspace — no join, no
+    shuffle; the packed code + squared reconstruction error are
+    hash-checked against the SQL replay of the same codebooks."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cents = similarity.pq_centroids(corpus, m=8, k=16)
+    return similarity.pq_codes(corpus, cents)
+
+
+@query(
+    "emb_pq_adc_topk",
+    f"""
+    WITH {_PQ_CTES.strip()},
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 10),
+    lut AS (
+        SELECT q.query_id, cb.s, cb.j AS code,
+               round(list_sum(list_transform(generate_series(1, 8),
+                   i -> (q.v[cb.s*8 + i] - cb.cvec[i])
+                      * (q.v[cb.s*8 + i] - cb.cvec[i]))), 6) AS d
+        FROM q, cb
+    ),
+    scored AS (
+        SELECT l.query_id, b.vec_id AS neighbor_id,
+               round(sum(l.d), 6) AS adc_sq_dist
+        FROM best b JOIN lut l ON l.s = b.s AND l.code = b.code
+        GROUP BY l.query_id, b.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_sq_dist, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY adc_sq_dist, neighbor_id) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-5 over PQ codes: the corpus is touched
+    only as (id, 32-bit code); each query's m×k distance lookup table
+    broadcasts, codes unpack map-side into (subspace, code) digits, and
+    the per-pair distance is one shuffle of longs. The end state of the
+    PQ pipeline: search never moves a vector after encoding."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    qs = emb.filter(F.col("vec_id") < 10)
+    cents = similarity.pq_centroids(corpus, m=8, k=16)
+    codes = similarity.pq_codes(corpus, cents)
+    return similarity.pq_adc_topk(qs, codes, cents, k_top=5)
+
+
 @query(
     "emb_near_dup_pairs",
     f"""

@@ -111,3 +111,63 @@ def test_lloyd_refine_improves_recall_on_clustered_data(spark):
     seeded, refined = recall(0), recall(2)
     assert refined >= seeded
     assert refined >= 0.9, f"refined recall {refined:.2f}"
+
+
+def test_pq_code_packing_roundtrip(spark):
+    """Packed base-16 code must decompose back into the per-subspace
+    argmin codes, and every code digit must be < k."""
+    from glamira_end_to_end_data_pipeline_spark.operators.similarity import (
+        pq_centroids,
+        pq_codes,
+    )
+
+    data = _clustered(spark)
+    cents = pq_centroids(data, m=8, k=16)
+    assert len(cents) == 8 and all(len(cb) == 16 for cb in cents)
+    rows = pq_codes(data, cents).collect()
+    assert len(rows) == data.count()
+    for r in rows:
+        code = r.pq_code
+        assert 0 <= code < 16**8
+        assert r.recon_sq_err >= 0
+    # seed vectors must reconstruct themselves exactly (they ARE
+    # centroids in every subspace): zero reconstruction error
+    seed_ids = [x.vec_id for x in data.orderBy("vec_id").limit(16).collect()]
+    by_id = {r.vec_id: r for r in rows}
+    assert all(by_id[i].recon_sq_err == 0.0 for i in seed_ids)
+
+
+def _interleaved_clusters(spark, n=120, dim=16):
+    """Three tight clusters, cluster = vec_id % 3 (INTERLEAVED ids, so
+    the lowest-id codebook seeds span all clusters)."""
+    import math
+
+    rows = []
+    for vid in range(n):
+        c = vid % 3
+        v = [0.0] * dim
+        v[c] = 1.0
+        v[(c + 5) % dim] = 0.1 * math.sin(vid * 2.3 + c)
+        v[(c + 9) % dim] = 0.1 * math.cos(vid * 1.7 + c)
+        rows.append((vid, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_adc_ranks_near_neighbors_first(spark):
+    """ADC distance over codes must put the query's own cluster ahead
+    of other clusters (coarse recall — PQ loses precision, not
+    cluster-level structure)."""
+    from glamira_end_to_end_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_centroids,
+        pq_codes,
+    )
+
+    data = _interleaved_clusters(spark)
+    q = data.filter(F.col("vec_id") < 3)  # one query per cluster
+    c = data.filter(F.col("vec_id") >= 3)
+    cents = pq_centroids(c, m=8, k=16)
+    top = pq_adc_topk(q, pq_codes(c, cents), cents, k_top=5).collect()
+    assert {r.query_id for r in top} == {0, 1, 2}
+    hits = sum(r.query_id % 3 == r.neighbor_id % 3 for r in top)
+    assert hits / len(top) >= 0.8, f"cluster recall {hits}/{len(top)}"
