@@ -445,3 +445,28 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def retain_canonical(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "a",
+    id_b: str = "b",
+) -> DataFrame:
+    """The dedup pipeline's actual deliverable: the corpus with every
+    non-canonical near-duplicate REMOVED — each duplicate cluster keeps
+    only its minimum-id representative; documents in no cluster pass
+    through untouched.
+
+    One anti-join against the (tiny) drop list: cluster membership is
+    bounded by the pair graph, which LSH already cut to near-linear, so
+    at 100 TB the corpus streams through exactly once and only the
+    drop-list (cluster members minus representatives) shuffles."""
+    labels = duplicate_clusters(pairs, id_a, id_b)
+    drop = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("__drop_id")
+    )
+    return corpus.join(
+        drop, corpus[id_col] == drop["__drop_id"], "left_anti"
+    )

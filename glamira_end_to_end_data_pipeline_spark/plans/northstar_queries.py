@@ -233,6 +233,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_retain_corpus",
+    f"""
+    WITH RECURSIVE {MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    labels AS (
+        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    dropped AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+    SELECT c.doc_id, md5(c.text) AS text_hash
+    FROM corpus c
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+)
+def dedup_retain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END deliverable: the corpus after removing
+    every non-canonical near-duplicate (one representative per MinHash
+    cluster, untouched docs pass through). One anti-join of the corpus
+    against the tiny drop-list — the full shape a 100 TB pretraining
+    pipeline runs: shingle → sign → band → verify → cluster → filter."""
+    corpus = corpus_with_dups(_docs(spark, sf_dir))
+    pairs = dedup.minhash_near_dups(
+        corpus, num_hashes=16, bands=4, threshold=0.5
+    )
+    return dedup.retain_canonical(corpus, pairs).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     f"""
     WITH {CORPUS_CTE.strip()},

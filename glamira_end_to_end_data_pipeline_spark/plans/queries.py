@@ -1939,6 +1939,58 @@ def dq_schema_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_volume_anomaly",
+    """
+    WITH daily AS (
+        SELECT cast(ts AS date) AS event_date, count(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT event_date, n_events,
+               avg(n_events) OVER w AS mu,
+               stddev_samp(n_events) OVER w AS sigma
+        FROM daily
+        WINDOW w AS (ORDER BY event_date ROWS BETWEEN 7 PRECEDING
+                     AND 1 PRECEDING)
+    )
+    SELECT event_date, n_events,
+           round(mu, 2) AS trailing_mean,
+           round((n_events - mu) / sigma, 3) AS z_score,
+           CASE WHEN sigma IS NULL OR sigma = 0 THEN false
+                ELSE abs((n_events - mu) / sigma) > 2.5 END AS is_anomaly
+    FROM stats
+    ORDER BY event_date
+    """,
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitoring (the dq check a production load adds
+    after schema checks): each day's event count z-scored against its
+    7-day trailing window; |z| > 2.5 flags a broken upstream or a
+    double-load. The window input is the DAILY rollup (one row per
+    date), so the ordered single-partition window is over a few hundred
+    rows no matter how big events is — the heavy lifting is the
+    map-side-partial date rollup."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy("event_date").rowsBetween(-7, -1)
+    mu = F.avg("n_events").over(w)
+    sigma = F.stddev_samp("n_events").over(w)
+    z = (F.col("n_events") - mu) / sigma
+    return daily.select(
+        "event_date",
+        "n_events",
+        F.round(mu, 2).alias("trailing_mean"),
+        F.round(z, 3).alias("z_score"),
+        F.when(sigma.isNull() | (sigma == 0), F.lit(False))
+        .otherwise(F.abs(z) > 2.5)
+        .alias("is_anomaly"),
+    ).orderBy("event_date")
+
+
+@query(
     "f_json_parse_corrupt",
     """
     WITH staged AS (
