@@ -48,6 +48,18 @@ corpus AS (
 
 TOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+
+def _grams_sql(n: int) -> str:
+    """DuckDB word n-gram list over a ``toks`` column (twin of
+    dedup.shingles_from_tokens: empty list below n tokens)."""
+    concat = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)), "
+        f"i -> {concat})"
+    )
+
+
+
 # Twin of dedup.exploded_shingles: grams hashed to 31-bit ints BEFORE
 # the distinct, so both engines dedup/join the identical long keys.
 SHINGLES_CTE = f"""
@@ -267,6 +279,132 @@ def dedup_retain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup.retain_canonical(corpus, pairs).select(
         "doc_id", F.md5("text").alias("text_hash")
+    )
+
+
+@query(
+    "text_pretraining_pipeline",
+    f"""
+    WITH RECURSIVE {MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    labels AS (
+        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    kept AS (
+        SELECT c.doc_id, c.text FROM corpus c
+        WHERE c.doc_id NOT IN
+            (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+    ),
+    kt AS (SELECT doc_id, {{tokens}} AS toks FROM kept),
+    kg AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT
+                   % {dedup.MINHASH_P} AS gx
+        FROM (SELECT doc_id, unnest({{grams8}}) AS gram FROM kt)
+    ),
+    bt AS (SELECT doc_id, {{tokens}} AS toks
+           FROM documents WHERE doc_id % 10 = 0),
+    bg AS (
+        SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT
+                   % {dedup.MINHASH_P} AS gx
+        FROM (SELECT unnest({{grams8}}) AS gram FROM bt)
+    ),
+    dirty AS (SELECT DISTINCT kg.doc_id FROM kg JOIN bg USING (gx)),
+    clean AS (
+        SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    ),
+    qt AS (
+        SELECT doc_id, text, {{tokens}} AS toks,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digit
+        FROM clean
+    ),
+    qr AS (
+        SELECT doc_id, text, len(toks) AS n_tokens,
+               round(n_punct / greatest(length(text), 1), 6) AS punct_ratio,
+               round(n_digit / greatest(length(text), 1), 6) AS digit_ratio,
+               round(len(list_filter(toks,
+                     x -> list_contains(['the','a','of','and','to','is','in'], x)))
+                     / greatest(len(toks), 1), 6) AS stopword_ratio
+        FROM qt
+    ),
+    scored AS (
+        SELECT doc_id, text, n_tokens,
+               round((CASE WHEN n_tokens BETWEEN 10 AND 1000
+                           THEN 0.4e0 ELSE 0.0e0 END)
+                   + (CASE WHEN punct_ratio <= 0.1 THEN 0.2e0 ELSE 0.0e0 END)
+                   + (CASE WHEN digit_ratio <= 0.2 THEN 0.2e0 ELSE 0.0e0 END)
+                   + least(stopword_ratio * 2, 0.2e0), 6) AS quality_score
+        FROM qr
+    ),
+    final AS (
+        SELECT doc_id, text, n_tokens,
+               ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT
+                   % 100 AS bucket
+        FROM scored WHERE quality_score >= 0.5
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           cast(sum(n_tokens) AS bigint) AS sum_tokens,
+           cast(sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+                    % 1099511627776) AS bigint) AS corpus_checksum
+    FROM final
+    GROUP BY 1
+    ORDER BY 1
+    """.replace("{tokens}", TOKENS_SQL).replace("{grams8}", _grams_sql(8)),
+)
+def text_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE — the full pretraining-corpus curation pipeline as ONE
+    composed job: MinHash near-dup removal (canonical representative
+    kept) → benchmark decontamination (8-gram overlap with the eval
+    slice) → quality filter (composite score ≥ 0.5) → deterministic
+    train/val/test split — summarized per split with doc/token counts
+    and an md5 corpus checksum so the oracle hash-verifies every stage
+    end-to-end.
+
+    This is the 100 TB operating shape: each stage is the already-
+    audited operator (shingle hashes on the wire, broadcast benchmark
+    grams, map-only scoring/splitting), composed without any
+    driver-side materialization between stages — one lazy plan,
+    Catalyst sees everything."""
+    docs = _docs(spark, sf_dir)
+    corpus = corpus_with_dups(docs)
+    pairs = dedup.minhash_near_dups(
+        corpus, num_hashes=16, bands=4, threshold=0.5
+    )
+    kept = dedup.retain_canonical(corpus, pairs)
+    flags = text.decontaminate(kept, docs.filter(F.col("doc_id") % 10 == 0), n=8)
+    clean = kept.join(
+        flags.filter(F.col("contaminated")).select("doc_id"), "doc_id", "left_anti"
+    )
+    good = (
+        text.quality_score(clean)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "n_tokens")
+    )
+    final = text.split_assign(clean.join(good, "doc_id"))
+    checksum = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast(
+        "long"
+    ) % F.lit(1099511627776)
+    return (
+        final.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum(checksum).cast("long").alias("corpus_checksum"),
+        )
+        .orderBy("split")
     )
 
 
@@ -957,16 +1095,6 @@ def text_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the identical permutation, so shard assignment
     AND order agree hash-for-hash across engines."""
     return text.shuffle_shards(_docs(spark, sf_dir), n_shards=16)
-
-
-def _grams_sql(n: int) -> str:
-    """DuckDB word n-gram list over a ``toks`` column (twin of
-    dedup.shingles_from_tokens: empty list below n tokens)."""
-    concat = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
-    return (
-        f"list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)), "
-        f"i -> {concat})"
-    )
 
 
 @query(
