@@ -559,6 +559,69 @@ def _best_codes(vec: Column, cb: Column, m: int, k: int, sub: int) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), best_one)
 
 
+def _pack_codes(best: Column, k: int) -> Column:
+    """Pack per-subspace codes into one integer, base-k digits with
+    subspace 0 least significant — an exact integer fold:
+    acc=(multiplier, sum); step=(mult*k, sum + code*mult)."""
+    return F.aggregate(
+        best,
+        F.struct(
+            F.lit(1).cast("long").alias("mult"), F.lit(0).cast("long").alias("sum")
+        ),
+        lambda acc, b: F.struct(
+            (acc["mult"] * k).alias("mult"),
+            (acc["sum"] + b["code"].cast("long") * acc["mult"]).alias("sum"),
+        ),
+    )["sum"]
+
+
+def _adc_lut(
+    queries: DataFrame,
+    cents: list[list[tuple[int, list[float]]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, s, code, d) distance lookup table — m*k rows per
+    query, the broadcast side of every ADC join."""
+    n_sub = len(cents)
+    n_cent = len(cents[0])
+    dim_sub = len(cents[0][0][1])
+    qv = _dbl(F.col(vec_col))
+    cb = _codebook_lit(cents)
+    entries = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda sp: F.transform(
+                F.sequence(F.lit(0), F.lit(n_cent - 1)),
+                lambda j: F.struct(
+                    sp.alias("s"),
+                    j.alias("code"),
+                    _sq_l2(
+                        F.slice(qv, sp * dim_sub + 1, dim_sub),
+                        F.element_at(F.element_at(cb, sp + 1), j + 1),
+                    ).alias("d"),
+                ),
+            ),
+        )
+    )
+    return queries.select(
+        F.col(id_col).alias("query_id"), F.explode(entries).alias("e")
+    ).select("query_id", "e.s", "e.code", "e.d")
+
+
+def _unpack_digits(code_col: Column, m: int, k: int):
+    """(pos, digit) pairs of a packed base-k code for posexplode; k is a
+    power of two, so the double division is exact."""
+    return F.posexplode(
+        F.array(
+            *[
+                (code_col / F.lit(k**s)).cast("long") % F.lit(k)
+                for s in range(m)
+            ]
+        )
+    )
+
+
 def pq_codes(
     df: DataFrame,
     cents: list[list[tuple[int, list[float]]]],
@@ -579,18 +642,7 @@ def pq_codes(
     sub = len(cents[0][0][1])
     v = _dbl(F.col(vec_col))
     best = _best_codes(v, _codebook_lit(cents), m, k, sub)
-    # pack base-k digits with an exact integer fold: acc=(multiplier,
-    # sum); step=(mult·k, sum + code·mult)
-    packed = F.aggregate(
-        best,
-        F.struct(
-            F.lit(1).cast("long").alias("mult"), F.lit(0).cast("long").alias("sum")
-        ),
-        lambda acc, b: F.struct(
-            (acc["mult"] * k).alias("mult"),
-            (acc["sum"] + b["code"].cast("long") * acc["mult"]).alias("sum"),
-        ),
-    )["sum"]
+    packed = _pack_codes(best, k)
     err = F.aggregate(best, F.lit(0.0), lambda acc, b: acc + b["dist"])
     return df.select(
         F.col(id_col),
@@ -618,48 +670,78 @@ def pq_adc_topk(
     longs — no vector ever moves after encoding."""
     m = len(cents)
     k = len(cents[0])
-    dim_sub = len(cents[0][0][1])
-    qv = _dbl(F.col(vec_col))
-    cb = _codebook_lit(cents)
-    # (query_id, s, code, d) lookup rows: one compact nested-HOF
-    # expansion over the constant codebook column (see _codebook_lit),
-    # then explode — m·k rows per query
-    entries = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda sp: F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda j: F.struct(
-                    sp.alias("s"),
-                    j.alias("code"),
-                    _sq_l2(
-                        F.slice(qv, sp * dim_sub + 1, dim_sub),
-                        F.element_at(F.element_at(cb, sp + 1), j + 1),
-                    ).alias("d"),
-                ),
-            ),
-        )
-    )
-    lut = queries.select(
-        F.col(id_col).alias("query_id"), F.explode(entries).alias("e")
-    ).select("query_id", "e.s", "e.code", "e.d")
-
+    lut = _adc_lut(queries, cents, id_col, vec_col)
     # corpus side: unpack base-k digits map-side
     digits = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"),
-        F.posexplode(
-            F.array(
-                *[
-                    # k is a power of two -> x / k**s is exact in
-                    # double; cast truncates to the base-k digit
-                    (F.col("pq_code") / F.lit(k**s)).cast("long") % F.lit(k)
-                    for s in range(m)
-                ]
-            )
-        ).alias("s", "code"),
+        _unpack_digits(F.col("pq_code"), m, k).alias("s", "code"),
     )
     scored = (
         digits.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_sq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_sq_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_top: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ composition): the corpus is stored as
+    (cell, 32-bit PQ code) — the coarse quantizer prunes the search to
+    ``nprobe``/``n_cells`` of the data, PQ codes make what remains a
+    few bytes per vector, and ranking is pure ADC table lookups.
+
+    Plan at 100 TB: the index projection is map-only (both quantizers
+    are literal/constant columns); store it partitioned by ``cell`` and
+    a probe reads nprobe partitions of 4-byte codes. The candidate join
+    keys on the small int cell with the (tiny) probe list broadcast,
+    digits unpack map-side, the ADC join broadcasts |Q|·m·k lookup
+    rows, and the per-pair sum is one shuffle of longs — no raw vector
+    is ever read at query time."""
+    ivf_cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    pq_cents = pq_centroids(corpus, m, k, id_col, vec_col)
+    sub = len(pq_cents[0][0][1])
+
+    v = _dbl(F.col(vec_col))
+    index = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_cell(v, norm(F.col(vec_col)), ivf_cents).alias("cell"),
+        _pack_codes(_best_codes(v, _codebook_lit(pq_cents), m, k, sub), k).alias(
+            "pq_code"
+        ),
+    )
+    qv = _dbl(F.col(vec_col))
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            ivf_probe_cells(qv, norm(F.col(vec_col)), ivf_cents, nprobe)
+        ).alias("cell"),
+    )
+    cand = index.join(F.broadcast(probed), "cell")
+    digits = cand.select(
+        "query_id",
+        "neighbor_id",
+        _unpack_digits(F.col("pq_code"), m, k).alias("s", "code"),
+    )
+    lut = _adc_lut(queries, pq_cents, id_col, vec_col)
+    scored = (
+        digits.join(F.broadcast(lut), ["query_id", "s", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("d"), 6).alias("adc_sq_dist"))
     )

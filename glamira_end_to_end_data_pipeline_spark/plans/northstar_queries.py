@@ -839,6 +839,78 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_ivfpq_topk",
+    f"""
+    WITH {_PQ_CTES.strip()},
+    cent AS (
+        SELECT vec_id AS ccid, v AS cvec
+        FROM corpus ORDER BY vec_id LIMIT 8
+    ),
+    c_cell AS (
+        SELECT vec_id, ccid AS cell FROM (
+            SELECT c.vec_id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {_COS_SQL.format(a="c.v", b="cent.cvec")} DESC,
+                                cent.ccid) AS rn
+            FROM corpus c, cent) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 10),
+    q_cell AS (
+        SELECT query_id, ccid AS cell FROM (
+            SELECT q.query_id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_COS_SQL.format(a="q.v", b="cent.cvec")} DESC,
+                                cent.ccid) AS rn
+            FROM q, cent) t WHERE rn <= 2
+    ),
+    qlut AS (
+        SELECT q.query_id, cb.s, cb.j AS code,
+               round(list_sum(list_transform(generate_series(1, 8),
+                   i -> (q.v[cb.s*8 + i] - cb.cvec[i])
+                      * (q.v[cb.s*8 + i] - cb.cvec[i]))), 6) AS d
+        FROM q, cb
+    ),
+    scored AS (
+        SELECT qc.query_id, cc.vec_id AS neighbor_id,
+               round(sum(l.d), 6) AS adc_sq_dist
+        FROM q_cell qc
+        JOIN c_cell cc ON cc.cell = qc.cell
+        JOIN best b ON b.vec_id = cc.vec_id
+        JOIN qlut l ON l.query_id = qc.query_id
+                   AND l.s = b.s AND l.code = b.code
+        GROUP BY qc.query_id, cc.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_sq_dist, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY adc_sq_dist, neighbor_id) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (FAISS IVFPQ): coarse cells prune to
+    nprobe/n_cells of the corpus, PQ codes compress what remains to 32
+    bits/vector, ADC lookups rank — no raw vector read at query time.
+    The oracle replays both quantizers, the cell probe, and the
+    ADC-within-cell join in SQL."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k_top=5,
+        n_cells=8,
+        nprobe=2,
+        m=8,
+        k=16,
+    )
+
+
+@query(
     "emb_near_dup_pairs",
     f"""
     WITH mutants AS (

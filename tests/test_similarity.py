@@ -171,3 +171,19 @@ def test_pq_adc_ranks_near_neighbors_first(spark):
     assert {r.query_id for r in top} == {0, 1, 2}
     hits = sum(r.query_id % 3 == r.neighbor_id % 3 for r in top)
     assert hits / len(top) >= 0.8, f"cluster recall {hits}/{len(top)}"
+
+
+def test_ivfpq_finds_own_cluster(spark):
+    """IVF-PQ composition: probing nprobe cells then ranking by ADC
+    must surface same-cluster neighbors for every query."""
+    from glamira_end_to_end_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    data = _interleaved_clusters(spark)
+    q = data.filter(F.col("vec_id") < 3)
+    c = data.filter(F.col("vec_id") >= 3)
+    top = ivfpq_topk(q, c, k_top=5, n_cells=3, nprobe=1, m=8, k=16).collect()
+    assert {r.query_id for r in top} == {0, 1, 2}
+    hits = sum(r.query_id % 3 == r.neighbor_id % 3 for r in top)
+    assert hits / len(top) >= 0.8, f"cluster recall {hits}/{len(top)}"
