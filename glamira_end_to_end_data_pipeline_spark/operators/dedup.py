@@ -2,8 +2,11 @@
 
 Beyond-reference north-star operators (BASELINE.json): the reference's
 only dedup is key-level ``distinct`` (SURVEY §2.4 A1/A2); a training-data
-pipeline needs *content* dedup. All operators here are pure DataFrame
-compositions — no UDFs — so Catalyst/AQE own the physical plan.
+pipeline needs *content* dedup. Operators are pure DataFrame
+compositions — Catalyst/AQE own the physical plan — with one deliberate
+exception: winnowing's per-document fingerprint selection is an
+Arrow-batched pandas UDF (see ``_winnow_fp_udf`` for the measured
+rationale).
 
 Scale design (100 TB):
 
@@ -19,6 +22,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -469,4 +473,89 @@ def retain_canonical(
     )
     return corpus.join(
         drop, corpus[id_col] == drop["__drop_id"], "left_anti"
+    )
+
+
+def _winnow_fp_udf(k: int, w: int):
+    """Arrow-batched winnowing core (built lazily — pandas UDF return
+    types need an active session). Row-local by nature, so a vectorized
+    UDF is the right engine shape: map-only, each k-gram md5 computed
+    exactly once. A pure higher-order-function formulation re-evaluates
+    the (lazy) gram-array expression on EVERY window element access —
+    O(n²·w) md5 calls per document, measured minutes-vs-seconds."""
+    import hashlib
+
+    def fps_one(norm: str) -> list[int]:
+        n = max(len(norm) - (k - 1), 1)
+        # p is 1-based to match the SQL twin's substr(norm, p, k)
+        grams = [
+            int(hashlib.md5(norm[p - 1 : p - 1 + k].encode()).hexdigest()[:15], 16)
+            % MINHASH_P
+            for p in range(1, n + 1)
+        ]
+        ng = len(grams)
+        sel = {
+            min(
+                grams[p - 1] * 1024 + (t + w - 1 - p)
+                for p in range(t, min(t + w - 1, ng) + 1)
+            )
+            >> 10
+            for t in range(1, max(ng - (w - 1), 1) + 1)
+        }
+        return sorted(sel)
+
+    def batch(norm: pd.Series) -> pd.Series:
+        return norm.map(fps_one)
+
+    return F.pandas_udf(batch, "array<long>")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every character ``k``-gram of the normalized text,
+    slide a window of ``w`` consecutive hashes, and select each
+    window's minimum (ties → rightmost position, the paper's rule,
+    encoded as the scalar key hash·1024 + (t+w−1−p) so both engines
+    compare plain integers; >>10 recovers the hash). Guarantees any
+    shared substring of length ≥ w+k−1 yields at least one shared
+    fingerprint — substring-level near-dup detection that token
+    shingles miss (reordered sentences, partial copies).
+
+    Map-only (no shuffle): normalization is a codegen'd expression, the
+    per-document fingerprint set comes from one Arrow-batched pandas
+    UDF (see :func:`_winnow_fp_udf` for why not a HOF chain), and only
+    the exploded (id, 31-bit fp) rows ever shuffle downstream."""
+    norm = F.concat_ws(" ", normalized_tokens(text_col))
+    fps = _winnow_fp_udf(k, w)(norm)
+    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 8,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring near-dup pairs by shared winnowing fingerprints: docs
+    sharing ≥ ``min_shared`` selected fingerprints. Same banded-join
+    economics as MinHash — only 31-bit fingerprints shuffle, the
+    self-join keys on the fingerprint, and the pair count is a
+    groupBy."""
+    fps = winnow_fingerprints(df, k, w, id_col, text_col)
+    a = fps.select(F.col(id_col).alias("a"), "fp")
+    b = fps.select(F.col(id_col).alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

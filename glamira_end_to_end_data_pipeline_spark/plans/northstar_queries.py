@@ -409,6 +409,55 @@ def text_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_winnowing_pairs",
+    f"""
+    WITH {CORPUS_CTE.strip()},
+    wt AS (
+        SELECT doc_id,
+               array_to_string({TOKENS_SQL}, ' ') AS norm
+        FROM corpus
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(length(norm) - 11, 1)),
+                   p -> ('0x' || substr(md5(substr(norm, p, 12)), 1, 15))::BIGINT
+                        % {dedup.MINHASH_P}
+               ) AS grams
+        FROM wt
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(grams) - 7, 1)),
+                   t -> list_min(list_transform(
+                            generate_series(t, least(t + 7, len(grams))),
+                            p -> grams[p] * 1024 + (t + 7 - p)
+                        )) >> 10
+               )) AS fps
+        FROM g
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 5
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) substring near-dup pairs: char-12-gram hashes,
+    window-8 minimum selection with the paper's rightmost-tie rule
+    (encoded as a scalar hash·1024+offset key — plain integer min on
+    both engines), pairs sharing ≥5 selected fingerprints. Catches
+    substring-level overlap (reordered sentences, partial copies) that
+    token-shingle MinHash misses; guarantees detection of any shared
+    run ≥ w+k−1 = 19 chars."""
+    return dedup.winnow_pairs(
+        corpus_with_dups(_docs(spark, sf_dir)), k=12, w=8, min_shared=5
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     f"""
     WITH {CORPUS_CTE.strip()},

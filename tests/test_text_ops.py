@@ -97,3 +97,36 @@ def test_detect_hot_keys_single_action(spark, monkeypatch):
     monkeypatch.setattr(ClassicDF, "count", _no_count)
     got = set(detect_hot_keys(df, "k", min_frac=0.2))
     assert got == {"hot", "warm"}
+
+
+def test_winnowing_guarantee_and_tie_rule(spark):
+    """Any shared substring of length >= w+k-1 must yield a shared
+    fingerprint (the winnowing guarantee); disjoint texts share none;
+    identical texts share all."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    shared_run = "zq xv jw pk mt rb ld ng"  # 23 chars >= w+k-1 = 15
+    rows = [
+        (1, f"alpha beta {shared_run} gamma delta"),
+        (2, f"one two three {shared_run} four five"),
+        (3, "totally different words entirely here now"),
+        (4, f"alpha beta {shared_run} gamma delta"),  # identical to 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        i: {r.fp for r in rows_}
+        for i, rows_ in (
+            (i, winnow_fingerprints(df.filter(f"doc_id = {i}"), k=8, w=8).collect())
+            for i in (1, 2, 3, 4)
+        )
+    }
+    assert fps[1] & fps[2], "winnowing guarantee violated for shared run"
+    assert fps[1] == fps[4], "identical texts must fingerprint identically"
+    assert not (fps[1] & fps[3]), "disjoint texts should share nothing"
+    pairs = {
+        (r.a, r.b) for r in winnow_pairs(df, k=8, w=8, min_shared=1).collect()
+    }
+    assert (1, 4) in pairs and (1, 2) in pairs and (1, 3) not in pairs
