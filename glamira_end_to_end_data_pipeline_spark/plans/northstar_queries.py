@@ -1389,6 +1389,57 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_char_entropy",
+    """
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_distinct(list_transform(
+                   generate_series(1, length(text)), i -> text[i:i]
+               )) AS chars
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, n AS n_chars,
+           round(log2(n) - list_sum(list_transform(chars,
+               c -> (length(text) - length(replace(text, c, '')))
+                  * log2(length(text) - length(replace(text, c, '')))
+           )) / n, 4) AS char_entropy
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the information-
+    theoretic quality signal (low entropy ⇒ repetitive/boilerplate/
+    degenerate text; gibberish scores high): H = log2(n) − Σ c·log2(c)/n
+    over per-character counts.
+
+    Pure expressions, map-only: the distinct-character set (small
+    alphabet) is one pass, and each character's count is
+    len(text) − len(replace(text, c, '')) — codegen'd string ops, no
+    per-char histogram shuffle and no UDF. O(|alphabet|·n) per row by
+    construction."""
+    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    text_c = F.col("text")
+    n = F.length(text_c)
+    chars = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: text_c.substr(i, F.lit(1))
+        )
+    )
+    cnt = lambda c: n - F.length(F.replace(text_c, c))  # noqa: E731
+    h_sum = F.aggregate(
+        chars,
+        F.lit(0.0),
+        lambda acc, c: acc + cnt(c).cast("double") * F.log2(cnt(c)),
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.round(F.log2(n) - h_sum / n, 4).alias("char_entropy"),
+    ).orderBy("doc_id")
+
+
+@query(
     "text_vocab_topk",
     f"""
     WITH tok AS (

@@ -2340,6 +2340,43 @@ def a8_running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_histogram",
+    """
+    SELECT cast(floor(value / 5.0) AS bigint) AS bin,
+           cast(floor(value / 5.0) AS bigint) * 5.0 AS bin_lo,
+           count(*) AS n,
+           round(sum(value), 2) AS bin_sum
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over a numeric column (the profiling
+    rollup every data-quality dashboard starts with): bin =
+    floor(value/width). Pure map-side expression into a partial-agg
+    groupBy — the shuffle moves |bins| rows per partition regardless of
+    table size. (width_bucket semantics; floor-division keeps the bin
+    id exact on both engines since value/5 never hits a representable-
+    boundary ambiguity after floor.)"""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bin_col = F.floor(F.col("value") / 5.0).cast("long")
+    return (
+        events.groupBy(
+            bin_col.alias("bin"), (bin_col * 5.0).alias("bin_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("bin_sum"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
     "a_approx_sketches",
     """
     SELECT event_type,
