@@ -2377,6 +2377,54 @@ def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_zorder_codes",
+    """
+    WITH keyed AS (
+        SELECT event_id,
+               user_id % 1024 AS x,
+               cast(floor(value) AS bigint) % 1024 AS y
+        FROM events
+    ),
+    bits AS (SELECT unnest(generate_series(0, 9)) AS i),
+    z AS (
+        SELECT event_id, x, y,
+               sum((((x >> i) & 1) << (2 * i))
+                 + (((y >> i) & 1) << (2 * i + 1))) AS z_code
+        FROM keyed, bits
+        GROUP BY event_id, x, y
+    )
+    SELECT event_id, x, y, cast(z_code AS bigint) AS z_code
+    FROM z
+    ORDER BY z_code, event_id
+    LIMIT 1000
+    """,
+)
+def lake_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two dimensions — the lake
+    layout (Delta/Iceberg Z-ORDER shape) that lets Parquet min/max
+    stats prune range predicates on BOTH columns after one write
+    (``sources/lake.py::write_zordered``). The code is a plain sum of
+    shift/mask expressions (codegen'd, exact); the oracle rebuilds the
+    interleave with the same integer ops. Locality of the layout is
+    pinned in tests/test_scale_ops.py."""
+    from glamira_end_to_end_data_pipeline_spark.sources.lake import morton_code
+
+    events = read_table(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("x"),
+        (F.floor("value").cast("long") % 1024).alias("y"),
+    )
+    return (
+        keyed.select(
+            "event_id", "x", "y", morton_code("x", "y", bits=10).alias("z_code")
+        )
+        .orderBy("z_code", "event_id")
+        .limit(1000)
+    )
+
+
+@query(
     "a_approx_sketches",
     """
     SELECT event_type,

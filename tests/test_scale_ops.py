@@ -214,3 +214,49 @@ def test_decontaminate_benchmark_side_broadcasts(spark):
 
     plan = plan_of(queries()["text_decontaminate"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """A Z-ordered write must let min/max stats prune range filters on
+    BOTH dimensions; a single-column sort prunes only its own column
+    (every file spans the other dimension's full range)."""
+    from glamira_end_to_end_data_pipeline_spark.sources.lake import (
+        morton_code,
+        write_zordered,
+    )
+
+    grid = 64
+    df = spark.range(grid * grid).select(
+        (F.col("id") % grid).alias("x"), (F.col("id") / grid).cast("long").alias("y")
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zpath, "x", "y", bits=6, n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    def files_touched(path, col, lo, hi):
+        """Files whose [min,max] stats for `col` intersect [lo, hi] —
+        what Parquet row-group pruning skips by."""
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+            .collect()
+        )
+        return len(stats), sum(1 for r in stats if r.mx >= lo and r.mn <= hi)
+
+    # single-column sort prunes x-ranges but is useless for y-ranges:
+    # every file spans the full y domain
+    n_s, s_y = files_touched(spath, "y", 0, 7)
+    assert s_y == n_s, "x-sorted layout unexpectedly pruned y"
+    # Z-order prunes BOTH dimensions (files are compact rectangles)
+    n_z, z_y = files_touched(zpath, "y", 0, 7)
+    n_z2, z_x = files_touched(zpath, "x", 0, 7)
+    assert z_y <= n_z // 2, (z_y, n_z)
+    assert z_x <= n_z2 // 2, (z_x, n_z2)
+    # interleave correctness: known values (x=0b11, y=0b01 -> 0b0111)
+    row = (
+        spark.range(1)
+        .select(morton_code(F.lit(3), F.lit(1), bits=4).alias("z"))
+        .collect()[0]
+    )
+    assert row["z"] == 0b0111
