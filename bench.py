@@ -61,7 +61,6 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_retain_corpus",
     "emb_cosine_topk",
     "emb_ann_lsh_topk",
     "emb_ivf_topk",
