@@ -426,3 +426,110 @@ def pii_stats(
         ],
         scrub_pii(t).alias("scrubbed"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k_top: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones; Lucene's idf
+    variant): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Shape at scale: the inverted-index slice for the query terms is the
+    ONLY thing that shuffles — tokens explode map-side, the filter to
+    query terms cuts the stream to |terms| postings, df/tf are partial
+    aggregations, and the corpus-level scalars (N, avgdl) ride in on a
+    one-row broadcast. The full corpus is scanned once and never
+    re-shuffled."""
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col), normalized_tokens(text_col).alias("__toks")
+    ).select(F.col(id_col), F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+
+    stats = toks.groupBy(id_col).agg(F.first("dl").alias("dl"))
+    corpus = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (1 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 4).alias("bm25_score"))
+    )
+    w = Window.orderBy(F.desc("bm25_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(id_col, "bm25_score", "rank")
+    )
+
+
+def lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram language-model scoring (the CCNet-style statistical LM
+    filter): train bigram/unigram counts on the corpus itself, then
+    score each document by its mean log bigram probability
+    avg(ln(count(w1,w2)/count(w1·))) — low scores flag text that is
+    improbable under the corpus's own statistics (gibberish, boiler-
+    plate with rare transitions); degenerate repetition scores HIGH,
+    which is why this runs beside the repetition filter, not instead.
+
+    Shape at scale: the LM tables are aggregations (vocab-bounded, far
+    smaller than the corpus); per-doc scoring joins the exploded bigram
+    stream back on the bigram key — counts shuffle once, documents
+    stream once."""
+    with_t = df.select(F.col(id_col), normalized_tokens(text_col).alias("__toks"))
+    n = F.size("__toks")
+    pairs = with_t.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice("__toks", 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+                F.slice("__toks", 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("__p"),
+    ).select(F.col(id_col), F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+
+    bigram = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unigram = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        pairs.join(bigram, ["w1", "w2"])
+        .join(unigram, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c12") / F.col("c1"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -1440,6 +1440,80 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_lm_score",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+        FROM t
+    ),
+    pairs AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM idx),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+    uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1)
+    SELECT p.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(c12 / c1)), 4) AS avg_logprob
+    FROM pairs p JOIN big USING (w1, w2) JOIN uni USING (w1)
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical LM filter: bigram model trained on the
+    corpus itself, documents scored by mean log bigram probability —
+    the perplexity-proxy that flags text improbable under corpus
+    statistics (operators/text.py::lm_score). LM tables are
+    vocab-bounded aggregates; scoring is one join on the bigram key."""
+    return text.lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, len({TOKENS_SQL}) AS dl,
+               unnest({TOKENS_SQL}) AS term
+        FROM documents
+    ),
+    stats AS (SELECT doc_id, any_value(dl) AS dl FROM toks GROUP BY doc_id),
+    c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM stats),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        FROM toks WHERE term IN ('join', 'hash', 'filter')
+        GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl))
+               ), 4) AS bm25_score
+        FROM tf JOIN dft USING (term), c
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25_score, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY bm25_score DESC, doc_id) AS rank
+        FROM scored
+    ) t WHERE rank <= 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Lucene idf variant) for the query
+    {join, hash, filter} — the search-scoring operator a curation
+    pipeline uses for targeted corpus slicing. Only the query terms'
+    postings shuffle; corpus scalars (N, avgdl) ride a one-row
+    broadcast (operators/text.py::bm25_topk)."""
+    return text.bm25_topk(
+        _docs(spark, sf_dir), ["join", "hash", "filter"], k_top=10
+    )
+
+
+@query(
     "text_vocab_topk",
     f"""
     WITH tok AS (
