@@ -36,6 +36,9 @@ BNLJ_OK = {
     # LocalLimit) beside the real BroadcastHashJoin LeftAnti — O(1) work.
     "dq_schema_checks",
     "w6_forward_fill",  # users x broadcast bounded date spine (the grid)
+    # BM25's corpus scalars (N, avgdl) are a ONE-ROW broadcast
+    # cross-joined onto the query-term postings — O(|postings|) work.
+    "text_bm25_topk",
 }
 
 
