@@ -533,3 +533,58 @@ def lm_score(
             ),
         )
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5
+    bucket (of the id, 10000 buckets) falls under the stratum's
+    fraction. No RNG state, map-only, and — unlike ``sampleBy`` — fully
+    reproducible across runs, engines, partitionings, and corpus
+    growth: membership is a pure function of the id."""
+    b = split_bucket(id_col, n_buckets=10_000)
+    frac = None
+    for stratum, f in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        frac = (
+            F.when(cond, f) if frac is None else frac.when(cond, f)
+        )
+    frac = frac.otherwise(default_fraction) if frac is not None else F.lit(
+        default_fraction
+    )
+    return df.filter(b < frac * 10_000)
+
+
+def mix_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Epoch mixing (the LLaMA-style data-recipe step): a stratum with
+    weight w contributes each document floor(w) times, plus one extra
+    copy for the deterministic frac(w) slice of ids — so the expected
+    epoch count equals w exactly while membership stays a pure function
+    of the id. Output carries ``epoch`` (1-based copy index) so the
+    shuffle-shard step can spread copies across shards.
+
+    Map-only: weight lookup is a literal CASE, the copy fan-out is one
+    posexplode of a per-row sequence — no join, no shuffle, no RNG."""
+    b = split_bucket(id_col, n_buckets=10_000)
+    w = None
+    for stratum, wt in sorted(weights.items()):
+        cond = F.col(strata_col) == stratum
+        w = F.when(cond, wt) if w is None else w.when(cond, wt)
+    w = w.otherwise(default_weight) if w is not None else F.lit(default_weight)
+    base = F.floor(w).cast("int")
+    extra = (b < (w - base.cast("double")) * 10_000).cast("int")
+    n_copies = base + extra
+    return df.withColumn("__n", n_copies).filter(F.col("__n") > 0).select(
+        "*", F.posexplode(F.sequence(F.lit(1), F.col("__n"))).alias("__pos", "epoch")
+    ).drop("__n", "__pos")

@@ -1439,6 +1439,97 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_BUCKET_SQL = "('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT % 10000"
+
+
+@query(
+    "text_sample_stratified",
+    f"""
+    WITH kept AS (
+        SELECT lang, n_chars
+        FROM documents
+        WHERE {_BUCKET_SQL} < (CASE lang
+            WHEN 'en' THEN 0.5e0 WHEN 'de' THEN 0.25e0 WHEN 'zh' THEN 1.0e0
+            ELSE 0.1e0 END) * 10000
+    )
+    SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS sum_chars
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (corpus mixing step 1): keep
+    a document iff its md5 bucket falls under the stratum's fraction —
+    reproducible across runs/engines/partitionings, unlike RNG-seeded
+    sampleBy (operators/text.py::sample_stratified). Summarized per
+    language so the gate verifies the hash family agrees row-for-row."""
+    kept = text.sample_stratified(
+        _docs(spark, sf_dir),
+        {"en": 0.5, "de": 0.25, "zh": 1.0},
+        default_fraction=0.1,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_mix_epochs",
+    f"""
+    WITH weighted AS (
+        SELECT doc_id, lang,
+               (CASE lang WHEN 'en' THEN 1.7e0 WHEN 'de' THEN 0.5e0
+                          WHEN 'zh' THEN 3.0e0 ELSE 1.0e0 END) AS w,
+               {_BUCKET_SQL} AS b
+        FROM documents
+    ),
+    copies AS (
+        SELECT doc_id, lang,
+               cast(floor(w) AS int)
+               + (CASE WHEN b < (w - floor(w)) * 10000 THEN 1 ELSE 0 END)
+                   AS n
+        FROM weighted
+    ),
+    expanded AS (
+        SELECT doc_id, lang, unnest(generate_series(1, n)) AS epoch
+        FROM copies WHERE n > 0
+    )
+    SELECT lang,
+           count(*) AS n_rows,
+           count(DISTINCT doc_id) AS n_docs,
+           cast(sum(doc_id * epoch) AS bigint) AS mix_checksum
+    FROM expanded GROUP BY lang ORDER BY lang
+    """,
+)
+def text_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch mixing (corpus mixing step 2, the LLaMA data-recipe
+    shape): stratum weight w ⇒ floor(w) copies of every doc plus one
+    extra for the deterministic frac(w) id-slice, so expected epochs
+    equal w exactly with zero RNG state
+    (operators/text.py::mix_epochs). The checksum binds (doc, epoch)
+    pairs, so a fan-out off by one copy hash-mismatches."""
+    mixed = text.mix_epochs(
+        _docs(spark, sf_dir),
+        {"en": 1.7, "de": 0.5, "zh": 3.0},
+        default_weight=1.0,
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.col("doc_id") * F.col("epoch")).cast("long").alias(
+                "mix_checksum"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 @query(
     "text_lm_score",
     f"""
