@@ -18,12 +18,13 @@ The dicts are mutated in place so every existing ``from ... import
 QUERIES`` reference observes the new order.
 
 ROUND-4 TODO: once CORRECTNESS_r03.json lands, fold the r3 window's 50
-names into the green set and rotate the ~16 round-3 entries past slot
+names into the green set and rotate the 18 round-3 entries past slot
 50 (q7/q10/q14/q20, dq_volume_anomaly, a_histogram, emb_pq_codes,
 emb_pq_adc_topk, emb_ivfpq_topk, dedup_retain_corpus,
 dedup_winnowing_pairs, text_chunk_documents, text_char_entropy,
-text_lm_score, text_bm25_topk, lake_zorder_codes) into the r4 window —
-union(r2..r4) then covers the whole registry.
+text_lm_score, text_bm25_topk, text_sample_stratified, text_mix_epochs,
+lake_zorder_codes) into the r4 window — union(r2..r4) then covers the
+whole registry.
 """
 
 from glamira_end_to_end_data_pipeline_spark.plans.queries import ORACLES, QUERIES

@@ -130,3 +130,36 @@ def test_winnowing_guarantee_and_tie_rule(spark):
         (r.a, r.b) for r in winnow_pairs(df, k=8, w=8, min_shared=1).collect()
     }
     assert (1, 4) in pairs and (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_sampling_and_mixing_deterministic_under_repartition(spark):
+    """Membership/fan-out must be pure functions of the id: identical
+    results across re-runs and partitionings, expected mixing rate
+    close to the weight."""
+    from glamira_end_to_end_data_pipeline_spark.operators.text import (
+        mix_epochs,
+        sample_stratified,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept1 = {r.doc_id for r in sample_stratified(df, {"en": 0.3, "de": 0.7}).collect()}
+    kept2 = {
+        r.doc_id
+        for r in sample_stratified(df.repartition(13), {"en": 0.3, "de": 0.7}).collect()
+    }
+    assert kept1 == kept2, "sampling membership changed with partitioning"
+    en_rate = len([d for d in kept1 if d % 2 == 0]) / 1000
+    assert 0.25 < en_rate < 0.35, en_rate
+
+    m1 = sorted((r.doc_id, r.epoch) for r in mix_epochs(df, {"en": 2.5, "de": 0.0}).collect())
+    m2 = sorted(
+        (r.doc_id, r.epoch) for r in mix_epochs(df.repartition(7), {"en": 2.5, "de": 0.0}).collect()
+    )
+    assert m1 == m2, "mixing fan-out changed with partitioning"
+    assert all(d % 2 == 0 for d, _ in m1), "zero-weight stratum leaked"
+    rate = len(m1) / 1000
+    assert 2.4 < rate < 2.6, rate
+    assert {e for _, e in m1} == {1, 2, 3}, "epoch indices must be 1-based"
