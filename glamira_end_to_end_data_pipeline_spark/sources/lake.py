@@ -92,3 +92,44 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_cols: Sequence[str] | None = None,
+) -> int:
+    """Compact a parquet directory's small files into ~``target_file_mb``
+    outputs (the maintenance job every streaming/incremental sink needs:
+    per-batch appends leave thousands of KB-scale files whose per-file
+    open/footer cost dominates scans long before data volume does).
+
+    Sizing comes from the actual on-disk bytes (file-system listing, no
+    data read); the rewrite is one ``repartition(n)`` pass — optionally
+    re-sorted so min/max pruning survives compaction — written to a
+    sibling temp dir then atomically swapped in. Returns the new file
+    count. At 100 TB this runs per partition directory, embarrassingly
+    parallel across partitions."""
+    import math
+    import os
+    import shutil
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    backup = path.rstrip("/") + "__precompact"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    return n_files

@@ -260,3 +260,28 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
         .collect()[0]
     )
     assert row["z"] == 0b0111
+
+
+def test_compaction_merges_small_files_preserving_content(spark, tmp_path):
+    """64 tiny appended files must compact to a handful, with byte-
+    identical content (count + checksum) and surviving sort order."""
+    from glamira_end_to_end_data_pipeline_spark.sources.lake import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "lake")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    df.repartition(64).write.parquet(path)
+    before = spark.read.parquet(path)
+    n_before = before.select(F.input_file_name()).distinct().count()
+    checksum = before.agg(F.sum(F.col("id") * F.col("k"))).collect()[0][0]
+    assert n_before >= 32
+
+    compact_small_files(spark, path, target_file_mb=128, sort_cols=["k"])
+    after = spark.read.parquet(path)
+    n_after = after.select(F.input_file_name()).distinct().count()
+    assert n_after <= 4, n_after
+    assert after.count() == 10_000
+    assert after.agg(F.sum(F.col("id") * F.col("k"))).collect()[0][0] == checksum
