@@ -1,30 +1,27 @@
 """Query-registry assembly + driver-window ordering.
 
 The driver's correctness gate grades ``list(QUERIES)[:50]`` — the first
-50 entries in registration order — per round. Round 2's window covered
-the first 50 registered names, leaving 45 entries (star schema,
-streaming, dedup, similarity, text, multimodal, ingest sources) with no
-driver-green row. This module therefore rebuilds the registry in a
-curated order:
+50 entries in registration order — per round. Rounds 2 and 3 together
+produced driver-green rows for 100 of the 120 registered entries
+(CORRECTNESS_r02.json: the 50 names in ``_R2_GREEN``;
+CORRECTNESS_r03.json: the 50 names in ``_R3_GREEN``). This module
+rebuilds the registry in a curated order so the round-4 window grades
+exactly what has never been graded:
 
-1. ``_ROTATE_FIRST`` — the 45 entries the round-2 window never saw, in
-   a stable explicit order;
-2. ``_FRESH_PRIORITY`` then remaining *new* entries (not in either
-   frozen list) in registration order — so the most important fresh
-   work is graded the round it ships;
-3. the entries already driver-green in CORRECTNESS_r02.json.
+1. ``_ROTATE_FIRST_R4`` — the 20 entries with no driver-green row in
+   either r2 or r3, in a stable explicit order (window slots 0-19);
+2. remaining *new* entries (registered this round, in neither frozen
+   green set nor the rotate list) in registration order — fresh work is
+   graded the round it ships (slots 20+);
+3. the 100 entries already driver-green in r2 ∪ r3, deferred past the
+   window.
 
 The dicts are mutated in place so every existing ``from ... import
 QUERIES`` reference observes the new order.
 
-ROUND-4 TODO: once CORRECTNESS_r03.json lands, fold the r3 window's 50
-names into the green set and rotate the 18 round-3 entries past slot
-50 (q7/q10/q14/q20, dq_volume_anomaly, a_histogram, emb_pq_codes,
-emb_pq_adc_topk, emb_ivfpq_topk, dedup_retain_corpus,
-dedup_winnowing_pairs, text_chunk_documents, text_char_entropy,
-text_lm_score, text_bm25_topk, text_sample_stratified, text_mix_epochs,
-lake_zorder_codes) into the r4 window — union(r2..r4) then covers the
-whole registry.
+After round 4, union(r2..r4) covers the entire registry; subsequent
+rounds only need to front-load fresh entries (step 2) ahead of the
+green backlog.
 """
 
 from glamira_end_to_end_data_pipeline_spark.plans.queries import ORACLES, QUERIES
@@ -37,59 +34,32 @@ from glamira_end_to_end_data_pipeline_spark.plans import (  # noqa: E402,F401
     streaming_queries,
 )
 
-# Entries with no driver-green CORRECTNESS row as of round 2 (the round-2
-# window was exactly the 50 names in _R2_GREEN below). These MUST occupy
-# window slots 0-44 in round 3.
-_ROTATE_FIRST = (
-    "s4_text_ip_worklist",
-    "s12_crawler_parse",
-    "emb_quantize_int8",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "emb_cosine_topk",
-    "emb_ann_lsh_topk",
-    "emb_ivf_topk",
-    "emb_near_dup_pairs",
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprint",
-    "text_split_assign",
-    "text_pack_sequences",
-    "text_shuffle_shards",
-    "text_decontaminate",
-    "text_repetition_filter",
-    "text_quality_filter_stratified",
-    "text_vocab_topk",
-    "text_pii_scrub",
-    "star_stg_summary",
-    "star_dim_customer",
-    "star_dim_session_context",
-    "star_dim_date",
-    "star_dim_product",
-    "star_dim_location",
-    "star_fact_sales_order",
-    "stream_star_fact_incremental",
-    "stream_tumbling_event_counts",
-    "stream_session_windows",
-    "stream_sliding_window_counts",
-    "stream_dedup_replayed",
-    "stream_interval_join_attribution",
-    "s5_s6_incremental_ingest",
-    "s_csv_round_trip",
-    "s_schema_evolution",
-    "s_partitioned_lake",
-    "mm_extract_features",
-    "mm_feature_ann_topk",
-    "mm_resize_images",
-    "mm_video_frame_sample",
+# Entries with no driver-green CORRECTNESS row as of round 3 (not in
+# _R2_GREEN ∪ _R3_GREEN). These MUST occupy window slots 0-19 in round 4.
+_ROTATE_FIRST_R4 = (
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q20_excess_shippers",
+    "dq_volume_anomaly",
+    "a_histogram",
+    "lake_zorder_codes",
+    "dedup_retain_corpus",
+    "dedup_winnowing_pairs",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
+    "emb_ivfpq_topk",
+    "text_chunk_documents",
+    "text_char_entropy",
+    "text_sample_stratified",
+    "text_mix_epochs",
+    "text_lm_score",
+    "text_bm25_topk",
 )
 
-# Driver-green in CORRECTNESS_r02.json (round-2 window) — safe to defer
-# past the round-3 window; union(r2, r3) then covers the whole registry.
+# Driver-green in CORRECTNESS_r02.json (round-2 window).
 _R2_GREEN = frozenset(
     {
         "flagship_daily_events",
@@ -145,32 +115,74 @@ _R2_GREEN = frozenset(
     }
 )
 
-
-# Round-3 fresh entries outnumber the 5 window slots left after the 45
-# rotated names; grade the round-2 verdict's explicit asks first (TPC-H
-# Q2/Q21 = ask #6, Lloyd-refined IVF = ask #7, the 8th dbt model = ask
-# #9, plus the pipeline capstone), then remaining fresh in registration
-# order — they get their driver row in round 4's window.
-_FRESH_PRIORITY = (
-    "q2_min_cost_supplier",
-    "q21_waiting_suppliers",
-    "emb_ivf_refined_topk",
-    "star_date_range",
-    "text_pretraining_pipeline",
+# Driver-green in CORRECTNESS_r03.json (round-3 window).
+_R3_GREEN = frozenset(
+    {
+        "s4_text_ip_worklist",
+        "s12_crawler_parse",
+        "emb_quantize_int8",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_clusters",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "emb_cosine_topk",
+        "emb_ann_lsh_topk",
+        "emb_ivf_topk",
+        "emb_near_dup_pairs",
+        "text_token_stats",
+        "text_quality_score",
+        "text_language_id",
+        "text_fingerprint",
+        "text_split_assign",
+        "text_pack_sequences",
+        "text_shuffle_shards",
+        "text_decontaminate",
+        "text_repetition_filter",
+        "text_quality_filter_stratified",
+        "text_vocab_topk",
+        "text_pii_scrub",
+        "star_stg_summary",
+        "star_dim_customer",
+        "star_dim_session_context",
+        "star_dim_date",
+        "star_dim_product",
+        "star_dim_location",
+        "star_fact_sales_order",
+        "stream_star_fact_incremental",
+        "stream_tumbling_event_counts",
+        "stream_session_windows",
+        "stream_sliding_window_counts",
+        "stream_dedup_replayed",
+        "stream_interval_join_attribution",
+        "s5_s6_incremental_ingest",
+        "s_csv_round_trip",
+        "s_schema_evolution",
+        "s_partitioned_lake",
+        "mm_extract_features",
+        "mm_feature_ann_topk",
+        "mm_resize_images",
+        "mm_video_frame_sample",
+        "q2_min_cost_supplier",
+        "q21_waiting_suppliers",
+        "emb_ivf_refined_topk",
+        "star_date_range",
+        "text_pretraining_pipeline",
+    }
 )
+
+_DRIVER_GREEN = _R2_GREEN | _R3_GREEN
 
 
 def _window_order() -> list[str]:
     registered = list(QUERIES)
-    front = [n for n in _ROTATE_FIRST if n in QUERIES]
-    fresh = [n for n in _FRESH_PRIORITY if n in QUERIES] + [
+    front = [n for n in _ROTATE_FIRST_R4 if n in QUERIES]
+    fresh = [
         n
         for n in registered
-        if n not in _ROTATE_FIRST
-        and n not in _R2_GREEN
-        and n not in _FRESH_PRIORITY
+        if n not in _ROTATE_FIRST_R4 and n not in _DRIVER_GREEN
     ]
-    deferred = [n for n in registered if n in _R2_GREEN]
+    deferred = [n for n in registered if n in _DRIVER_GREEN]
     return front + fresh + deferred
 
 
