@@ -445,16 +445,21 @@ def bm25_topk(
     ONLY thing that shuffles — tokens explode map-side, the filter to
     query terms cuts the stream to |terms| postings, df/tf are partial
     aggregations, and the corpus-level scalars (N, avgdl) ride in on a
-    one-row broadcast. The full corpus is scanned once and never
-    re-shuffled."""
+    one-row broadcast computed from per-doc ``F.size`` BEFORE the
+    explode (one row per doc, no aggregation over the token stream).
+    The final top-k is ``orderBy().limit(k)`` — TakeOrderedAndProject,
+    a per-partition heap + driver merge — never a global window over
+    the unbounded scored set. The result is returned in rank order
+    (score desc, id asc — a total order, since ids are unique); rank
+    itself is the row position, not a materialized column, so no
+    single-partition WindowExec appears anywhere in the plan."""
     terms = [t.lower() for t in query_terms]
-    toks = df.select(
-        F.col(id_col), normalized_tokens(text_col).alias("__toks")
-    ).select(F.col(id_col), F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
-
-    stats = toks.groupBy(id_col).agg(F.first("dl").alias("dl"))
-    corpus = stats.agg(
+    base = df.select(F.col(id_col), normalized_tokens(text_col).alias("__toks"))
+    corpus = base.select(F.size("__toks").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    toks = base.select(
+        F.col(id_col), F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
     )
 
     tf = (
@@ -485,12 +490,7 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.round(F.sum("__s"), 4).alias("bm25_score"))
     )
-    w = Window.orderBy(F.desc("bm25_score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_top)
-        .select(id_col, "bm25_score", "rank")
-    )
+    return scored.orderBy(F.desc("bm25_score"), F.asc(id_col)).limit(k_top)
 
 
 def lm_score(

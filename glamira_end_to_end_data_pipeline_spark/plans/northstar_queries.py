@@ -1567,8 +1567,10 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest({TOKENS_SQL}) AS term
         FROM documents
     ),
-    stats AS (SELECT doc_id, any_value(dl) AS dl FROM toks GROUP BY doc_id),
-    c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM stats),
+    c AS (
+        SELECT count(*) AS n_docs, avg(len({TOKENS_SQL})) AS avgdl
+        FROM documents
+    ),
     tf AS (
         SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
         FROM toks WHERE term IN ('join', 'hash', 'filter')
@@ -1585,12 +1587,10 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tf JOIN dft USING (term), c
         GROUP BY tf.doc_id
     )
-    SELECT doc_id, bm25_score, rank
-    FROM (
-        SELECT *, row_number() OVER (
-            ORDER BY bm25_score DESC, doc_id) AS rank
-        FROM scored
-    ) t WHERE rank <= 10
+    SELECT doc_id, bm25_score
+    FROM scored
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT 10
     """,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,7 +9,11 @@ Every registry entry's plan is checked for the patterns that kill a
   join against a broadcast literal table);
 - ``BatchEvalPython`` — row-at-a-time Python UDF; Arrow paths
   (``ArrowEvalPython``, ``MapInPandas``, ``FlatMapGroupsInPandas``,
-  ``AggregateInPandas``) are the sanctioned Python escapes.
+  ``AggregateInPandas``) are the sanctioned Python escapes;
+- unpartitioned ``Window`` — an ordered window with no PARTITION BY
+  moves the whole input to ONE task. Allowed only where the windowed
+  input is a bounded pre-aggregate (a daily/batch rollup), never raw
+  rows.
 
 Entries whose construction already runs real work (streaming drains,
 ingest round-trips) are audited too — their returned frame's plan is
@@ -41,6 +45,39 @@ BNLJ_OK = {
     "text_bm25_topk",
 }
 
+# Unpartitioned ordered windows allowed ONLY over inputs that are
+# bounded pre-aggregates (cardinality independent of, or reduced
+# orders-of-magnitude below, the raw row count):
+UNPARTITIONED_WINDOW_OK = {
+    # cumulative-users running sum over the DAILY rollup — |days| rows.
+    "w7_new_vs_returning",
+    # trailing mean/stddev z-score over the DAILY rollup — |days| rows.
+    "dq_volume_anomaly",
+    # running counters over the per-1000-event batch rollup — the
+    # declarative twin of the reference's sequential driver counter
+    # (inherently ordered); input is raw/1000, never raw events.
+    "a8_running_counters",
+}
+
+
+def unpartitioned_windows(df) -> list[str]:
+    """Node names of logical Window operators with an EMPTY partition
+    spec anywhere in the optimized plan (the pattern that moves the
+    whole windowed input into a single task)."""
+    hits = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            hits.append(node.nodeName())
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return hits
+
 
 def _entries():
     from __spark_entry__ import queries
@@ -50,7 +87,8 @@ def _entries():
 
 @pytest.mark.parametrize("name,fn", _entries(), ids=[n for n, _ in _entries()])
 def test_plan_has_no_scale_red_flags(spark, name, fn):
-    plan = plan_of(fn(spark, SF_SMALL))
+    df = fn(spark, SF_SMALL)
+    plan = plan_of(df)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
     if name not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (
@@ -59,3 +97,10 @@ def test_plan_has_no_scale_red_flags(spark, name, fn):
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF\n{plan}"
     )
+    if name not in UNPARTITIONED_WINDOW_OK:
+        hits = unpartitioned_windows(df)
+        assert not hits, (
+            f"{name}: unpartitioned window over a potentially unbounded "
+            f"input ({hits}) — partition it, or orderBy().limit(k) for "
+            f"top-k, or allow-list with a boundedness justification\n{plan}"
+        )
