@@ -94,6 +94,15 @@ def write_zordered(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved through Hadoop's
+    configured schemes — file://, hdfs://, s3a://, gs:// all route to
+    the right implementation, unlike ``os``-module calls which silently
+    assume a local posix mount."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
@@ -108,28 +117,56 @@ def compact_small_files(
     Sizing comes from the actual on-disk bytes (file-system listing, no
     data read); the rewrite is one ``repartition(n)`` pass — optionally
     re-sorted so min/max pruning survives compaction — written to a
-    sibling temp dir then atomically swapped in. Returns the new file
-    count. At 100 TB this runs per partition directory, embarrassingly
-    parallel across partitions."""
-    import math
-    import os
-    import shutil
+    sibling temp dir then swapped in. Returns the new file count. At
+    100 TB this runs per partition directory, embarrassingly parallel
+    across partitions.
 
-    total_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _dirs, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    Every filesystem operation goes through the Hadoop FileSystem API
+    (the reference's real sink is an object store —
+    ``6.dps/export_to_GCS.py:211-230`` — where ``os.rename`` does not
+    exist as a concept). Crash-safety: a previous run that died between
+    the two renames leaves ``__precompact`` holding the only copy —
+    detected and restored before anything else; stale temp dirs from
+    failed writes are cleared. The two-rename swap is atomic on
+    posix/HDFS; on S3/GCS rename is a server-side copy, so there the
+    swap is correct but not atomic — pair with a table format
+    (Delta/Iceberg) when readers must never observe the gap."""
+    import math
+
+    fs, live = _hadoop_fs(spark, path)
+    base = path.rstrip("/")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = jvm_path(base + "__compacting")
+    backup = jvm_path(base + "__precompact")
+
+    # Recovery/cleanup from a prior failed run: backup present without
+    # the live dir means we crashed mid-swap — the backup IS the data.
+    if fs.exists(backup):
+        if fs.exists(live):
+            fs.delete(backup, True)
+        else:
+            if not fs.rename(backup, live):
+                raise IOError(f"could not restore {backup} -> {path}")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+
+    total_bytes = 0
+    listing = fs.listFiles(live, True)
+    while listing.hasNext():
+        status = listing.next()
+        if status.getPath().getName().endswith(".parquet"):
+            total_bytes += status.getLen()
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
-    out = df.repartition(n_files)
+
+    out = spark.read.parquet(path).repartition(n_files)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    tmp = path.rstrip("/") + "__compacting"
-    out.write.mode("overwrite").parquet(tmp)
-    backup = path.rstrip("/") + "__precompact"
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    shutil.rmtree(backup)
+    out.write.mode("overwrite").parquet(tmp.toString())
+
+    if not fs.rename(live, backup):
+        raise IOError(f"could not stage {path} -> {backup}")
+    if not fs.rename(tmp, live):
+        fs.rename(backup, live)  # roll back; data dir never lost
+        raise IOError(f"could not swap {tmp} -> {path}")
+    fs.delete(backup, True)
     return n_files

@@ -264,12 +264,15 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
 
 def test_compaction_merges_small_files_preserving_content(spark, tmp_path):
     """64 tiny appended files must compact to a handful, with byte-
-    identical content (count + checksum) and surviving sort order."""
+    identical content (count + checksum) and surviving sort order —
+    through an explicit file://-scheme Hadoop FileSystem path (the
+    same code path an hdfs://-or-object-store URI takes), never raw
+    os.rename on the data dir."""
     from glamira_end_to_end_data_pipeline_spark.sources.lake import (
         compact_small_files,
     )
 
-    path = str(tmp_path / "lake")
+    path = "file://" + str(tmp_path / "lake")
     df = spark.range(10_000).select(
         F.col("id"), (F.col("id") % 97).alias("k")
     )
@@ -285,3 +288,33 @@ def test_compaction_merges_small_files_preserving_content(spark, tmp_path):
     assert n_after <= 4, n_after
     assert after.count() == 10_000
     assert after.agg(F.sum(F.col("id") * F.col("k"))).collect()[0][0] == checksum
+
+
+def test_compaction_recovers_from_mid_swap_crash(spark, tmp_path):
+    """A prior run that died between the two swap renames leaves
+    __precompact holding the ONLY copy of the data; the next run must
+    restore it (not delete it) and then compact normally. A stale
+    __compacting temp dir from a failed write must be cleared, not
+    collide."""
+    import os
+
+    from glamira_end_to_end_data_pipeline_spark.sources.lake import (
+        compact_small_files,
+    )
+
+    local = tmp_path / "lake"
+    path = "file://" + str(local)
+    spark.range(1_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(16).write.parquet(path)
+
+    # Simulate the crash window: live dir renamed away, tmp half-written.
+    os.rename(local, tmp_path / "lake__precompact")
+    (tmp_path / "lake__compacting").mkdir()
+    (tmp_path / "lake__compacting" / "_started").write_text("stale")
+
+    compact_small_files(spark, path, target_file_mb=128)
+    after = spark.read.parquet(path)
+    assert after.count() == 1_000
+    assert not (tmp_path / "lake__precompact").exists()
+    assert not (tmp_path / "lake__compacting").exists()
