@@ -199,7 +199,12 @@ def _quantize_sums_fn(emb: pd.Series) -> pd.DataFrame:
             codes = fl + (y - fl >= 0.5)
             codes = np.where(np.isnan(codes), 0.0, codes)
             err = np.abs(x - (mn + codes * sc))
-        return int(codes.sum()), float(err.sum() / x.size)
+        # cumsum is a strict left-to-right fold — the same addition
+        # order as the DuckDB oracle's list fold — where np.sum's
+        # pairwise summation can differ by an ulp and flip the 6dp
+        # round at a boundary. codes.sum() is integer-valued, so
+        # pairwise is exact there.
+        return int(codes.sum()), float(np.cumsum(err)[-1] / x.size)
 
     lens = emb.map(len).to_numpy()
     if len(lens) and (lens == lens[0]).all():
@@ -215,7 +220,8 @@ def _quantize_sums_fn(emb: pd.Series) -> pd.DataFrame:
             codes = np.where(np.isnan(codes), 0.0, codes)
             err = np.abs(x - (mn + codes * sc))
         code_sum = codes.sum(axis=1).astype(np.int64)
-        mean_err = err.sum(axis=1) / x.shape[1]
+        # Sequential (cumsum) fold per row, not pairwise — see `one`.
+        mean_err = np.cumsum(err, axis=1)[:, -1] / x.shape[1]
     else:  # ragged batch — per-row fallback, same arithmetic
         sums = [one(v) for v in emb]
         code_sum = np.array([s[0] for s in sums], dtype=np.int64)

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _SALT_B = "__salt_big"
@@ -38,17 +38,18 @@ def detect_hot_keys(
     them by construction, so the collect is bounded regardless of table
     size.
 
-    Single Spark job, single pass over ``df``: the total is folded in as
-    an unpartitioned window sum over the *grouped* counts (one row per
-    distinct key — the expensive scan+shuffle of ``df`` happens exactly
-    once), rather than a separate ``count()`` action re-scanning the
-    table. The window's one-reducer pass touches |distinct keys| (key,
-    count) pairs, which is the same table the old second action
-    collected from — fine for join-key cardinalities; the collect stays
-    bounded by 1/min_frac regardless."""
+    Single pass over ``df``: the grouped (key, count) table is built
+    once, its one-row grand total is broadcast back onto it, and the
+    ≥min_frac filter runs distributed — no step ever moves the full
+    distinct-key table into one task (an unpartitioned window here
+    would single-reduce |distinct keys| rows, which at 100 TB join-key
+    cardinalities is its own skew problem). The grouped shuffle appears
+    in both branches and is deduplicated by Spark's exchange reuse; the
+    collect stays bounded by 1/min_frac regardless of table size."""
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    total = counts.agg(F.sum("__cnt").alias("__total"))
     rows = (
-        counts.withColumn("__total", F.sum("__cnt").over(Window.partitionBy()))
+        counts.join(F.broadcast(total))
         .filter(F.col("__cnt") >= F.lit(min_frac) * F.col("__total"))
         .select(key_col)
         .collect()

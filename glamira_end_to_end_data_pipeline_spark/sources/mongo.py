@@ -88,9 +88,14 @@ def read_mongo(
         reader = reader.schema(schema)
     try:
         return reader.load()
-    except Exception as exc:  # connector jar absent or URI unreachable
+    except Exception as exc:
+        # Only the connector-jar-absent markers map to the actionable
+        # install hint. Anything else (timeouts, auth, bad URI) almost
+        # always embeds "mongodb://" in its message, so matching on the
+        # word "mongodb" would misdiagnose genuine connection failures
+        # as a missing jar — let those propagate unchanged.
         msg = str(exc)
-        if "DATA_SOURCE_NOT_FOUND" in msg or "mongodb" in msg.lower():
+        if "DATA_SOURCE_NOT_FOUND" in msg or "ClassNotFoundException" in msg:
             raise RuntimeError(
                 "MongoDB Spark connector not available in this session. "
                 "Submit with --packages org.mongodb.spark:"
