@@ -1181,6 +1181,126 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11 AND l.l_returnflag = 'N')
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20 AND l.l_returnflag = 'N')
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30 AND l.l_returnflag = 'N')
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — discounted revenue under an OR-of-ANDs
+    predicate spanning both join sides (brand/size terms on part,
+    quantity/returnflag terms on lineitem). The optimizer pattern this
+    exercises: Catalyst's CNF conversion extracts the single-side
+    disjunctions — ``(qty∈[1,11] ∧ rf='N') ∨ (qty∈[10,20] ∧ rf='N') ∨
+    ...`` pushes below the join into the lineitem scan and the
+    brand/size disjunction into the part scan — so both scans prune
+    BEFORE the join and the residual mixed predicate only filters
+    already-matching rows (asserted by the plan test). No TPC-H
+    container/shipmode columns in the testdata; brand/size/returnflag
+    keep the three-branch disjunctive structure."""
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+
+    def branch(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+            & (F.col("l_returnflag") == "N")
+        )
+
+    pred = (
+        branch("Brand#1", 5, 1, 11)
+        | branch("Brand#2", 10, 10, 20)
+        | branch("Brand#3", 15, 20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_balances",
+    """
+    WITH pool AS (
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer WHERE c_nationkey BETWEEN 10 AND 16
+    ),
+    cutoff AS (
+        SELECT avg(c_acctbal) AS avg_bal FROM pool WHERE c_acctbal > 0.0
+    ),
+    recent AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+    SELECT p.c_nationkey AS cntry,
+           count(*) AS numcust,
+           round(sum(p.c_acctbal), 2) AS totacctbal
+    FROM pool p, cutoff
+    WHERE p.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM recent r
+                      WHERE r.o_custkey = p.c_custkey)
+    GROUP BY p.c_nationkey
+    ORDER BY p.c_nationkey
+    """,
+)
+def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — dormant high-balance accounts: the scalar-avg
+    subquery (mean positive balance over the nation pool) gates the
+    pool via a one-row broadcast, and NOT EXISTS against recent orders
+    decorrelates to a left-anti join. Every sf0.01 customer has SOME
+    order, so the anti-join side is the *recent* (2001+) order slice
+    (the date filter reaches the orders scan) rather than all orders — same
+    anti + scalar-subquery optimizer pattern, non-degenerate result.
+    The anti join build side is distinct custkeys of a date slice —
+    orders never joins at full width."""
+    pool = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").between(10, 16))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    cutoff = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        pool.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, pool.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+@query(
     "q8_market_share",
     """
     WITH all_sales AS (

@@ -34,6 +34,8 @@ BNLJ_OK = {
     "mm_feature_ann_topk",  # same shape over media features
     "j6_value_range_join",  # broadcast 50-row band table, range predicate
     "a5_minmax_date_range", # scalar bounds row cross-joined to output
+    # Q22's scalar-avg cutoff is a ONE-ROW broadcast gating the pool.
+    "q22_dormant_balances",
     "s5_s6_incremental_ingest",  # broadcast single-row audit/manifest stats
     # anti-join pushed through the union: the injected literal orphan key
     # constant-folds into a 1-row x <=1-row BNLJ existence branch (with

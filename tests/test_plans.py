@@ -121,6 +121,42 @@ def test_q2_decorrelated_no_cartesian(spark, registry):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q19_disjunctive_predicates_pushed_per_side(spark, registry):
+    """Q19's OR-of-ANDs spans both join sides; Catalyst must extract
+    each side's disjunction and push it below the join: the quantity
+    OR-tree (plus the common returnflag conjunct) into the lineitem
+    scan, the brand/size OR-tree into the part scan — neither scan may
+    read unfiltered."""
+    plan = plan_of(registry["q19_disjunctive_revenue"](spark, SF_SMALL))
+    li_scan = next(
+        seg for seg in plan.split("\n\n")
+        if "Scan parquet" in seg and "lineitem" in seg
+    )
+    li_pushed = li_scan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_returnflag" in li_pushed, li_scan
+    assert "Or(" in li_pushed and "l_quantity" in li_pushed, li_scan
+    p_scan = next(
+        seg for seg in plan.split("\n\n")
+        if "Scan parquet" in seg and "/part" in seg
+    )
+    p_pushed = p_scan.split("PushedFilters:")[1].split("\n")[0]
+    assert "Or(" in p_pushed and "p_brand" in p_pushed, p_scan
+
+
+def test_q22_anti_join_and_scalar_cutoff_shapes(spark, registry):
+    """Q22's NOT EXISTS must plan as a LeftAnti join and the recent-
+    orders date filter must reach the orders scan; the scalar-avg
+    cutoff rides a one-row broadcast, never a cartesian product."""
+    plan = plan_of(registry["q22_dormant_balances"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    o_scan = next(
+        seg for seg in plan.split("\n\n")
+        if "Scan parquet" in seg and "orders" in seg
+    )
+    assert "o_orderdate" in o_scan.split("PushedFilters:")[1].split("\n")[0], o_scan
+
+
 def test_q21_semi_anti_planned_as_such(spark, registry):
     """Q21's EXISTS / NOT EXISTS must plan as LeftSemi / LeftAnti joins
     (the non-equi suppkey<> conjunct rides as a join residual), not as
