@@ -33,11 +33,18 @@ HEADLINE = [
     "q4_semi_join_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
+    "q13_customer_distribution",
     "q14_promo_effect",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    "q22_dormant_balances",
     "flagship_daily_events",
     "p1_typed_projection",
     "f_ip_enrichment",
@@ -61,16 +68,22 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_winnowing_pairs",
+    "lake_zorder_codes",
     "emb_cosine_topk",
     "emb_ann_lsh_topk",
     "emb_ivf_topk",
     "emb_quantize_int8",
     "emb_pq_codes",
     "emb_pq_adc_topk",
+    "emb_ivfpq_topk",
     "text_quality_score",
     "text_decontaminate",
     "text_fingerprint",
     "text_chunk_documents",
+    "text_bm25_topk",
+    "text_lm_score",
+    "text_mix_epochs",
     "text_pretraining_pipeline",
     "dq_volume_anomaly",
     "mm_extract_features",

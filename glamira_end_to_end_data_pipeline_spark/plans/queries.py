@@ -37,7 +37,10 @@ from glamira_end_to_end_data_pipeline_spark.functions import (
 )
 from glamira_end_to_end_data_pipeline_spark.operators.geo import range_join_bucketed
 from glamira_end_to_end_data_pipeline_spark.operators.skew import salted_join
-from glamira_end_to_end_data_pipeline_spark.caching import release_tracked
+from glamira_end_to_end_data_pipeline_spark.caching import (
+    release_tracked,
+    tracked_persist,
+)
 from glamira_end_to_end_data_pipeline_spark.session import ensure_runtime_confs
 from glamira_end_to_end_data_pipeline_spark.sources import read_table
 from glamira_end_to_end_data_pipeline_spark.sources.bucketing import (
@@ -1420,6 +1423,366 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           cast(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.6 * p.p_retailprice * l.l_quantity
+                         AS DECIMAL(18, 4))) AS double) AS sum_profit,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%ge%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by nation and year: the
+    widest join tree in the suite that has NO selective fact filter, so
+    the plan quality rests entirely on build-side choice. part (name
+    LIKE-filtered), supplier, orders, nation are all broadcast; lineitem
+    never shuffles until the final (nation, year) hash-agg — which is
+    ~|nations|x|years| groups, collapsed map-side. No partsupp table in
+    the testdata, so supply cost is the 0.6*p_retailprice stand-in
+    (keeps Q9's profit-expression shape: an arithmetic combination of
+    columns from two different join inputs, which defeats
+    pre-aggregation below the join).
+
+    Scale: lineitem is pipelined through four broadcast hash joins in
+    one stage (no fact shuffle); the LIKE filter prunes part before
+    broadcast. At 100 TB only orders' broadcast could overflow — AQE
+    would then pick a shuffle join for exactly that edge.
+
+    Determinism: the profit expression SUBTRACTS two same-magnitude
+    products, so a double sum's order-dependent low bits can flip a 2dp
+    round at a .xx5 boundary across engines (observed at sf0.01). The
+    per-row double expression is engine-identical, so it is quantized
+    to DECIMAL(18,4) per row and summed EXACTLY — order-independent,
+    hash-stable — then surfaced as double.
+
+    Parity: reference models compute per-product revenue rollups
+    (models/sales_summary.sql shape); TPC-H Q9 is the standard
+    benchmark expression of that multi-dim profit rollup."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%ge%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit.cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH ps AS (
+        SELECT l.l_partkey AS partkey,
+               sum(l.l_extendedprice) AS value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_nationkey BETWEEN 0 AND 7
+        GROUP BY l.l_partkey
+    ),
+    total AS (SELECT sum(value) AS tot FROM ps)
+    SELECT ps.partkey, round(ps.value, 2) AS value
+    FROM ps, total
+    WHERE ps.value > 0.0009 * total.tot
+    ORDER BY ps.value DESC, ps.partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose supplied value exceeds a fraction
+    of the TOTAL supplied value: grouped agg reused twice, once re-
+    aggregated to one row and broadcast back as the threshold. No
+    partsupp table, so lineitem x nation-filtered suppliers stands in
+    for the nation's part-supply values.
+
+    Scale: the per-part agg is ONE shuffle and is persisted so the
+    total is a re-agg of the (already small, |parts|-row) grouped
+    result, not a second scan of lineitem; the threshold joins back as
+    a single-row broadcast (BNLJ on one row — same allow-listed shape
+    as q22's scalar cutoff). No global sort pressure: ORDER BY runs on
+    the few surviving rows."""
+    sup = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").between(0, 7))
+        .select("s_suppkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = tracked_persist(
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = ps.agg(F.sum("value").alias("tot"))
+    return (
+        ps.join(F.broadcast(total))
+        .filter(F.col("value") > 0.0009 * F.col("tot"))
+        .select("partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@query(
+    "q12_priority_by_flag",
+    """
+    SELECT l.l_returnflag AS flag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional CASE-sum pivot over a fact-dim
+    join: counts of urgent vs non-urgent order priorities per lineitem
+    class (l_returnflag stands in for the testdata's missing
+    l_shipmode). Exercises the CASE-WHEN-inside-SUM aggregate pattern
+    (a manual pivot — the same shape as a_pivot_daily_mix but driven
+    through a join).
+
+    Scale: the date filter reaches the lineitem scan (pushed), the
+    pruned fact broadcasts nothing — orders joins shuffled-hash or
+    broadcast per AQE stats — and the agg output is |returnflag| = 2
+    rows with integer counts (hash-exact cross-engine)."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(r.total_revenue, 2) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the supplier(s) achieving the MAXIMUM quarterly
+    revenue: a derived aggregate consumed twice, once reduced to a
+    scalar max that gates the other use. The view-reuse query.
+
+    Scale: revenue (one row per supplier with sales in the quarter) is
+    persisted so the scalar max re-aggregates the small grouped result
+    instead of re-scanning lineitem; the max joins back as a one-row
+    broadcast (allow-listed single-row BNLJ, the q22 cutoff pattern) and
+    supplier attaches via broadcast hash join. The max-equality
+    comparison is within-engine on identically-derived doubles, so
+    cross-engine summation-order noise cannot change the winner (ties
+    would need two suppliers within one ulp)."""
+    rev = tracked_persist(
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    best = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    WITH bridge AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT b.l_suppkey) AS supplier_cnt
+    FROM bridge b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND b.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — how many DISTINCT suppliers can furnish each
+    (brand, type, size) bucket, excluding a complained-about supplier
+    set via NOT IN: distinct-projection of the fact as a part-supplier
+    bridge (no partsupp table), negated membership as an anti join, and
+    a count-distinct grouped by dim attributes.
+
+    Scale: the bridge distinct is the one wide shuffle and it shrinks
+    lineitem to |part x supplier| pairs first; the NOT IN set (negative-
+    balance suppliers) is provably non-null so Catalyst plans a plain
+    (not null-aware) broadcast anti join; part attributes broadcast.
+    count(DISTINCT) re-shuffles only the already-distinct bridge."""
+    bridge = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        bridge.join(bad, bridge.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH avg_qty AS (
+        SELECT l_partkey AS ap, 0.5 * avg(l_quantity) AS half_avg
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.ap = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < a.half_avg
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue locked in below-half-average-quantity
+    line items: the canonical CORRELATED scalar subquery (per-part avg
+    quantity compared against each of that part's rows), decorrelated
+    into a grouped agg joined back on the correlation key.
+
+    Scale: the per-part avg is one shuffle producing |parts| rows —
+    broadcast back onto the brand-filtered fact, so the fact itself
+    never shuffles (brand filter is pushed to the scan, prunes ~1/25).
+    Cross-engine safety: l_quantity is integer-valued, so sum/count (and
+    hence avg and the 0.5x threshold) are EXACT doubles in both engines
+    — the `<` comparison cannot flip on summation order.
+
+    Reference parity: the dbt models' per-entity average-vs-row
+    comparisons (models/marts shape); Q17 is the benchmark form."""
+    avg_qty = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("ap"))
+        .agg((0.5 * F.avg("l_quantity")).alias("half_avg"))
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
 
 

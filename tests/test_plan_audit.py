@@ -36,6 +36,11 @@ BNLJ_OK = {
     "a5_minmax_date_range", # scalar bounds row cross-joined to output
     # Q22's scalar-avg cutoff is a ONE-ROW broadcast gating the pool.
     "q22_dormant_balances",
+    # Q11's total-value threshold and Q15's max-revenue gate: ONE-ROW
+    # re-aggregates of an already-persisted grouped result, broadcast
+    # back onto it (the q22 cutoff pattern).
+    "q11_important_parts",
+    "q15_top_supplier",
     "s5_s6_incremental_ingest",  # broadcast single-row audit/manifest stats
     # anti-join pushed through the union: the injected literal orphan key
     # constant-folds into a 1-row x <=1-row BNLJ existence branch (with

@@ -157,6 +157,56 @@ def test_q22_anti_join_and_scalar_cutoff_shapes(spark, registry):
     assert "o_orderdate" in o_scan.split("PushedFilters:")[1].split("\n")[0], o_scan
 
 
+def test_q9_fact_never_shuffles_before_agg(spark, registry):
+    """Q9's four dimension joins must ALL broadcast (lineitem is
+    pipelined through one stage — no fact-side Exchange until the
+    final (nation, year) hash-agg), and the p_name LIKE filter must
+    reach the part scan as a pushed StringContains."""
+    plan = plan_of(registry["q9_product_profit"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one fact-side Exchange: the final (nation, year) agg
+    # (plus the top-level Sort's range Exchange) — no join shuffles.
+    assert plan.split("HashAggregate")[0].count("Exchange") <= 2, plan
+    p_scan = next(
+        seg for seg in plan.split("\n\n")
+        if "Scan parquet" in seg and "/part" in seg
+    )
+    assert "p_name" in p_scan.split("PushedFilters:")[1].split("\n")[0], p_scan
+
+
+def test_q16_not_in_planned_as_plain_anti(spark, registry):
+    """Q16's NOT IN over the provably non-null s_suppkey must plan as a
+    plain LeftAnti (no null-aware BNLJ fallback), and the size/brand
+    membership filters must reach the part scan."""
+    plan = plan_of(registry["q16_supplier_part_counts"](spark, SF_SMALL))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    p_scan = next(
+        seg for seg in plan.split("\n\n")
+        if "Scan parquet" in seg and "/part" in seg
+    )
+    pushed = p_scan.split("PushedFilters:")[1].split("\n")[0]
+    assert "p_size" in pushed and "p_brand" in pushed, p_scan
+
+
+def test_q17_decorrelated_avg_broadcasts_back(spark, registry):
+    """Q17's correlated per-part avg must decorrelate into a grouped
+    agg joined back by BROADCAST (the brand-filtered fact never
+    shuffles), with the brand filter pushed to the part scan."""
+    plan = plan_of(registry["q17_small_quantity_revenue"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    p_scan = next(
+        seg for seg in plan.split("\n\n")
+        if "Scan parquet" in seg and "/part" in seg
+    )
+    assert "p_brand" in p_scan.split("PushedFilters:")[1].split("\n")[0], p_scan
+
+
 def test_q21_semi_anti_planned_as_such(spark, registry):
     """Q21's EXISTS / NOT EXISTS must plan as LeftSemi / LeftAnti joins
     (the non-equi suppkey<> conjunct rides as a join residual), not as
