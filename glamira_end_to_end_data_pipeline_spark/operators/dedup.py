@@ -3,10 +3,9 @@
 Beyond-reference north-star operators (BASELINE.json): the reference's
 only dedup is key-level ``distinct`` (SURVEY §2.4 A1/A2); a training-data
 pipeline needs *content* dedup. Operators are pure DataFrame
-compositions — Catalyst/AQE own the physical plan — with one deliberate
-exception: winnowing's per-document fingerprint selection is an
-Arrow-batched pandas UDF (see ``_winnow_fp_udf`` for the measured
-rationale).
+compositions — Catalyst/AQE own the physical plan; even winnowing's
+per-window fingerprint selection stays JVM-side (exploded gram
+positions + a per-document window min — see ``winnow_fingerprints``).
 
 Scale design (100 TB):
 
@@ -22,8 +21,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -476,40 +474,6 @@ def retain_canonical(
     )
 
 
-def _winnow_fp_udf(k: int, w: int):
-    """Arrow-batched winnowing core (built lazily — pandas UDF return
-    types need an active session). Row-local by nature, so a vectorized
-    UDF is the right engine shape: map-only, each k-gram md5 computed
-    exactly once. A pure higher-order-function formulation re-evaluates
-    the (lazy) gram-array expression on EVERY window element access —
-    O(n²·w) md5 calls per document, measured minutes-vs-seconds."""
-    import hashlib
-
-    def fps_one(norm: str) -> list[int]:
-        n = max(len(norm) - (k - 1), 1)
-        # p is 1-based to match the SQL twin's substr(norm, p, k)
-        grams = [
-            int(hashlib.md5(norm[p - 1 : p - 1 + k].encode()).hexdigest()[:15], 16)
-            % MINHASH_P
-            for p in range(1, n + 1)
-        ]
-        ng = len(grams)
-        sel = {
-            min(
-                grams[p - 1] * 1024 + (t + w - 1 - p)
-                for p in range(t, min(t + w - 1, ng) + 1)
-            )
-            >> 10
-            for t in range(1, max(ng - (w - 1), 1) + 1)
-        }
-        return sorted(sel)
-
-    def batch(norm: pd.Series) -> pd.Series:
-        return norm.map(fps_one)
-
-    return F.pandas_udf(batch, "array<long>")
-
-
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 8,
@@ -520,20 +484,66 @@ def winnow_fingerprints(
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     algorithm): hash every character ``k``-gram of the normalized text,
     slide a window of ``w`` consecutive hashes, and select each
-    window's minimum (ties → rightmost position, the paper's rule,
-    encoded as the scalar key hash·1024 + (t+w−1−p) so both engines
-    compare plain integers; >>10 recovers the hash). Guarantees any
-    shared substring of length ≥ w+k−1 yields at least one shared
-    fingerprint — substring-level near-dup detection that token
-    shingles miss (reordered sentences, partial copies).
+    window's minimum (ties → rightmost position, the paper's rule).
+    Guarantees any shared substring of length ≥ w+k−1 yields at least
+    one shared fingerprint — substring-level near-dup detection that
+    token shingles miss (reordered sentences, partial copies).
 
-    Map-only (no shuffle): normalization is a codegen'd expression, the
-    per-document fingerprint set comes from one Arrow-batched pandas
-    UDF (see :func:`_winnow_fp_udf` for why not a HOF chain), and only
-    the exploded (id, 31-bit fp) rows ever shuffle downstream."""
+    Engine shape — entirely JVM, zero Python: gram positions explode
+    from a ``sequence`` (one row per k-gram), each gram is hashed ONCE
+    by codegen'd ``md5``/``conv`` (the first 15 hex chars = 60 bits, mod
+    the Mersenne prime — byte-identical to the DuckDB twin), and window
+    selection is a per-document ``min`` over the ``w`` FOLLOWING rows.
+    The rightmost-tie rule rides the scalar key hash·1024 − p: within a
+    window starting at t the paper's key hash·1024 + (t+w−1−p) differs
+    from it only by the constant t+w−1, so the argmin is identical and
+    the selected hash is recovered as (min + t + w − 1) >> 10.
+
+    Cost model: the only shuffle is the per-``id_col`` repartition for
+    the window sort, carrying (id, ng, p, 61-bit key) — the text itself
+    never shuffles (dropped in the projection that computes the key).
+    Each partition sorts its documents' gram rows: O(len·log len) per
+    doc, embarrassingly parallel across docs, no single-task window
+    (partitioned by document). An earlier Arrow pandas-UDF version
+    computed the same thing row-locally in Python at ~20× the cost
+    (hashlib.md5 per gram, per-window Python set churn) — measured
+    22 s → ~1 s at sf0.1."""
     norm = F.concat_ws(" ", normalized_tokens(text_col))
-    fps = _winnow_fp_udf(k, w)(norm)
-    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
+    ng = F.greatest(F.length("__norm") - F.lit(k - 1), F.lit(1))
+    base = df.select(F.col(id_col), norm.alias("__norm")).select(
+        F.col(id_col),
+        F.col("__norm"),
+        ng.alias("__ng"),
+        F.explode(F.sequence(F.lit(1), ng)).alias("p"),
+    )
+    # 1-based substr to match the SQL twin; md5 hex → first 15 chars →
+    # 60-bit int → mod 2^31-1, exactly the oracle's expression.
+    gram = F.substring(F.col("__norm"), F.col("p"), F.lit(k))
+    ghash = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long") % F.lit(
+        MINHASH_P
+    )
+    keyed = base.select(
+        F.col(id_col),
+        F.col("__ng"),
+        F.col("p"),
+        (ghash * 1024 - F.col("p")).alias("__key"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        keyed.withColumn("__m", F.min("__key").over(win))
+        # one window per start position t = p, truncated at the tail
+        # exactly like the paper: t ranges 1 .. max(ng-w+1, 1)
+        .filter(F.col("p") <= F.greatest(F.col("__ng") - F.lit(w - 1), F.lit(1)))
+        .select(
+            F.col(id_col),
+            F.shiftright(F.col("__m") + F.col("p") + F.lit(w - 1), 10).alias("fp"),
+        )
+        .distinct()
+    )
 
 
 def winnow_pairs(
@@ -549,7 +559,11 @@ def winnow_pairs(
     economics as MinHash — only 31-bit fingerprints shuffle, the
     self-join keys on the fingerprint, and the pair count is a
     groupBy."""
-    fps = winnow_fingerprints(df, k, w, id_col, text_col)
+    # persisted: the self-join consumes the fingerprint set twice and
+    # would otherwise recompute the gram hashing + window selection for
+    # both sides. (id, 31-bit fp) rows are orders of magnitude smaller
+    # than the corpus.
+    fps = tracked_persist(winnow_fingerprints(df, k, w, id_col, text_col))
     a = fps.select(F.col(id_col).alias("a"), "fp")
     b = fps.select(F.col(id_col).alias("b"), "fp")
     return (
