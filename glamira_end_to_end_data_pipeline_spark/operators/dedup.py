@@ -421,26 +421,35 @@ def duplicate_clusters(
         e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct(),
         StorageLevel.MEMORY_AND_DISK,
     )
-    labels = edges.select("u").distinct().select(
-        F.col("u").alias("node"), F.col("u").alias("label")
+    # Seed with round 1 for free: the node list needs a shuffle on u
+    # anyway, so fold the first propagation (min over direct
+    # neighbors, and u itself) into that same aggregation.
+    labels = edges.groupBy(F.col("u").alias("node")).agg(
+        F.least(F.min("v"), F.col("u")).alias("label")
     )
     for _ in range(max_iters):
         nbr = edges.join(labels, edges["v"] == labels["node"]).select(
-            edges["u"].alias("node"), labels["label"]
+            edges["u"].alias("node"),
+            labels["label"],
+            F.lit(None).cast("long").alias("old"),
         )
+        # Convergence detection rides the SAME aggregation: each node's
+        # previous label travels through the union in `old` (non-null
+        # exactly once per node), so after the checkpoint the change
+        # check is a scan of materialized rows — not the extra
+        # shuffle-join-per-round the first version paid.
         new_labels = (
-            nbr.unionAll(labels)
+            nbr.unionAll(
+                labels.select("node", "label", F.col("label").alias("old"))
+            )
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             .localCheckpoint()
         )
         changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
