@@ -69,6 +69,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_winnowing_pairs",
+    "dedup_segment_boilerplate",
     "lake_zorder_codes",
     "emb_cosine_topk",
     "emb_ann_lsh_topk",
@@ -84,6 +85,7 @@ HEADLINE = [
     "text_bm25_topk",
     "text_lm_score",
     "text_mix_epochs",
+    "text_bpe_merges",
     "text_pretraining_pipeline",
     "dq_volume_anomaly",
     "mm_extract_features",

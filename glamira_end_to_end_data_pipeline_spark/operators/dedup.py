@@ -582,3 +582,54 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def segment_boilerplate(
+    df: DataFrame,
+    seg_tokens: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/RefinedWeb-style sub-document boilerplate detection: the text
+    is cut into consecutive non-overlapping ``seg_tokens``-token
+    segments, and a segment whose exact content appears in at least
+    ``min_docs`` DISTINCT documents is boilerplate (cookie banners,
+    license headers, navigation chrome — the repeated matter C4 strips
+    line-by-line; with no newline structure in this corpus, fixed token
+    windows are the segment unit). Returns per-document totals:
+    (id, n_segments, n_boilerplate) — the caller drops or masks the
+    flagged segments.
+
+    Scale shape: segments are hashed to 31-bit ints BEFORE any shuffle
+    (the exploded stream carries (id, long), never segment text); the
+    document-frequency count is one hash-shuffle with map-side partial
+    aggs, and the flag rejoins the segment stream keyed on the same
+    hash — AQE handles the hot boilerplate keys (the very rows this
+    operator exists to find). The per-doc rollup re-shuffles only
+    (id, flag) pairs."""
+    toks = normalized_tokens(text_col)
+    with_toks = df.select(F.col(id_col), toks.alias("__toks"))
+    nseg = F.ceil(F.size("__toks") / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda c: F.concat_ws(
+            " ", F.slice(F.col("__toks"), c * seg_tokens + 1, seg_tokens)
+        ),
+    )
+    seg_stream = with_toks.select(
+        F.col(id_col), F.explode(segs).alias("__seg")
+    ).select(F.col(id_col), shingle_to_int(F.col("__seg")).alias("seg_x"))
+    docfreq = seg_stream.groupBy("seg_x").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    return (
+        seg_stream.join(docfreq, "seg_x")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("__nd") >= min_docs).cast("int")).alias(
+                "n_boilerplate"
+            ),
+        )
+    )

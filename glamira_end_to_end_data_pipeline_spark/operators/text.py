@@ -588,3 +588,74 @@ def mix_epochs(
     return df.withColumn("__n", n_copies).filter(F.col("__n") > 0).select(
         "*", F.posexplode(F.sequence(F.lit(1), F.col("__n"))).alias("__pos", "epoch")
     ).drop("__n", "__pos")
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer-training rounds over the corpus (the Sennrich
+    merge loop): each round counts every ADJACENT token pair
+    corpus-wide, picks the most frequent (ties → lexicographically
+    smallest pair), and fuses that pair into a single token everywhere
+    before the next count. Returns the learned merge table —
+    (step, pair, n_occurrences), ``n_merges`` rows — the artifact a
+    tokenizer trainer persists.
+
+    Scale shape per round: bigram explode → one hash-shuffle count with
+    map-side partials → TakeOrderedAndProject(1). The single winning
+    pair is driver-side metadata by design (every BPE trainer holds the
+    merge table in RAM — same rationale as the IVF/PQ codebooks); the
+    fuse is a map-only literal string replace, so the corpus itself
+    never shuffles. The merge loop is inherently sequential (round
+    r+1's counts depend on round r's fuse) — no engine parallelizes
+    across rounds; the win is parallelizing each count, which is the
+    expensive part.
+
+    Cross-engine parity: pair counting is per-document (no cross-doc
+    bigrams — the stream is re-split per doc), and the fuse is a plain
+    non-overlapping left-to-right literal replace of ``' x y '`` with
+    ``' x_y '`` on the space-padded token stream, the semantics Spark's
+    ``replace`` and the SQL twin's ``replace`` share: both resume
+    scanning AFTER the matched span, so a match consumes its trailing
+    delimiter and the immediately-following overlapping site in a run
+    (``b b b b``) survives to the next round — deterministic and
+    engine-identical, which is what the cross-engine gate requires
+    (classic array-BPE would need a per-doc fold; this is the
+    string-stream formulation)."""
+    stream = df.select(
+        F.col(id_col),
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", normalized_tokens(text_col)), F.lit(" ")
+        ).alias("__st"),
+    )
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, n_merges + 1):
+        toks = F.split(F.trim(F.col("__st")), r"\s+")
+        pairs = stream.select(
+            F.explode(shingles_from_tokens(toks, 2)).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], top[0]["cnt"]
+        merges.append((step, pair, int(cnt)))
+        fused = pair.replace(" ", "_")
+        stream = stream.select(
+            F.col(id_col),
+            F.replace(
+                F.col("__st"), F.lit(f" {pair} "), F.lit(f" {fused} ")
+            ).alias("__st"),
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, pair string, n_occurrences long"
+    )

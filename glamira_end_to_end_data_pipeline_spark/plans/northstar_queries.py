@@ -1700,3 +1700,114 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ipv4").cast("long").alias("n_ipv4"),
         F.md5("scrubbed").alias("scrubbed_md5"),
     )
+
+
+@query(
+    "dedup_segment_boilerplate",
+    f"""
+    WITH {CORPUS_CTE.strip()},
+    wt AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM corpus),
+    seg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(0, cast(ceil(len(toks) / 10.0) AS int) - 1),
+                   c -> array_to_string(toks[c*10+1 : c*10+10], ' ')
+               )) AS s
+        FROM wt
+    ),
+    sx AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 15))::BIGINT
+                   % {dedup.MINHASH_P} AS seg_x
+        FROM seg
+    ),
+    dfq AS (SELECT seg_x, count(DISTINCT doc_id) AS nd FROM sx GROUP BY seg_x)
+    SELECT sx.doc_id,
+           count(*) AS n_segments,
+           cast(sum(CASE WHEN dfq.nd >= 2 THEN 1 ELSE 0 END) AS bigint)
+               AS n_boilerplate
+    FROM sx JOIN dfq USING (seg_x)
+    GROUP BY sx.doc_id
+    """,
+)
+def dedup_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document boilerplate detection: consecutive 10-token
+    segments shared verbatim by ≥2 distinct documents are flagged (the
+    repeated matter — banners, license headers — that C4 strips
+    line-by-line; token windows stand in for lines in this corpus).
+    The injected exact duplicates share every segment and the near-dups
+    all but the last, so the flag structure is non-degenerate. Segments
+    are hashed to 31-bit longs before the document-frequency shuffle —
+    text never shuffles."""
+    return dedup.segment_boilerplate(
+        corpus_with_dups(_docs(spark, sf_dir)), seg_tokens=10, min_docs=2
+    )
+
+
+@query(
+    "text_bpe_merges",
+    f"""
+    WITH {CORPUS_CTE.strip()},
+    s0 AS (
+        SELECT doc_id,
+               ' ' || array_to_string({TOKENS_SQL}, ' ') || ' ' AS st
+        FROM corpus
+    ),
+    p1 AS (
+        SELECT pair, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, greatest(len(t) - 1, 0)),
+                i -> t[i] || ' ' || t[i+1])) AS pair
+            FROM (SELECT regexp_split_to_array(trim(st), '\\s+') AS t FROM s0)
+        ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    s1 AS (
+        SELECT doc_id,
+               replace(st, ' ' || (SELECT pair FROM p1) || ' ',
+                       ' ' || replace((SELECT pair FROM p1), ' ', '_') || ' ')
+                   AS st
+        FROM s0
+    ),
+    p2 AS (
+        SELECT pair, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, greatest(len(t) - 1, 0)),
+                i -> t[i] || ' ' || t[i+1])) AS pair
+            FROM (SELECT regexp_split_to_array(trim(st), '\\s+') AS t FROM s1)
+        ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    s2 AS (
+        SELECT doc_id,
+               replace(st, ' ' || (SELECT pair FROM p2) || ' ',
+                       ' ' || replace((SELECT pair FROM p2), ' ', '_') || ' ')
+                   AS st
+        FROM s1
+    ),
+    p3 AS (
+        SELECT pair, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, greatest(len(t) - 1, 0)),
+                i -> t[i] || ' ' || t[i+1])) AS pair
+            FROM (SELECT regexp_split_to_array(trim(st), '\\s+') AS t FROM s2)
+        ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+    )
+    SELECT 1 AS step, pair, cast(cnt AS bigint) AS n_occurrences FROM p1
+    UNION ALL
+    SELECT 2 AS step, pair, cast(cnt AS bigint) AS n_occurrences FROM p2
+    UNION ALL
+    SELECT 3 AS step, pair, cast(cnt AS bigint) AS n_occurrences FROM p3
+    ORDER BY step
+    """,
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the merge loop (Sennrich et al.): three
+    rounds of corpus-wide most-frequent-adjacent-pair selection, fusing
+    the winner between rounds. Each round is one bigram-explode count
+    shuffle + TakeOrderedAndProject(1); the fuse is a map-only literal
+    replace. The learned merge table is the returned artifact.
+    Inherently sequential across rounds; see
+    :func:`operators.text.bpe_merges` for the parity and scale
+    notes."""
+    return text.bpe_merges(
+        corpus_with_dups(_docs(spark, sf_dir)), n_merges=3
+    )

@@ -316,6 +316,39 @@ def s_csv_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_orc_round_trip",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           cast(sum(o_orderkey) AS bigint) AS sum_keys,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def s_orc_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round trip (the remaining first-class columnar
+    format beside parquet/CSV/JSON/text): typed columns staged as ORC
+    with zlib, read back and aggregated from the RE-READ copy; the
+    oracle aggregates the original parquet, so any encode/decode drift
+    (timestamp/decimal width, string encoding) mismatches the hash.
+    ORC shares parquet's scan machinery — predicate pushdown and column
+    pruning apply to the re-read the same way."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_orc_{tag}")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    orders.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
     "s_schema_evolution",
     """
     SELECT event_type,

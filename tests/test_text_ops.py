@@ -163,3 +163,90 @@ def test_sampling_and_mixing_deterministic_under_repartition(spark):
     rate = len(m1) / 1000
     assert 2.4 < rate < 2.6, rate
     assert {e for _, e in m1} == {1, 2, 3}, "epoch indices must be 1-based"
+
+
+def test_segment_boilerplate_flags_shared_windows(spark):
+    """Segments (10-token windows) appearing in >=2 distinct docs are
+    boilerplate; within-doc repetition alone is not."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        segment_boilerplate,
+    )
+
+    banner = "please accept all cookies to continue reading this site now"  # 10 toks
+    uniq = [f"w{i}" for i in range(10)]
+    rows = [
+        (1, banner + " " + " ".join(uniq)),            # banner + unique tail
+        (2, banner + " " + " ".join(f"x{i}" for i in range(10))),
+        (3, " ".join(f"y{i}" for i in range(20))),      # all unique
+        (4, banner + " " + banner),                     # banner twice, 1 doc... but shared with 1,2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_segments, r.n_boilerplate)
+        for r in segment_boilerplate(df, seg_tokens=10, min_docs=2).collect()
+    }
+    assert got[1] == (2, 1)
+    assert got[2] == (2, 1)
+    assert got[3] == (2, 0)
+    assert got[4] == (2, 2)  # both segments ARE the shared banner
+
+
+def test_segment_boilerplate_within_doc_repeat_not_flagged(spark):
+    """A segment repeated only inside ONE doc has doc-frequency 1."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        segment_boilerplate,
+    )
+
+    seg = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, seg + " " + seg), (2, " ".join(f"u{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_segments, r.n_boilerplate)
+        for r in segment_boilerplate(df, seg_tokens=10, min_docs=2).collect()
+    }
+    assert got[1] == (2, 0)
+    assert got[2] == (1, 0)
+
+
+def test_bpe_merges_learns_and_fuses(spark):
+    """Round 1 picks the most frequent adjacent pair (ties -> lexico
+    smallest); the fuse is visible to round 2 (merged token becomes one
+    unit, so the old pair is gone and a new pair involving the fused
+    token can win)."""
+    from glamira_end_to_end_data_pipeline_spark.operators.text import bpe_merges
+
+    rows = [
+        (1, "low low low lower lowest"),
+        (2, "low low new"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.step, r.pair, r.n_occurrences) for r in bpe_merges(df, 2).collect()]
+    # 'low low' occurs: doc1 'low low low' -> 2 bigrams, doc2 -> 1 = 3, top.
+    assert got[0] == (1, "low low", 3)
+    # after fusing left-to-right: doc1 'low_low low lower lowest',
+    # doc2 'low_low new'. Bigrams now include ('low_low', 'low') etc.;
+    # step 2's winner must involve a fused token or a fresh pair, never
+    # the consumed 'low low'.
+    assert got[1][1] != "low low"
+    step2_pairs = {got[1][1]}
+    assert any("low_low" in p or "low" in p for p in step2_pairs)
+
+
+def test_bpe_merges_overlap_left_to_right(spark):
+    """Delimiter-consuming left-to-right fuse on a run: in ' b b b b '
+    the first ' b b ' match consumes the middle space, so the
+    immediately following overlapping site has no leading delimiter and
+    survives to the next round — 'b_b b b'. The point under test is
+    that the engine-side replace semantics are deterministic and match
+    the SQL twin (both resume scanning after the matched span), not
+    classic array-BPE merge order."""
+    from glamira_end_to_end_data_pipeline_spark.operators.text import bpe_merges
+
+    df = spark.createDataFrame([(1, "b b b b")], "doc_id long, text string")
+    got = [(r.step, r.pair, r.n_occurrences) for r in bpe_merges(df, 2).collect()]
+    assert got[0] == (1, "b b", 3)
+    # round 2 stream is 'b_b b b': pairs {'b_b b': 1, 'b b': 1};
+    # lexicographic tiebreak picks 'b b' again.
+    assert got[1] == (2, "b b", 1)
