@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_winnowing_pairs",
     "dedup_segment_boilerplate",
+    "dedup_semantic_retain",
     "lake_zorder_codes",
     "emb_cosine_topk",
     "emb_ann_lsh_topk",

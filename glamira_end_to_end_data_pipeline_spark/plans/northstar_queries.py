@@ -1811,3 +1811,74 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merges(
         corpus_with_dups(_docs(spark, sf_dir)), n_merges=3
     )
+
+
+@query(
+    "dedup_semantic_retain",
+    f"""
+    WITH RECURSIVE mutants AS (
+        SELECT vec_id + 100000 AS vec_id,
+               list_prepend(embedding[1]::DOUBLE + 0.01e0,
+                            (embedding[2:])::DOUBLE[]) AS embedding
+        FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    pool AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM mutants
+    ),
+    v AS (
+        SELECT vec_id, embedding,
+               {{bucket}} AS bucket
+        FROM pool
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {{cos}} >= 0.9
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    labels AS (
+        SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    dropped AS (SELECT vec_id FROM labels WHERE vec_id <> cluster_id)
+    SELECT p.vec_id FROM pool p
+    WHERE p.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """.replace("{bucket}", _bucket_sql("embedding", 4))
+       .replace("{cos}", _COS_SQL.format(a="a.embedding", b="b.embedding")),
+)
+def dedup_semantic_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end deliverable: semantic — not
+    lexical — deduplication by embedding cosine. Near-identical
+    embeddings (cosine ≥ 0.9 through the sign-bit bucket candidate
+    join) form clusters; each keeps only its minimum-id representative.
+    The same cluster→retain machinery as the MinHash pipeline, driven
+    by the vector modality — at 100 TB the pair graph comes from the
+    bucketed candidate join (never all-pairs), clustering touches only
+    pair members, and the corpus passes once through one anti-join
+    against the tiny drop list."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mutants = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
+            F.slice("embedding", 2, 10_000),
+        ).alias("embedding"),
+    )
+    pool = emb.unionByName(mutants)
+    pairs = similarity.near_dup_pairs(pool, threshold=0.9, n_bits=4).select(
+        "a", "b"
+    )
+    return dedup.retain_canonical(
+        pool.select("vec_id"), pairs, id_col="vec_id"
+    ).select("vec_id")
