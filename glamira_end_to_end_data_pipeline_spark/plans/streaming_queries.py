@@ -26,6 +26,7 @@ from glamira_end_to_end_data_pipeline_spark.sources.ingest import (
     read_manifest,
     write_manifest,
 )
+from glamira_end_to_end_data_pipeline_spark.sources import lake
 from glamira_end_to_end_data_pipeline_spark.sources.lake import (
     read_partitioned,
     write_partitioned,
@@ -342,6 +343,82 @@ def s_orc_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.write.mode("overwrite").option("compression", "zlib").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "lake_merge_upsert",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey, o_orderpriority,
+               round(o_totalprice + 1000.0, 2) AS o_totalprice
+        FROM base
+        WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               '0-BACKFILL' AS o_orderpriority,
+               round(o_totalprice, 2) AS o_totalprice
+        FROM base
+        WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 17 = 0
+    ),
+    merged AS (
+        SELECT b.o_orderkey, b.o_orderpriority,
+               round(b.o_totalprice, 2) AS o_totalprice
+        FROM base b
+        WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        UNION ALL
+        SELECT * FROM upd
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           cast(sum(o_orderkey) AS bigint) AS sum_keys,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+)
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on a partitioned parquet lake (the Delta/Hudi COW
+    upsert without a table format): orders staged partitioned by
+    priority, then one update batch that modifies existing '1-URGENT'
+    rows (price bump) and inserts new keys into a brand-new
+    '0-BACKFILL' partition. Only the touched partitions are read and
+    rewritten (dynamic partition overwrite); the result aggregates the
+    RE-READ on-disk state, so a clobbered untouched partition, a lost
+    insert, or a surviving pre-update row all mismatch the oracle —
+    which computes the expected post-merge state straight from the
+    source table. Prices round-trip through round(2) on both sides so
+    the parquet double encode cannot drift the hash."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_merge_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    base.write.partitionBy("o_orderpriority").parquet(path)
+    urgent = base.filter(F.col("o_orderpriority") == "1-URGENT")
+    updates = (
+        urgent.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") + 1000.0, 2))
+        .unionByName(
+            urgent.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("0-BACKFILL").alias("o_orderpriority"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+            )
+        )
+    )
+    lake.merge_upsert_partitioned(
+        spark, path, updates, ["o_orderkey"], "o_orderpriority"
+    )
+    final = spark.read.parquet(path)
+    return final.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").alias("sum_keys"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),

@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -170,3 +171,54 @@ def compact_small_files(
         raise IOError(f"could not swap {tmp} -> {path}")
     fs.delete(backup, True)
     return n_files
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_col: str,
+) -> int:
+    """MERGE INTO (SCD1 upsert) on a plain partitioned parquet lake —
+    the copy-on-write rewrite Delta/Hudi perform, without a table
+    format: matched keys take the update row, unmatched base rows pass
+    through, unmatched update keys insert. Returns the number of
+    partitions rewritten.
+
+    Scale shape: only partitions ACTUALLY TOUCHED by the update batch
+    are read and rewritten — the touched-partition list comes from one
+    distinct over the (small) update batch, the base read prunes to
+    those directories (partition pruning on the scan), the merge is one
+    anti-join keyed on ``key_cols``, and the write uses dynamic
+    partition overwrite so untouched directories are never deleted. A
+    1 GB update batch against a 100 TB lake rewrites gigabytes, not the
+    lake.
+
+    Contract: an update row must carry its key's CURRENT partition
+    value — moving a key across partitions requires including the old
+    partition in the batch (standard COW-merge semantics; a table
+    format's transaction log is what lifts this restriction).
+
+    The merged frame is localCheckpoint-ed before the write because the
+    write overwrites directories the plan reads from (self-overwrite);
+    on a cluster, a reliable checkpoint or a staging dir serves the
+    same purpose."""
+    parts = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]  # bounded: one row per touched partition
+    base = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+    merged = (
+        base.join(
+            updates.select(*key_cols).distinct(), list(key_cols), "left_anti"
+        )
+        .unionByName(updates.select(*base.columns))
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(parts)

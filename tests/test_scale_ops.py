@@ -318,3 +318,48 @@ def test_compaction_recovers_from_mid_swap_crash(spark, tmp_path):
     assert after.count() == 1_000
     assert not (tmp_path / "lake__precompact").exists()
     assert not (tmp_path / "lake__compacting").exists()
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """COW MERGE: matched keys updated, new keys inserted (new
+    partition), untouched partitions' FILES survive byte-identical
+    (dynamic partition overwrite never lists them for deletion)."""
+    import os
+
+    from glamira_end_to_end_data_pipeline_spark.sources.lake import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+        "k long, p string, v double",
+    )
+    base.write.partitionBy("p").parquet(path)
+
+    def files_of(part: str) -> dict[str, float]:
+        d = os.path.join(path, f"p={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    b_before = files_of("b")
+    updates = spark.createDataFrame(
+        [(1, "a", 11.0), (9, "c", 90.0)], "k long, p string, v double"
+    )
+    n = merge_upsert_partitioned(spark, path, updates, ["k"], "p")
+    assert n == 2  # partitions a (update) and c (insert)
+
+    got = {
+        (r.k, r.p): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "a"): 11.0,  # updated
+        (2, "a"): 20.0,  # untouched row in touched partition
+        (3, "b"): 30.0,
+        (4, "b"): 40.0,  # untouched partition intact
+        (9, "c"): 90.0,  # inserted into new partition
+    }
+    assert files_of("b") == b_before, "untouched partition was rewritten"
