@@ -173,6 +173,19 @@ _R3_GREEN = frozenset(
 
 _DRIVER_GREEN = _R2_GREEN | _R3_GREEN
 
+# ROUND-5 TODO (apply BEFORE adding round-5 entries): once
+# CORRECTNESS_r04.json lands, fold the round-4 window into the green
+# backlog — add a frozenset `_R4_GREEN` containing every green row of
+# CORRECTNESS_r04.json (expected: all of _ROTATE_FIRST_R4 plus the 11
+# round-4 fresh entries q19/q22/q9/q11/q12/q15/q16/q17,
+# dedup_segment_boilerplate, text_bpe_merges, s_orc_round_trip, and the
+# later additions dedup_semantic_retain / lake_merge_upsert if they made
+# the [:50] window), OR it into _DRIVER_GREEN, and clear
+# _ROTATE_FIRST_R4 to (). With union(r2..r4) covering the whole
+# registry, step 2 of _window_order() then automatically front-loads
+# whatever round 5 registers fresh — no manual rotation list needed
+# unless a row FAILED in r4 (re-front-load any failure after fixing).
+
 
 def _window_order() -> list[str]:
     registered = list(QUERIES)
