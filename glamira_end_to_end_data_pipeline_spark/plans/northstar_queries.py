@@ -10,7 +10,7 @@ candidate pairs, threshold verdicts) are actually exercised.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from glamira_end_to_end_data_pipeline_spark.operators import dedup, similarity, text
@@ -1882,3 +1882,106 @@ def dedup_semantic_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.retain_canonical(
         pool.select("vec_id"), pairs, id_col="vec_id"
     ).select("vec_id")
+
+
+@query(
+    "text_hybrid_rrf",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, len({TOKENS_SQL}) AS dl,
+               unnest({TOKENS_SQL}) AS term
+        FROM documents
+    ),
+    c AS (
+        SELECT count(*) AS n_docs, avg(len({TOKENS_SQL})) AS avgdl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        FROM toks WHERE term IN ('join', 'hash', 'filter')
+        GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bscored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl))
+               ), 4) AS bm25_score
+        FROM tf JOIN dft USING (term), c
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25_score DESC, doc_id) AS r_lex
+        FROM bscored
+    ),
+    qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    cv AS (SELECT vec_id AS doc_id, embedding AS c_vec
+           FROM embeddings WHERE vec_id > 0),
+    sscored AS (
+        SELECT doc_id,
+               {_COS_SQL.format(a="q_vec", b="c_vec")} AS cosine_sim
+        FROM cv, qv
+    ),
+    sem AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS r_sem
+        FROM sscored
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+               round(coalesce(1.0 / (60 + l.r_lex), 0.0)
+                   + coalesce(1.0 / (60 + s.r_sem), 0.0), 6) AS rrf_score,
+               cast(coalesce(l.r_lex, 0) AS bigint) AS r_lex,
+               cast(coalesce(s.r_sem, 0) AS bigint) AS r_sem
+        FROM (SELECT * FROM lex WHERE r_lex <= 50) l
+        FULL OUTER JOIN (SELECT * FROM sem WHERE r_sem <= 50) s
+        USING (doc_id)
+    )
+    SELECT doc_id, rrf_score, r_lex, r_sem
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et
+    al.): the lexical ranking (BM25 for {join, hash, filter}) and the
+    semantic ranking (exact cosine against doc 0's embedding — the two
+    tables share the id space) fuse as Σ 1/(60 + rank), the standard
+    hybrid-search scorer (Elasticsearch/Vespa default). A doc missing
+    from one list contributes 0 from that side.
+
+    Scale shape: each side is its already-audited top-k operator
+    produced at k=50 (BM25 shuffles only query-term postings; cosine
+    streams the corpus once against a broadcast query) — the fusion
+    join touches ≤2k rows regardless of corpus size, and the final
+    top-10 is a TakeOrderedAndProject over ≤100 fused rows. The rank
+    windows run over the BOUNDED 50-row lists (allow-listed), never the
+    raw corpus."""
+    lex = text.bm25_topk(
+        _docs(spark, sf_dir), ["join", "hash", "filter"], k_top=50
+    )
+    wl = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    lex_r = lex.withColumn("r_lex", F.row_number().over(wl)).select(
+        "doc_id", "r_lex"
+    )
+    emb = _emb(spark, sf_dir)
+    sem_r = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0),
+        emb.filter(F.col("vec_id") > 0),
+        k=50,
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem"))
+    fused = lex_r.join(sem_r, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (60 + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (60 + F.col("r_sem")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        F.coalesce(F.col("r_lex"), F.lit(0)).cast("long").alias("r_lex"),
+        F.coalesce(F.col("r_sem"), F.lit(0)).cast("long").alias("r_sem"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)

@@ -50,6 +50,9 @@ BNLJ_OK = {
     # BM25's corpus scalars (N, avgdl) are a ONE-ROW broadcast
     # cross-joined onto the query-term postings — O(|postings|) work.
     "text_bm25_topk",
+    # hybrid RRF composes brute_force_topk (broadcast 1-query × corpus,
+    # the exact-recall baseline shape) and BM25's one-row scalars.
+    "text_hybrid_rrf",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are
@@ -64,6 +67,9 @@ UNPARTITIONED_WINDOW_OK = {
     # declarative twin of the reference's sequential driver counter
     # (inherently ordered); input is raw/1000, never raw events.
     "a8_running_counters",
+    # RRF rank derivation over the BOUNDED top-50 lists (post-
+    # TakeOrderedAndProject); the raw corpus never enters a window.
+    "text_hybrid_rrf",
 }
 
 
