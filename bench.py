@@ -87,6 +87,8 @@ HEADLINE = [
     "text_lm_score",
     "text_mix_epochs",
     "text_bpe_merges",
+    "text_hybrid_rrf",
+    "lake_merge_upsert",
     "text_pretraining_pipeline",
     "dq_volume_anomaly",
     "mm_extract_features",

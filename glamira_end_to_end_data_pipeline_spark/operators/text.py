@@ -633,9 +633,20 @@ def bpe_merges(
     )
     merges: list[tuple[int, str, int]] = []
     for step in range(1, n_merges + 1):
-        toks = F.split(F.trim(F.col("__st")), r"\s+")
-        pairs = stream.select(
-            F.explode(shingles_from_tokens(toks, 2)).alias("pair")
+        # tokens materialized BEFORE the bigram build, and bigrams via
+        # codegen'd slice+zip+explode (never transform/element_at over
+        # an inlined split, which re-runs the regex per element access
+        # — measured 17.6 s -> ~2 s for the 3-round loop at sf0.1).
+        tok_df = stream.select(
+            F.split(F.trim(F.col("__st")), r"\s+").alias("__t")
+        )
+        n_pairs = F.greatest(F.size("__t") - 1, F.lit(0))
+        zipped = F.arrays_zip(
+            F.slice(F.col("__t"), 1, n_pairs).alias("t0"),
+            F.slice(F.col("__t"), 2, n_pairs).alias("t1"),
+        )
+        pairs = tok_df.select(F.explode(zipped).alias("__g")).select(
+            F.concat_ws(" ", "__g.t0", "__g.t1").alias("pair")
         )
         top = (
             pairs.groupBy("pair")
