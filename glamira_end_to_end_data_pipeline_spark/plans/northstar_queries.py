@@ -378,8 +378,14 @@ def text_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams, map-only scoring/splitting), composed without any
     driver-side materialization between stages — one lazy plan,
     Catalyst sees everything."""
+    from glamira_end_to_end_data_pipeline_spark.caching import tracked_persist
+
     docs = _docs(spark, sf_dir)
-    corpus = corpus_with_dups(docs)
+    # persisted: the corpus feeds three independent consumers (shingle
+    # stream for MinHash, the retain anti-join's probe side, and the
+    # downstream clean/score stages) — without the persist each one
+    # re-reads and re-unions the source.
+    corpus = tracked_persist(corpus_with_dups(docs))
     pairs = dedup.minhash_near_dups(
         corpus, num_hashes=16, bands=4, threshold=0.5
     )
