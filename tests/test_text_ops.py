@@ -250,3 +250,30 @@ def test_bpe_merges_overlap_left_to_right(spark):
     # round 2 stream is 'b_b b b': pairs {'b_b b': 1, 'b b': 1};
     # lexicographic tiebreak picks 'b b' again.
     assert got[1] == (2, "b b", 1)
+
+
+def test_hybrid_rrf_semantics(spark):
+    """RRF fusion math on hand-built rank lists: a doc on BOTH lists
+    beats a doc that is rank 1 on only one (1/61+1/70 > 1/61), and a
+    missing side contributes exactly 0."""
+    from pyspark.sql import functions as F
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2)], "doc_id long, r_lex int"
+    )
+    sem = spark.createDataFrame(
+        [(10, 10), (30, 1)], "doc_id long, r_sem int"
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (60 + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (60 + F.col("r_sem")), F.lit(0.0)),
+            6,
+        ).alias("s"),
+    )
+    got = {r.doc_id: r.s for r in fused.collect()}
+    assert got[10] == round(1 / 61 + 1 / 70, 6)   # both lists
+    assert got[30] == round(1 / 61, 6)            # sem only
+    assert got[20] == round(1 / 62, 6)            # lex only
+    assert got[10] > got[30] > got[20]
