@@ -70,9 +70,45 @@ def _side(
     )
 
 
+def _pair_cosine_fn(
+    qv: pd.Series, cv: pd.Series, qn: pd.Series, cn: pd.Series
+) -> pd.Series:
+    """Arrow-vectorized pair cosine: sequential dot fold (index order,
+    never np pairwise — the :func:`_quantize_sums_fn` discipline) over
+    the joined pair stream, divided by the JVM-computed norms (whose
+    bits pass through Arrow untouched), rounded 6dp half-away-from-zero
+    with the sign split out (cosines go negative, and the
+    ``floor(y)+(frac>=0.5)`` form is only round-half-away for y ≥ 0)."""
+    qa = [np.asarray(v, dtype=np.float64) for v in qv]
+    ca = [np.asarray(v, dtype=np.float64) for v in cv]
+    lens = np.array([a.size for a in qa])
+    if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+        x = np.stack(qa)
+        y = np.stack(ca)
+        acc = np.zeros(x.shape[0], dtype=np.float64)
+        for i in range(x.shape[1]):  # sequential fold, never pairwise
+            acc += x[:, i] * y[:, i]
+    else:  # ragged — per-row sequential fold, same arithmetic
+        acc = np.array(
+            [np.cumsum(a * b)[-1] if a.size else 0.0 for a, b in zip(qa, ca)],
+            dtype=np.float64,
+        )
+    s = acc / (qn.to_numpy(dtype=np.float64) * cn.to_numpy(dtype=np.float64))
+    sign = np.sign(s)
+    ay = np.abs(s) * 1e6
+    fl = np.floor(ay)
+    return pd.Series(sign * (fl + (ay - fl >= 0.5)) / 1e6)
+
+
 def _pair_cosine() -> Column:
-    return F.round(
-        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 6
+    """Rounded cosine over a joined (q_vec, c_vec, q_norm, c_norm) pair
+    stream — ONE Arrow-batched kernel instead of an interpreted
+    zip_with/aggregate fold per pair (the fold is per-element
+    interpreted; on the candidate streams of the ANN/near-dup operators
+    that was the dominant cost). Norms stay JVM-side in the per-vector
+    side projections (computed once per vector, not per pair)."""
+    return F.pandas_udf(_pair_cosine_fn, "double")(
+        F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
     )
 
 
