@@ -357,7 +357,7 @@ def lloyd_refine(
     for _ in range(n_iters):
         v = _dbl(F.col(vec_col))
         assigned = corpus.select(
-            v.alias("v"), ivf_cell(v, norm(F.col(vec_col)), cents).alias("cell")
+            v.alias("v"), ivf_cell_bulk(v, norm(F.col(vec_col)), cents).alias("cell")
         )
         means = assigned.groupBy("cell").agg(
             *[F.avg(F.element_at("v", i + 1)).alias(f"d{i}") for i in range(dim)]
@@ -409,8 +409,60 @@ def ivf_cell(
     it is usable as a *write-time partition column*: store the corpus
     partitioned by cell and a probe touches nprobe/n_cells of the data
     through ordinary Parquet partition pruning — the inverted index
-    without any index structure."""
+    without any index structure. Expression form — right for the few-row
+    query side and for embedding in writers; bulk corpus assignment
+    uses :func:`ivf_cell_bulk` (same bits, Arrow-batched)."""
     return F.array_max(_cell_scores(vec, vnorm, cents))["cid"]
+
+
+def ivf_cell_bulk(
+    vec: Column, vnorm: Column, cents: list[tuple[int, list[float], float]]
+) -> Column:
+    """Corpus-side cell assignment as ONE Arrow kernel — bit-identical
+    to :func:`ivf_cell`: sequential dot fold per centroid (index order,
+    never np pairwise), division by the JVM-computed vector norm (bits
+    through Arrow untouched) and the centroid norms captured from
+    :func:`ivf_centroids` (themselves JVM-fold outputs), 6dp
+    half-away-from-zero rounding BEFORE the argmax (sign split out —
+    cosines go negative), and np.argmax's first-occurrence tie giving
+    the smallest cell id, exactly the (sim, −cid) struct-max rule.
+    The expression fold evaluated interpreted per element; on the full
+    corpus this kernel is the cheap path."""
+    cids = np.asarray([cid for cid, _v, _n in cents], dtype=np.int64)
+    cb = np.asarray([cv for _c, cv, _n in cents], dtype=np.float64)  # (k, dim)
+    cn = np.asarray([n for _c, _v, n in cents], dtype=np.float64)
+
+    def batch(v: pd.Series, vn: pd.Series) -> pd.Series:
+        arrs = [np.asarray(x, dtype=np.float64) for x in v]
+        lens = np.array([a.size for a in arrs])
+        dim = cb.shape[1]
+        if len(lens) and (lens == dim).all():
+            x = np.stack(arrs)  # (n, dim)
+            acc = np.zeros((x.shape[0], cb.shape[0]), dtype=np.float64)
+            for i in range(dim):  # sequential fold, never pairwise
+                acc += x[:, i, None] * cb[None, :, i]
+        else:  # ragged — zip_with semantics truncate to shorter side
+            acc = np.stack(
+                [
+                    np.array(
+                        [
+                            np.cumsum(a[: dim] * c[: a.size])[-1]
+                            if a.size
+                            else 0.0
+                            for c in cb
+                        ]
+                    )
+                    for a in arrs
+                ]
+            )
+        s = acc / (vn.to_numpy(dtype=np.float64)[:, None] * cn[None, :])
+        sign = np.sign(s)
+        ay = np.abs(s) * 1e6
+        fl = np.floor(ay)
+        s6 = sign * (fl + (ay - fl >= 0.5))
+        return pd.Series(cids[np.argmax(s6, axis=1)])
+
+    return F.pandas_udf(batch, "long")(vec, vnorm)
 
 
 def ivf_probe_cells(
@@ -449,7 +501,7 @@ def ivf_topk(
     if refine_iters:
         cents = lloyd_refine(corpus, cents, refine_iters, vec_col)
     c = _side(corpus, id_col, vec_col, "neighbor_id", "c_vec", "c_norm").withColumn(
-        "cell", ivf_cell(F.col("c_vec"), F.col("c_norm"), cents)
+        "cell", ivf_cell_bulk(F.col("c_vec"), F.col("c_norm"), cents)
     )
     q = _side(queries, id_col, vec_col, "query_id", "q_vec", "q_norm").withColumn(
         "cell",
@@ -781,7 +833,7 @@ def ivfpq_topk(
     v = _dbl(F.col(vec_col))
     index = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        ivf_cell(v, norm(F.col(vec_col)), ivf_cents).alias("cell"),
+        ivf_cell_bulk(v, norm(F.col(vec_col)), ivf_cents).alias("cell"),
         _pq_assign(pq_cents)(v)["pq_code"].alias("pq_code"),
     )
     qv = _dbl(F.col(vec_col))
