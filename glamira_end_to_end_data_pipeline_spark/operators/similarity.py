@@ -863,3 +863,29 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k_top)
         .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
     )
+
+
+def ann_recall(
+    ground_truth: DataFrame,
+    ann: DataFrame,
+) -> DataFrame:
+    """Recall@k evaluation of an ANN index against exact ground truth —
+    the measurement loop every approximate index ships with (FAISS's
+    ``knn_recall`` harness shape). Inputs are two (query_id,
+    neighbor_id, ...) rankings; output is per-query
+    ``(query_id, n_hit, recall)`` where recall = |ANN ∩ GT| / |GT|.
+
+    Shape at scale: both sides are already top-k-bounded (k rows per
+    query), so the probe join touches k·n_queries rows no matter how
+    large the indexed corpus is; one shuffle on (query_id, neighbor_id)
+    and one re-agg on query_id."""
+    hits = ann.select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    return (
+        ground_truth.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").alias("n_hit"),
+            F.round(F.count("__hit") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+    )

@@ -625,6 +625,20 @@ def bpe_merges(
     engine-identical, which is what the cross-engine gate requires
     (classic array-BPE would need a per-doc fold; this is the
     string-stream formulation)."""
+    merges, _ = _bpe_fuse_stream(df, n_merges, id_col, text_col)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, pair string, n_occurrences long"
+    )
+
+
+def _bpe_fuse_stream(
+    df: DataFrame, n_merges: int, id_col: str, text_col: str
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Shared BPE merge-training loop: returns the learned merge table
+    AND the space-padded token stream with every merge applied (the
+    state a tokenizer *encoder* needs). Semantics and parity notes in
+    :func:`bpe_merges`."""
     stream = df.select(
         F.col(id_col),
         F.concat(
@@ -666,7 +680,117 @@ def bpe_merges(
                 F.col("__st"), F.lit(f" {pair} "), F.lit(f" {fused} ")
             ).alias("__st"),
         )
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        merges, "step int, pair string, n_occurrences long"
+    return merges, stream
+
+
+def bpe_encode(
+    df: DataFrame,
+    n_merges: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer APPLICATION: train ``n_merges`` merges on the
+    corpus (the :func:`bpe_merges` loop) and encode every document with
+    them, returning per-doc ``(n_tokens, n_fused, n_tokens_orig)`` —
+    the segmentation statistics a tokenization pass feeds to sequence
+    packing. Fused tokens carry ``_`` joiners, so ``n_tokens_orig``
+    recovers the pre-merge count by undoing the joiners (precondition,
+    shared with the fuse itself: corpus tokens contain no ``_``).
+
+    Shape at scale: training is the sequential merge loop (each round
+    one bigram-count shuffle + TakeOrderedAndProject(1)); the ENCODE is
+    then a purely map-only pass — ``n_merges`` literal replaces plus a
+    split — at parquet-scan speed, which is the property that matters
+    when the encode side is 100 TB and the merge table is driver-side
+    metadata."""
+    _, stream = _bpe_fuse_stream(df, n_merges, id_col, text_col)
+    t = F.split(F.trim(F.col("__st")), r"\s+")
+    orig = F.split(
+        F.trim(F.replace(F.col("__st"), F.lit("_"), F.lit(" "))), r"\s+"
     )
+    return stream.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.size(F.filter(t, lambda x: x.contains("_"))).alias("n_fused"),
+        F.size(orig).alias("n_tokens_orig"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 512,
+    k_top: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): rank raw documents by how target-like they look
+    under hashed bag-of-words models. Unigrams hash into ``n_buckets``
+    buckets; two Laplace-smoothed categorical distributions are fit —
+    p over the TARGET subset (rows matching ``target_pred``) and q over
+    the RAW corpus — and each document scores
+    ``log w(d) = Σ_b c_b(d) · (ln p_b − ln q_b)``; the top-``k_top``
+    most-target-like documents are returned in rank order.
+
+    Shape at scale: the token stream explodes map-side and aggregates
+    to (doc, bucket) counts with map-side partials — ONE shuffle on
+    (doc_id, bucket). Both distributions are ``n_buckets``-row
+    aggregates of that same stream, and their normalizing totals are
+    one-row aggs cross-joined back (broadcast) — never an unpartitioned
+    window (the skew.py lesson). The per-doc score joins the bucket
+    table in as a broadcast, re-aggregates on doc_id, and the final
+    ranking is ``orderBy().limit(k)`` — TakeOrderedAndProject, no
+    global WindowExec. Nothing driver-side: the 100 TB cost is two
+    passes over the exploded token stream's aggregates.
+
+    Cross-engine parity: bucket = first 15 md5 hex chars mod
+    ``n_buckets`` (exact in a long, same idiom as shingle_to_int);
+    log-weight rounds to 4dp before the (weight desc, doc_id asc)
+    ranking so the selected set is engine-stable."""
+    base = df.select(
+        F.col(id_col),
+        target_pred.alias("__is_tgt"),
+        F.explode(normalized_tokens(text_col)).alias("__tok"),
+    ).select(
+        F.col(id_col),
+        F.col("__is_tgt"),
+        (F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("long")
+         % n_buckets).alias("bucket"),
+    )
+
+    doc_bucket = base.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    raw_tbl = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw_c"))
+    tgt_tbl = (
+        base.filter(F.col("__is_tgt"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tgt_c"))
+    )
+    totals = raw_tbl.agg(F.sum("raw_c").alias("raw_n")).crossJoin(
+        tgt_tbl.agg(F.sum("tgt_c").alias("tgt_n"))
+    )
+    ratio = (
+        raw_tbl.join(tgt_tbl, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tgt_c"), F.lit(0)) + 1.0)
+                    / (F.col("tgt_n") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("raw_c") + 1.0)
+                    / (F.col("raw_n") + F.lit(float(n_buckets)))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        doc_bucket.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("c") * F.col("log_ratio")), 4).alias("log_weight"))
+    )
+    return scored.orderBy(F.desc("log_weight"), F.asc(id_col)).limit(k_top)

@@ -1991,3 +1991,157 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("r_sem"), F.lit(0)).cast("long").alias("r_sem"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+@query(
+    "text_dsir_select",
+    f"""
+    WITH b AS (
+        SELECT doc_id, is_tgt,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bucket
+        FROM (
+            SELECT doc_id, lang = 'en' AS is_tgt,
+                   unnest({TOKENS_SQL}) AS tok
+            FROM documents
+        )
+    ),
+    doc_bucket AS (
+        SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket
+    ),
+    raw_tbl AS (SELECT bucket, count(*) AS raw_c FROM b GROUP BY bucket),
+    tgt_tbl AS (
+        SELECT bucket, count(*) AS tgt_c FROM b WHERE is_tgt GROUP BY bucket
+    ),
+    tot AS (
+        SELECT (SELECT sum(raw_c) FROM raw_tbl) AS raw_n,
+               (SELECT sum(tgt_c) FROM tgt_tbl) AS tgt_n
+    ),
+    ratio AS (
+        SELECT bucket,
+               ln((coalesce(tgt_c, 0) + 1.0) / (tgt_n + 512.0))
+             - ln((raw_c + 1.0) / (raw_n + 512.0)) AS log_ratio
+        FROM raw_tbl LEFT JOIN tgt_tbl USING (bucket), tot
+    )
+    SELECT doc_id, round(sum(c * log_ratio), 4) AS log_weight
+    FROM doc_bucket JOIN ratio USING (bucket)
+    GROUP BY doc_id
+    ORDER BY log_weight DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): hashed-unigram
+    importance weights of every raw document against the English subset
+    as the target domain; returns the 50 most-target-like documents.
+    The oracle refits both Laplace-smoothed bucket distributions and
+    replays the exact md5-bucket hash, so weights must agree to 4dp
+    across engines."""
+    docs = _docs(spark, sf_dir)
+    return text.dsir_weights(
+        docs, F.col("lang") == "en", n_buckets=512, k_top=50
+    )
+
+
+@query(
+    "emb_ann_recall",
+    f"""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               {_bucket_sql("embedding", 3)} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket
+          FROM v WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket
+          FROM v WHERE vec_id >= 10),
+    gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY {_COS_SQL.format(a="q_vec", b="c_vec")} DESC,
+                         neighbor_id) AS rank
+            FROM c, q
+        ) WHERE rank <= 5
+    ),
+    ann AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY {_COS_SQL.format(a="q_vec", b="c_vec")} DESC,
+                         neighbor_id) AS rank
+            FROM c JOIN q USING (bucket)
+        ) WHERE rank <= 5
+    )
+    SELECT gt.query_id,
+           count(ann.rank) AS n_hit,
+           round(count(ann.rank) / 5.0, 6) AS recall
+    FROM gt LEFT JOIN ann
+        ON gt.query_id = ann.query_id AND gt.neighbor_id = ann.neighbor_id
+    GROUP BY gt.query_id
+    """,
+)
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH-bucketed ANN index measured against the exact
+    brute-force ranking — the evaluation loop that justifies any
+    approximate index's recall/throughput dial. Both rankings are the
+    already-audited operators; the probe join is k-bounded per query."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    gt = similarity.brute_force_topk(q, c, k=5)
+    ann = similarity.lsh_topk(q, c, k=5, n_bits=3)
+    return similarity.ann_recall(gt, ann)
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One BPE round as SQL CTEs: p{i} = argmax bigram of stream s{i-1},
+    s{i} = s{i-1} with that pair fused (twin of the Spark loop round in
+    operators.text._bpe_fuse_stream)."""
+    return f"""
+    p{i} AS (
+        SELECT pair, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, greatest(len(t) - 1, 0)),
+                i -> t[i] || ' ' || t[i+1])) AS pair
+            FROM (SELECT regexp_split_to_array(trim(st), '\\s+') AS t
+                  FROM s{i - 1})
+        ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    s{i} AS (
+        SELECT doc_id,
+               replace(st, ' ' || (SELECT pair FROM p{i}) || ' ',
+                       ' ' || replace((SELECT pair FROM p{i}), ' ', '_') || ' ')
+                   AS st
+        FROM s{i - 1}
+    )"""
+
+
+@query(
+    "text_bpe_encode",
+    f"""
+    WITH {CORPUS_CTE.strip()},
+    s0 AS (
+        SELECT doc_id,
+               ' ' || array_to_string({TOKENS_SQL}, ' ') || ' ' AS st
+        FROM corpus
+    ),
+    {",".join(_bpe_round_sql(i) for i in (1, 2, 3))}
+    SELECT doc_id,
+           cast(len(t) AS int) AS n_tokens,
+           cast(len(list_filter(t, x -> contains(x, '_'))) AS int) AS n_fused,
+           cast(len(regexp_split_to_array(
+               trim(replace(st, '_', ' ')), '\\s+')) AS int) AS n_tokens_orig
+    FROM (
+        SELECT doc_id, st, regexp_split_to_array(trim(st), '\\s+') AS t
+        FROM s3
+    )
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer application: 3 merges trained on the corpus, then
+    every document re-segmented with them — per-doc token counts before
+    and after fusing, the statistics sequence packing consumes. The
+    encode pass itself is map-only (literal replaces + split); the
+    oracle replays the identical 3 training rounds and the identical
+    left-to-right fuse in SQL."""
+    return text.bpe_encode(corpus_with_dups(_docs(spark, sf_dir)), n_merges=3)

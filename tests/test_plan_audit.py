@@ -53,6 +53,13 @@ BNLJ_OK = {
     # hybrid RRF composes brute_force_topk (broadcast 1-query × corpus,
     # the exact-recall baseline shape) and BM25's one-row scalars.
     "text_hybrid_rrf",
+    # recall@k evaluation's ground-truth side IS brute_force_topk
+    # (broadcast queries × corpus — exactness is the point of a recall
+    # measurement); the probe join itself is k-bounded per query.
+    "emb_ann_recall",
+    # DSIR's two normalizing totals are a ONE-ROW broadcast cross-
+    # joined onto the n_buckets-row ratio table — O(n_buckets) work.
+    "text_dsir_select",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are

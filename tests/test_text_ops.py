@@ -277,3 +277,64 @@ def test_hybrid_rrf_semantics(spark):
     assert got[30] == round(1 / 61, 6)            # sem only
     assert got[20] == round(1 / 62, 6)            # lex only
     assert got[10] > got[30] > got[20]
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.text import dsir_weights
+
+    # Target docs (is_tgt) speak "alpha beta"; off-target docs speak
+    # "gamma delta"; the probe doc 99 mixes but leans target.
+    rows = [
+        (1, "alpha beta alpha beta", "en"),
+        (2, "alpha beta beta alpha", "en"),
+        (3, "gamma delta gamma delta", "zh"),
+        (4, "delta gamma delta gamma", "zh"),
+        (99, "alpha beta gamma", "zh"),
+        (98, "gamma delta alpha", "zh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = dsir_weights(df, F.col("lang") == "en", n_buckets=64, k_top=6).collect()
+    w = {r.doc_id: r.log_weight for r in got}
+    # Pure-target docs outrank pure-off-target docs.
+    assert w[1] > w[3] and w[2] > w[4]
+    # The target-leaning mixed doc outranks the off-target-leaning one.
+    assert w[99] > w[98]
+    # Rank order is weight desc.
+    weights = [r.log_weight for r in got]
+    assert weights == sorted(weights, reverse=True)
+
+
+def test_ann_recall_counts_overlap(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+    )
+
+    gt = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12)],
+        "query_id long, neighbor_id long",
+    )
+    ann = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 13), (2, 14)],
+        "query_id long, neighbor_id long",
+    )
+    got = {r.query_id: (r.n_hit, r.recall) for r in ann_recall(gt, ann).collect()}
+    assert got[1] == (1, 0.5)   # one of GT's two found
+    assert got[2] == (0, 0.0)   # ANN missed entirely but query still reported
+
+
+def test_bpe_encode_counts_fused_tokens(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.text import bpe_encode
+
+    # "a b" dominates -> merge 1 fuses it. In doc 1 ("a b a b") the
+    # first fuse consumes its trailing space, so the immediately-
+    # adjacent second site survives the round (the documented
+    # left-to-right stream-replace semantics): 4 tokens -> 3, 1 fused.
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d e"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_fused, r.n_tokens_orig)
+           for r in bpe_encode(df, n_merges=1).collect()}
+    assert got[1] == (3, 1, 4)
+    assert got[2] == (3, 0, 3)
+    assert got[3] == (2, 1, 3)
