@@ -88,9 +88,18 @@ def get_spark(
         # Wide codegen (16-way md5 aggregates, 32-bit simhash sums) can
         # fill the default 240m JIT code cache, silently de-optimizing
         # every later query to interpreted mode (observed 40x slowdowns).
+        # 2g is the JVM maximum; segmenting keeps profiled/non-profiled
+        # nmethods from evicting each other under flushing pressure —
+        # measured on the 65-query bench session: 177 s -> 131 s total,
+        # with the tail queries (the ones a saturated cache de-optimizes)
+        # recovering 5-13x (p1 5.3->0.7 s, mm_extract 12.7->0.95 s).
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            os.environ.get(
+                "SPARK_GRAFT_JVM_OPTS",
+                "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing "
+                "-XX:+SegmentedCodeCache",
+            ),
         )
         .config("spark.sql.parquet.filterPushdown", "true")
         # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable in
