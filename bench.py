@@ -87,9 +87,14 @@ HEADLINE = [
     "text_lm_score",
     "text_mix_epochs",
     "text_bpe_merges",
+    "text_bpe_encode",
+    "text_dsir_select",
+    "emb_ann_recall",
     "text_hybrid_rrf",
     "lake_merge_upsert",
+    "text_ppl_buckets",
     "text_pretraining_pipeline",
+    "emb_indexing_pipeline",
     "dq_volume_anomaly",
     "mm_extract_features",
 ]

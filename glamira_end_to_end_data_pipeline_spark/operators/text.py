@@ -794,3 +794,32 @@ def dsir_weights(
         .agg(F.round(F.sum(F.col("c") * F.col("log_ratio")), 4).alias("log_weight"))
     )
     return scored.orderBy(F.desc("log_weight"), F.asc(id_col)).limit(k_top)
+
+
+def ppl_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet's signature move (Wenzek et al. 2020): partition the corpus
+    into head / middle / tail terciles by LM score — head (most
+    probable under the LM, i.e. lowest perplexity) is kept for
+    pretraining, middle deprioritized, tail dropped or review-queued.
+    Scores come from :func:`lm_score`'s corpus-trained bigram model.
+
+    Shape at scale: the two tercile thresholds are a ONE-ROW exact-
+    percentile aggregate cross-joined back as a broadcast — bucket
+    assignment is then a map-only comparison. No global sort and no
+    unpartitioned window anywhere (ntile would move every score into
+    one task; thresholds-by-agg is the distributed formulation)."""
+    scored = lm_score(df, id_col, text_col).select(id_col, "avg_logprob")
+    cuts = scored.agg(
+        F.percentile("avg_logprob", F.lit(1 / 3.0)).alias("t1"),
+        F.percentile("avg_logprob", F.lit(2 / 3.0)).alias("t2"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col),
+        F.col("avg_logprob"),
+        F.when(F.col("avg_logprob") >= F.col("t2"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("t1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

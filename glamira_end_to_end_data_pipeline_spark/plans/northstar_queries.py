@@ -2145,3 +2145,170 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical 3 training rounds and the identical
     left-to-right fuse in SQL."""
     return text.bpe_encode(corpus_with_dups(_docs(spark, sf_dir)), n_merges=3)
+
+
+@query(
+    "text_ppl_buckets",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+        FROM t
+    ),
+    pairs AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM idx),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+    uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+    scored AS (
+        SELECT p.doc_id, round(avg(ln(c12 / c1)), 4) AS avg_logprob
+        FROM pairs p JOIN big USING (w1, w2) JOIN uni USING (w1)
+        GROUP BY p.doc_id
+    ),
+    cuts AS (
+        SELECT quantile_cont(avg_logprob, 1.0/3.0) AS t1,
+               quantile_cont(avg_logprob, 2.0/3.0) AS t2
+        FROM scored
+    )
+    SELECT doc_id, avg_logprob,
+           CASE WHEN avg_logprob >= t2 THEN 'head'
+                WHEN avg_logprob >= t1 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored, cuts
+    ORDER BY doc_id
+    """,
+)
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split by bigram-LM score: exact
+    tercile thresholds ride a one-row broadcast, so assignment stays
+    map-only — the distributed formulation of ntile(3) without its
+    single-task global window."""
+    return text.ppl_buckets(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "emb_indexing_pipeline",
+    """
+    WITH RECURSIVE mutants AS (
+        SELECT vec_id + 100000 AS vec_id,
+               list_prepend(embedding[1]::DOUBLE + 0.01e0,
+                            (embedding[2:])::DOUBLE[]) AS embedding
+        FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    pool AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM mutants
+    ),
+    v AS (
+        SELECT vec_id, embedding,
+               {bucket} AS bucket
+        FROM pool
+    ),
+    prs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {cos} >= 0.9
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM prs
+        UNION
+        SELECT b AS u, a AS v FROM prs
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    labels AS (
+        SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    dropped AS (SELECT vec_id FROM labels WHERE vec_id <> cluster_id),
+    retained AS (
+        SELECT p.vec_id, p.embedding FROM pool p
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM dropped)
+          AND p.vec_id >= 10
+    ),
+    seeds AS (
+        SELECT embedding AS sv,
+               row_number() OVER (ORDER BY vec_id) - 1 AS j
+        FROM (SELECT * FROM retained ORDER BY vec_id LIMIT 16)
+    ),
+    cb AS (
+        SELECT sub.i AS s, j, sv[sub.i*8+1 : sub.i*8+8] AS cvec
+        FROM seeds, (SELECT unnest(generate_series(0, 7)) AS i) sub
+    ),
+    dists AS (
+        SELECT c.vec_id, cb.s, cb.j,
+               round(list_sum(list_transform(generate_series(1, 8),
+                   i -> (c.embedding[cb.s*8 + i] - cb.cvec[i])
+                      * (c.embedding[cb.s*8 + i] - cb.cvec[i]))), 6) AS d
+        FROM retained c, cb
+    ),
+    best AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d, j) AS rn
+            FROM dists) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 10),
+    lut AS (
+        SELECT q.query_id, cb.s, cb.j AS code,
+               round(list_sum(list_transform(generate_series(1, 8),
+                   i -> (q.qv[cb.s*8 + i] - cb.cvec[i])
+                      * (q.qv[cb.s*8 + i] - cb.cvec[i]))), 6) AS d
+        FROM q, cb
+    ),
+    scored AS (
+        SELECT l.query_id, b.vec_id AS neighbor_id,
+               round(sum(l.d), 6) AS adc_sq_dist
+        FROM best b JOIN lut l ON l.s = b.s AND l.code = b.code
+        GROUP BY l.query_id, b.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_sq_dist, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY adc_sq_dist, neighbor_id) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+    """.replace("{bucket}", _bucket_sql("embedding", 4))
+       .replace("{cos}", _COS_SQL.format(a="a.embedding", b="b.embedding")),
+)
+def emb_indexing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE for the vector modality — the full ANN index build a
+    100 TB embedding store runs nightly, composed from the audited
+    operators as one pipeline: SemDeDup semantic dedup (bucketed
+    candidate join → cosine ≥ 0.9 clusters → canonical retention) →
+    PQ8x4 encode of the retained corpus (map-only literal-codebook
+    argmin; vectors compress to 32 bits BEFORE anything else moves) →
+    asymmetric-distance top-5 for the query batch over codes only.
+    The deduped corpus persists once and feeds both the codebook seed
+    collect (16 rows, driver metadata by design) and the encode pass;
+    at query time no raw vector is read. The oracle replays dedup's
+    recursive-CTE clustering, the codebooks, and ADC end-to-end."""
+    from glamira_end_to_end_data_pipeline_spark.caching import tracked_persist
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mutants = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
+            F.slice("embedding", 2, 10_000),
+        ).alias("embedding"),
+    )
+    pool = emb.unionByName(mutants)
+    pairs = similarity.near_dup_pairs(pool, threshold=0.9, n_bits=4).select(
+        "a", "b"
+    )
+    retained = dedup.retain_canonical(
+        pool.select("vec_id"), pairs, id_col="vec_id"
+    )
+    corpus = tracked_persist(
+        pool.join(retained, "vec_id").filter(F.col("vec_id") >= 10)
+    )
+    cents = similarity.pq_centroids(corpus, m=8, k=16)
+    codes = similarity.pq_codes(corpus, cents)
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_adc_topk(q, codes, cents, k_top=5)

@@ -60,6 +60,10 @@ BNLJ_OK = {
     # DSIR's two normalizing totals are a ONE-ROW broadcast cross-
     # joined onto the n_buckets-row ratio table — O(n_buckets) work.
     "text_dsir_select",
+    # CCNet bucketing's tercile thresholds are a ONE-ROW exact-
+    # percentile aggregate broadcast onto the scored docs (the
+    # distributed formulation of ntile(3)).
+    "text_ppl_buckets",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are

@@ -338,3 +338,19 @@ def test_bpe_encode_counts_fused_tokens(spark):
     assert got[1] == (3, 1, 4)
     assert got[2] == (3, 0, 3)
     assert got[3] == (2, 1, 3)
+
+
+def test_ppl_buckets_terciles(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.text import ppl_buckets
+
+    # Nine two-token docs. Scores: "a a" -> ln(6/8) = -0.2877 (majority
+    # transition), "a b" -> ln(2/8) = -1.3863 (unlikely under w1='a'),
+    # "b c" -> ln(1/1) = 0.0 ('b' is rare but its only continuation).
+    # Terciles land both thresholds on -0.2877, so >= puts the seven
+    # docs at or above it in head and the two "a b" docs in tail.
+    rows = [(i, "a a") for i in range(6)] + [(6, "a b"), (7, "a b"), (8, "b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.ppl_bucket for r in ppl_buckets(df).collect()}
+    assert all(got[i] == "head" for i in range(6))
+    assert got[8] == "head"
+    assert got[6] == "tail" and got[7] == "tail"
