@@ -97,6 +97,12 @@ HEADLINE = [
     "emb_indexing_pipeline",
     "dq_volume_anomaly",
     "mm_extract_features",
+    "a_grouping_sets",
+    "a_corr_stats",
+    "graph_pagerank",
+    "text_classifier_score",
+    "text_domain_cap",
+    "lake_snapshot_read",
 ]
 
 

@@ -823,3 +823,83 @@ def ppl_buckets(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    bias: float = 0.1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """FastText-style linear quality classifier over hashed bag-of-words
+    (the quality-filter family used by GPT-3/LLaMA data recipes: a cheap
+    linear model scores every document, a threshold keeps the 'looks
+    like reference text' side).
+
+    Features are token hash buckets (md5 → 32-bit → mod ``n_buckets``);
+    the weight vector is an arithmetic function of the bucket index
+    (deterministic stand-in for trained weights — a real model would
+    broadcast its weight array as a literal or a small join table, which
+    is exactly the shape this pins). Score = sigmoid(bias + mean bucket
+    weight), mean-pooled like fastText.
+
+    Map-only: hashing, weight lookup, the fold, and the sigmoid are all
+    per-row column expressions — at 100 TB this runs at parquet-scan
+    speed with zero shuffle. The fold is sequential in token order on
+    both engines, so the unrounded double matches the oracle
+    bit-for-bit and the keep/drop threshold cannot disagree."""
+    toks = normalized_tokens(text_col)
+
+    def weight(t: F.Column) -> F.Column:
+        bucket = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint") % n_buckets
+        return (bucket % 997).cast("double") / 997.0 - 0.5
+
+    total = F.aggregate(
+        F.transform(toks, weight), F.lit(0.0), lambda acc, w: acc + w
+    )
+    mean = total / F.greatest(F.size(toks), F.lit(1))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + mean)))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.round(score, 6).alias("clf_score"),
+        F.when(score >= threshold, F.lit("keep")).otherwise(F.lit("drop")).alias(
+            "clf_label"
+        ),
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int = 50,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """C4-style per-domain frequency cap: keep at most ``cap`` documents
+    per domain, preferring higher ``quality_col`` (deterministic id
+    tiebreak), so no single crawl domain dominates the training mix.
+
+    Shape at scale: one window ranked within the domain — the partition
+    key is the domain, so work distributes across domains and no
+    unpartitioned window appears. A skewed mega-domain concentrates its
+    own rows in one task; since only ``cap`` survive, the standard
+    refinement is a pre-filter pass (count per domain, broadcast the
+    over-cap set) before ranking — unnecessary until a domain's row
+    count dwarfs a partition.
+
+    Returns kept rows with their in-domain rank and the domain's total
+    count (so downsampling ratios are auditable downstream)."""
+    w = Window.partitionBy(domain_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    ranked = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.col(quality_col),
+        F.row_number().over(w).alias("domain_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy(domain_col)).alias("domain_total"),
+    )
+    return ranked.filter(F.col("domain_rank") <= cap)

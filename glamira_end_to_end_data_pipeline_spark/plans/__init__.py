@@ -181,7 +181,9 @@ _DRIVER_GREEN = _R2_GREEN | _R3_GREEN
 # dedup_segment_boilerplate, text_bpe_merges, s_orc_round_trip, and the
 # later additions dedup_semantic_retain / lake_merge_upsert /
 # text_dsir_select / emb_ann_recall / text_bpe_encode /
-# text_ppl_buckets / emb_indexing_pipeline if they made
+# text_ppl_buckets / emb_indexing_pipeline / a_grouping_sets /
+# a_corr_stats / graph_pagerank / text_classifier_score /
+# text_domain_cap / lake_snapshot_read if they made
 # the [:50] window), OR it into _DRIVER_GREEN, and clear
 # _ROTATE_FIRST_R4 to (). With union(r2..r4) covering the whole
 # registry, step 2 of _window_order() then automatically front-loads

@@ -2312,3 +2312,58 @@ def emb_indexing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = similarity.pq_codes(corpus, cents)
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.pq_adc_topk(q, codes, cents, k_top=5)
+
+
+@query(
+    "text_classifier_score",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               coalesce(list_aggregate(list_transform(toks,
+                   t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT % 4096) % 997)::DOUBLE
+                        / 997.0e0 - 0.5e0), 'sum'), 0.0e0) AS total
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0e0 / (1.0e0 + exp(-(0.1e0 + total / greatest(n_tokens, 1)))), 6)
+               AS clf_score,
+           CASE WHEN 1.0e0 / (1.0e0 + exp(-(0.1e0 + total / greatest(n_tokens, 1))))
+                     >= 0.5e0
+                THEN 'keep' ELSE 'drop' END AS clf_label
+    FROM s
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style hashed-BoW linear quality classifier (GPT-3/LLaMA
+    recipe quality filter): md5 token buckets → deterministic weight
+    vector → mean-pool → sigmoid → keep/drop. Map-only scan-speed
+    scoring (operators/text.py:classifier_score); the oracle replays the
+    identical hash arithmetic and sequential fold in DuckDB."""
+    return text.classifier_score(_docs(spark, sf_dir))
+
+
+@query(
+    "text_domain_cap",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id ASC) AS domain_rank,
+               count(*) OVER (PARTITION BY source) AS domain_total
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           cast(domain_rank AS int) AS domain_rank,
+           cast(domain_total AS bigint) AS domain_total
+    FROM ranked
+    WHERE domain_rank <= 10
+    """,
+)
+def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain frequency cap: at most 10 docs per source,
+    best-first (n_chars desc, id tiebreak), with the pre-cap domain
+    total carried for downstream mix auditing. Domain-partitioned
+    window — no global sort (operators/text.py:domain_cap)."""
+    return text.domain_cap(_docs(spark, sf_dir), cap=10)

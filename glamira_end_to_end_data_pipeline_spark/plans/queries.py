@@ -3298,3 +3298,172 @@ def setops_users_vs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(count_of(ev.intersect(cu), "intersect"))
         .unionByName(count_of(ev.exceptAll(cu).distinct(), "except"))
     )
+
+
+# ===========================================================================
+# Multi-grain GROUPING SETS, statistical aggregates, iterative graph rank
+# (SURVEY §2.6 completeness + engine analytics surface)
+# ===========================================================================
+
+
+@query(
+    "a_grouping_sets",
+    """
+    SELECT coalesce(cast(cast(year(o_orderdate) AS int) AS varchar), 'ALL')
+               AS order_year,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                            (year(o_orderdate)), (o_orderpriority), ())
+    """,
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the grains CUBE/ROLLUP can't pick à la
+    carte): (year, priority), (year), (priority), and the grand total in
+    ONE pass — Spark plans a single Expand + hash-aggregate, so the scan
+    is read once for all four grains instead of four times. Superset
+    grains are labeled 'ALL' via coalesce (both engines agree on NULL
+    for the rolled-up column, sidestepping grouping_id dialect
+    differences). Scale: Expand multiplies rows 4× map-side but partial
+    aggregation collapses them before the (low-cardinality) shuffle."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    )
+    grouped = orders.groupingSets(
+        [
+            [F.col("order_year"), F.col("priority")],
+            [F.col("order_year")],
+            [F.col("priority")],
+            [],
+        ],
+        F.col("order_year"),
+        F.col("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    return grouped.select(
+        F.coalesce(F.col("order_year").cast("string"), F.lit("ALL")).alias(
+            "order_year"
+        ),
+        F.coalesce(F.col("priority"), F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "total_price",
+    )
+
+
+@query(
+    "a_corr_stats",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_quantity), 4) AS std_qty,
+           round(var_samp(l_discount), 6) AS var_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates per return flag: Pearson
+    correlation, sample covariance, stddev, variance — all computed by
+    Spark's single-pass co-moment (Welford-merge) aggregates, so one
+    scan + one tiny shuffle regardless of data size. Rounding is sized
+    to each statistic's magnitude (corr∈[-1,1] → 6dp; covariance ~1e4 →
+    2dp) so partial-aggregation merge order can't flip the hash at
+    100× the partition count."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("corr_disc_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+    )
+
+
+@query(
+    "graph_pagerank",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT u, count(*) AS outdeg FROM e GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    r0 AS (SELECT node, 1.0e0 AS rank FROM nodes),
+    r1 AS (
+        SELECT n.node,
+               0.15e0 + 0.85e0 * coalesce(sum(r.rank / d.outdeg), 0.0e0) AS rank
+        FROM nodes n
+        LEFT JOIN e ON e.v = n.node
+        LEFT JOIN r0 r ON r.node = e.u
+        LEFT JOIN deg d ON d.u = e.u
+        GROUP BY n.node
+    ),
+    r2 AS (
+        SELECT n.node,
+               0.15e0 + 0.85e0 * coalesce(sum(r.rank / d.outdeg), 0.0e0) AS rank
+        FROM nodes n
+        LEFT JOIN e ON e.v = n.node
+        LEFT JOIN r1 r ON r.node = e.u
+        LEFT JOIN deg d ON d.u = e.u
+        GROUP BY n.node
+    ),
+    r3 AS (
+        SELECT n.node,
+               0.15e0 + 0.85e0 * coalesce(sum(r.rank / d.outdeg), 0.0e0) AS rank
+        FROM nodes n
+        LEFT JOIN e ON e.v = n.node
+        LEFT JOIN r2 r ON r.node = e.u
+        LEFT JOIN deg d ON d.u = e.u
+        GROUP BY n.node
+    )
+    SELECT r3.node AS part_id,
+           cast(deg.outdeg AS bigint) AS outdeg,
+           round(r3.rank, 6) AS rank
+    FROM r3 JOIN deg ON deg.u = r3.node
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 rounds, d=0.85) over the part co-purchase
+    graph — parts appearing in the same order are linked both ways. The
+    iterative weighted-propagation loop is the graph family connected
+    components (operators/dedup.py) doesn't cover; each round is one
+    edge⋈rank join + one destination-keyed sum, with the edge list
+    persisted once and ranks localCheckpoint-ed so the plan stays flat
+    (operators/graph.py). Edge building self-joins lineitem on its own
+    order key — co-partitioned shuffle, fan-out bounded by order size.
+    The oracle unrolls the same three rounds as chained CTEs."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("part_id"),
+        F.col("outdeg").cast("bigint").alias("outdeg"),
+        F.round("rank", 6).alias("rank"),
+    )

@@ -680,3 +680,58 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_ms", F.length("frame_payload").alias("frame_bytes")
     ).orderBy("media_id", "frame_ms")
+
+
+@query(
+    "lake_snapshot_read",
+    """
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1995-01-01'),
+         v2 AS (SELECT * FROM orders),
+         delta AS (SELECT * FROM orders WHERE o_orderdate >= DATE '1995-01-01')
+    SELECT 'v1' AS snapshot, count(*) AS n_rows,
+           cast(sum(o_orderkey) AS bigint) AS sum_keys,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM v1
+    UNION ALL
+    SELECT 'v2', count(*), cast(sum(o_orderkey) AS bigint),
+           round(sum(o_totalprice), 2) FROM v2
+    UNION ALL
+    SELECT 'v2_delta', count(*), cast(sum(o_orderkey) AS bigint),
+           round(sum(o_totalprice), 2) FROM delta
+    """,
+)
+def lake_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel + incremental read on the manifest-committed
+    lake (sources/lake.py:write_snapshot): commit v1 (pre-1995 orders),
+    append-commit v2 (the rest), then audit all three read paths —
+    time-travel to v1 (must NOT see the later append: snapshot
+    isolation), latest (v2 = full table), and the CDC file-diff read of
+    exactly the appended batch. The oracle recomputes each state from
+    the source table, so a manifest that leaks v2 files into v1, loses
+    an append, or mis-diffs the delta all hash-mismatch. Prices
+    round-trip through round(2) pre-write so the parquet double encode
+    cannot drift the hash."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_snap_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    cutoff = F.lit("1995-01-01").cast("date")
+    lake.write_snapshot(spark, orders.filter(F.col("o_orderdate") < cutoff), path)
+    lake.write_snapshot(spark, orders.filter(F.col("o_orderdate") >= cutoff), path)
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ).select(F.lit(label).alias("snapshot"), "n_rows", "sum_keys", "sum_price")
+
+    return (
+        summarize(lake.read_snapshot(spark, path, 1), "v1")
+        .unionByName(summarize(lake.read_snapshot(spark, path), "v2"))
+        .unionByName(summarize(lake.read_incremental(spark, path, 1, 2), "v2_delta"))
+    )

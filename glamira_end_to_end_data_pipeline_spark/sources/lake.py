@@ -222,3 +222,121 @@ def merge_upsert_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(parts)
+
+
+# ---------------------------------------------------------------------------
+# Manifest-based snapshots: time travel + incremental (CDC-style) reads
+# ---------------------------------------------------------------------------
+
+
+def _manifest_dir(base: str) -> str:
+    return base.rstrip("/") + "/_manifests"
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> list[str]:
+    import json
+
+    target = f"{_manifest_dir(path)}/v{version}.json"
+    fs, mpath = _hadoop_fs(spark, target)
+    if not fs.exists(mpath):
+        raise FileNotFoundError(f"snapshot v{version} not found under {path}")
+    # One tiny file; read it through Spark's own text source so every
+    # Hadoop scheme the session can write, it can also read back.
+    raw = "\n".join(
+        r[0] for r in spark.read.option("wholetext", True).text(target).collect()
+    )
+    return json.loads(raw)["files"]
+
+
+def latest_snapshot_version(spark: SparkSession, path: str) -> int:
+    """Highest committed snapshot version, or 0 if none."""
+    fs, mdir = _hadoop_fs(spark, _manifest_dir(path))
+    if not fs.exists(mdir):
+        return 0
+    best = 0
+    for status in fs.listStatus(mdir):
+        name = status.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                best = max(best, int(name[1:-5]))
+            except ValueError:
+                continue
+    return best
+
+
+def write_snapshot(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Commit ``df`` as an APPEND snapshot (the Iceberg/Delta commit
+    shape without the table format): the batch lands in an immutable
+    per-version data directory, and a new manifest lists every file
+    visible at this version — the previous snapshot's files plus the
+    batch's. Readers never list the data directories; the manifest IS
+    the table state, which is what makes time travel and snapshot
+    isolation work on an object store where listing is slow and
+    rename-based swaps aren't atomic.
+
+    Commit protocol: data files are fully written before the manifest;
+    the manifest is written to a temp name and renamed into place, so a
+    crash mid-commit leaves orphaned data files (harmless, GC-able by
+    diffing data dirs against manifests) but never a manifest pointing
+    at missing data, and never a torn manifest. Concurrent writers
+    would race on the version number — serialize commits (or add a
+    conditional-put/lock service) exactly as Delta/Iceberg do.
+
+    Returns the committed version number (1-based)."""
+    import json
+
+    version = latest_snapshot_version(spark, path) + 1
+    data_dir = f"{path.rstrip('/')}/data/v{version}"
+    df.write.mode("overwrite").parquet(data_dir)
+
+    fs, ddir = _hadoop_fs(spark, data_dir)
+    new_files = [
+        status.getPath().toString()
+        for status in fs.listStatus(ddir)
+        if status.getPath().getName().endswith(".parquet")
+    ]
+    files = (
+        _read_manifest(spark, path, version - 1) if version > 1 else []
+    ) + sorted(new_files)
+
+    payload = json.dumps({"version": version, "files": files}).encode("utf-8")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    mdir = jvm_path(_manifest_dir(path))
+    if not fs.exists(mdir):
+        fs.mkdirs(mdir)
+    tmp = jvm_path(f"{_manifest_dir(path)}/.v{version}.json.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    final = jvm_path(f"{_manifest_dir(path)}/v{version}.json")
+    if not fs.rename(tmp, final):
+        raise IOError(f"could not commit manifest for v{version} under {path}")
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the table exactly as of ``version`` (default
+    latest). Planning reads ONE small manifest, then scans precisely the
+    listed files — no directory listing, no chance of seeing a
+    half-committed batch."""
+    if version is None:
+        version = latest_snapshot_version(spark, path)
+    return spark.read.parquet(*_read_manifest(spark, path, version))
+
+
+def read_incremental(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """CDC-style incremental read: only the rows appended between two
+    snapshots (file-set difference of the manifests). The downstream
+    incremental-ingest pattern (streaming/incremental.py) gets its
+    input this way at a fraction of a full-table scan."""
+    old = set(_read_manifest(spark, path, from_version)) if from_version else set()
+    delta = [f for f in _read_manifest(spark, path, to_version) if f not in old]
+    if not delta:
+        return read_snapshot(spark, path, to_version).limit(0)
+    return spark.read.parquet(*delta)

@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from glamira_end_to_end_data_pipeline_spark.operators.graph import pagerank
+
+
+def _ranks(spark, edges, iters=3):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["node"]: (r["outdeg"], r["rank"])
+        for r in pagerank(df, iters=iters).collect()
+    }
+
+
+def test_pagerank_symmetric_pair_is_uniform(spark):
+    # Two nodes pointing at each other: all mass stays put → rank 1.0.
+    got = _ranks(spark, [(1, 2), (2, 1)])
+    assert got[1] == (1, 1.0)
+    assert got[2] == (1, 1.0)
+
+
+def test_pagerank_star_center_accumulates(spark):
+    # 3 leaves → center, center → one leaf. Hand-computed 1 iteration:
+    # center gets 0.15 + 0.85·(1/1 + 1/1 + 1/1) = 2.7;
+    # leaf1 gets 0.15 + 0.85·(1/1) = 1.0; leaf2/leaf3 get 0.15.
+    got = _ranks(spark, [(1, 0), (2, 0), (3, 0), (0, 1)], iters=1)
+    assert math.isclose(got[0][1], 2.7)
+    assert math.isclose(got[1][1], 1.0)
+    assert math.isclose(got[2][1], 0.15)
+    assert got[0][0] == 1  # center outdeg
+    assert got[1][0] == 1
+
+
+def test_pagerank_dangling_node_keeps_base_rank(spark):
+    # 1 → 2, 2 has no out-edges: node 2's mass is dropped (GraphX
+    # semantics), node 1 decays to the base rank.
+    # iter1: r(1)=0.15, r(2)=0.15+0.85·1=1.0; iter2: r(2)=0.15+0.85·0.15.
+    got = _ranks(spark, [(1, 2)], iters=2)
+    assert math.isclose(got[1][1], 0.15)
+    assert got[2][0] == 0  # dangling: outdeg 0 reported
+    assert math.isclose(got[2][1], 0.15 + 0.85 * 0.15)
+
+
+def test_pagerank_total_mass_bounded(spark):
+    # On a strongly-connected graph with no dangling nodes the total
+    # rank mass is conserved at n (un-normalized formulation).
+    cycle = [(i, (i + 1) % 5) for i in range(5)]
+    got = _ranks(spark, cycle, iters=4)
+    assert math.isclose(sum(r for _, r in got.values()), 5.0)
+
+
+def test_pagerank_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    plan = pagerank(df, iters=1)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

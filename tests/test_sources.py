@@ -8,7 +8,10 @@ threw PARQUET_TYPE_ILLEGAL on every events read (18/45 oracle entries).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from glamira_end_to_end_data_pipeline_spark.sources import lake
 
 from glamira_end_to_end_data_pipeline_spark.session import ensure_runtime_confs
 from glamira_end_to_end_data_pipeline_spark.sources import read_table
@@ -128,3 +131,35 @@ def test_csv_round_trip_survives_quoting_edge_cases(spark, tmp_path):
         .csv(path)
     )
     assert sorted((r.id, r.s) for r in back.collect()) == sorted(rows)
+
+
+def test_snapshot_time_travel_isolation(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    df1 = spark.range(0, 10).withColumn("batch", F.lit(1))
+    df2 = spark.range(10, 15).withColumn("batch", F.lit(2))
+    assert lake.write_snapshot(spark, df1, path) == 1
+    assert lake.write_snapshot(spark, df2, path) == 2
+    # v1 must not see the later append.
+    assert lake.read_snapshot(spark, path, 1).count() == 10
+    # Latest sees both batches.
+    assert lake.read_snapshot(spark, path).count() == 15
+    assert lake.latest_snapshot_version(spark, path) == 2
+
+
+def test_snapshot_incremental_reads_only_the_delta(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    lake.write_snapshot(spark, spark.range(0, 10), path)
+    lake.write_snapshot(spark, spark.range(100, 103), path)
+    delta = lake.read_incremental(spark, path, 1, 2)
+    assert sorted(r["id"] for r in delta.collect()) == [100, 101, 102]
+    # from_version=0 → everything up to v2.
+    assert lake.read_incremental(spark, path, 0, 2).count() == 13
+
+
+def test_snapshot_missing_version_raises(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    lake.write_snapshot(spark, spark.range(3), path)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        lake.read_snapshot(spark, path, 7)

@@ -10,6 +10,7 @@ from glamira_end_to_end_data_pipeline_spark.caching import (
     release_tracked,
     tracked_persist,
 )
+from glamira_end_to_end_data_pipeline_spark.operators import text
 from glamira_end_to_end_data_pipeline_spark.operators.skew import detect_hot_keys
 from glamira_end_to_end_data_pipeline_spark.operators.text import chunk_documents
 
@@ -354,3 +355,40 @@ def test_ppl_buckets_terciles(spark):
     assert all(got[i] == "head" for i in range(6))
     assert got[8] == "head"
     assert got[6] == "tail" and got[7] == "tail"
+
+
+def test_classifier_score_bounds_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lorem ipsum dolor"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.classifier_score(docs).collect()}
+    for r in rows.values():
+        assert 0.0 <= r["clf_score"] <= 1.0
+        assert r["clf_label"] in ("keep", "drop")
+        assert r["clf_label"] == ("keep" if r["clf_score"] >= 0.5 else "drop")
+    # Same text → identical score (pure function of content).
+    again = {r["doc_id"]: r for r in text.classifier_score(docs).collect()}
+    assert rows == again
+
+
+def test_domain_cap_keeps_best_per_domain(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i % 2}", 100 - i) for i in range(10)],
+        ["doc_id", "source", "n_chars"],
+    )
+    kept = text.domain_cap(docs, cap=3).collect()
+    assert len(kept) == 6  # 3 per domain
+    for r in kept:
+        assert r["domain_total"] == 5
+        assert 1 <= r["domain_rank"] <= 3
+    # Highest n_chars survive: doc_ids 0..5 (n_chars 100..95).
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 2, 3, 4, 5]
+
+
+def test_domain_cap_tiebreak_is_id_asc(spark):
+    docs = spark.createDataFrame(
+        [(i, "d", 7) for i in range(5)], ["doc_id", "source", "n_chars"]
+    )
+    kept = sorted(r["doc_id"] for r in text.domain_cap(docs, cap=2).collect())
+    assert kept == [0, 1]
