@@ -103,6 +103,7 @@ HEADLINE = [
     "text_classifier_score",
     "text_domain_cap",
     "lake_snapshot_read",
+    "emb_mmr_rerank",
 ]
 
 

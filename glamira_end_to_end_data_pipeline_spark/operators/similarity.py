@@ -889,3 +889,113 @@ def ann_recall(
             F.round(F.count("__hit") / F.count(F.lit(1)), 6).alias("recall"),
         )
     )
+
+
+def _round_half_away(x: float, dp: int = 6) -> float:
+    """Scalar twin of the vectorized 6dp half-away rounding used by
+    :func:`_pair_cosine_fn` — greedy selection must compare exactly the
+    values the oracle's ``round(x, dp)`` produces."""
+    import math
+
+    s = -1.0 if x < 0 else 1.0
+    scale = 10.0 ** dp
+    y = abs(x) * scale
+    fl = math.floor(y)
+    return s * (fl + (1 if y - fl >= 0.5 else 0)) / scale
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    from each query's top-``pool`` cosine candidates, greedily select
+    ``k`` results maximizing ``λ·relevance − (1−λ)·max-sim-to-already-
+    selected`` — the diversified retrieval every RAG/context-selection
+    pipeline wants when the raw top-k is five near-copies of one
+    document (and near-copies is exactly what a pretraining corpus has).
+
+    Two stages, both scale-shaped: (1) the existing exact/ANN machinery
+    bounds the pool to ``pool`` rows per query, (2) the greedy loop —
+    inherently sequential in k — runs per query inside ``applyInPandas``
+    over that BOUNDED pool (≤ pool vectors: the quadratic pair-sim
+    matrix is ≤ pool², driver never involved, queries parallelize
+    freely). Pair cosines use the sequential-fold + 6dp half-away
+    discipline of :func:`_pair_cosine_fn`, and every comparison is on
+    rounded values with an id tiebreak, so an unrolled SQL twin makes
+    the identical picks. Rank-1 is pure relevance (max-sim term = 0).
+    """
+    rel = brute_force_topk(queries, corpus, k=pool, id_col=id_col, vec_col=vec_col)
+    cand = rel.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "cosine_sim", "c_vec")
+
+    one_minus = 1.0 - lam
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cosine_sim", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = [np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]]
+        norms = [float(np.sqrt(np.cumsum(v * v)[-1])) if v.size else 0.0 for v in vecs]
+
+        def pair(i: int, j: int) -> float:
+            a, b = vecs[i], vecs[j]
+            acc = 0.0
+            for t in range(a.size):  # sequential fold, never np.dot
+                acc += a[t] * b[t]
+            return _round_half_away(acc / (norms[i] * norms[j]))
+
+        rels = pdf["cosine_sim"].to_list()
+        ids = pdf["neighbor_id"].to_list()
+        remaining = list(range(len(pdf)))
+        out = []
+        selected: list[int] = []
+        while remaining and len(out) < k:
+            best = None
+            for i in remaining:
+                ms = max((pair(i, j) for j in selected), default=0.0)
+                score = lam * rels[i] - one_minus * ms
+                # max by (score, -id): strictly-greater wins; ties go to
+                # the smaller neighbor id (same ORDER BY in the oracle).
+                key = (score, -ids[i])
+                if best is None or key > best[0]:
+                    best = (key, i, ms, score)
+            _, i, ms, score = best
+            selected.append(i)
+            remaining.remove(i)
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    int(ids[i]),
+                    len(out) + 1,
+                    float(rels[i]),
+                    float(ms),
+                    _round_half_away(score, 7),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "query_id",
+                "neighbor_id",
+                "mmr_rank",
+                "relevance",
+                "max_sim_selected",
+                "mmr_score",
+            ],
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        greedy,
+        "query_id long, neighbor_id long, mmr_rank int, relevance double, "
+        "max_sim_selected double, mmr_score double",
+    )

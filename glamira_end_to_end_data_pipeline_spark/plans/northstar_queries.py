@@ -2367,3 +2367,90 @@ def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     total carried for downstream mix auditing. Domain-partitioned
     window — no global sort (operators/text.py:domain_cap)."""
     return text.domain_cap(_docs(spark, sf_dir), cap=10)
+
+
+_MMR_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec
+          FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {_COS_SQL.format(a="q_vec", b="c_vec")} AS rel, c_vec
+        FROM c, q
+    ),
+    pool AS (
+        SELECT query_id, neighbor_id, rel, c_vec FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, neighbor_id) AS rnk
+            FROM scored) WHERE rnk <= 20
+    ),
+    s1 AS (
+        SELECT query_id, neighbor_id, rel, c_vec FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, neighbor_id) AS r
+            FROM pool) WHERE r = 1
+    ),
+    p2 AS (
+        SELECT p.query_id, p.neighbor_id, p.rel, p.c_vec,
+               {_COS_SQL.format(a="p.c_vec", b="s.c_vec")} AS ms,
+               0.7e0 * p.rel
+                   - 0.3e0 * {_COS_SQL.format(a="p.c_vec", b="s.c_vec")} AS score
+        FROM pool p JOIN s1 s USING (query_id)
+        WHERE p.neighbor_id <> s.neighbor_id
+    ),
+    s2 AS (
+        SELECT query_id, neighbor_id, rel, c_vec, ms, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS r
+            FROM p2) WHERE r = 1
+    ),
+    p3 AS (
+        SELECT p.query_id, p.neighbor_id, p.rel,
+               greatest({_COS_SQL.format(a="p.c_vec", b="a.c_vec")},
+                        {_COS_SQL.format(a="p.c_vec", b="b.c_vec")}) AS ms,
+               0.7e0 * p.rel
+                   - 0.3e0 * greatest(
+                         {_COS_SQL.format(a="p.c_vec", b="a.c_vec")},
+                         {_COS_SQL.format(a="p.c_vec", b="b.c_vec")}) AS score
+        FROM pool p
+        JOIN s1 a USING (query_id)
+        JOIN s2 b USING (query_id)
+        WHERE p.neighbor_id <> a.neighbor_id AND p.neighbor_id <> b.neighbor_id
+    ),
+    s3 AS (
+        SELECT query_id, neighbor_id, rel, ms, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS r
+            FROM p3) WHERE r = 1
+    )
+    SELECT query_id, neighbor_id, 1 AS mmr_rank, rel AS relevance,
+           0.0e0 AS max_sim_selected, round(0.7e0 * rel, 7) AS mmr_score
+    FROM s1
+    UNION ALL
+    SELECT query_id, neighbor_id, 2, rel, ms, round(score, 7) FROM s2
+    UNION ALL
+    SELECT query_id, neighbor_id, 3, rel, ms, round(score, 7) FROM s3
+    """
+
+
+@query("emb_mmr_rerank", _MMR_ORACLE)
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-rank (λ=0.7, pool=20, k=3) for 5 queries:
+    greedy λ·relevance − (1−λ)·max-sim-to-selected over the bounded
+    top-20 pool, per query inside applyInPandas
+    (operators/similarity.py:mmr_rerank). The oracle unrolls the three
+    greedy steps as chained argmax CTEs making the identical
+    rounded-comparison picks. mmr_score is rounded to 7dp, not 6: with
+    rel/ms both 6dp-rounded, 0.7·rel − 0.3·ms is an exact decimal
+    multiple of 1e-7 — i.e. it LANDS on 6dp half-boundaries, where the
+    two engines' rounding diverges by one ulp; at 7dp no input sits on
+    a boundary."""
+    emb = _emb(spark, sf_dir)
+    return similarity.mmr_rerank(
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") >= 10),
+        k=3,
+        pool=20,
+        lam=0.7,
+    )

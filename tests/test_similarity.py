@@ -187,3 +187,33 @@ def test_ivfpq_finds_own_cluster(spark):
     assert {r.query_id for r in top} == {0, 1, 2}
     hits = sum(r.query_id % 3 == r.neighbor_id % 3 for r in top)
     assert hits / len(top) >= 0.8, f"cluster recall {hits}/{len(top)}"
+
+
+def test_mmr_rank1_is_pure_relevance_and_diversity_kicks_in(spark):
+    # 4 corpus vectors: two near-copies of the query direction, one
+    # moderately similar, one orthogonal. Raw top-2 would be the two
+    # near-copies; MMR must pick the moderate vector at rank 2.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (10, [1.0, 0.001, 0.0]),       # near-copy A (best relevance)
+        (11, [1.0, 0.0011, 0.0]),      # near-copy B (≈ A)
+        (12, [0.7, 0.7, 0.0]),         # moderate
+        (13, [0.0, 0.0, 1.0]),         # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["mmr_rank"]: r
+        for r in similarity.mmr_rerank(
+            df.filter(F.col("vec_id") < 5),
+            df.filter(F.col("vec_id") >= 10),
+            k=3,
+            pool=4,
+            lam=0.5,
+        ).collect()
+    }
+    assert got[1]["neighbor_id"] == 10  # highest cosine, id tiebreak
+    assert got[1]["max_sim_selected"] == 0.0
+    # rank 2 skips the near-copy (sim≈1 to rank 1) for the diverse one
+    assert got[2]["neighbor_id"] in (12, 13)
+    assert got[2]["max_sim_selected"] < 0.99
+    assert len(got) == 3
