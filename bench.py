@@ -104,6 +104,8 @@ HEADLINE = [
     "text_domain_cap",
     "lake_snapshot_read",
     "emb_mmr_rerank",
+    "w_sessionize_batch",
+    "lake_gc_orphans",
 ]
 
 

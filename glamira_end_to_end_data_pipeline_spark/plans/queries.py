@@ -3467,3 +3467,81 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("outdeg").cast("bigint").alias("outdeg"),
         F.round("rank", 6).alias("rank"),
     )
+
+
+@query(
+    "w_sessionize_batch",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           cast(session_idx AS int) AS session_idx,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           cast(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS bigint)
+               AS duration_s,
+           round(sum(value), 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def w_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch/backfill sessionization — the classic lag→flag→running-sum
+    composition (30-min inactivity gap), the twin of the streaming
+    session_window/applyInPandasWithState pair for reprocessing history:
+    a gap-start flag from lag(ts), a running sum turning flags into
+    per-user session ordinals, then one aggregate per session. Both
+    window specs share (user_id; ts, event_id) partitioning+order, so
+    Spark plans ONE exchange and ONE sort for the whole chain — at
+    100 TB the operator costs a single user-keyed shuffle, and no
+    unpartitioned window appears anywhere."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+        .alias("session_idx"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long"))
+        .cast("bigint")
+        .alias("duration_s"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )

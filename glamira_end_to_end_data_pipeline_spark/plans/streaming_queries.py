@@ -735,3 +735,48 @@ def lake_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summarize(lake.read_snapshot(spark, path), "v2"))
         .unionByName(summarize(lake.read_incremental(spark, path, 1, 2), "v2_delta"))
     )
+
+
+@query(
+    "lake_gc_orphans",
+    """
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1995-01-01')
+    SELECT 2 AS n_orphans_removed,
+           count(*) AS n_rows_latest,
+           cast(sum(o_orderkey) AS bigint) AS sum_keys_latest,
+           (SELECT count(*) FROM v1) AS n_rows_v1
+    FROM orders
+    """,
+)
+def lake_gc_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file GC on the manifest-committed lake
+    (sources/lake.py:gc_orphan_files — the remove_orphan_files/VACUUM
+    maintenance job): commit v1 and v2, then simulate a CRASHED commit
+    by writing a 2-file data directory with no manifest. GC must remove
+    exactly those 2 unreferenced files and nothing else — proven by
+    re-reading BOTH the latest snapshot (full table) and the v1
+    time-travel snapshot after the sweep and hash-checking them against
+    the source-derived oracle. A GC that deletes referenced files,
+    or misses the orphans, mismatches."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_gc_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cutoff = F.lit("1995-01-01").cast("date")
+    lake.write_snapshot(spark, orders.filter(F.col("o_orderdate") < cutoff), path)
+    lake.write_snapshot(spark, orders.filter(F.col("o_orderdate") >= cutoff), path)
+    # Crashed third commit: data files landed, manifest never renamed in.
+    orders.limit(10).repartition(2).write.parquet(path + "/data/v3")
+    removed = lake.gc_orphan_files(spark, path)
+
+    latest = lake.read_snapshot(spark, path)
+    v1_rows = lake.read_snapshot(spark, path, 1).count()
+    return latest.agg(
+        F.count(F.lit(1)).alias("n_rows_latest"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_keys_latest"),
+    ).select(
+        F.lit(removed).cast("int").alias("n_orphans_removed"),
+        "n_rows_latest",
+        "sum_keys_latest",
+        F.lit(v1_rows).cast("long").alias("n_rows_v1"),
+    )

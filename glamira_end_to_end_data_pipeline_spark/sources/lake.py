@@ -340,3 +340,37 @@ def read_incremental(
     if not delta:
         return read_snapshot(spark, path, to_version).limit(0)
     return spark.read.parquet(*delta)
+
+
+def gc_orphan_files(spark: SparkSession, path: str) -> int:
+    """Garbage-collect data files no manifest references — the cleanup
+    companion of :func:`write_snapshot`'s crash contract (a commit that
+    died after writing data but before renaming its manifest leaves
+    orphaned files; harmless for readers, but they hold bytes forever).
+    Exactly Iceberg's ``remove_orphan_files`` / Delta VACUUM shape:
+    referenced = union of every committed manifest's file list;
+    existing = the physical listing; delete the difference. Never
+    touches a referenced file, so every committed snapshot remains
+    time-travelable after GC. Returns the number of files removed.
+
+    All listing/deletes go through the Hadoop FileSystem API (object-
+    store safe). At 100 TB both sides are file-name sets (millions of
+    entries, not data), and a production variant would add an age
+    threshold so an in-flight commit's files aren't swept mid-write —
+    noted here because this sandbox has no concurrent writers."""
+    referenced: set[str] = set()
+    for v in range(1, latest_snapshot_version(spark, path) + 1):
+        referenced.update(_read_manifest(spark, path, v))
+
+    fs, ddir = _hadoop_fs(spark, path.rstrip("/") + "/data")
+    if not fs.exists(ddir):
+        return 0
+    removed = 0
+    listing = fs.listFiles(ddir, True)
+    while listing.hasNext():
+        status = listing.next()
+        p = status.getPath()
+        if p.getName().endswith(".parquet") and p.toString() not in referenced:
+            fs.delete(p, False)
+            removed += 1
+    return removed

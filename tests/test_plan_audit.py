@@ -57,6 +57,9 @@ BNLJ_OK = {
     # (broadcast queries × corpus — exactness is the point of a recall
     # measurement); the probe join itself is k-bounded per query.
     "emb_ann_recall",
+    # MMR's pool stage IS brute_force_topk (broadcast queries × corpus);
+    # the greedy rerank then runs on the pool-bounded rows only.
+    "emb_mmr_rerank",
     # DSIR's two normalizing totals are a ONE-ROW broadcast cross-
     # joined onto the n_buckets-row ratio table — O(n_buckets) work.
     "text_dsir_select",

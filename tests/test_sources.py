@@ -163,3 +163,17 @@ def test_snapshot_missing_version_raises(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         lake.read_snapshot(spark, path, 7)
+
+
+def test_gc_removes_only_unreferenced_files(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    lake.write_snapshot(spark, spark.range(0, 10), path)
+    lake.write_snapshot(spark, spark.range(10, 15), path)
+    # crashed commit: data files, no manifest
+    spark.range(100, 104).repartition(2).write.parquet(path + "/data/v3")
+    assert lake.gc_orphan_files(spark, path) == 2
+    # every committed snapshot still fully readable
+    assert lake.read_snapshot(spark, path, 1).count() == 10
+    assert lake.read_snapshot(spark, path, 2).count() == 15
+    # idempotent: nothing left to sweep
+    assert lake.gc_orphan_files(spark, path) == 0
