@@ -57,10 +57,19 @@ def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
 
 
 def exploded_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle_x) pairs, distinct, where shingle_x is the 31-bit
-    shingle hash — the normalized form every near-dup operator consumes.
+    """(id, shingle_x) pairs, distinct by default, where shingle_x is
+    the 31-bit shingle hash — the normalized form every near-dup
+    operator consumes. ``distinct=False`` skips the set-semantics
+    shuffle for consumers whose aggregation is duplicate-insensitive
+    (MIN-based MinHash signatures): per-doc distinct equals global
+    (doc, shingle) distinct, so set semantics can always be recovered
+    later on a restricted subset instead of the full stream.
 
     Hashing happens BEFORE the distinct ("shuffle digests, never text"):
     the dedup shuffle and every downstream join move 8-byte longs, not
@@ -84,16 +93,13 @@ def exploded_shingles(
     zipped = F.arrays_zip(
         *[F.slice(toks, i + 1, k).alias(f"t{i}") for i in range(n)]
     )
-    return (
-        with_toks.select(F.col(id_col), F.explode(zipped).alias("__g"))
-        .select(
-            F.col(id_col),
-            shingle_to_int(
-                F.concat_ws(" ", *[F.col(f"__g.t{i}") for i in range(n)])
-            ).alias("shingle_x"),
-        )
-        .distinct()
+    out = with_toks.select(F.col(id_col), F.explode(zipped).alias("__g")).select(
+        F.col(id_col),
+        shingle_to_int(
+            F.concat_ws(" ", *[F.col(f"__g.t{i}") for i in range(n)])
+        ).alias("shingle_x"),
     )
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(
@@ -223,21 +229,45 @@ def minhash_near_dups(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
-    candidate pairs → exact-Jaccard verify → threshold."""
-    # The shingle table feeds four plan branches (signatures, both sides
-    # of the intersection join, sizes); without persistence Catalyst
-    # re-executes scan->explode->distinct per branch. Disk-backed cache
-    # is the 100 TB-safe storage level.
-    sh = tracked_persist(
-        exploded_shingles(df, id_col, text_col), StorageLevel.MEMORY_AND_DISK
+    candidate pairs → exact-Jaccard verify → threshold.
+
+    Shuffle budget: the raw (non-distinct) shingle stream NEVER
+    shuffles at full width. MinHash signatures are MIN aggregates —
+    duplicate-insensitive — so they consume the raw stream through
+    partial aggregation (map-side collapse to one row per doc before
+    the exchange); the set semantics exact-Jaccard needs are recovered
+    AFTER candidate generation, on the shingles of candidate docs only
+    (LSH's whole point is that candidates ≪ corpus — AQE turns the
+    restriction join into a broadcast when the candidate id list is
+    small, which is the designed regime). The previous full-corpus
+    (doc, shingle) DISTINCT was the pipeline's widest shuffle."""
+    # Raw shingle stream feeds signatures + the candidate-restricted
+    # verify set; persist so explode+md5 runs once.
+    sh_raw = tracked_persist(
+        exploded_shingles(df, id_col, text_col, distinct=False),
+        StorageLevel.MEMORY_AND_DISK,
     )
     # signatures feed both sides of the band self-join — persist or the
-    # 16-way min-md5 aggregation runs twice.
+    # 16-way min aggregation runs twice.
     sig = tracked_persist(
-        minhash_signatures(sh, id_col, num_hashes), StorageLevel.MEMORY_AND_DISK
+        minhash_signatures(sh_raw, id_col, num_hashes), StorageLevel.MEMORY_AND_DISK
     )
-    cand = lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
-    return jaccard_for_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+    cand = tracked_persist(
+        lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    cand_ids = (
+        cand.select(F.col("a").alias(id_col))
+        .unionAll(cand.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    # Set semantics restored on candidate docs only (tiny distinct).
+    sh_set = tracked_persist(
+        sh_raw.join(cand_ids, id_col).distinct(), StorageLevel.MEMORY_AND_DISK
+    )
+    return jaccard_for_pairs(cand, sh_set, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def ngram_jaccard_pairs(
