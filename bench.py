@@ -3,10 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once after a warmup pass of the session (JVM +
-codegen warm); timing covers plan → execute into
-the JVM noop sink so neither Python row serialization nor driver-side
-pandas conversion pollutes the numbers.
+Each query is executed twice after a warmup pass of the session (JVM +
+codegen + Arrow worker pool warm) and the MIN is reported (steady-state
+methodology — see the rationale comment in main(); the first-run total
+is kept in the JSON). Timing covers plan → execute into the JVM noop
+sink so neither Python row serialization nor driver-side pandas
+conversion pollutes the numbers.
 """
 
 from __future__ import annotations

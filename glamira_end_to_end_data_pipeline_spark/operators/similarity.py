@@ -920,23 +920,38 @@ def mmr_rerank(
     pipeline wants when the raw top-k is five near-copies of one
     document (and near-copies is exactly what a pretraining corpus has).
 
-    Two stages, both scale-shaped: (1) the existing exact/ANN machinery
-    bounds the pool to ``pool`` rows per query, (2) the greedy loop —
-    inherently sequential in k — runs per query inside ``applyInPandas``
-    over that BOUNDED pool (≤ pool vectors: the quadratic pair-sim
-    matrix is ≤ pool², driver never involved, queries parallelize
-    freely). Pair cosines use the sequential-fold + 6dp half-away
-    discipline of :func:`_pair_cosine_fn`, and every comparison is on
-    rounded values with an id tiebreak, so an unrolled SQL twin makes
-    the identical picks. Rank-1 is pure relevance (max-sim term = 0).
+    Two stages, both scale-shaped: (1) the brute-force pool pass keeps
+    each candidate's vector AND its JVM-computed norm on the row, so no
+    corpus re-join and no Python-side norm recompute happen downstream;
+    (2) the greedy loop — inherently sequential in k — runs per query
+    inside ``applyInPandas`` over that BOUNDED pool (≤ pool vectors:
+    the pair-sim matrix is ≤ pool², memoized so each pair folds once,
+    driver never involved, queries parallelize freely). Pair cosines
+    use the sequential-fold + 6dp half-away discipline of
+    :func:`_pair_cosine_fn`; zero-norm vectors define sim = 0 (a NaN
+    here would poison Python's tuple-max and lock selection onto the
+    bad candidate). Every comparison is on rounded values with an id
+    tiebreak, and (1−λ) is computed as ``1.0 - lam`` — the oracle twin
+    writes ``(1.0e0 - 0.7e0)``, NOT the decimal literal 0.3e0, because
+    the two differ in the last ulp and real score ties (0.7·Δrel =
+    0.3·Δms over 6dp-rounded inputs) are reachable; with both engines
+    folding the identical doubles, the unrolled SQL twin makes the
+    identical picks. Rank-1 is pure relevance (max-sim term = 0).
     """
-    rel = brute_force_topk(queries, corpus, k=pool, id_col=id_col, vec_col=vec_col)
-    cand = rel.join(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-        ),
-        "neighbor_id",
-    ).select("query_id", "neighbor_id", "cosine_sim", "c_vec")
+    q = _side(queries, id_col, vec_col, "query_id", "q_vec", "q_norm")
+    c = _side(corpus, id_col, vec_col, "neighbor_id", "c_vec", "c_norm")
+    scored = c.join(F.broadcast(q)).select(
+        "query_id", "neighbor_id", "c_vec", "c_norm",
+        _pair_cosine().alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= pool)
+        .select("query_id", "neighbor_id", "cosine_sim", "c_vec", "c_norm")
+    )
 
     one_minus = 1.0 - lam
 
@@ -945,14 +960,22 @@ def mmr_rerank(
             ["cosine_sim", "neighbor_id"], ascending=[False, True]
         ).reset_index(drop=True)
         vecs = [np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]]
-        norms = [float(np.sqrt(np.cumsum(v * v)[-1])) if v.size else 0.0 for v in vecs]
+        norms = pdf["c_norm"].to_list()
+        memo: dict[tuple[int, int], float] = {}
 
         def pair(i: int, j: int) -> float:
+            key = (i, j) if i < j else (j, i)
+            hit = memo.get(key)
+            if hit is not None:
+                return hit
             a, b = vecs[i], vecs[j]
             acc = 0.0
             for t in range(a.size):  # sequential fold, never np.dot
                 acc += a[t] * b[t]
-            return _round_half_away(acc / (norms[i] * norms[j]))
+            den = norms[i] * norms[j]
+            out = _round_half_away(acc / den) if den > 0.0 else 0.0
+            memo[key] = out
+            return out
 
         rels = pdf["cosine_sim"].to_list()
         ids = pdf["neighbor_id"].to_list()

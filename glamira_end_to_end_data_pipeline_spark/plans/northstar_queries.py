@@ -2395,7 +2395,8 @@ _MMR_ORACLE = f"""
         SELECT p.query_id, p.neighbor_id, p.rel, p.c_vec,
                {_COS_SQL.format(a="p.c_vec", b="s.c_vec")} AS ms,
                0.7e0 * p.rel
-                   - 0.3e0 * {_COS_SQL.format(a="p.c_vec", b="s.c_vec")} AS score
+                   - (1.0e0 - 0.7e0)
+                     * {_COS_SQL.format(a="p.c_vec", b="s.c_vec")} AS score
         FROM pool p JOIN s1 s USING (query_id)
         WHERE p.neighbor_id <> s.neighbor_id
     ),
@@ -2410,7 +2411,7 @@ _MMR_ORACLE = f"""
                greatest({_COS_SQL.format(a="p.c_vec", b="a.c_vec")},
                         {_COS_SQL.format(a="p.c_vec", b="b.c_vec")}) AS ms,
                0.7e0 * p.rel
-                   - 0.3e0 * greatest(
+                   - (1.0e0 - 0.7e0) * greatest(
                          {_COS_SQL.format(a="p.c_vec", b="a.c_vec")},
                          {_COS_SQL.format(a="p.c_vec", b="b.c_vec")}) AS score
         FROM pool p

@@ -3475,7 +3475,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         OR cast(floor(epoch(ts)) AS bigint)
+                            - cast(floor(epoch(lag(ts) OVER w)) AS bigint) > 1800
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -366,11 +366,26 @@ def gc_orphan_files(spark: SparkSession, path: str) -> int:
     if not fs.exists(ddir):
         return 0
     removed = 0
-    listing = fs.listFiles(ddir, True)
-    while listing.hasNext():
-        status = listing.next()
-        p = status.getPath()
-        if p.getName().endswith(".parquet") and p.toString() not in referenced:
-            fs.delete(p, False)
-            removed += 1
+    # Sweep per version DIRECTORY: a crashed commit's dir (no referenced
+    # files) goes away whole — _SUCCESS markers, .crc sidecars, and the
+    # empty dir itself included, so repeated crashes cannot accumulate
+    # small-file debris. A dir with any referenced file loses only its
+    # unreferenced .parquet strays.
+    for vstat in fs.listStatus(ddir):
+        if not vstat.isDirectory():
+            continue
+        files = []
+        listing = fs.listFiles(vstat.getPath(), True)
+        while listing.hasNext():
+            files.append(listing.next().getPath())
+        parquet = [p for p in files if p.getName().endswith(".parquet")]
+        live = [p for p in parquet if p.toString() in referenced]
+        if not live:
+            removed += len(parquet)
+            fs.delete(vstat.getPath(), True)
+        else:
+            for p in parquet:
+                if p.toString() not in referenced:
+                    fs.delete(p, False)
+                    removed += 1
     return removed

@@ -177,3 +177,14 @@ def test_gc_removes_only_unreferenced_files(spark, tmp_path):
     assert lake.read_snapshot(spark, path, 2).count() == 15
     # idempotent: nothing left to sweep
     assert lake.gc_orphan_files(spark, path) == 0
+
+
+def test_gc_sweeps_crashed_commit_directory_whole(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    lake.write_snapshot(spark, spark.range(5), path)
+    spark.range(3).repartition(1).write.parquet(path + "/data/v9")
+    assert lake.gc_orphan_files(spark, path) == 1
+    fs, vdir = lake._hadoop_fs(spark, path + "/data/v9")
+    # the whole crashed dir is gone — no _SUCCESS/.crc debris left
+    assert not fs.exists(vdir)
+    assert lake.read_snapshot(spark, path, 1).count() == 5
