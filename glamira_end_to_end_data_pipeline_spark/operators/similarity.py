@@ -81,16 +81,31 @@ def _pair_cosine_fn(
     ``floor(y)+(frac>=0.5)`` form is only round-half-away for y ≥ 0)."""
     qa = [np.asarray(v, dtype=np.float64) for v in qv]
     ca = [np.asarray(v, dtype=np.float64) for v in cv]
-    lens = np.array([a.size for a in qa])
-    if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+    lens_q = np.array([a.size for a in qa])
+    lens_c = np.array([a.size for a in ca])
+    # Fast path only when BOTH sides are uniform and equal-width — a
+    # single corrupt/odd-width row (schema drift) must degrade that row
+    # to NaN like the old JVM zip_with expression's null, not crash the
+    # task via a shape-mismatched np.stack.
+    if (
+        len(lens_q)
+        and (lens_q == lens_q[0]).all()
+        and (lens_c == lens_q[0]).all()
+        and lens_q[0] > 0
+    ):
         x = np.stack(qa)
         y = np.stack(ca)
         acc = np.zeros(x.shape[0], dtype=np.float64)
         for i in range(x.shape[1]):  # sequential fold, never pairwise
             acc += x[:, i] * y[:, i]
-    else:  # ragged — per-row sequential fold, same arithmetic
+    else:  # ragged — per-row sequential fold; width mismatch → NaN
         acc = np.array(
-            [np.cumsum(a * b)[-1] if a.size else 0.0 for a, b in zip(qa, ca)],
+            [
+                np.cumsum(a * b)[-1]
+                if a.size and a.size == b.size
+                else (0.0 if a.size == b.size else np.nan)
+                for a, b in zip(qa, ca)
+            ],
             dtype=np.float64,
         )
     s = acc / (qn.to_numpy(dtype=np.float64) * cn.to_numpy(dtype=np.float64))
@@ -672,8 +687,17 @@ def _pq_assign_fn(cents: list[list[tuple[int, list[float]]]]):
         lens = np.array([a.size for a in arrs])
         if len(lens) and (lens == m * sub).all():
             packed, err = assign(np.stack(arrs))
-        else:  # ragged/short rows — row-at-a-time, same arithmetic
-            outs = [assign(a[None, :]) for a in arrs]
+        else:
+            # Short rows (fewer than m·sub dims) cannot be sliced into
+            # subvectors: zero-pad to the codebook width — the distance
+            # contribution of the padded dims is just the centroid's own
+            # energy, a graceful nearest-fit instead of a reshape crash.
+            outs = [
+                assign(np.pad(a, (0, m * sub - a.size))[None, :])
+                if a.size < m * sub
+                else assign(a[None, :])
+                for a in arrs
+            ]
             packed = np.array([o[0][0] for o in outs], dtype=np.int64)
             err = np.array([o[1][0] for o in outs], dtype=np.float64)
         return pd.DataFrame({"pq_code": packed, "recon_raw": err})
@@ -879,7 +903,11 @@ def ann_recall(
     query), so the probe join touches k·n_queries rows no matter how
     large the indexed corpus is; one shuffle on (query_id, neighbor_id)
     and one re-agg on query_id."""
-    hits = ann.select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    # distinct: a duplicate (query, neighbor) row in the ANN ranking
+    # (ties merged from shards, a buggy index) would otherwise fan out
+    # ground-truth rows — inflating n_hit AND the count(*) denominator,
+    # letting "recall" drift off |ANN ∩ GT| / |GT| (even past 1.0).
+    hits = ann.select("query_id", "neighbor_id", F.lit(1).alias("__hit")).distinct()
     return (
         ground_truth.select("query_id", "neighbor_id")
         .join(hits, ["query_id", "neighbor_id"], "left")

@@ -10,6 +10,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from glamira_end_to_end_data_pipeline_spark.caching import tracked_persist
 
 from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
     normalized_tokens,
@@ -646,7 +649,16 @@ def _bpe_fuse_stream(
         ).alias("__st"),
     )
     merges: list[tuple[int, str, int]] = []
+    # Per-round persist-and-swap (the winnow/compaction discipline):
+    # round r's pair count materializes the CURRENT stream into cache,
+    # so round r+1 reads one cached pass instead of replaying the
+    # source scan + normalization + r prior replaces — without this the
+    # loop costs O(n_merges²) corpus derivations, which is fatal at the
+    # thousands of rounds a real BPE trainer runs. The previous round's
+    # cache is dropped as soon as its successor is materialized.
+    prev_persisted = None
     for step in range(1, n_merges + 1):
+        stream = tracked_persist(stream, StorageLevel.MEMORY_AND_DISK)
         # tokens materialized BEFORE the bigram build, and bigrams via
         # codegen'd slice+zip+explode (never transform/element_at over
         # an inlined split, which re-runs the regex per element access
@@ -669,6 +681,9 @@ def _bpe_fuse_stream(
             .limit(1)
             .collect()
         )
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = stream
         if not top:
             break
         pair, cnt = top[0]["pair"], top[0]["cnt"]

@@ -179,7 +179,8 @@ _DRIVER_GREEN = _R2_GREEN | _R3_GREEN
 # CORRECTNESS_r04.json (expected: all of _ROTATE_FIRST_R4 plus the 11
 # round-4 fresh entries q19/q22/q9/q11/q12/q15/q16/q17,
 # dedup_segment_boilerplate, text_bpe_merges, s_orc_round_trip, and the
-# later additions dedup_semantic_retain / lake_merge_upsert /
+# later additions dedup_semantic_retain / text_hybrid_rrf /
+# lake_merge_upsert /
 # text_dsir_select / emb_ann_recall / text_bpe_encode /
 # text_ppl_buckets / emb_indexing_pipeline / a_grouping_sets /
 # a_corr_stats / graph_pagerank / text_classifier_score /

@@ -965,10 +965,13 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "emb_near_dup_pairs",
-    f"""
-    WITH mutants AS (
+# Shared mutant-injection fixture for the semantic-dedup family: every
+# 25th vector gets a near-copy (+0.01 on the first component, id+100000)
+# so near-dup recall has guaranteed true positives. ONE definition —
+# Python and SQL twins below — consumed by emb_near_dup_pairs,
+# dedup_semantic_retain, and emb_indexing_pipeline; a change to the
+# mutation scheme lands in exactly two strings, not six.
+_MUTANT_POOL_CTES = """mutants AS (
         SELECT vec_id + 100000 AS vec_id,
                list_prepend(embedding[1]::DOUBLE + 0.01e0,
                             (embedding[2:])::DOUBLE[]) AS embedding
@@ -977,7 +980,57 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool AS (
         SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
         UNION ALL SELECT vec_id, embedding FROM mutants
+    )"""
+
+# SemDeDup clustering chain over the mutant pool (bucketed candidate
+# pairs -> symmetric edges -> recursive-CTE reachability -> min-label
+# clusters -> non-canonical members). Use with .replace("{bucket}", ...)
+# and .replace("{cos}", ...).
+_SEMANTIC_CLUSTER_CTES = """v AS (
+        SELECT vec_id, embedding,
+               {bucket} AS bucket
+        FROM pool
     ),
+    pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {cos} >= 0.9
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    labels AS (
+        SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    dropped AS (SELECT vec_id FROM labels WHERE vec_id <> cluster_id)"""
+
+
+def _mutant_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python twin of ``_MUTANT_POOL_CTES``."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mutants = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
+            F.slice("embedding", 2, 10_000),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(mutants)
+
+
+@query(
+    "emb_near_dup_pairs",
+    f"""
+    WITH {_MUTANT_POOL_CTES},
     v AS (
         SELECT vec_id, embedding,
                {_bucket_sql("embedding", 4)} AS bucket
@@ -993,17 +1046,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ 0.9) via sign-bit bucket
     candidate join. Injected mutants (vec_id%25, first component +0.01)
     guarantee true positives."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    mutants = emb.filter(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
-            F.slice("embedding", 2, 10_000),
-        ).alias("embedding"),
-    )
-    pool = emb.unionByName(mutants)
+    pool = _mutant_pool(spark, sf_dir)
     return similarity.near_dup_pairs(pool, threshold=0.9, n_bits=4)
 
 
@@ -1822,40 +1865,8 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_semantic_retain",
     f"""
-    WITH RECURSIVE mutants AS (
-        SELECT vec_id + 100000 AS vec_id,
-               list_prepend(embedding[1]::DOUBLE + 0.01e0,
-                            (embedding[2:])::DOUBLE[]) AS embedding
-        FROM embeddings WHERE vec_id % 25 = 0
-    ),
-    pool AS (
-        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
-        UNION ALL SELECT vec_id, embedding FROM mutants
-    ),
-    v AS (
-        SELECT vec_id, embedding,
-               {{bucket}} AS bucket
-        FROM pool
-    ),
-    pairs AS (
-        SELECT a.vec_id AS a, b.vec_id AS b
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE {{cos}} >= 0.9
-    ),
-    edges AS (
-        SELECT a AS u, b AS v FROM pairs
-        UNION
-        SELECT b AS u, a AS v FROM pairs
-    ),
-    reach(node, r) AS (
-        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
-        UNION
-        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
-    ),
-    labels AS (
-        SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
-    ),
-    dropped AS (SELECT vec_id FROM labels WHERE vec_id <> cluster_id)
+    WITH RECURSIVE {_MUTANT_POOL_CTES},
+    {_SEMANTIC_CLUSTER_CTES}
     SELECT p.vec_id FROM pool p
     WHERE p.vec_id NOT IN (SELECT vec_id FROM dropped)
     """.replace("{bucket}", _bucket_sql("embedding", 4))
@@ -1871,17 +1882,7 @@ def dedup_semantic_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed candidate join (never all-pairs), clustering touches only
     pair members, and the corpus passes once through one anti-join
     against the tiny drop list."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    mutants = emb.filter(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
-            F.slice("embedding", 2, 10_000),
-        ).alias("embedding"),
-    )
-    pool = emb.unionByName(mutants)
+    pool = _mutant_pool(spark, sf_dir)
     pairs = similarity.near_dup_pairs(pool, threshold=0.9, n_bits=4).select(
         "a", "b"
     )
@@ -2188,40 +2189,8 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_indexing_pipeline",
     """
-    WITH RECURSIVE mutants AS (
-        SELECT vec_id + 100000 AS vec_id,
-               list_prepend(embedding[1]::DOUBLE + 0.01e0,
-                            (embedding[2:])::DOUBLE[]) AS embedding
-        FROM embeddings WHERE vec_id % 25 = 0
-    ),
-    pool AS (
-        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
-        UNION ALL SELECT vec_id, embedding FROM mutants
-    ),
-    v AS (
-        SELECT vec_id, embedding,
-               {bucket} AS bucket
-        FROM pool
-    ),
-    prs AS (
-        SELECT a.vec_id AS a, b.vec_id AS b
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE {cos} >= 0.9
-    ),
-    edges AS (
-        SELECT a AS u, b AS v FROM prs
-        UNION
-        SELECT b AS u, a AS v FROM prs
-    ),
-    reach(node, r) AS (
-        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
-        UNION
-        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
-    ),
-    labels AS (
-        SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
-    ),
-    dropped AS (SELECT vec_id FROM labels WHERE vec_id <> cluster_id),
+    WITH RECURSIVE {mutant_pool},
+    {semantic_cluster},
     retained AS (
         SELECT p.vec_id, p.embedding FROM pool p
         WHERE p.vec_id NOT IN (SELECT vec_id FROM dropped)
@@ -2271,7 +2240,9 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY adc_sq_dist, neighbor_id) AS rank
         FROM scored
     ) t WHERE rank <= 5
-    """.replace("{bucket}", _bucket_sql("embedding", 4))
+    """.replace("{mutant_pool}", _MUTANT_POOL_CTES)
+       .replace("{semantic_cluster}", _SEMANTIC_CLUSTER_CTES)
+       .replace("{bucket}", _bucket_sql("embedding", 4))
        .replace("{cos}", _COS_SQL.format(a="a.embedding", b="b.embedding")),
 )
 def emb_indexing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2288,17 +2259,7 @@ def emb_indexing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE clustering, the codebooks, and ADC end-to-end."""
     from glamira_end_to_end_data_pipeline_spark.caching import tracked_persist
 
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    mutants = emb.filter(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
-            F.slice("embedding", 2, 10_000),
-        ).alias("embedding"),
-    )
-    pool = emb.unionByName(mutants)
+    pool = _mutant_pool(spark, sf_dir)
     pairs = similarity.near_dup_pairs(pool, threshold=0.9, n_bits=4).select(
         "a", "b"
     )
@@ -2310,7 +2271,7 @@ def emb_indexing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = similarity.pq_centroids(corpus, m=8, k=16)
     codes = similarity.pq_codes(corpus, cents)
-    q = emb.filter(F.col("vec_id") < 10)
+    q = _emb(spark, sf_dir).filter(F.col("vec_id") < 10)
     return similarity.pq_adc_topk(q, codes, cents, k_top=5)
 
 

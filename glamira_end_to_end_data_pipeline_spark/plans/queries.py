@@ -1457,10 +1457,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns from two different join inputs, which defeats
     pre-aggregation below the join).
 
-    Scale: lineitem is pipelined through four broadcast hash joins in
-    one stage (no fact shuffle); the LIKE filter prunes part before
-    broadcast. At 100 TB only orders' broadcast could overflow — AQE
-    would then pick a shuffle join for exactly that edge.
+    Scale: part/supplier/nation are dimension tables — broadcast by
+    HINT (always correct). orders is fact-sized, so it carries NO hint:
+    the optimizer broadcasts it at small scale (stats under the 64m
+    threshold, which is what the plan test observes) and falls back to
+    a shuffle join on the orderkey at real scale — an explicit
+    F.broadcast there would be honored unconditionally and die at the
+    8 GB broadcast limit long before 100 TB. The LIKE filter prunes
+    part before broadcast.
 
     Determinism: the profit expression SUBTRACTS two same-magnitude
     products, so a double sum's order-dependent low bits can flip a 2dp
@@ -1491,7 +1495,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),

@@ -158,10 +158,12 @@ def test_q22_anti_join_and_scalar_cutoff_shapes(spark, registry):
 
 
 def test_q9_fact_never_shuffles_before_agg(spark, registry):
-    """Q9's four dimension joins must ALL broadcast (lineitem is
-    pipelined through one stage — no fact-side Exchange until the
-    final (nation, year) hash-agg), and the p_name LIKE filter must
-    reach the part scan as a pushed StringContains."""
+    """Q9's dimension joins (part/supplier/nation) broadcast by hint;
+    orders carries NO hint — at this test scale the optimizer
+    broadcasts it from stats (what the assertions observe), while at
+    real scale it degrades to a shuffle join instead of hitting the
+    8 GB forced-broadcast wall. The p_name LIKE filter must reach the
+    part scan as a pushed StringContains."""
     plan = plan_of(registry["q9_product_profit"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
