@@ -108,6 +108,7 @@ HEADLINE = [
     "emb_mmr_rerank",
     "w_sessionize_batch",
     "lake_gc_orphans",
+    "lake_compact_commit",
 ]
 
 

@@ -780,3 +780,58 @@ def lake_gc_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_keys_latest",
         F.lit(v1_rows).cast("long").alias("n_rows_v1"),
     )
+
+
+@query(
+    "lake_compact_commit",
+    """
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_orderkey % 3 = 0)
+    SELECT 3 AS compacted_version,
+           2 AS n_compacted_files,
+           count(*) AS n_rows,
+           cast(sum(o_orderkey) AS bigint) AS sum_keys,
+           round(sum(round(o_totalprice, 2)), 2) AS sum_price,
+           count(*) AS n_rows_v2
+    FROM base
+    """,
+)
+def lake_compact_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction as a COMMIT (Iceberg rewrite_data_files shape,
+    sources/lake.py:compact_snapshot): two fragmented append commits
+    (8 + 4 files), then a compaction commit rewrites the table into 2
+    files behind a new manifest — readers flip atomically, nothing is
+    modified in place, and v2 time travel still sees the pre-compaction
+    state. The result re-reads the COMPACTED manifest and must
+    hash-match the source-derived oracle (row loss, duplication, or a
+    manifest still referencing fragments all mismatch)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_cc_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+    half = base.filter(F.col("o_orderkey") % 2 == 0)
+    rest = base.filter(F.col("o_orderkey") % 2 != 0)
+    lake.write_snapshot(spark, half.repartition(8), path)
+    lake.write_snapshot(spark, rest.repartition(4), path)
+    version, n_files = lake.compact_snapshot(spark, path, n_files=2)
+    v2_rows = lake.read_snapshot(spark, path, 2).count()
+    return (
+        lake.read_snapshot(spark, path)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.lit(version).cast("int").alias("compacted_version"),
+            F.lit(n_files).cast("int").alias("n_compacted_files"),
+            "n_rows",
+            "sum_keys",
+            "sum_price",
+            F.lit(v2_rows).cast("long").alias("n_rows_v2"),
+        )
+    )

@@ -283,23 +283,38 @@ def write_snapshot(spark: SparkSession, df: DataFrame, path: str) -> int:
     conditional-put/lock service) exactly as Delta/Iceberg do.
 
     Returns the committed version number (1-based)."""
-    import json
-
     version = latest_snapshot_version(spark, path) + 1
+    new_files = _write_version_data(spark, df, path, version)
+    files = (
+        _read_manifest(spark, path, version - 1) if version > 1 else []
+    ) + new_files
+    _commit_manifest(spark, path, version, files)
+    return version
+
+
+def _write_version_data(
+    spark: SparkSession, df: DataFrame, path: str, version: int
+) -> list[str]:
+    """Write a version's immutable data directory; return its parquet
+    file paths (sorted — manifest order is deterministic)."""
     data_dir = f"{path.rstrip('/')}/data/v{version}"
     df.write.mode("overwrite").parquet(data_dir)
-
     fs, ddir = _hadoop_fs(spark, data_dir)
-    new_files = [
+    return sorted(
         status.getPath().toString()
         for status in fs.listStatus(ddir)
         if status.getPath().getName().endswith(".parquet")
-    ]
-    files = (
-        _read_manifest(spark, path, version - 1) if version > 1 else []
-    ) + sorted(new_files)
+    )
+
+
+def _commit_manifest(
+    spark: SparkSession, path: str, version: int, files: list[str]
+) -> None:
+    """Atomically publish a version's manifest (temp write + rename)."""
+    import json
 
     payload = json.dumps({"version": version, "files": files}).encode("utf-8")
+    fs, _ = _hadoop_fs(spark, path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     mdir = jvm_path(_manifest_dir(path))
     if not fs.exists(mdir):
@@ -313,7 +328,34 @@ def write_snapshot(spark: SparkSession, df: DataFrame, path: str) -> int:
     final = jvm_path(f"{_manifest_dir(path)}/v{version}.json")
     if not fs.rename(tmp, final):
         raise IOError(f"could not commit manifest for v{version} under {path}")
-    return version
+
+
+def compact_snapshot(
+    spark: SparkSession, path: str, n_files: int = 1
+) -> tuple[int, int]:
+    """Compaction as a COMMIT (Iceberg's rewrite_data_files): read the
+    latest snapshot, rewrite it into ``n_files`` right-sized files, and
+    publish a NEW version whose manifest references ONLY the compacted
+    files. No live data is touched in place: readers atomically flip
+    from the fragmented file set to the compacted one at the manifest
+    rename, every prior version stays time-travelable, and the old
+    small files become reclaimable the day their versions are expired
+    (version expiry deliberately not implemented; :func:`gc_orphan_files`
+    only sweeps files referenced by NO manifest). This is the
+    streaming-sink maintenance loop: micro-batch appends fragment,
+    compaction commits consolidate, and nothing ever blocks a reader —
+    unlike :func:`compact_small_files`' in-place directory swap, which
+    needs a maintenance window on stores without atomic rename.
+
+    Returns (new_version, n_parquet_files_written)."""
+    latest = latest_snapshot_version(spark, path)
+    if latest == 0:
+        raise FileNotFoundError(f"no snapshots under {path}")
+    version = latest + 1
+    compacted = read_snapshot(spark, path, latest).repartition(n_files)
+    files = _write_version_data(spark, compacted, path, version)
+    _commit_manifest(spark, path, version, files)
+    return version, len(files)
 
 
 def read_snapshot(

@@ -188,3 +188,20 @@ def test_gc_sweeps_crashed_commit_directory_whole(spark, tmp_path):
     # the whole crashed dir is gone — no _SUCCESS/.crc debris left
     assert not fs.exists(vdir)
     assert lake.read_snapshot(spark, path, 1).count() == 5
+
+
+def test_compact_snapshot_is_a_commit(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    lake.write_snapshot(spark, spark.range(20).repartition(8), path)
+    lake.write_snapshot(spark, spark.range(20, 30).repartition(4), path)
+    v, n = lake.compact_snapshot(spark, path, n_files=2)
+    assert (v, n) == (3, 2)
+    # same rows through the compacted manifest
+    assert sorted(r["id"] for r in lake.read_snapshot(spark, path).collect()) == list(range(30))
+    # prior versions untouched and still readable
+    assert lake.read_snapshot(spark, path, 1).count() == 20
+    assert lake.read_snapshot(spark, path, 2).count() == 30
+    # the compacted manifest references only v3 files
+    assert all("/v3/" in f for f in lake._read_manifest(spark, path, 3))
+    # old files still referenced by v1/v2 manifests -> GC must keep them
+    assert lake.gc_orphan_files(spark, path) == 0
