@@ -133,3 +133,55 @@ def test_scrub_pii_leaves_no_matches(spark, vals):
     for r in out:
         for _, pat in PII_PATTERNS:
             assert not re.search(pat, r.clean), (pat, r.clean)
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),   # doc_id (may repeat)
+            st.sampled_from(["d0", "d1", "d2"]),      # domain
+            st.integers(min_value=0, max_value=100),  # quality
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_domain_cap_invariants(spark, rows):
+    from glamira_end_to_end_data_pipeline_spark.operators.text import domain_cap
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    kept = domain_cap(df, cap=3).collect()
+    by_dom: dict[str, list] = {}
+    for r in kept:
+        by_dom.setdefault(r["source"], []).append(r)
+    totals = {}
+    for _, dom, _ in rows:
+        totals[dom] = totals.get(dom, 0) + 1
+    for dom, rs in by_dom.items():
+        # never more than cap; domain_total is the pre-cap count
+        assert len(rs) <= 3
+        assert all(r["domain_total"] == totals[dom] for r in rs)
+        # kept rows are exactly the top-(≤cap) by (n_chars desc, id asc)
+        want = sorted(
+            [t for t in rows if t[1] == dom], key=lambda t: (-t[2], t[0])
+        )[:3]
+        assert sorted(r["doc_id"] for r in rs) == sorted(t[0] for t in want)
+
+
+@SETTLE
+@given(texts)
+def test_classifier_score_bounded_and_pure(spark, batch):
+    from glamira_end_to_end_data_pipeline_spark.operators.text import (
+        classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    rows = classifier_score(df).collect()
+    assert len(rows) == len(batch)
+    for r in rows:
+        assert 0.0 <= r["clf_score"] <= 1.0
+        assert r["clf_label"] == ("keep" if r["clf_score"] >= 0.5 else "drop")
