@@ -109,6 +109,7 @@ HEADLINE = [
     "w_sessionize_batch",
     "lake_gc_orphans",
     "lake_compact_commit",
+    "stream_snapshot_commits",
 ]
 
 

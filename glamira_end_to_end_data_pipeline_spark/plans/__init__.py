@@ -185,7 +185,8 @@ _DRIVER_GREEN = _R2_GREEN | _R3_GREEN
 # text_ppl_buckets / emb_indexing_pipeline / a_grouping_sets /
 # a_corr_stats / graph_pagerank / text_classifier_score /
 # text_domain_cap / lake_snapshot_read / emb_mmr_rerank /
-# w_sessionize_batch / lake_gc_orphans / lake_compact_commit if they made
+# w_sessionize_batch / lake_gc_orphans / lake_compact_commit /
+# stream_snapshot_commits if they made
 # the [:50] window), OR it into _DRIVER_GREEN, and clear
 # _ROTATE_FIRST_R4 to (). With union(r2..r4) covering the whole
 # registry, step 2 of _window_order() then automatically front-loads

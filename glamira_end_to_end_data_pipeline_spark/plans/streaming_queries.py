@@ -38,6 +38,9 @@ from glamira_end_to_end_data_pipeline_spark.streaming import (
     session_aggregate,
     tumbling_event_counts,
 )
+from glamira_end_to_end_data_pipeline_spark.streaming.incremental import (
+    snapshot_commit_load,
+)
 
 
 @query(
@@ -835,3 +838,57 @@ def lake_compact_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(v2_rows).cast("long").alias("n_rows_v2"),
         )
     )
+
+
+@query(
+    "stream_snapshot_commits",
+    """
+    WITH src AS (SELECT event_id, event_type, value FROM events)
+    SELECT event_type,
+           count(*) AS n_rows,
+           round(sum(round(value, 2)), 2) AS total_value,
+           (SELECT count(*) FROM src) AS n_rows_total
+    FROM src
+    GROUP BY event_type
+    """,
+)
+def stream_snapshot_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion INTO the manifest-committed lake
+    (streaming/incremental.py:snapshot_commit_load): the events feed is
+    staged as files, drained through the Structured Streaming file
+    source, and each micro-batch lands as one tagged append-snapshot
+    commit. Exactly-once is then attacked twice: (1) a re-drain with
+    the same checkpoint must see no new files, and (2) a re-drain with
+    a FRESH checkpoint — a full redelivery, the at-least-once
+    worst case — re-offers every batch, and the batch-tag skip must
+    make each replay a no-op. The result aggregates the re-read LATEST
+    snapshot: any double-append, lost batch, or torn commit mismatches
+    the once-only oracle."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snapsink_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    table = os.path.join(base, "table")
+    ckpt1 = os.path.join(base, "ckpt1")
+    ckpt2 = os.path.join(base, "ckpt2")
+
+    staged = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+    staged.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    snapshot_commit_load(spark, src, table, ckpt1, schema)
+    # same checkpoint: no new files -> no new commits
+    snapshot_commit_load(spark, src, table, ckpt1, schema)
+    # FRESH checkpoint: full redelivery -> tag skip must no-op every batch
+    snapshot_commit_load(spark, src, table, ckpt2, schema)
+
+    latest = lake.read_snapshot(spark, table)
+    total = latest.count()
+    return latest.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).withColumn("n_rows_total", F.lit(total).cast("long"))

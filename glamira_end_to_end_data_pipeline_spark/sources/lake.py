@@ -264,7 +264,31 @@ def latest_snapshot_version(spark: SparkSession, path: str) -> int:
     return best
 
 
-def write_snapshot(spark: SparkSession, df: DataFrame, path: str) -> int:
+def snapshot_tags(spark: SparkSession, path: str) -> set:
+    """Tags of every committed snapshot (see ``write_snapshot(tag=)``).
+
+    One tiny JSON read per version — fine for the version counts a
+    maintenance window sees; a production variant folds the latest
+    version's tag set forward so this is one read, not V."""
+    import json
+
+    tags = set()
+    for v in range(1, latest_snapshot_version(spark, path) + 1):
+        raw = "\n".join(
+            r[0]
+            for r in spark.read.option("wholetext", True)
+            .text(f"{_manifest_dir(path)}/v{v}.json")
+            .collect()
+        )
+        t = json.loads(raw).get("tag")
+        if t is not None:
+            tags.add(t)
+    return tags
+
+
+def write_snapshot(
+    spark: SparkSession, df: DataFrame, path: str, tag: str | None = None
+) -> int:
     """Commit ``df`` as an APPEND snapshot (the Iceberg/Delta commit
     shape without the table format): the batch lands in an immutable
     per-version data directory, and a new manifest lists every file
@@ -282,13 +306,18 @@ def write_snapshot(spark: SparkSession, df: DataFrame, path: str) -> int:
     would race on the version number — serialize commits (or add a
     conditional-put/lock service) exactly as Delta/Iceberg do.
 
+    ``tag`` is an optional idempotence token recorded in the manifest
+    (e.g. a streaming micro-batch id): writers that may replay a commit
+    check :func:`snapshot_tags` first and skip already-committed work —
+    the lake-side half of exactly-once for at-least-once producers.
+
     Returns the committed version number (1-based)."""
     version = latest_snapshot_version(spark, path) + 1
     new_files = _write_version_data(spark, df, path, version)
     files = (
         _read_manifest(spark, path, version - 1) if version > 1 else []
     ) + new_files
-    _commit_manifest(spark, path, version, files)
+    _commit_manifest(spark, path, version, files, tag)
     return version
 
 
@@ -308,12 +337,19 @@ def _write_version_data(
 
 
 def _commit_manifest(
-    spark: SparkSession, path: str, version: int, files: list[str]
+    spark: SparkSession,
+    path: str,
+    version: int,
+    files: list[str],
+    tag: str | None = None,
 ) -> None:
     """Atomically publish a version's manifest (temp write + rename)."""
     import json
 
-    payload = json.dumps({"version": version, "files": files}).encode("utf-8")
+    doc = {"version": version, "files": files}
+    if tag is not None:
+        doc["tag"] = tag
+    payload = json.dumps(doc).encode("utf-8")
     fs, _ = _hadoop_fs(spark, path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     mdir = jvm_path(_manifest_dir(path))

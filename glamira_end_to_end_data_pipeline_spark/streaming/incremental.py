@@ -147,3 +147,52 @@ def tumbling_event_counts(
             "n_events",
         )
     )
+
+
+def snapshot_commit_load(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming ingestion into the MANIFEST-COMMITTED lake
+    (sources/lake.py): each micro-batch lands as one append-snapshot
+    commit, tagged with its batch id — the streaming twin of the
+    ``batch_id=N`` overwrite sink above, but with snapshot semantics:
+    readers flip atomically at the manifest rename (never a half-
+    written batch), every batch boundary is time-travelable, and
+    downstream consumers can read incrementally by file-diffing
+    versions instead of re-listing directories.
+
+    Exactly-once: ``foreachBatch`` is at-least-once (a crash between
+    the sink write and the checkpoint commit replays the batch), so the
+    sink checks the committed tag set and SKIPS a batch id it has
+    already committed — the replay becomes a no-op and the lake never
+    double-appends. Orphaned data files from a commit that died before
+    its manifest rename are reclaimed by ``gc_orphan_files``.
+
+    Drains all available files and stops (availableNow) — the
+    batch-invokable form; drop the trigger for a long-running stream.
+    """
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        tag = f"batch-{batch_id}"
+        if tag in lake.snapshot_tags(batch.sparkSession, table_path):
+            return  # replayed batch: already committed, exactly-once skip
+        lake.write_snapshot(batch.sparkSession, batch, table_path, tag=tag)
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

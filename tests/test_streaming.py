@@ -347,3 +347,24 @@ def test_attribution_join_streaming_equals_batch(spark, tmp_path):
         for r in attribution_join(*sides(spark.read.parquet(src))).collect()
     )
     assert streamed == batch == [(2, 1), (4, 3)]
+
+
+def test_snapshot_commit_sink_survives_full_redelivery(spark, tmp_path):
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+    from glamira_end_to_end_data_pipeline_spark.streaming.incremental import (
+        snapshot_commit_load,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    snapshot_commit_load(spark, src, table, str(tmp_path / "c1"), schema)
+    v1 = lake.latest_snapshot_version(spark, table)
+    assert v1 >= 1
+    assert lake.read_snapshot(spark, table).count() == 100
+    # full redelivery (fresh checkpoint): tag skip must no-op
+    snapshot_commit_load(spark, src, table, str(tmp_path / "c2"), schema)
+    assert lake.latest_snapshot_version(spark, table) == v1
+    assert lake.read_snapshot(spark, table).count() == 100
