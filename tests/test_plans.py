@@ -233,3 +233,30 @@ def test_bucketed_join_no_exchange_after_prewarm(spark, registry):
     assert n_exchanges <= 1, (
         "bucketed scan lost its bucket spec — join input re-shuffles:\n" + plan
     )
+
+
+def test_grouping_sets_single_expand_single_scan(spark, registry):
+    """a_grouping_sets must compute all four grains from ONE scan via
+    ONE Expand — four separate aggregations re-reading the table is the
+    shape GROUPING SETS exists to avoid."""
+    plan = plan_of(registry["a_grouping_sets"](spark, SF_SMALL))
+    assert len(re.findall(r"Expand \(\d+\)", plan)) == 1, plan
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1, plan
+
+
+def test_sessionize_single_exchange_single_sort(spark, registry):
+    """w_sessionize_batch's lag + running-sum + session agg must share
+    one user-keyed exchange and one sort — the chain costs a single
+    shuffle (the groupBy on (user_id, session_idx) is satisfied by the
+    user_id hash partitioning)."""
+    plan = plan_of(registry["w_sessionize_batch"](spark, SF_SMALL))
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1, plan
+    assert len(re.findall(r"Window \(\d+\)", plan)) == 2, plan
+
+
+def test_corr_stats_is_one_pass(spark, registry):
+    """a_corr_stats: every second-moment aggregate rides one scan and
+    one grouped aggregation — no self-joins, no repeated scans."""
+    plan = plan_of(registry["a_corr_stats"](spark, SF_SMALL))
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1, plan
+    assert "Join" not in plan, plan
