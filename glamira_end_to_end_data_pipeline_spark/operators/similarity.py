@@ -112,7 +112,15 @@ def _pair_cosine_fn(
     sign = np.sign(s)
     ay = np.abs(s) * 1e6
     fl = np.floor(ay)
-    return pd.Series(sign * (fl + (ay - fl >= 0.5)) / 1e6)
+    out = sign * (fl + (ay - fl >= 0.5)) / 1e6
+    if np.isnan(out).any():
+        # Degraded rows (width mismatch, zero norm) surface as NULL, the
+        # old JVM zip_with expression's behavior — NOT NaN: Spark's
+        # descending sort ranks NaN ABOVE every real cosine, so a NaN
+        # here would put a corrupt vector at rank 1 of every top-k,
+        # while NULL sorts last and is harmlessly excluded.
+        return pd.Series(out, dtype=object).where(~np.isnan(out), None)
+    return pd.Series(out)
 
 
 def _pair_cosine() -> Column:
@@ -456,17 +464,20 @@ def ivf_cell_bulk(
             acc = np.zeros((x.shape[0], cb.shape[0]), dtype=np.float64)
             for i in range(dim):  # sequential fold, never pairwise
                 acc += x[:, i, None] * cb[None, :, i]
-        else:  # ragged — zip_with semantics truncate to shorter side
+        else:
+            # Ragged batch: right-width rows fold normally; an off-width
+            # row mirrors the expression twin exactly — there zip_with
+            # null-pads the shorter side, every centroid sim goes NULL,
+            # and the (sim, −cid) struct-max resolves to the SMALLEST
+            # cell id. Diverging here (e.g. a truncated dot) would index
+            # the vector in a cell the query-side probe never visits.
             acc = np.stack(
                 [
                     np.array(
-                        [
-                            np.cumsum(a[: dim] * c[: a.size])[-1]
-                            if a.size
-                            else 0.0
-                            for c in cb
-                        ]
+                        [np.cumsum(a * c)[-1] if dim else 0.0 for c in cb]
                     )
+                    if a.size == dim
+                    else np.full(cb.shape[0], np.nan)
                     for a in arrs
                 ]
             )
@@ -475,7 +486,10 @@ def ivf_cell_bulk(
         ay = np.abs(s) * 1e6
         fl = np.floor(ay)
         s6 = sign * (fl + (ay - fl >= 0.5))
-        return pd.Series(cids[np.argmax(s6, axis=1)])
+        best = np.where(
+            np.isnan(s6).all(axis=1), int(cids.min()), cids[np.argmax(s6, axis=1)]
+        )
+        return pd.Series(best)
 
     return F.pandas_udf(batch, "long")(vec, vnorm)
 

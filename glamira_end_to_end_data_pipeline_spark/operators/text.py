@@ -774,14 +774,23 @@ def dsir_weights(
          % n_buckets).alias("bucket"),
     )
 
-    doc_bucket = base.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("c")
+    # ONE pass over the exploded token stream: the (doc, bucket) count
+    # table carries the per-doc target flag (constant within a doc), so
+    # both distributions derive from THIS compact table instead of
+    # re-exploding + re-hashing the corpus once per aggregate — three
+    # full token-stream passes collapse to one plus two aggregates over
+    # |docs|·|buckets|-bounded rows.
+    doc_bucket = tracked_persist(
+        base.groupBy(id_col, "bucket").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("__is_tgt").alias("__is_tgt"),
+        )
     )
-    raw_tbl = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw_c"))
+    raw_tbl = doc_bucket.groupBy("bucket").agg(F.sum("c").alias("raw_c"))
     tgt_tbl = (
-        base.filter(F.col("__is_tgt"))
+        doc_bucket.filter(F.col("__is_tgt"))
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tgt_c"))
+        .agg(F.sum("c").alias("tgt_c"))
     )
     totals = raw_tbl.agg(F.sum("raw_c").alias("raw_n")).crossJoin(
         tgt_tbl.agg(F.sum("tgt_c").alias("tgt_n"))
@@ -875,11 +884,18 @@ def classifier_score(
         F.transform(toks, weight), F.lit(0.0), lambda acc, w: acc + w
     )
     mean = total / F.greatest(F.size(toks), F.lit(1))
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + mean)))
+    # The label thresholds the ROUNDED score — the one the row emits —
+    # so (clf_score, clf_label) can never contradict each other at the
+    # boundary (an unrounded sigmoid of 0.4999996 rounds to 0.5; a
+    # label cut on the unrounded value would say 'drop' beside an
+    # emitted score of 0.5).
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + mean))), 6
+    )
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
-        F.round(score, 6).alias("clf_score"),
+        score.alias("clf_score"),
         F.when(score >= threshold, F.lit("keep")).otherwise(F.lit("drop")).alias(
             "clf_label"
         ),

@@ -1793,6 +1793,29 @@ def dedup_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_round_sql(i: int) -> str:
+    """One BPE round as SQL CTEs: p{i} = argmax bigram of stream s{i-1},
+    s{i} = s{i-1} with that pair fused (twin of the Spark loop round in
+    operators.text._bpe_fuse_stream)."""
+    return f"""
+    p{i} AS (
+        SELECT pair, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, greatest(len(t) - 1, 0)),
+                i -> t[i] || ' ' || t[i+1])) AS pair
+            FROM (SELECT regexp_split_to_array(trim(st), '\\s+') AS t
+                  FROM s{i - 1})
+        ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    s{i} AS (
+        SELECT doc_id,
+               replace(st, ' ' || (SELECT pair FROM p{i}) || ' ',
+                       ' ' || replace((SELECT pair FROM p{i}), ' ', '_') || ' ')
+                   AS st
+        FROM s{i - 1}
+    )"""
+
+
 @query(
     "text_bpe_merges",
     f"""
@@ -1802,44 +1825,7 @@ def dedup_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                ' ' || array_to_string({TOKENS_SQL}, ' ') || ' ' AS st
         FROM corpus
     ),
-    p1 AS (
-        SELECT pair, count(*) AS cnt FROM (
-            SELECT unnest(list_transform(
-                generate_series(1, greatest(len(t) - 1, 0)),
-                i -> t[i] || ' ' || t[i+1])) AS pair
-            FROM (SELECT regexp_split_to_array(trim(st), '\\s+') AS t FROM s0)
-        ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
-    ),
-    s1 AS (
-        SELECT doc_id,
-               replace(st, ' ' || (SELECT pair FROM p1) || ' ',
-                       ' ' || replace((SELECT pair FROM p1), ' ', '_') || ' ')
-                   AS st
-        FROM s0
-    ),
-    p2 AS (
-        SELECT pair, count(*) AS cnt FROM (
-            SELECT unnest(list_transform(
-                generate_series(1, greatest(len(t) - 1, 0)),
-                i -> t[i] || ' ' || t[i+1])) AS pair
-            FROM (SELECT regexp_split_to_array(trim(st), '\\s+') AS t FROM s1)
-        ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
-    ),
-    s2 AS (
-        SELECT doc_id,
-               replace(st, ' ' || (SELECT pair FROM p2) || ' ',
-                       ' ' || replace((SELECT pair FROM p2), ' ', '_') || ' ')
-                   AS st
-        FROM s1
-    ),
-    p3 AS (
-        SELECT pair, count(*) AS cnt FROM (
-            SELECT unnest(list_transform(
-                generate_series(1, greatest(len(t) - 1, 0)),
-                i -> t[i] || ' ' || t[i+1])) AS pair
-            FROM (SELECT regexp_split_to_array(trim(st), '\\s+') AS t FROM s2)
-        ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
-    )
+    {",".join(_bpe_round_sql(i) for i in (1, 2, 3))}
     SELECT 1 AS step, pair, cast(cnt AS bigint) AS n_occurrences FROM p1
     UNION ALL
     SELECT 2 AS step, pair, cast(cnt AS bigint) AS n_occurrences FROM p2
@@ -2094,29 +2080,6 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(gt, ann)
 
 
-def _bpe_round_sql(i: int) -> str:
-    """One BPE round as SQL CTEs: p{i} = argmax bigram of stream s{i-1},
-    s{i} = s{i-1} with that pair fused (twin of the Spark loop round in
-    operators.text._bpe_fuse_stream)."""
-    return f"""
-    p{i} AS (
-        SELECT pair, count(*) AS cnt FROM (
-            SELECT unnest(list_transform(
-                generate_series(1, greatest(len(t) - 1, 0)),
-                i -> t[i] || ' ' || t[i+1])) AS pair
-            FROM (SELECT regexp_split_to_array(trim(st), '\\s+') AS t
-                  FROM s{i - 1})
-        ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
-    ),
-    s{i} AS (
-        SELECT doc_id,
-               replace(st, ' ' || (SELECT pair FROM p{i}) || ' ',
-                       ' ' || replace((SELECT pair FROM p{i}), ' ', '_') || ' ')
-                   AS st
-        FROM s{i - 1}
-    )"""
-
-
 @query(
     "text_bpe_encode",
     f"""
@@ -2290,7 +2253,8 @@ def emb_indexing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_tokens,
            round(1.0e0 / (1.0e0 + exp(-(0.1e0 + total / greatest(n_tokens, 1)))), 6)
                AS clf_score,
-           CASE WHEN 1.0e0 / (1.0e0 + exp(-(0.1e0 + total / greatest(n_tokens, 1))))
+           CASE WHEN round(1.0e0 / (1.0e0
+                     + exp(-(0.1e0 + total / greatest(n_tokens, 1)))), 6)
                      >= 0.5e0
                 THEN 'keep' ELSE 'drop' END AS clf_label
     FROM s

@@ -167,10 +167,16 @@ def snapshot_commit_load(
     versions instead of re-listing directories.
 
     Exactly-once: ``foreachBatch`` is at-least-once (a crash between
-    the sink write and the checkpoint commit replays the batch), so the
-    sink checks the committed tag set and SKIPS a batch id it has
-    already committed — the replay becomes a no-op and the lake never
-    double-appends. Orphaned data files from a commit that died before
+    the sink write and the checkpoint commit replays the batch), so
+    every commit's manifest records the SOURCE FILES it ingested (the
+    tag), and each batch filters itself to rows from not-yet-committed
+    files before committing. Keying on batch *content* rather than the
+    batch id matters: after a checkpoint loss, a redelivered "batch 0"
+    may batch the source differently — id-keyed dedup would then either
+    skip files it never committed (silent loss) or re-append files it
+    did; the file-set intersection handles replays, re-batching, and
+    partial overlap (old + newly-arrived files in one redelivered
+    batch) alike. Orphaned data files from a commit that died before
     its manifest rename are reclaimed by ``gc_orphan_files``.
 
     Drains all available files and stops (availableNow) — the
@@ -184,10 +190,19 @@ def snapshot_commit_load(
     stream = reader.parquet(source_dir)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
-        tag = f"batch-{batch_id}"
-        if tag in lake.snapshot_tags(batch.sparkSession, table_path):
-            return  # replayed batch: already committed, exactly-once skip
-        lake.write_snapshot(batch.sparkSession, batch, table_path, tag=tag)
+        spark_b = batch.sparkSession
+        committed: set[str] = set()
+        for tag in lake.snapshot_tags(spark_b, table_path):
+            committed.update(tag.split("\n"))
+        with_src = batch.withColumn("__src", F.input_file_name())
+        batch_files = {
+            r[0] for r in with_src.select("__src").distinct().collect()
+        }  # bounded: files per micro-batch
+        fresh = sorted(batch_files - committed)
+        if not fresh:
+            return  # full replay: everything already committed
+        rows = with_src.filter(F.col("__src").isin(fresh)).drop("__src")
+        lake.write_snapshot(spark_b, rows, table_path, tag="\n".join(fresh))
 
     q = (
         stream.writeStream.foreachBatch(commit_batch)

@@ -368,3 +368,25 @@ def test_snapshot_commit_sink_survives_full_redelivery(spark, tmp_path):
     snapshot_commit_load(spark, src, table, str(tmp_path / "c2"), schema)
     assert lake.latest_snapshot_version(spark, table) == v1
     assert lake.read_snapshot(spark, table).count() == 100
+
+
+def test_snapshot_commit_sink_rebatched_redelivery_with_new_files(spark, tmp_path):
+    """The data-loss case id-keyed dedup gets wrong: checkpoint lost,
+    NEW files landed, and the redelivered batch 0 now mixes committed
+    and uncommitted files — the sink must ingest exactly the new rows."""
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+    from glamira_end_to_end_data_pipeline_spark.streaming.incremental import (
+        snapshot_commit_load,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    spark.range(0, 50).repartition(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    snapshot_commit_load(spark, src, table, str(tmp_path / "c1"), schema)
+    assert lake.read_snapshot(spark, table).count() == 50
+    # new files land; checkpoint is lost -> full redelivery in one batch
+    spark.range(50, 70).repartition(1).write.mode("append").parquet(src)
+    snapshot_commit_load(spark, src, table, str(tmp_path / "c2"), schema)
+    got = sorted(r["id"] for r in lake.read_snapshot(spark, table).collect())
+    assert got == list(range(70))  # old rows once, new rows ingested
