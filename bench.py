@@ -110,6 +110,8 @@ HEADLINE = [
     "lake_gc_orphans",
     "lake_compact_commit",
     "stream_snapshot_commits",
+    "graph_triangles",
+    "stream_cdc_apply",
 ]
 
 

@@ -99,3 +99,53 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (given as
+    distinct ``u < v`` pairs), by the degree-ordered orientation: every
+    edge is re-pointed from its (degree, id)-smaller endpoint to the
+    larger, so each triangle is enumerated exactly once and — the scale
+    property — the wedge join ``o(a,b) ⋈ o(b,c)`` fans out on
+    out-degrees, which orientation bounds by O(√m) even on power-law
+    graphs where a hub's undirected degree would explode the naive
+    3-way self-join (the standard distributed formulation: Cohen 2009,
+    'Graph Twiddling in a MapReduce World').
+
+    Three joins total: two to attach endpoint degrees (degree table is
+    node-sized — broadcast), then wedge ⋈ closing-edge, both keyed on
+    endpoints. Returns (node, n_triangles) for every node in ≥1
+    triangle."""
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    keyed = e.join(F.broadcast(da), "u").join(F.broadcast(db), "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = tracked_persist(
+        keyed.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    o.unpersist()
+    return per_node

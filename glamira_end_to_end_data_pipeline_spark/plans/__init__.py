@@ -34,6 +34,10 @@ from glamira_end_to_end_data_pipeline_spark.plans import (  # noqa: E402,F401
     streaming_queries,
 )
 
+# extra_queries MUST import last: its entries deliberately land at the
+# end of the fresh ordering, outside the already-full round-4 window.
+from glamira_end_to_end_data_pipeline_spark.plans import extra_queries  # noqa: E402,F401
+
 # Entries with no driver-green CORRECTNESS row as of round 3 (not in
 # _R2_GREEN ∪ _R3_GREEN). These MUST occupy window slots 0-19 in round 4.
 _ROTATE_FIRST_R4 = (

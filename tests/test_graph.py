@@ -56,3 +56,25 @@ def test_pagerank_plan_has_no_cartesian(spark):
     df = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
     plan = pagerank(df, iters=1)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_known_graphs(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import triangle_count
+
+    # K4: every node sits in C(3,2)=3 triangles; 4 triangles total.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(spark.createDataFrame(k4, ["u", "v"])).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # square (no chord): zero triangles -> empty result
+    sq = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    assert triangle_count(spark.createDataFrame(sq, ["u", "v"])).count() == 0
+    # triangle + pendant edge: pendant node in no triangle
+    tp = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(spark.createDataFrame(tp, ["u", "v"])).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
