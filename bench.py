@@ -112,6 +112,7 @@ HEADLINE = [
     "stream_snapshot_commits",
     "graph_triangles",
     "stream_cdc_apply",
+    "graph_link_prediction",
 ]
 
 

@@ -118,8 +118,13 @@ def triangle_count(
     node-sized — broadcast), then wedge ⋈ closing-edge, both keyed on
     endpoints. Returns (node, n_triangles) for every node in ≥1
     triangle."""
-    e = edges.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    # Persist the caller's edge plan once: the adjacency union reads it
+    # twice and the degree-keyed orientation a third time.
+    e = tracked_persist(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
     und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
@@ -147,5 +152,65 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    e.unpersist()
     o.unpersist()
     return per_node
+
+
+def jaccard_link_prediction(
+    edges: DataFrame, k_top: int = 20, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Common-neighbor Jaccard link prediction over an undirected edge
+    list (distinct ``u < v`` pairs): for node pairs NOT currently linked
+    but sharing ≥1 neighbor, score = |N(a)∩N(b)| / |N(a)∪N(b)| — the
+    classic neighborhood-overlap recommender ("customers who bought
+    these also bought..." as a graph problem).
+
+    Shape at scale: candidate pairs come from the WEDGE join (two edges
+    sharing a midpoint) — only 2-hop pairs are ever scored, never the
+    n² pair space; the intersection count IS the wedge count per pair
+    (one shuffle keyed on the pair), degrees ride a broadcast, existing
+    edges leave via one anti-join, and the top-k is
+    orderBy().limit(k) — TakeOrderedAndProject, no global window. The
+    same dense-graph caveat as triangle counting applies: feed it a
+    thresholded co-occurrence graph, not a raw one."""
+    # The edge list (usually an expensive upstream aggregate) feeds the
+    # adjacency union, the degree table, both wedge sides, and the
+    # anti-join — persist once or every consumer replays the caller's
+    # plan (the pagerank/triangle_count lesson).
+    e = tracked_persist(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    # wedges: a -(mid)- b with a < b → candidate pair + shared-neighbor
+    # count in one aggregation
+    w1 = und.select(F.col("v").alias("mid"), F.col("u").alias("a"))
+    w2 = und.select(F.col("v").alias("mid"), F.col("u").alias("b"))
+    inter = (
+        w1.join(w2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = inter.join(e, (inter["a"] == e["u"]) & (inter["b"] == e["v"]), "left_anti")
+    scored = (
+        cand.join(F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))), "a")
+        .join(F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db"))), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("a"), F.asc("b")
+    ).limit(k_top)

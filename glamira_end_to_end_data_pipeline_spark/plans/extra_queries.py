@@ -155,3 +155,62 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("bal"), 2).alias("total_bal"),
     )
+
+
+@query(
+    "graph_link_prediction",
+    """
+    WITH e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    inter AS (
+        SELECT w1.u AS a, w2.u AS b, count(*) AS n_common
+        FROM und w1 JOIN und w2 ON w1.v = w2.v AND w1.u < w2.u
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT i.* FROM inter i
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = i.a AND e.v = i.b)
+    )
+    SELECT cast(a AS bigint) AS a, cast(b AS bigint) AS b,
+           cast(n_common AS bigint) AS n_common,
+           round(n_common / (da.d + db.d - n_common), 6) AS jaccard
+    FROM cand
+    JOIN deg da ON da.node = cand.a
+    JOIN deg db ON db.node = cand.b
+    ORDER BY jaccard DESC, a, b
+    LIMIT 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor Jaccard link prediction on the frequent
+    co-purchase graph (operators/graph.py:jaccard_link_prediction):
+    top-20 not-yet-linked part pairs by neighborhood overlap — the
+    co-purchase recommender as a graph problem. Candidates come only
+    from the wedge join (2-hop pairs), never the n² space."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    return jaccard_link_prediction(edges, k_top=20)

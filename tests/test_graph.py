@@ -78,3 +78,24 @@ def test_triangle_count_known_graphs(spark):
         for r in triangle_count(spark.createDataFrame(tp, ["u", "v"])).collect()
     }
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_jaccard_link_prediction_semantics(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    # path 1-2-3 plus 3-4: predicted links are the 2-hop pairs
+    # (1,3) via 2, (2,4) via 3; (1,2) etc. are existing edges, excluded.
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["jaccard"])
+        for r in jaccard_link_prediction(edges).collect()
+    }
+    # N(1)={2}, N(3)={2,4} -> inter {2}=1, union {2,4}=2 -> 0.5
+    assert got[(1, 3)] == (1, 0.5)
+    # N(2)={1,3}, N(4)={3} -> 1/2
+    assert got[(2, 4)] == (1, 0.5)
+    # (1,4): no common neighbor -> never a candidate
+    assert (1, 4) not in got
+    assert (1, 2) not in got and (2, 3) not in got
