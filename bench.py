@@ -183,16 +183,22 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Field order is deliberate: the per-query dict (the bulk — several
+    # KB at 80+ queries) goes FIRST and the headline scalars LAST, so a
+    # bounded tail capture of stdout (the driver records only the last
+    # N bytes — BENCH_r04's line lost its front, and with it "metric"/
+    # "value") always retains the summary numbers. Full-line parsers
+    # are order-insensitive.
     print(
         json.dumps(
             {
+                "queries": timings,
+                "methodology": f"min of {runs} runs/query (steady-state)",
+                "first_run_total": round(sum(cold.values()), 3),
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "methodology": f"min of {runs} runs/query (steady-state)",
-                "first_run_total": round(sum(cold.values()), 3),
             }
         )
     )

@@ -320,6 +320,14 @@ def simhash60(
     32,768 buckets per chunk, and random cross-doc collisions at
     hamming ≤ 3 become vanishingly rare, so both the candidate join and
     the output shrink by orders of magnitude.
+
+    Input contract: ONE row per ``id_col``. The map-side
+    ``array_distinct`` dedups tokens within a row only; if the same
+    doc_id arrived on multiple rows, tokens shared across those rows
+    would be double-counted in the vote sums and silently shift the
+    signature (a global explode→DISTINCT would mask that, at the cost
+    of shuffling every (doc, token) pair — see the scale note below).
+    Callers with multi-row docs must pre-aggregate text per id first.
     """
     # Per-doc token dedup happens MAP-SIDE (array_distinct before the
     # explode): global (doc, token) DISTINCT is per-doc distinct, so the

@@ -152,13 +152,22 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    e.unpersist()
-    o.unpersist()
+    # No manual unpersist here: the returned DataFrame is lazy, so an
+    # eager unpersist would empty both caches before the caller ever
+    # runs an action and every downstream branch (und reads e twice, o
+    # feeds three wedge-join branches) would replay the upstream edge
+    # plan. tracked_persist scopes their lifetime to the registry
+    # entry via release_tracked instead (pagerank can unpersist inline
+    # only because its loop localCheckpoints — materializes — first).
     return per_node
 
 
 def jaccard_link_prediction(
-    edges: DataFrame, k_top: int = 20, src: str = "u", dst: str = "v"
+    edges: DataFrame,
+    k_top: int = 20,
+    src: str = "u",
+    dst: str = "v",
+    max_mid_degree: int = 1000,
 ) -> DataFrame:
     """Common-neighbor Jaccard link prediction over an undirected edge
     list (distinct ``u < v`` pairs): for node pairs NOT currently linked
@@ -171,9 +180,21 @@ def jaccard_link_prediction(
     n² pair space; the intersection count IS the wedge count per pair
     (one shuffle keyed on the pair), degrees ride a broadcast, existing
     edges leave via one anti-join, and the top-k is
-    orderBy().limit(k) — TakeOrderedAndProject, no global window. The
-    same dense-graph caveat as triangle counting applies: feed it a
-    thresholded co-occurrence graph, not a raw one."""
+    orderBy().limit(k) — TakeOrderedAndProject, no global window.
+
+    **Hub guard** (``max_mid_degree``): a midpoint of degree d emits
+    d(d-1)/2 wedges into ONE shuffle key group — a single viral hub
+    detonates the join no matter how sparse the rest of the graph is
+    (a star graph is the degenerate case: n² candidate pairs, all
+    through the center). Midpoints with degree > ``max_mid_degree``
+    are excluded from wedge generation BEFORE the self-join, bounding
+    per-key fan-out at max_mid_degree² regardless of graph shape. This
+    is also the standard recommender semantics: a neighbor shared with
+    everyone ("everyone bought a gift bag") carries no similarity
+    signal — the same inverse-frequency logic as Adamic-Adar's 1/log d
+    weighting, taken to a hard cutoff so the plan is skew-proof.
+    Scores count only sub-hub common neighbors; denominators keep the
+    full degrees, so capped scores are a lower bound on true Jaccard."""
     # The edge list (usually an expensive upstream aggregate) feeds the
     # adjacency union, the degree table, both wedge sides, and the
     # anti-join — persist once or every consumer replays the caller's
@@ -185,11 +206,26 @@ def jaccard_link_prediction(
         StorageLevel.MEMORY_AND_DISK,
     )
     und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    deg = tracked_persist(
+        und.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     # wedges: a -(mid)- b with a < b → candidate pair + shared-neighbor
-    # count in one aggregation
-    w1 = und.select(F.col("v").alias("mid"), F.col("u").alias("a"))
-    w2 = und.select(F.col("v").alias("mid"), F.col("u").alias("b"))
+    # count in one aggregation. Hub midpoints are dropped BEFORE the
+    # self-join (see docstring) so no shuffle key group exceeds
+    # max_mid_degree² rows.
+    sub_hub = und.join(
+        F.broadcast(
+            deg.filter(F.col("d") <= max_mid_degree).select(
+                F.col("node").alias("v")
+            )
+        ),
+        "v",
+    )
+    w1 = sub_hub.select(F.col("v").alias("mid"), F.col("u").alias("a"))
+    w2 = sub_hub.select(F.col("v").alias("mid"), F.col("u").alias("b"))
     inter = (
         w1.join(w2, "mid")
         .filter(F.col("a") < F.col("b"))

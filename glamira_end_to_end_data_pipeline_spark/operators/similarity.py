@@ -402,6 +402,63 @@ def lloyd_refine(
     return cents
 
 
+def kcenter_centroids(
+    corpus: DataFrame,
+    n_cells: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """k-means++-style seeding, deterministic: farthest-first traversal
+    (Gonzalez' k-center greedy — k-means++ with the D² *sampling*
+    replaced by the D² *argmax*, so the cross-engine oracle can replay
+    it exactly). Seed 1 is the lowest-id corpus vector; each next seed
+    is the vector LEAST similar to its nearest already-chosen seed
+    (min over rows of max-cosine-to-seeds, ties → lowest id, cosines
+    rounded 6dp like every quantizer comparison in this module).
+
+    Fixes the known weakness of :func:`ivf_centroids`' lowest-id seeds
+    on clustered corpora: ids carry no geometry, so all K seeds can
+    land in one cluster and nprobe-bounded probes miss every other
+    cluster; farthest-first provably 2-approximates the k-center
+    optimum, spreading one seed per cluster before refinement.
+
+    Cost shape: K-1 corpus scans, each a map-only literal-centroid
+    score + a TakeOrdered(1) — the per-round collect is ONE row (the
+    BPE top-1 discipline). K is the coarse-quantizer size (double
+    digits), so this is a bounded setup cost amortized over every
+    probe; sampling the corpus first drops it further at 100 TB.
+    Returns (cell_id, vector, norm) sorted by cell id — the same
+    smallest-cid tie rule every assignment path assumes."""
+    first = (
+        corpus.orderBy(id_col)
+        .limit(1)
+        .select(
+            F.col(id_col).cast("long").alias("cid"),
+            _dbl(F.col(vec_col)).alias("cvec"),
+            norm(F.col(vec_col)).alias("cnorm"),
+        )
+        .collect()[0]
+    )
+    cents = [(first["cid"], list(first["cvec"]), first["cnorm"])]
+    side = corpus.select(
+        F.col(id_col).cast("long").alias("cid"),
+        _dbl(F.col(vec_col)).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+    )
+    for _ in range(n_cells - 1):
+        best = F.array_max(
+            _cell_scores(F.col("cvec"), F.col("cnorm"), cents)
+        )["sim"]
+        pick = (
+            side.select("cid", "cvec", "cnorm", best.alias("best"))
+            .orderBy(F.asc("best"), F.asc("cid"))
+            .limit(1)
+            .collect()[0]
+        )
+        cents.append((pick["cid"], list(pick["cvec"]), pick["cnorm"]))
+    return sorted(cents)
+
+
 def _cell_scores(
     vec: Column, vnorm: Column, cents: list[tuple[int, list[float], float]]
 ) -> Column:
@@ -515,6 +572,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    cents: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in exactly one cell
     (argmax-cosine centroid), each query probes its ``nprobe`` nearest
@@ -525,8 +583,14 @@ def ivf_topk(
     no join); the candidate join keys on the small int cell with the
     query side broadcast; only the window top-k shuffles, on rows
     already cut by the cell filter. Since a corpus vector has one cell
-    and probed cells are distinct, no candidate dedup is needed."""
-    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    and probed cells are distinct, no candidate dedup is needed.
+
+    ``cents`` swaps in a different quantizer (e.g.
+    :func:`kcenter_centroids`) — assignment/probe are quantizer-
+    agnostic; default is the lowest-id seeds of :func:`ivf_centroids`.
+    """
+    if cents is None:
+        cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
     if refine_iters:
         cents = lloyd_refine(corpus, cents, refine_iters, vec_col)
     c = _side(corpus, id_col, vec_col, "neighbor_id", "c_vec", "c_norm").withColumn(
@@ -998,6 +1062,12 @@ def mmr_rerank(
     one_minus = 1.0 - lam
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Degraded rows (_pair_cosine yields NULL on bad/zero vectors)
+        # arrive as NaN in pandas; NaN relevance would otherwise win
+        # selection once valid candidates run out (any comparison seeds
+        # `best`) and poison every downstream score. Drop them: an
+        # unscorable candidate is never pickable.
+        pdf = pdf[pdf["cosine_sim"].notna()]
         pdf = pdf.sort_values(
             ["cosine_sim", "neighbor_id"], ascending=[False, True]
         ).reset_index(drop=True)

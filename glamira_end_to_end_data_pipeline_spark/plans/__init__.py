@@ -38,29 +38,15 @@ from glamira_end_to_end_data_pipeline_spark.plans import (  # noqa: E402,F401
 # end of the fresh ordering, outside the already-full round-4 window.
 from glamira_end_to_end_data_pipeline_spark.plans import extra_queries  # noqa: E402,F401
 
-# Entries with no driver-green CORRECTNESS row as of round 3 (not in
-# _R2_GREEN ∪ _R3_GREEN). These MUST occupy window slots 0-19 in round 4.
-_ROTATE_FIRST_R4 = (
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q20_excess_shippers",
-    "dq_volume_anomaly",
-    "a_histogram",
-    "lake_zorder_codes",
-    "dedup_retain_corpus",
-    "dedup_winnowing_pairs",
-    "emb_pq_codes",
-    "emb_pq_adc_topk",
-    "emb_ivfpq_topk",
-    "text_chunk_documents",
-    "text_char_entropy",
-    "text_sample_stratified",
-    "text_mix_epochs",
-    "text_lm_score",
-    "text_bm25_topk",
+# Round-5 front-loads: the single r4 failure (q12 — oracle typing bug,
+# now CAST-to-BIGINT-fixed) plus the three entries registered past the
+# full r4 window and therefore never driver-graded. These MUST occupy
+# window slots 0-3 in round 5.
+_ROTATE_FIRST_R5 = (
+    "q12_priority_by_flag",
+    "graph_triangles",
+    "stream_cdc_apply",
+    "graph_link_prediction",
 )
 
 # Driver-green in CORRECTNESS_r02.json (round-2 window).
@@ -175,36 +161,80 @@ _R3_GREEN = frozenset(
     }
 )
 
-_DRIVER_GREEN = _R2_GREEN | _R3_GREEN
+# Driver-green in CORRECTNESS_r04.json (round-4 window; the only red
+# row was q12_priority_by_flag, an oracle typing bug re-front-loaded in
+# _ROTATE_FIRST_R5 after the CAST fix).
+_R4_GREEN = frozenset(
+    {
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        "q14_promo_effect",
+        "q20_excess_shippers",
+        "dq_volume_anomaly",
+        "a_histogram",
+        "lake_zorder_codes",
+        "dedup_retain_corpus",
+        "dedup_winnowing_pairs",
+        "emb_pq_codes",
+        "emb_pq_adc_topk",
+        "emb_ivfpq_topk",
+        "text_chunk_documents",
+        "text_char_entropy",
+        "text_sample_stratified",
+        "text_mix_epochs",
+        "text_lm_score",
+        "text_bm25_topk",
+        "q19_disjunctive_revenue",
+        "q22_dormant_balances",
+        "q9_product_profit",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q17_small_quantity_revenue",
+        "a_grouping_sets",
+        "a_corr_stats",
+        "graph_pagerank",
+        "w_sessionize_batch",
+        "dedup_segment_boilerplate",
+        "text_bpe_merges",
+        "dedup_semantic_retain",
+        "text_hybrid_rrf",
+        "text_dsir_select",
+        "emb_ann_recall",
+        "text_bpe_encode",
+        "text_ppl_buckets",
+        "emb_indexing_pipeline",
+        "text_classifier_score",
+        "text_domain_cap",
+        "emb_mmr_rerank",
+        "s_orc_round_trip",
+        "lake_merge_upsert",
+        "lake_snapshot_read",
+        "lake_gc_orphans",
+        "lake_compact_commit",
+        "stream_snapshot_commits",
+    }
+)
 
-# ROUND-5 TODO (apply BEFORE adding round-5 entries): once
-# CORRECTNESS_r04.json lands, fold the round-4 window into the green
-# backlog — add a frozenset `_R4_GREEN` containing every green row of
-# CORRECTNESS_r04.json (expected: all of _ROTATE_FIRST_R4 plus the 11
-# round-4 fresh entries q19/q22/q9/q11/q12/q15/q16/q17,
-# dedup_segment_boilerplate, text_bpe_merges, s_orc_round_trip, and the
-# later additions dedup_semantic_retain / text_hybrid_rrf /
-# lake_merge_upsert /
-# text_dsir_select / emb_ann_recall / text_bpe_encode /
-# text_ppl_buckets / emb_indexing_pipeline / a_grouping_sets /
-# a_corr_stats / graph_pagerank / text_classifier_score /
-# text_domain_cap / lake_snapshot_read / emb_mmr_rerank /
-# w_sessionize_batch / lake_gc_orphans / lake_compact_commit /
-# stream_snapshot_commits if they made
-# the [:50] window), OR it into _DRIVER_GREEN, and clear
-# _ROTATE_FIRST_R4 to (). With union(r2..r4) covering the whole
-# registry, step 2 of _window_order() then automatically front-loads
-# whatever round 5 registers fresh — no manual rotation list needed
-# unless a row FAILED in r4 (re-front-load any failure after fixing).
+_DRIVER_GREEN = _R2_GREEN | _R3_GREEN | _R4_GREEN
+
+# ROUND-6 TODO (apply BEFORE adding round-6 entries): fold the green
+# rows of CORRECTNESS_r05.json into a `_R5_GREEN` frozenset, OR it into
+# _DRIVER_GREEN, and clear _ROTATE_FIRST_R5 to () — re-front-loading
+# only rows that FAILED in r5 after fixing them. Step 2 of
+# _window_order() then auto-front-loads whatever round 6 registers
+# fresh. Keep never-graded entry count ≤ 50 before registering more.
 
 
 def _window_order() -> list[str]:
     registered = list(QUERIES)
-    front = [n for n in _ROTATE_FIRST_R4 if n in QUERIES]
+    front = [n for n in _ROTATE_FIRST_R5 if n in QUERIES]
     fresh = [
         n
         for n in registered
-        if n not in _ROTATE_FIRST_R4 and n not in _DRIVER_GREEN
+        if n not in _ROTATE_FIRST_R5 and n not in _DRIVER_GREEN
     ]
     deferred = [n for n in registered if n in _DRIVER_GREEN]
     return front + fresh + deferred

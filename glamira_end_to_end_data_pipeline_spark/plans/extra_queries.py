@@ -169,9 +169,13 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
     deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    sub_hub AS (
+        SELECT und.u, und.v FROM und
+        JOIN deg dm ON dm.node = und.v AND dm.d <= 1000
+    ),
     inter AS (
         SELECT w1.u AS a, w2.u AS b, count(*) AS n_common
-        FROM und w1 JOIN und w2 ON w1.v = w2.v AND w1.u < w2.u
+        FROM sub_hub w1 JOIN sub_hub w2 ON w1.v = w2.v AND w1.u < w2.u
         GROUP BY 1, 2
     ),
     cand AS (
@@ -193,7 +197,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph (operators/graph.py:jaccard_link_prediction):
     top-20 not-yet-linked part pairs by neighborhood overlap — the
     co-purchase recommender as a graph problem. Candidates come only
-    from the wedge join (2-hop pairs), never the n² space."""
+    from the wedge join (2-hop pairs), never the n² space, and hub
+    midpoints (degree > 1000) are excluded before the wedge self-join
+    so one viral product cannot detonate a single shuffle key group
+    (per-key fan-out ≤ cap² regardless of graph shape; the oracle
+    applies the identical cutoff)."""
     from glamira_end_to_end_data_pipeline_spark.operators.graph import (
         jaccard_link_prediction,
     )

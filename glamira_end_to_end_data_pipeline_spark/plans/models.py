@@ -224,9 +224,15 @@ def fact_sales_order(
     """5-way left-join fact (ref ``fact_sales_order.sql``): order grain,
     '-1' defaults for unmatched FKs, `=` null-miss join semantics.
 
-    All five dims broadcast (each ≪ fact); the fact side streams through
-    one stage with five broadcast hash joins — zero shuffles of the big
-    side."""
+    Only the *bounded* dims carry an explicit broadcast hint:
+    ``dim_date`` (|days| rows forever) and ``dim_product`` (catalog-
+    bounded). ``dim_session_context``, ``dim_customer`` and
+    ``dim_location`` all grow with the raw event stream (the session
+    dim is a 7-column DISTINCT over it; the reference's own corpus has
+    3.2M distinct IPs) — forcing those into broadcast OOMs executors at
+    100× scale, so AQE decides from runtime stats instead: at small SF
+    it still picks broadcast-hash, at web scale it falls back to
+    shuffled-hash on the join keys."""
     f = stg.filter(F.col("order_source_id").isNotNull())
     j = (
         f.join(
@@ -235,12 +241,12 @@ def fact_sales_order(
             "left",
         )
         .join(
-            F.broadcast(customer.select("customer_key", "customer_source_id")),
+            customer.select("customer_key", "customer_source_id"),
             f.customer_source_id == customer.customer_source_id,
             "left",
         )
         .join(
-            F.broadcast(location.select("location_key", "ip_address")),
+            location.select("location_key", "ip_address"),
             f.ip_address == location.ip_address,
             "left",
         )
@@ -250,11 +256,9 @@ def fact_sales_order(
             "left",
         )
         .join(
-            F.broadcast(
-                session.select(
-                    "session_context_key",
-                    *[F.col(c).alias(f"sc_{c}") for c in SESSION_COLS],
-                )
+            session.select(
+                "session_context_key",
+                *[F.col(c).alias(f"sc_{c}") for c in SESSION_COLS],
             ),
             (f.ip_address == F.col("sc_ip_address"))
             & (f.user_agent == F.col("sc_user_agent"))

@@ -233,7 +233,7 @@ def _manifest_dir(base: str) -> str:
     return base.rstrip("/") + "/_manifests"
 
 
-def _read_manifest(spark: SparkSession, path: str, version: int) -> list[str]:
+def _read_manifest_doc(spark: SparkSession, path: str, version: int) -> dict:
     import json
 
     target = f"{_manifest_dir(path)}/v{version}.json"
@@ -245,7 +245,11 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> list[str]:
     raw = "\n".join(
         r[0] for r in spark.read.option("wholetext", True).text(target).collect()
     )
-    return json.loads(raw)["files"]
+    return json.loads(raw)
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> list[str]:
+    return _read_manifest_doc(spark, path, version)["files"]
 
 
 def latest_snapshot_version(spark: SparkSession, path: str) -> int:
@@ -342,11 +346,17 @@ def _commit_manifest(
     version: int,
     files: list[str],
     tag: str | None = None,
+    operation: str = "append",
 ) -> None:
-    """Atomically publish a version's manifest (temp write + rename)."""
+    """Atomically publish a version's manifest (temp write + rename).
+
+    ``operation`` records HOW this version came to be — ``append`` (new
+    rows) vs ``rewrite`` (same rows, new files: compaction) — exactly
+    Iceberg's snapshot ``operation`` field. Incremental readers need it
+    to tell data changes from file reshuffles."""
     import json
 
-    doc = {"version": version, "files": files}
+    doc = {"version": version, "files": files, "operation": operation}
     if tag is not None:
         doc["tag"] = tag
     payload = json.dumps(doc).encode("utf-8")
@@ -390,7 +400,7 @@ def compact_snapshot(
     version = latest + 1
     compacted = read_snapshot(spark, path, latest).repartition(n_files)
     files = _write_version_data(spark, compacted, path, version)
-    _commit_manifest(spark, path, version, files)
+    _commit_manifest(spark, path, version, files, operation="rewrite")
     return version, len(files)
 
 
@@ -410,11 +420,25 @@ def read_incremental(
     spark: SparkSession, path: str, from_version: int, to_version: int
 ) -> DataFrame:
     """CDC-style incremental read: only the rows appended between two
-    snapshots (file-set difference of the manifests). The downstream
-    incremental-ingest pattern (streaming/incremental.py) gets its
-    input this way at a fraction of a full-table scan."""
-    old = set(_read_manifest(spark, path, from_version)) if from_version else set()
-    delta = [f for f in _read_manifest(spark, path, to_version) if f not in old]
+    snapshots. The downstream incremental-ingest pattern
+    (streaming/incremental.py) gets its input this way at a fraction of
+    a full-table scan.
+
+    Walks the manifests version by version and takes each APPEND
+    commit's new files (diff against its parent); ``rewrite`` commits
+    (compaction — same rows, new files) are SKIPPED, matching Iceberg's
+    incremental scan over ``operation=replace`` snapshots. A raw
+    to-vs-from file-set diff would misread a compaction spanning the
+    range as "everything was appended" and double-deliver the whole
+    table to CDC consumers."""
+    delta: list[str] = []
+    seen = set(_read_manifest(spark, path, from_version)) if from_version else set()
+    for v in range(from_version + 1, to_version + 1):
+        doc = _read_manifest_doc(spark, path, v)
+        files = doc["files"]
+        if doc.get("operation", "append") == "append":
+            delta.extend(f for f in files if f not in seen)
+        seen = set(files)
     if not delta:
         return read_snapshot(spark, path, to_version).limit(0)
     return spark.read.parquet(*delta)

@@ -99,3 +99,41 @@ def test_jaccard_link_prediction_semantics(spark):
     # (1,4): no common neighbor -> never a candidate
     assert (1, 4) not in got
     assert (1, 2) not in got and (2, 3) not in got
+
+
+def test_jaccard_hub_cap_prunes_star_center(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    # Star K1,6 (center 0): uncapped, every leaf pair is a candidate
+    # (C(6,2)=15 wedges all through one shuffle key). With the hub cap
+    # below the center's degree, the center is excluded as a midpoint
+    # and ZERO candidates survive — per-midpoint fan-out is bounded by
+    # the cap, independent of hub degree.
+    star = spark.createDataFrame([(0, i) for i in range(1, 7)], ["u", "v"])
+    capped = jaccard_link_prediction(star, k_top=100, max_mid_degree=5)
+    assert capped.count() == 0
+    uncapped = jaccard_link_prediction(star, k_top=100, max_mid_degree=6)
+    assert uncapped.count() == 15
+
+
+def test_jaccard_hub_cap_keeps_sub_hub_wedges(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    # Path 1-2-3 (midpoint degree 2) plus star center 0 linked to all
+    # of 1..3 and to 4..9 (degree 9 > cap 3): wedges through 0 are
+    # dropped, the path wedge survives. (1,3) keeps n_common=1 — only
+    # midpoint 2 counts — while the denominator still uses FULL degrees
+    # (N(1)={0,2}, N(3)={0,2} -> 1/(2+2-1)).
+    edges = [(1, 2), (2, 3)] + [(0, i) for i in range(1, 10)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["jaccard"])
+        for r in jaccard_link_prediction(df, k_top=100, max_mid_degree=3).collect()
+    }
+    assert got[(1, 3)] == (1, round(1 / 3, 6))
+    # leaf pairs through the hub only (e.g. 4,5) are gone entirely
+    assert (4, 5) not in got

@@ -52,16 +52,45 @@ def test_q1_scan_reads_only_referenced_columns(spark, registry):
     )
 
 
-def test_star_fact_join_strategy_broadcast_only(spark, registry):
-    # five dim joins, all broadcast hash; the big (events-derived) side
-    # must never be shuffled for a join, and no nested-loop fallback.
-    plan = plan_of(registry["star_fact_sales_order"](spark, SF_SMALL))
+def test_star_fact_join_strategy(spark, registry):
+    # Bounded dims (date, product) broadcast; no nested-loop fallback
+    # anywhere. The unbounded dims (session/customer/location — each
+    # grows with the event stream) are deliberately NOT hinted: AQE
+    # picks broadcast at small SF and shuffled joins at web scale.
+    df = registry["star_fact_sales_order"](spark, SF_SMALL)
+    plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan, (
-        "fact build should broadcast small dims, not sort-merge the fact side"
+
+
+def test_star_fact_no_forced_broadcast_on_unbounded_dims(spark, registry):
+    # Plan-pin for the 100 TB failure mode: a forced broadcast hint on
+    # dim_session_context / dim_customer / dim_location OOMs executors
+    # when those dims grow with the fact table. Only date + product may
+    # carry an explicit hint; everything else is AQE's call.
+    df = registry["star_fact_sales_order"](spark, SF_SMALL)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # the line immediately below each ResolvedHint is its child — the
+    # projection of the hinted dim; that line names the dim's columns.
+    hinted_children = [
+        seg.split("\n")[1] if "\n" in seg else ""
+        for seg in analyzed.split("ResolvedHint")[1:]
+    ]
+    assert len(hinted_children) <= 2, (
+        "more than two broadcast hints in the fact build — only the "
+        "bounded date/product dims may be forced:\n" + analyzed
     )
+    for child in hinted_children:
+        assert "session_context_key" not in child, (
+            "forced broadcast on the unbounded session dim:\n" + child
+        )
+        assert "customer_source_id" not in child, (
+            "forced broadcast on the unbounded customer dim:\n" + child
+        )
+        assert "location_key" not in child, (
+            "forced broadcast on the unbounded location dim:\n" + child
+        )
 
 
 def test_ip_enrichment_no_nested_loop(spark, registry):

@@ -217,3 +217,80 @@ def test_mmr_rank1_is_pure_relevance_and_diversity_kicks_in(spark):
     assert got[2]["neighbor_id"] in (12, 13)
     assert got[2]["max_sim_selected"] < 0.99
     assert len(got) == 3
+
+
+def test_kcenter_seeds_spread_across_clusters(spark):
+    """Farthest-first (deterministic k-means++-style) seeding: on the
+    3-cluster fixture the three seeds must land one per cluster — the
+    lowest-id seeds provably cannot (ids 3,4,5 are all cluster 0)."""
+    from glamira_end_to_end_data_pipeline_spark.operators.similarity import (
+        ivf_centroids,
+        kcenter_centroids,
+    )
+
+    data = _clustered(spark)
+    c = data.filter(F.col("vec_id") % 40 >= 3)
+    kc = kcenter_centroids(c, n_cells=3)
+    assert sorted(cid // 40 for cid, _v, _n in kc) == [0, 1, 2]
+    low = ivf_centroids(c, n_cells=3)
+    assert sorted(cid // 40 for cid, _v, _n in low) == [0, 0, 0]
+    # sorted-by-cid contract (assignment tie rule depends on it)
+    assert [cid for cid, _v, _n in kc] == sorted(cid for cid, _v, _n in kc)
+
+
+def test_kcenter_seeding_recall_and_cell_purity(spark):
+    """The verdict-#7 acceptance: with k-center seeds, nprobe=1 recall
+    is ≥ the lowest-id seeds' and near-perfect, and — the structural
+    win — every cell is cluster-PURE (each corpus vector's nearest
+    seed is its own cluster's on-axis seed), while the lowest-id
+    quantizer, whose three near-identical seeds differ only in jitter,
+    scatters clusters 1 and 2 across cells."""
+    from glamira_end_to_end_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_centroids,
+        ivf_cell_bulk,
+        ivf_topk,
+        kcenter_centroids,
+        norm,
+    )
+
+    data = _clustered(spark)
+    q = data.filter(F.col("vec_id") % 40 < 3)
+    c = data.filter(F.col("vec_id") % 40 >= 3)
+
+    def cells(cents):
+        rows = c.select(
+            "vec_id",
+            ivf_cell_bulk(
+                F.col("embedding").cast("array<double>"),
+                norm(F.col("embedding")),
+                cents,
+            ).alias("cell"),
+        ).collect()
+        purity = {}
+        for r in rows:
+            purity.setdefault(r["cell"], set()).add(r["vec_id"] // 40)
+        return purity
+
+    kc = kcenter_centroids(c, n_cells=3)
+    assert all(len(cl) == 1 for cl in cells(kc).values()), "impure k-center cell"
+    low = cells(ivf_centroids(c, n_cells=3))
+    assert any(len(cl) > 1 for cl in low.values()), (
+        "fixture too easy — lowest-id seeds also produced pure cells"
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(q, c, k=5).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(q, c, k=5, n_cells=3, nprobe=1, cents=cents).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    low_id = recall(None)
+    kcenter = recall(kc)
+    assert kcenter >= low_id, f"kcenter {kcenter:.2f} vs lowest-id {low_id:.2f}"
+    assert kcenter >= 0.95, f"kcenter recall {kcenter:.2f}"

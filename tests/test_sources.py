@@ -205,3 +205,27 @@ def test_compact_snapshot_is_a_commit(spark, tmp_path):
     assert all("/v3/" in f for f in lake._read_manifest(spark, path, 3))
     # old files still referenced by v1/v2 manifests -> GC must keep them
     assert lake.gc_orphan_files(spark, path) == 0
+
+
+def test_incremental_read_skips_compaction_rewrites(spark, tmp_path):
+    # append v1, append v2, compact v3 (rewrite), append v4: an
+    # incremental scan across the compaction must deliver ONLY the
+    # appended rows (v2 + v4). A raw to-vs-from file diff would misread
+    # v3's all-new files as appends and double-deliver the whole table.
+    path = str(tmp_path / "snap")
+    lake.write_snapshot(spark, spark.range(0, 10), path)
+    lake.write_snapshot(spark, spark.range(100, 103), path)
+    lake.compact_snapshot(spark, path, n_files=1)
+    lake.write_snapshot(spark, spark.range(200, 202), path)
+    got = sorted(r["id"] for r in lake.read_incremental(spark, path, 1, 4).collect())
+    assert got == [100, 101, 102, 200, 201]
+    # a range that is exactly the rewrite: zero rows, schema preserved
+    rw = lake.read_incremental(spark, path, 2, 3)
+    assert rw.count() == 0 and rw.columns == ["id"]
+    # append after the rewrite diffs against the rewritten file set
+    assert sorted(
+        r["id"] for r in lake.read_incremental(spark, path, 3, 4).collect()
+    ) == [200, 201]
+    # manifests record the operation (Iceberg's snapshot operation field)
+    assert lake._read_manifest_doc(spark, path, 3)["operation"] == "rewrite"
+    assert lake._read_manifest_doc(spark, path, 4)["operation"] == "append"
