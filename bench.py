@@ -113,6 +113,14 @@ HEADLINE = [
     "graph_triangles",
     "stream_cdc_apply",
     "graph_link_prediction",
+    "graph_adamic_adar",
+    "graph_kcore",
+    "emb_ivf_kcenter_topk",
+    "lake_incremental_across_compaction",
+    "a_incremental_rollup_merge",
+    "text_tfidf_topterms",
+    "dedup_cross_batch_minhash",
+    "dq_profile_columns",
 ]
 
 

@@ -270,6 +270,87 @@ def minhash_near_dups(
     )
 
 
+def minhash_cross_batch(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup screening of a NEW batch against an
+    already-deduplicated corpus — the continuous-crawl shape: every
+    ingest round asks "which new documents duplicate something we
+    already keep?", never "re-pair the whole corpus".
+
+    The band join is strictly CROSS-sided (corpus bands ⋈ new bands):
+    with |new| ≪ |corpus| the candidate space is ~|new|·collision-rate
+    instead of the self-join's corpus², and the corpus side touches
+    only its (id, band) rows — in production those signatures/bands
+    are persisted once at corpus-admission time (they are plain
+    columns), so each round's cost scales with the BATCH, not the
+    corpus. Exact-Jaccard verification restores set semantics on
+    candidate docs only (the :func:`minhash_near_dups` discipline).
+
+    Returns ``(new_id, corpus_id, jaccard)`` for matches ≥ threshold —
+    new docs absent from the result are genuinely new content."""
+    sh_c = tracked_persist(
+        exploded_shingles(corpus, id_col, text_col, distinct=False),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    sh_n = tracked_persist(
+        exploded_shingles(new_batch, id_col, text_col, distinct=False),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    b_c = lsh_bands(
+        minhash_signatures(sh_c, id_col, num_hashes), id_col, num_hashes, bands
+    ).select(F.col(id_col).alias("corpus_id"), "band_id", "band_hash")
+    b_n = lsh_bands(
+        minhash_signatures(sh_n, id_col, num_hashes), id_col, num_hashes, bands
+    ).select(F.col(id_col).alias("new_id"), "band_id", "band_hash")
+    cand = tracked_persist(
+        b_c.join(b_n, ["band_id", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct(),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    # per-side set semantics, candidate docs only
+    set_c = (
+        sh_c.join(
+            cand.select(F.col("corpus_id").alias(id_col)).distinct(), id_col
+        )
+        .distinct()
+        .select(F.col(id_col).alias("corpus_id"), "shingle_x")
+    )
+    set_n = (
+        sh_n.join(cand.select(F.col("new_id").alias(id_col)).distinct(), id_col)
+        .distinct()
+        .select(F.col(id_col).alias("new_id"), "shingle_x")
+    )
+    sz_c = set_c.groupBy("corpus_id").agg(F.count("*").alias("nc"))
+    sz_n = set_n.groupBy("new_id").agg(F.count("*").alias("nn"))
+    inter = (
+        cand.join(set_n, "new_id")
+        .join(set_c, ["corpus_id", "shingle_x"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sz_n, "new_id")
+        .join(sz_c, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(
+                F.col("n_inter") / (F.col("nn") + F.col("nc") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -195,43 +195,7 @@ def jaccard_link_prediction(
     weighting, taken to a hard cutoff so the plan is skew-proof.
     Scores count only sub-hub common neighbors; denominators keep the
     full degrees, so capped scores are a lower bound on true Jaccard."""
-    # The edge list (usually an expensive upstream aggregate) feeds the
-    # adjacency union, the degree table, both wedge sides, and the
-    # anti-join — persist once or every consumer replays the caller's
-    # plan (the pagerank/triangle_count lesson).
-    e = tracked_persist(
-        edges.select(
-            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-        ),
-        StorageLevel.MEMORY_AND_DISK,
-    )
-    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = tracked_persist(
-        und.groupBy(F.col("u").alias("node")).agg(
-            F.count(F.lit(1)).alias("d")
-        ),
-        StorageLevel.MEMORY_AND_DISK,
-    )
-    # wedges: a -(mid)- b with a < b → candidate pair + shared-neighbor
-    # count in one aggregation. Hub midpoints are dropped BEFORE the
-    # self-join (see docstring) so no shuffle key group exceeds
-    # max_mid_degree² rows.
-    sub_hub = und.join(
-        F.broadcast(
-            deg.filter(F.col("d") <= max_mid_degree).select(
-                F.col("node").alias("v")
-            )
-        ),
-        "v",
-    )
-    w1 = sub_hub.select(F.col("v").alias("mid"), F.col("u").alias("a"))
-    w2 = sub_hub.select(F.col("v").alias("mid"), F.col("u").alias("b"))
-    inter = (
-        w1.join(w2, "mid")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    e, deg, inter = _capped_wedge_pairs(edges, src, dst, max_mid_degree)
     cand = inter.join(e, (inter["a"] == e["u"]) & (inter["b"] == e["v"]), "left_anti")
     scored = (
         cand.join(F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))), "a")
@@ -250,3 +214,142 @@ def jaccard_link_prediction(
     return scored.orderBy(
         F.desc("jaccard"), F.asc("a"), F.asc("b")
     ).limit(k_top)
+
+
+def _capped_wedge_pairs(
+    edges: DataFrame, src: str, dst: str, max_mid_degree: int
+):
+    """Shared candidate machinery for the neighborhood-overlap scorers
+    (:func:`jaccard_link_prediction`, :func:`adamic_adar_link_prediction`):
+    persist the caller's edge plan once (it feeds the adjacency union,
+    the degree table, both wedge sides, and the caller's anti-join),
+    drop hub midpoints BEFORE the wedge self-join (per-shuffle-key
+    fan-out ≤ max_mid_degree², independent of graph shape), and
+    aggregate wedges to one row per unordered 2-hop pair.
+
+    Returns ``(e, deg, inter)``: the persisted ``u < v`` edge list, the
+    node degree table, and per-pair ``(a, b, n_common, aa_score)`` —
+    the common-neighbor count and the Adamic-Adar sum Σ 1/ln(d_mid)
+    over the same sub-hub midpoints (a contributing midpoint links two
+    distinct neighbors, so d_mid ≥ 2 and the log never hits zero)."""
+    e = tracked_persist(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = tracked_persist(
+        und.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    sub_hub = und.join(
+        F.broadcast(
+            deg.filter(F.col("d") <= max_mid_degree).select(
+                F.col("node").alias("v"), F.col("d").alias("d_mid")
+            )
+        ),
+        "v",
+    )
+    w1 = sub_hub.select(
+        F.col("v").alias("mid"), F.col("u").alias("a"), "d_mid"
+    )
+    w2 = sub_hub.select(F.col("v").alias("mid"), F.col("u").alias("b"))
+    inter = (
+        w1.join(w2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.lit(1.0) / F.log(F.col("d_mid"))).alias("aa_score"),
+        )
+    )
+    return e, deg, inter
+
+
+def adamic_adar_link_prediction(
+    edges: DataFrame,
+    k_top: int = 20,
+    src: str = "u",
+    dst: str = "v",
+    max_mid_degree: int = 1000,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge list: for
+    unlinked 2-hop pairs, score = Σ_{m ∈ N(a)∩N(b)} 1/ln(deg(m)) — the
+    inverse-log-frequency refinement of common-neighbor counting
+    (Adamic & Adar 2003): a shared neighbor linked to everything is
+    weak evidence, a shared neighbor with few links is strong. The
+    smooth version of the same insight the hub cap applies as a hard
+    cutoff — so the two compose naturally: sub-hub midpoints are
+    weighted by 1/ln d, super-hub midpoints (> ``max_mid_degree``)
+    contribute zero AND never enter the wedge shuffle.
+
+    Same plan shape as :func:`jaccard_link_prediction` (one wedge
+    shuffle keyed on the pair, anti-join, TakeOrderedAndProject top-k);
+    the weight rides the wedge rows, so scoring adds no extra pass."""
+    e, _deg, inter = _capped_wedge_pairs(edges, src, dst, max_mid_degree)
+    cand = inter.join(e, (inter["a"] == e["u"]) & (inter["b"] == e["v"]), "left_anti")
+    scored = cand.select(
+        "a", "b", "n_common", F.round(F.col("aa_score"), 6).alias("aa_score")
+    )
+    return scored.orderBy(
+        F.desc("aa_score"), F.asc("a"), F.asc("b")
+    ).limit(k_top)
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Iterative k-core peeling over an undirected edge list (``u < v``
+    pairs): each round removes every node of degree < k, which lowers
+    its neighbors' degrees, so the next round may remove more — after
+    convergence the survivors are exactly the k-core (the maximal
+    subgraph where every node keeps ≥ k neighbors), the standard
+    densest-region extractor (community cores, spam-farm detection,
+    graph sparsification before expensive algorithms).
+
+    ``rounds`` bounds the iterations (a fixed unrollable count keeps
+    the cross-engine oracle expressible; cascades longer than
+    ``rounds`` leave a superset of the k-core — callers needing exact
+    convergence loop until the survivor count stops changing). Returns
+    ``(node, degree)`` for nodes surviving all rounds, degrees within
+    the surviving subgraph.
+
+    Scale shape: each round is ONE degree aggregation (map-side
+    partial) + two semi-joins of the edge list against the shrinking
+    survivor set; the edge list only ever shrinks, and
+    ``localCheckpoint`` flattens the plan per round (the pagerank
+    discipline) so the final plan does not nest ``rounds`` copies of
+    the upstream edge derivation."""
+    und = tracked_persist(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst).cast("long").alias("u"),
+                F.col(src).cast("long").alias("v"),
+            )
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    for _ in range(rounds):
+        deg = und.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        und = (
+            und.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -38,6 +38,10 @@ from glamira_end_to_end_data_pipeline_spark.plans import (  # noqa: E402,F401
 # end of the fresh ordering, outside the already-full round-4 window.
 from glamira_end_to_end_data_pipeline_spark.plans import extra_queries  # noqa: E402,F401
 
+# round-5 fresh entries — land behind the four front-loaded re-grades,
+# inside the (otherwise empty) round-5 window.
+from glamira_end_to_end_data_pipeline_spark.plans import r5_queries  # noqa: E402,F401
+
 # Round-5 front-loads: the single r4 failure (q12 — oracle typing bug,
 # now CAST-to-BIGINT-fixed) plus the three entries registered past the
 # full r4 window and therefore never driver-graded. These MUST occupy

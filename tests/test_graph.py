@@ -137,3 +137,59 @@ def test_jaccard_hub_cap_keeps_sub_hub_wedges(spark):
     assert got[(1, 3)] == (1, round(1 / 3, 6))
     # leaf pairs through the hub only (e.g. 4,5) are gone entirely
     assert (4, 5) not in got
+
+
+def test_adamic_adar_weights_by_inverse_log_degree(spark):
+    import math
+
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        adamic_adar_link_prediction,
+    )
+
+    # path 1-2-3 plus 3-4: (1,3) via mid 2 (deg 2), (2,4) via mid 3
+    # (deg 2) -> both score 1/ln(2). Existing edges excluded.
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["aa_score"])
+        for r in adamic_adar_link_prediction(edges).collect()
+    }
+    w = round(1 / math.log(2), 6)
+    assert got == {(1, 3): (1, w), (2, 4): (1, w)}
+    # low-degree shared neighbor outweighs a higher-degree one:
+    # (a,b) share mid m1 (deg 2); (a,c) share hub h (deg 4).
+    edges2 = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 20), (3, 20), (4, 20), (5, 20)], ["u", "v"]
+    )
+    rows = adamic_adar_link_prediction(edges2, k_top=100).collect()
+    score = {(r["a"], r["b"]): r["aa_score"] for r in rows}
+    assert score[(1, 2)] > score[(1, 3)]
+
+
+def test_adamic_adar_hub_cap_zeroes_hub_contribution(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        adamic_adar_link_prediction,
+    )
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 7)], ["u", "v"])
+    assert (
+        adamic_adar_link_prediction(star, k_top=100, max_mid_degree=5).count() == 0
+    )
+
+
+def test_kcore_peel_converges_to_core(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import kcore_peel
+
+    # triangle {1,2,3} + chain 3-4-5: 2-core is the triangle, reached
+    # only via the CASCADE (5 falls round 1, exposing 4 for round 2).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["u", "v"]
+    )
+    got = {
+        r["node"]: r["degree"] for r in kcore_peel(edges, k=2, rounds=3).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    # one round only: the cascade hasn't reached 4 yet (superset)
+    one = {r["node"] for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    assert one == {1, 2, 3, 4}
+    # k above the max degree empties the graph
+    assert kcore_peel(edges, k=4, rounds=2).count() == 0

@@ -67,6 +67,9 @@ BNLJ_OK = {
     # percentile aggregate broadcast onto the scored docs (the
     # distributed formulation of ntile(3)).
     "text_ppl_buckets",
+    # TF-IDF's corpus size N is a ONE-ROW broadcast cross-joined onto
+    # the probe-doc term rows (the BM25 scalar discipline).
+    "text_tfidf_topterms",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are

@@ -363,3 +363,36 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
         (9, "c"): 90.0,  # inserted into new partition
     }
     assert files_of("b") == b_before, "untouched partition was rewritten"
+
+
+def test_minhash_cross_batch_flags_dups_not_fresh(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        minhash_cross_batch,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest before the sun finally sets"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark "
+                        "partitions shuffles and broadcast joins at scale")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base + " appended"),               # near-dup of 1
+            (101, base),                             # exact dup of 1
+            (102, "totally novel payload qqx wwy zzv alpha beta gamma "
+                  "delta epsilon zeta eta theta iota kappa"),  # fresh
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in minhash_cross_batch(corpus, new, threshold=0.5).collect()
+    }
+    assert (101, 1) in got and got[(101, 1)] == 1.0
+    assert (100, 1) in got and got[(100, 1)] >= 0.5
+    assert not any(n == 102 for n, _c in got)   # fresh doc stays silent
+    assert not any(c == 2 for _n, c in got)     # unrelated corpus doc too
