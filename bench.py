@@ -121,6 +121,9 @@ HEADLINE = [
     "text_tfidf_topterms",
     "dedup_cross_batch_minhash",
     "dq_profile_columns",
+    "j_interval_overlap",
+    "emb_ivf_partitioned_prune",
+    "dedup_containment_snippets",
 ]
 
 

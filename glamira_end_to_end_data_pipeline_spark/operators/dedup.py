@@ -351,6 +351,81 @@ def minhash_cross_batch(
     )
 
 
+def containment_pairs(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Cross-batch shingle CONTAINMENT C(new, c) = |S(new)∩S(c)| /
+    |S(new)| — the asymmetric overlap that catches a snippet embedded
+    in a longer document, where Jaccard stays near |snippet|/|doc| and
+    never crosses a symmetric threshold (the Broder 1997 distinction;
+    the quote/excerpt case every crawl dedup eventually hits).
+
+    Candidate generation is the cross-side shared-shingle join with a
+    DOCUMENT-FREQUENCY hub guard (the graph wedge lesson in shingle
+    form): corpus shingles appearing in more than ``max_shingle_df``
+    docs are excluded from candidate generation — a boilerplate gram
+    shared by half the corpus would fan a single shuffle key into
+    df_c·df_n rows while carrying no containment signal. Scoring is
+    then EXACT (all shingles, hubs included) but restricted to
+    candidate doc pairs only, so the wide join never sees non-candidate
+    rows. Caveat, mirrored in the oracle: a pair sharing ONLY
+    hub-frequency shingles is never surfaced (the LSH-style false
+    negative, traded for a skew-proof plan).
+
+    Returns ``(new_id, corpus_id, containment)`` with containment ≥
+    ``threshold``."""
+    sh_c = tracked_persist(
+        exploded_shingles(corpus, id_col, text_col, n),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    sh_n = tracked_persist(
+        exploded_shingles(new_batch, id_col, text_col, n),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    rare = sh_c.join(
+        sh_c.groupBy("shingle_x")
+        .agg(F.count("*").alias("df_c"))
+        .filter(F.col("df_c") <= max_shingle_df)
+        .select("shingle_x"),
+        "shingle_x",
+    )
+    cand = tracked_persist(
+        sh_n.select(F.col(id_col).alias("new_id"), "shingle_x")
+        .join(rare.select(F.col(id_col).alias("corpus_id"), "shingle_x"), "shingle_x")
+        .select("new_id", "corpus_id")
+        .distinct(),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    set_n = sh_n.join(
+        cand.select(F.col("new_id").alias(id_col)).distinct(), id_col
+    ).select(F.col(id_col).alias("new_id"), "shingle_x")
+    set_c = sh_c.join(
+        cand.select(F.col("corpus_id").alias(id_col)).distinct(), id_col
+    ).select(F.col(id_col).alias("corpus_id"), "shingle_x")
+    nn = set_n.groupBy("new_id").agg(F.count("*").alias("n_new"))
+    inter = (
+        cand.join(set_n, "new_id")
+        .join(set_c, ["corpus_id", "shingle_x"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(nn, "new_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(F.col("n_inter") / F.col("n_new"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -86,3 +86,29 @@ def test_decoder_registry_is_swappable(spark):
         assert all(r.features == [64.0] * mm.FEATURE_DIM for r in img)
     finally:
         mm.DECODERS["image"] = orig
+
+
+def test_decoder_swap_changes_zero_plans(spark):
+    """Contract (VERDICT r4 #6): the physical plan is IDENTICAL whether
+    the stub or a real codec is registered — the decoder runs inside
+    the Arrow batch iterator, invisible to Catalyst, so swapping in
+    Pillow/ffmpeg later cannot alter partitioning, pruning, or the
+    exchange structure this suite has pinned."""
+    import re
+
+    from tests.test_plans import plan_of
+
+    def normalized(df):
+        # strip auto-incremented expression ids (#123) — they differ
+        # per plan instance, not per plan shape
+        return re.sub(r"#\d+", "#", plan_of(df))
+
+    media = mm.synthetic_media(spark, 6)
+    before = normalized(mm.extract_features(media))
+    orig = mm.DECODERS["image"]
+    try:
+        mm.DECODERS["image"] = lambda p: [0.0] * mm.FEATURE_DIM
+        after = normalized(mm.extract_features(media))
+    finally:
+        mm.DECODERS["image"] = orig
+    assert before == after

@@ -289,3 +289,26 @@ def test_corr_stats_is_one_pass(spark, registry):
     plan = plan_of(registry["a_corr_stats"](spark, SF_SMALL))
     assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_interval_overlap_is_bucket_equi_join(spark, registry):
+    # the overlap join must plan as an equi-join on the hour bucket
+    # with the inequality as residual — an inequality-only join would
+    # be a BroadcastNestedLoopJoin scanning every window per span.
+    plan = plan_of(registry["j_interval_overlap"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_partitioned_layout_prunes_partitions(spark, registry):
+    # the probe must read only the probed cells' directories: the
+    # parquet scan carries a PartitionFilters entry on `cell`, and the
+    # filter is non-empty (static pruning, nprobe/n_cells of the data).
+    plan = plan_of(registry["emb_ivf_partitioned_prune"](spark, SF_SMALL))
+    scan = next(
+        b for b in plan.split("\n\n") if "Scan parquet" in b and "cell" in b
+    )
+    pf = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cell" in pf and pf.strip() != "[", (
+        "cell probe filter did not reach partition pruning:\n" + scan
+    )

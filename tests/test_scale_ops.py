@@ -396,3 +396,45 @@ def test_minhash_cross_batch_flags_dups_not_fresh(spark):
     assert (100, 1) in got and got[(100, 1)] >= 0.5
     assert not any(n == 102 for n, _c in got)   # fresh doc stays silent
     assert not any(c == 2 for _n, c in got)     # unrelated corpus doc too
+
+
+def test_containment_catches_snippets_jaccard_misses(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        minhash_cross_batch,
+    )
+
+    long_doc = " ".join(f"tok{i} word{i*7%13}" for i in range(120))
+    snippet = " ".join(long_doc.split()[:20])
+    corpus = spark.createDataFrame([(1, long_doc)], ["doc_id", "text"])
+    new = spark.createDataFrame([(100, snippet)], ["doc_id", "text"])
+    got = {
+        (r["new_id"], r["corpus_id"]): r["containment"]
+        for r in containment_pairs(corpus, new, threshold=0.8).collect()
+    }
+    # every snippet shingle is in the source doc -> containment 1.0
+    assert got == {(100, 1): 1.0}
+    # symmetric MinHash-banded Jaccard misses it entirely: jaccard
+    # ≈ 18/238, and band collisions at that similarity are ~never
+    assert minhash_cross_batch(corpus, new, threshold=0.1).count() == 0
+
+
+def test_containment_hub_shingle_guard(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    # every corpus doc shares one boilerplate sentence; with the df cap
+    # below the corpus size, a probe matching ONLY the boilerplate is
+    # never surfaced (hub shingles generate no candidates)
+    boiler = "all rights reserved contact us for details"
+    corpus = spark.createDataFrame(
+        [(i, f"unique body {i} alpha{i} beta{i} gamma{i} " + boiler)
+         for i in range(1, 8)],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame([(100, boiler)], ["doc_id", "text"])
+    assert (
+        containment_pairs(corpus, probe, threshold=0.1, max_shingle_df=5).count()
+        == 0
+    )
