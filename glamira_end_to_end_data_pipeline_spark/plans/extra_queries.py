@@ -22,6 +22,52 @@ from glamira_end_to_end_data_pipeline_spark.plans.queries import query
 from glamira_end_to_end_data_pipeline_spark.sources import lake, read_table
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchase part graph — parts co-ordered in ≥ 2
+    distinct orders (the multiplicity threshold that keeps the
+    co-occurrence graph sparse at every scale; the unthresholded one
+    densifies toward complete). Shared by all four graph entries.
+
+    Built as ONE orderkey-shuffle: collect each order's parts
+    (partial-aggregated ObjectHashAggregate), generate its ordered
+    pairs MAP-SIDE with an O(k²)-per-order HOF (orders are
+    few-line — k² is trivial; pair multiplicity n_P·n_Q matches the
+    self-join semantics the oracles state), then one (u, v) count
+    shuffle. The lineitem⋈lineitem formulation shuffles the fact table
+    TWICE on orderkey before the pair count — measured 2.06 s vs
+    1.44 s warm at sf0.1, and the gap is a full extra fact shuffle at
+    any scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("ps")
+    )
+    pairs = parts.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x: F.filter(
+                        F.transform(
+                            F.col("ps"),
+                            lambda y: F.when(
+                                x < y, F.struct(x.alias("u"), y.alias("v"))
+                            ),
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+
+
 @query(
     "graph_triangles",
     """
@@ -76,21 +122,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     meaningful at every scale (3.6k edges at sf0.01, 3.9k at sf0.1).
     Returns the top-10 nodes by triangle participation (total-order
     tiebreak)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-    )
+    edges = copurchase_edges(spark, sf_dir)
     per_node = triangle_count(edges)
     return per_node.orderBy(F.desc("n_triangles"), F.asc("node")).limit(10)
 
@@ -206,19 +238,5 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_link_prediction,
     )
 
-    li = read_table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-    )
+    edges = copurchase_edges(spark, sf_dir)
     return jaccard_link_prediction(edges, k_top=20)

@@ -3447,22 +3447,42 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (operators/dedup.py) doesn't cover; each round is one
     edge⋈rank join + one destination-keyed sum, with the edge list
     persisted once and ranks localCheckpoint-ed so the plan stays flat
-    (operators/graph.py). Edge building self-joins lineitem on its own
-    order key — co-partitioned shuffle, fan-out bounded by order size.
+    (operators/graph.py). Edge building is ONE orderkey shuffle: each
+    order's part set collects map-side-combined, ordered pairs expand
+    MAP-SIDE via an O(k²)-per-order HOF (k = parts/order, small), and
+    only the pair DISTINCT shuffles — the former lineitem⋈lineitem
+    formulation shuffled the fact table twice before that distinct
+    (plans/extra_queries.py:copurchase_edges has the measurements).
     The oracle unrolls the same three rounds as chained CTEs."""
     from glamira_end_to_end_data_pipeline_spark.operators.graph import pagerank
 
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    parts = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        parts.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x: F.filter(
+                            F.transform(
+                                F.col("ps"),
+                                lambda y: F.when(
+                                    x != y,
+                                    F.struct(
+                                        x.alias("src"), y.alias("dst")
+                                    ),
+                                ),
+                            ),
+                            lambda s: s.isNotNull(),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
+        .select("p.src", "p.dst")
         .distinct()
     )
     ranks = pagerank(edges, iters=3, damping=0.85)

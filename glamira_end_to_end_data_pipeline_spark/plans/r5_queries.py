@@ -31,25 +31,10 @@ from glamira_end_to_end_data_pipeline_spark.plans.queries import query
 from glamira_end_to_end_data_pipeline_spark.sources import lake, read_table
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent co-purchase part graph (the graph_triangles lesson:
-    multiplicity ≥ 2 keeps the co-occurrence graph sparse at every
-    scale; the unthresholded one densifies toward complete)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-    )
+# single-shuffle edge build shared with the round-4 graph entries
+from glamira_end_to_end_data_pipeline_spark.plans.extra_queries import (  # noqa: E402
+    copurchase_edges as _copurchase_edges,
+)
 
 
 _COPURCHASE_SQL = """
