@@ -124,6 +124,10 @@ HEADLINE = [
     "j_interval_overlap",
     "emb_ivf_partitioned_prune",
     "dedup_containment_snippets",
+    "s_jsonl_round_trip",
+    "scd2_apply_changes",
+    "dq_freshness_check",
+    "a_countmin_tokens",
 ]
 
 

@@ -118,3 +118,65 @@ def asof_join(
     )
     asof = F.col("_asof") if default is None else F.coalesce("_asof", F.lit(default))
     return out.select(*probe_cols, asof.alias(value_col))
+
+
+def scd2_apply_changes(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    state_col: str = "segment",
+    eff_col: str = "valid_from",
+) -> DataFrame:
+    """Apply a change batch to an existing SCD2 dimension — the
+    maintenance half of the snapshot pattern (:func:`scd2_versions`
+    builds history from scratch; this is the nightly MERGE that evolves
+    it): each REAL change (new state ≠ the key's current state) CLOSES
+    the current version (``valid_to`` = the change's effective ts,
+    ``is_current`` = false) and appends a new open version; no-op
+    changes (same state) and unknown keys touch nothing. Closed history
+    rows pass through untouched.
+
+    ``changes`` columns: ``key_col``, ``state_col`` (the new state),
+    ``eff_col`` (effective timestamp) — at most one change per key per
+    batch (pre-dedup with dedup-to-latest otherwise; enforcing it here
+    would hide a double-apply bug).
+
+    Plan shape: ONE key-keyed shuffle joins changes to current rows;
+    history rides a union with no shuffle. Output is the full new
+    dimension state (key, state, valid_from, valid_to, is_current)."""
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+    ch = changes.select(
+        F.col(key_col),
+        F.col(state_col).alias("_new_state"),
+        F.col(eff_col).alias("_eff"),
+    )
+    j = cur.join(ch, key_col, "left")
+    unchanged = j.filter(
+        F.col("_new_state").isNull()
+        | (F.col("_new_state") == F.col(state_col))
+    ).select(*dim.columns)
+    closed = j.filter(
+        F.col("_new_state").isNotNull()
+        & (F.col("_new_state") != F.col(state_col))
+    )
+    closed_rows = closed.select(
+        F.col(key_col),
+        F.col(state_col),
+        F.col("valid_from"),
+        F.col("_eff").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    new_rows = closed.select(
+        F.col(key_col),
+        F.col("_new_state").alias(state_col),
+        F.col("_eff").alias("valid_from"),
+        F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        hist.select(*dim.columns)
+        .unionByName(unchanged)
+        .unionByName(closed_rows)
+        .unionByName(new_rows)
+    )

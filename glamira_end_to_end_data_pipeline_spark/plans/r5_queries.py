@@ -806,3 +806,264 @@ def dedup_containment_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, snippets.unionByName(fresh), threshold=0.8
     )
     return pairs.orderBy("new_id", "corpus_id")
+
+
+@query(
+    "s_jsonl_round_trip",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           cast(sum(event_id) AS BIGINT) AS sum_ids,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def s_jsonl_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source round trip — the interchange format the
+    reference's crawler/ingest stages speak (5.dcs produces JSON event
+    payloads) — with the two classic loss points exercised: timestamps
+    are written and re-read at MICROsecond precision via an explicit
+    timestampFormat (Spark's default JSON format truncates to millis —
+    silently shifting every event time), and the read uses an explicit
+    schema (inferSchema = a second full pass at scale). Aggregates run
+    on the RE-READ copy; the oracle aggregates the original parquet, so
+    any encode/decode drift — precision, doubles, nulls — flips the
+    hash."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_jsonl_{tag}")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    ev.write.mode("overwrite").option("timestampFormat", fmt).json(path)
+    back = (
+        spark.read.schema(
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double"
+        )
+        .option("timestampFormat", fmt)
+        .json(path)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "scd2_apply_changes",
+    """
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               DATE '2024-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        FROM customer
+    ),
+    hist AS (
+        SELECT c_custkey, 'LEGACY' AS segment,
+               DATE '2023-01-01' AS valid_from,
+               DATE '2024-01-01' AS valid_to, FALSE AS is_current
+        FROM customer WHERE c_custkey % 9 = 0
+    ),
+    ch AS (
+        SELECT c_custkey, 'MOVED' AS new_state, DATE '2024-06-01' AS eff
+        FROM customer WHERE c_custkey % 4 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, DATE '2024-06-01'
+        FROM customer WHERE c_custkey % 8 = 1
+    ),
+    j AS (
+        SELECT cur.c_custkey, cur.segment, cur.valid_from, cur.valid_to,
+               cur.is_current, ch.new_state, ch.eff
+        FROM cur LEFT JOIN ch USING (c_custkey)
+    ),
+    merged AS (
+        SELECT c_custkey, segment, valid_from, valid_to, is_current
+        FROM hist
+        UNION ALL
+        SELECT c_custkey, segment, valid_from, valid_to, is_current
+        FROM j WHERE new_state IS NULL OR new_state = segment
+        UNION ALL
+        SELECT c_custkey, segment, valid_from, eff, FALSE
+        FROM j WHERE new_state IS NOT NULL AND new_state <> segment
+        UNION ALL
+        SELECT c_custkey, new_state, eff, CAST(NULL AS DATE), TRUE
+        FROM j WHERE new_state IS NOT NULL AND new_state <> segment
+    )
+    SELECT * FROM merged
+    WHERE c_custkey < 300
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def scd2_apply_changes_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension MAINTENANCE (operators/scd.py:scd2_apply_changes
+    — the nightly-merge half; w5 builds history from scratch): a change
+    batch closes each affected key's current version at the effective
+    date and appends a new open one, no-op changes (same state) and
+    untouched keys pass through, and pre-existing closed history rides
+    along unmodified. One key-keyed shuffle for the change join; the
+    oracle replays the same CASE split. Fixture: every %4 customer
+    moves segment, every %8==1 'changes' to its existing segment (must
+    not create a version), %9 keys carry prior history."""
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import (
+        scd2_apply_changes,
+    )
+
+    cust = read_table(spark, sf_dir, "customer")
+    cur = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = cust.filter(F.col("c_custkey") % 9 == 0).select(
+        "c_custkey",
+        F.lit("LEGACY").alias("segment"),
+        F.lit("2023-01-01").cast("date").alias("valid_from"),
+        F.lit("2024-01-01").cast("date").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    changes = (
+        cust.filter(F.col("c_custkey") % 4 == 0)
+        .select(
+            "c_custkey",
+            F.lit("MOVED").alias("segment"),
+            F.lit("2024-06-01").cast("date").alias("valid_from"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 8 == 1).select(
+                "c_custkey",
+                F.col("c_mktsegment").alias("segment"),
+                F.lit("2024-06-01").cast("date").alias("valid_from"),
+            )
+        )
+    )
+    out = scd2_apply_changes(
+        cur.unionByName(hist), changes, "c_custkey"
+    )
+    return out.filter(F.col("c_custkey") < 300).orderBy(
+        "c_custkey", "valid_from"
+    )
+
+
+@query(
+    "dq_freshness_check",
+    """
+    WITH per_type AS (
+        SELECT event_type,
+               max(cast(floor(epoch(ts)) AS BIGINT)) AS last_s,
+               count(*) AS n_rows
+        FROM events GROUP BY event_type
+    ),
+    hw AS (SELECT max(cast(floor(epoch(ts)) AS BIGINT)) AS now_s FROM events)
+    SELECT event_type,
+           n_rows,
+           cast(now_s - last_s AS BIGINT) AS staleness_s,
+           (now_s - last_s) > 43200 AS is_stale
+    FROM per_type, hw
+    ORDER BY event_type
+    """,
+)
+def dq_freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness monitoring (the third leg of the DQ suite beside
+    schema checks and volume anomalies): per-feed lag behind the
+    dataset's high-water mark, flagged when a feed has been silent for
+    over 12 h — a stuck upstream looks exactly like this before it
+    looks like anything else. The per-type rollup partial-aggregates
+    map-side; the global high-water mark is a ONE-ROW broadcast
+    (integer epoch arithmetic — hash-exact)."""
+    ev = read_table(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    per_type = ev.groupBy("event_type").agg(
+        F.max(es).alias("last_s"), F.count(F.lit(1)).alias("n_rows")
+    )
+    glob = ev.agg(F.max(es).alias("now_s"))
+    return (
+        per_type.join(F.broadcast(glob))
+        .select(
+            "event_type",
+            "n_rows",
+            (F.col("now_s") - F.col("last_s")).cast("long").alias("staleness_s"),
+            ((F.col("now_s") - F.col("last_s")) > 43200).alias("is_stale"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CM_COEFFS = dedup.minhash_coeffs(4)
+_CM_X = f"('0x' || substr(md5(token), 1, 15))::BIGINT % {dedup.MINHASH_P}"
+
+
+@query(
+    "a_countmin_tokens",
+    f"""
+    WITH tok AS (
+        SELECT unnest({TOKENS_SQL}) AS token FROM documents
+    ),
+    tokx AS (SELECT token, {_CM_X} AS x FROM tok),
+    grid AS (
+        SELECT sketch_row, cell, count(*) AS n FROM (
+            {" UNION ALL ".join(f"SELECT {i} AS sketch_row, ({a} * x + {b}) % {dedup.MINHASH_P} % 1024 AS cell FROM tokx" for i, (a, b) in enumerate(_CM_COEFFS))}
+        ) GROUP BY 1, 2
+    ),
+    truth AS (SELECT token, count(*) AS true_count FROM tok GROUP BY 1),
+    probes AS (
+        SELECT token, true_count, {_CM_X} AS x FROM truth
+        ORDER BY true_count DESC, token LIMIT 20
+    ),
+    pc AS (
+        {" UNION ALL ".join(f"SELECT token, {i} AS sketch_row, ({a} * x + {b}) % {dedup.MINHASH_P} % 1024 AS cell FROM probes" for i, (a, b) in enumerate(_CM_COEFFS))}
+    ),
+    est AS (
+        SELECT pc.token, min(coalesce(g.n, 0)) AS cm_estimate
+        FROM pc LEFT JOIN grid g USING (sketch_row, cell)
+        GROUP BY pc.token
+    )
+    SELECT p.token, cast(p.true_count AS BIGINT) AS true_count,
+           cast(e.cm_estimate AS BIGINT) AS cm_estimate
+    FROM probes p JOIN est e USING (token)
+    ORDER BY true_count DESC, token
+    """,
+)
+def a_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/sketch.py) over
+    the token stream: a 4×1024 integer grid built in one tiny shuffle
+    (map-side partial aggregation bounds each task's contribution at
+    d·w rows however large the corpus), point-queried for the 20
+    hottest tokens against their exact counts. The estimate is
+    one-sided — never below truth, above it only by collision mass —
+    and the grid MERGES by addition (the same reaggregability contract
+    as a_incremental_rollup_merge), which is what makes it the
+    streaming/multi-tenant frequency primitive at 100 TB. Same
+    md5-affine hash family as MinHash, so the oracle rebuilds the grid
+    bit-for-bit."""
+    from glamira_end_to_end_data_pipeline_spark.operators.sketch import (
+        countmin_build,
+        countmin_query,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(normalized_tokens("text")).alias("token")
+    )
+    sketch = countmin_build(toks, d=4, w=1024)
+    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = truth.orderBy(F.desc("true_count"), F.asc("token")).limit(20)
+    est = countmin_query(sketch, probes.select("token"), d=4, w=1024)
+    return (
+        probes.join(est, "token")
+        .select("token", "true_count", "cm_estimate")
+        .orderBy(F.desc("true_count"), "token")
+    )

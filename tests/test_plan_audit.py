@@ -70,6 +70,9 @@ BNLJ_OK = {
     # TF-IDF's corpus size N is a ONE-ROW broadcast cross-joined onto
     # the probe-doc term rows (the BM25 scalar discipline).
     "text_tfidf_topterms",
+    # freshness's high-water mark is a ONE-ROW broadcast onto the
+    # per-feed rollup (|event types| rows).
+    "dq_freshness_check",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are

@@ -438,3 +438,30 @@ def test_containment_hub_shingle_guard(spark):
         containment_pairs(corpus, probe, threshold=0.1, max_shingle_df=5).count()
         == 0
     )
+
+
+def test_countmin_never_underestimates(spark):
+    from pyspark.sql import functions as F
+
+    from glamira_end_to_end_data_pipeline_spark.operators.sketch import (
+        countmin_build,
+        countmin_query,
+    )
+
+    # small grid (w=8) to force collisions: estimates must be >= truth
+    # everywhere, and == truth when the token collides with nothing
+    rows = [("alpha",)] * 7 + [("beta",)] * 3 + [(f"t{i}",) for i in range(30)]
+    toks = spark.createDataFrame(rows, ["token"])
+    sk = countmin_build(toks, d=4, w=8)
+    truth = {r["token"]: r["cnt"] for r in
+             toks.groupBy("token").agg(F.count("*").alias("cnt")).collect()}
+    est = {
+        r["token"]: r["cm_estimate"]
+        for r in countmin_query(sk, toks.select("token").distinct(), d=4, w=8).collect()
+    }
+    assert set(est) == set(truth)
+    assert all(est[t] >= c for t, c in truth.items())
+    # absent probe: estimate is collision mass only (>= 0, never error)
+    ghost = spark.createDataFrame([("never-seen-token",)], ["token"])
+    g = countmin_query(sk, ghost, d=4, w=8).collect()[0]
+    assert g["cm_estimate"] >= 0

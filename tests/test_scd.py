@@ -86,3 +86,45 @@ def test_scd2_single_exchange(spark):
 
     plan = plan_of(queries()["w5_scd2_user_segments"](spark, SF_SMALL))
     assert plan.count("+- Exchange") == 1, plan
+
+
+def test_scd2_apply_changes_semantics(spark):
+    from datetime import date
+
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import (
+        scd2_apply_changes,
+    )
+
+    d = lambda s: date.fromisoformat(s)  # noqa: E731
+    dim = spark.createDataFrame(
+        [
+            # key 1: history + current
+            (1, "A", d("2023-01-01"), d("2024-01-01"), False),
+            (1, "B", d("2024-01-01"), None, True),
+            # key 2: current only
+            (2, "A", d("2024-01-01"), None, True),
+            # key 3: untouched by the batch
+            (3, "C", d("2024-01-01"), None, True),
+        ],
+        "c_custkey long, segment string, valid_from date, valid_to date, "
+        "is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "Z", d("2024-06-01")),  # real change
+            (2, "A", d("2024-06-01")),  # no-op: same state
+            (9, "Q", d("2024-06-01")),  # unknown key: ignored
+        ],
+        "c_custkey long, segment string, valid_from date",
+    )
+    got = {
+        (r.c_custkey, r.segment, r.valid_from): (r.valid_to, r.is_current)
+        for r in scd2_apply_changes(dim, changes, "c_custkey").collect()
+    }
+    assert got == {
+        (1, "A", d("2023-01-01")): (d("2024-01-01"), False),  # history intact
+        (1, "B", d("2024-01-01")): (d("2024-06-01"), False),  # closed
+        (1, "Z", d("2024-06-01")): (None, True),              # new current
+        (2, "A", d("2024-01-01")): (None, True),              # no-op kept open
+        (3, "C", d("2024-01-01")): (None, True),              # untouched
+    }
