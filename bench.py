@@ -128,6 +128,10 @@ HEADLINE = [
     "scd2_apply_changes",
     "dq_freshness_check",
     "a_countmin_tokens",
+    "text_bigram_pmi",
+    "dq_k_anonymity",
+    "lake_schema_evolution_snapshot",
+    "dedup_minhash_estimate",
 ]
 
 

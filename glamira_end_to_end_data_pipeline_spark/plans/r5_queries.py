@@ -1067,3 +1067,303 @@ def a_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "true_count", "cm_estimate")
         .orderBy(F.desc("true_count"), "token")
     )
+
+
+@query(
+    "text_bigram_pmi",
+    f"""
+    WITH tl AS (
+        SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+    ),
+    bg AS (
+        SELECT toks[i] AS x, toks[i+1] AS y
+        FROM tl, unnest(generate_series(1, greatest(len(toks) - 1, 0))) t(i)
+    ),
+    uni AS (
+        SELECT token, count(*) AS c FROM (
+            SELECT unnest(toks) AS token FROM tl
+        ) GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT cast(sum(c) AS BIGINT) FROM uni) AS n_uni,
+               (SELECT count(*) FROM bg) AS n_bi
+    ),
+    pairs AS (
+        SELECT x, y, count(*) AS n_xy FROM bg GROUP BY 1, 2
+        HAVING count(*) >= 5
+    )
+    SELECT p.x, p.y, cast(p.n_xy AS BIGINT) AS n_xy,
+           round(ln((1.0 * p.n_xy * t.n_uni * t.n_uni)
+                    / (1.0 * t.n_bi * ux.c * uy.c)), 6) AS pmi
+    FROM pairs p
+    JOIN uni ux ON ux.token = p.x
+    JOIN uni uy ON uy.token = p.y
+    CROSS JOIN tot t
+    ORDER BY pmi DESC, x, y
+    LIMIT 20
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent token pairs by pointwise
+    mutual information — pmi = ln(p(x,y) / (p(x)p(y))) with unigram
+    probabilities over the token stream and bigram probability over
+    the adjacency stream, min support 5 (the n-gram statistics pass
+    behind phrase vocabularies and tokenizer merges — BPE's merge rule
+    is argmax COUNT; PMI is the association-strength view of the same
+    table). Plan shape: bigrams zip map-side from the token array (no
+    self-join), unigram/bigram counts partial-aggregate to vocabulary
+    cardinality, and the two corpus totals ride a one-row broadcast."""
+    docs = read_table(spark, sf_dir, "documents")
+    tl = docs.select(normalized_tokens("text").alias("toks"))
+    n = F.size("toks")
+    bg = (
+        tl.select(
+            F.slice(F.col("toks"), 1, n - 1).alias("xs"),
+            F.slice(F.col("toks"), 2, n - 1).alias("ys"),
+        )
+        .select(F.explode(F.arrays_zip("xs", "ys")).alias("p"))
+        .select(F.col("p.xs").alias("x"), F.col("p.ys").alias("y"))
+    )
+    uni = (
+        tl.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n_uni")).join(
+        bg.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    pairs = (
+        bg.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+    )
+    scored = (
+        pairs.join(uni.select(F.col("token").alias("x"), F.col("c").alias("cx")), "x")
+        .join(uni.select(F.col("token").alias("y"), F.col("c").alias("cy")), "y")
+        .join(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            F.col("n_xy").cast("bigint").alias("n_xy"),
+            F.round(
+                F.log(
+                    (F.lit(1.0) * F.col("n_xy") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.lit(1.0) * F.col("n_bi") * F.col("cx") * F.col("cy"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "x", "y").limit(20)
+
+
+@query(
+    "dq_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS group_size
+    FROM customer
+    GROUP BY 1, 2
+    HAVING count(*) < 5
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screening (privacy gate before a dataset release):
+    quasi-identifier groups — (nation, market segment) here — with
+    fewer than k=5 members, i.e. the rows a release must suppress or
+    generalize because their attribute combination is rare enough to
+    re-identify (Sweeney 2002). One partial-aggregated rollup at
+    quasi-identifier cardinality; the suppression list is the output,
+    so downstream anonymization is an anti-join against it."""
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 5)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@query(
+    "lake_schema_evolution_snapshot",
+    """
+    WITH unioned AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                    ELSE o_totalprice * 0.1 END AS loyalty_credit,
+               o_totalprice
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           count(loyalty_credit) AS n_with_credit,
+           round(sum(coalesce(loyalty_credit, 0.0)), 2) AS total_credit
+    FROM unioned
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def lake_schema_evolution_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ACROSS snapshot versions: v1 lands without the
+    ``loyalty_credit`` column, v2 appends rows that carry it, and the
+    latest snapshot is read with ``merge_schema`` so v1's rows surface
+    the new column as NULL — the additive-evolution contract every
+    long-lived table needs (readers of old versions are never broken;
+    sources/lake.py:read_snapshot). The oracle derives the same
+    null-pattern from the split directly."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_evolve_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        # raw product, no per-row round: Spark rounds HALF_UP where
+        # DuckDB rounds doubles half-to-even, and *0.1 lands on .xx5
+        # midpoints constantly — per-row rounding diverges the engines
+        # by whole cents. The identical unrounded doubles sum instead;
+        # only the aggregate is rounded.
+        (F.col("o_totalprice") * 0.1).alias("loyalty_credit"),
+    )
+    lake.write_snapshot(spark, v1, path)
+    lake.write_snapshot(spark, v2, path)
+    latest = lake.read_snapshot(spark, path, merge_schema=True)
+    return (
+        latest.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("loyalty_credit").alias("n_with_credit"),
+            F.round(
+                F.sum(F.coalesce(F.col("loyalty_credit"), F.lit(0.0))), 2
+            ).alias("total_credit"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+from glamira_end_to_end_data_pipeline_spark.plans.northstar_queries import (  # noqa: E402
+    CORPUS_CTE,
+    SHINGLES_CTE,
+    corpus_with_dups,
+)
+
+_SIG_SQL = ", ".join(
+    f"min(({a} * shingle_x + {b}) % {dedup.MINHASH_P}) AS s{i}"
+    for i, (a, b) in enumerate(dedup.minhash_coeffs(16))
+)
+_EST_MATCH_SQL = " + ".join(
+    f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(16)
+)
+
+
+@query(
+    "dedup_minhash_estimate",
+    f"""
+    WITH {CORPUS_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    sig AS (
+        SELECT doc_id, {_SIG_SQL}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, band_id,
+               CASE band_id
+                   WHEN 0 THEN md5(concat_ws('|', s0, s1, s2, s3))
+                   WHEN 1 THEN md5(concat_ws('|', s4, s5, s6, s7))
+                   WHEN 2 THEN md5(concat_ws('|', s8, s9, s10, s11))
+                   ELSE md5(concat_ws('|', s12, s13, s14, s15))
+               END AS band_hash
+        FROM sig, (VALUES (0), (1), (2), (3)) v(band_id)
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        WHERE l.doc_id < r.doc_id
+    ),
+    est AS (
+        SELECT c.a, c.b,
+               round(({_EST_MATCH_SQL}) / 16.0, 6) AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a
+        JOIN sig sb ON sb.doc_id = c.b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.a, c.b, count(*) AS n_inter
+        FROM cand c
+        JOIN shingles s1 ON s1.doc_id = c.a
+        JOIN shingles s2 ON s2.doc_id = c.b AND s2.shingle_x = s1.shingle_x
+        GROUP BY c.a, c.b
+    )
+    SELECT e.a, e.b, e.est_jaccard,
+           round(coalesce(i.n_inter, 0)
+                 / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM est e
+    LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+    JOIN sizes za ON za.doc_id = e.a
+    JOIN sizes zb ON zb.doc_id = e.b
+    ORDER BY e.a, e.b
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATOR made visible: for every LSH band candidate
+    pair, the signature-agreement estimate (matching components / 16 —
+    an unbiased estimator of Jaccard, the quantity banding thresholds
+    on probabilistically) NEXT TO the exact shingle-set Jaccard the
+    verify stage computes. This is the calibration view behind every
+    (num_hashes, bands) dial: estimate vs truth per pair, no threshold,
+    so both false-positive candidates (est high, truth low) and the
+    estimator's variance are graded cross-engine. Signature compare is
+    a 16-column integer expression on the already-aggregated sig rows —
+    no extra shuffle beyond the verify join it shares with
+    dedup_minhash_lsh."""
+    corpus = corpus_with_dups(
+        read_table(spark, sf_dir, "documents")
+    )
+    from glamira_end_to_end_data_pipeline_spark.caching import tracked_persist
+    from pyspark.storagelevel import StorageLevel
+
+    sh_raw = tracked_persist(
+        dedup.exploded_shingles(corpus, distinct=False),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    sig = tracked_persist(
+        dedup.minhash_signatures(sh_raw, num_hashes=16),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    cand = tracked_persist(
+        dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=16, bands=4)),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    match = sum(
+        F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    est = (
+        cand.join(sig.alias("sa"), cand["a"] == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), cand["b"] == F.col("sb.doc_id"))
+        .select("a", "b", F.round(match / 16.0, 6).alias("est_jaccard"))
+    )
+    cand_ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .unionAll(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh_set = sh_raw.join(cand_ids, "doc_id").distinct()
+    exact = dedup.jaccard_for_pairs(cand, sh_set)
+    return (
+        est.join(exact.withColumnRenamed("jaccard", "exact_j"), ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            "est_jaccard",
+            F.coalesce(F.col("exact_j"), F.lit(0.0)).alias("jaccard"),
+        )
+        .orderBy("a", "b")
+    )

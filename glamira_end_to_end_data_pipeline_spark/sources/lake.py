@@ -405,15 +405,26 @@ def compact_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Time-travel read: the table exactly as of ``version`` (default
     latest). Planning reads ONE small manifest, then scans precisely the
     listed files — no directory listing, no chance of seeing a
-    half-committed batch."""
+    half-committed batch.
+
+    ``merge_schema=True`` unions the listed files' schemas (columns
+    added by later appends surface as NULL on older files) — the
+    schema-evolution read; the default single-schema read is cheaper
+    (no footer sweep) and right when the table schema is frozen."""
     if version is None:
         version = latest_snapshot_version(spark, path)
-    return spark.read.parquet(*_read_manifest(spark, path, version))
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*_read_manifest(spark, path, version))
 
 
 def read_incremental(

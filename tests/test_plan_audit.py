@@ -73,6 +73,9 @@ BNLJ_OK = {
     # freshness's high-water mark is a ONE-ROW broadcast onto the
     # per-feed rollup (|event types| rows).
     "dq_freshness_check",
+    # PMI's two corpus totals (n_uni, n_bi) are a ONE-ROW broadcast
+    # onto the min-support-filtered bigram table.
+    "text_bigram_pmi",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are
