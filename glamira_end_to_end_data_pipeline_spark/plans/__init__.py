@@ -1,27 +1,25 @@
 """Query-registry assembly + driver-window ordering.
 
 The driver's correctness gate grades ``list(QUERIES)[:50]`` — the first
-50 entries in registration order — per round. Rounds 2 and 3 together
-produced driver-green rows for 100 of the 120 registered entries
-(CORRECTNESS_r02.json: the 50 names in ``_R2_GREEN``;
-CORRECTNESS_r03.json: the 50 names in ``_R3_GREEN``). This module
-rebuilds the registry in a curated order so the round-4 window grades
-exactly what has never been graded:
+50 entries in registration order — per round. Rounds 2-4 produced
+driver-green rows for 149 of the 153 entries registered through round 4
+(the frozensets ``_R2_GREEN`` / ``_R3_GREEN`` / ``_R4_GREEN`` mirror
+CORRECTNESS_r0{2,3,4}.json). This module rebuilds the registry in a
+curated order so the round-5 window grades exactly what has never been
+graded green:
 
-1. ``_ROTATE_FIRST_R4`` — the 20 entries with no driver-green row in
-   either r2 or r3, in a stable explicit order (window slots 0-19);
-2. remaining *new* entries (registered this round, in neither frozen
-   green set nor the rotate list) in registration order — fresh work is
-   graded the round it ships (slots 20+);
-3. the 100 entries already driver-green in r2 ∪ r3, deferred past the
-   window.
+1. ``_ROTATE_FIRST_R5`` — the single r4 red (q12, an oracle typing bug
+   since fixed) plus the three entries registered past the full r4
+   window (slots 0-3);
+2. remaining *fresh* entries (round-5 additions in extra_queries /
+   r5_queries, in neither frozen green set nor the rotate list) in
+   registration order — fresh work is graded the round it ships
+   (slots 4+);
+3. the 149 entries already driver-green in r2 ∪ r3 ∪ r4, deferred past
+   the window.
 
 The dicts are mutated in place so every existing ``from ... import
 QUERIES`` reference observes the new order.
-
-After round 4, union(r2..r4) covers the entire registry; subsequent
-rounds only need to front-load fresh entries (step 2) ahead of the
-green backlog.
 """
 
 from glamira_end_to_end_data_pipeline_spark.plans.queries import ORACLES, QUERIES

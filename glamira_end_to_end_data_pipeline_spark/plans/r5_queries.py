@@ -1,6 +1,11 @@
-"""Round-5 additions: graph family completion (Adamic-Adar, k-core),
-k-center-seeded IVF, incremental lake CDC across compaction, partial-agg
-rollup merging, TF-IDF, cross-batch MinHash dedup, and column profiling.
+"""Round-5 additions (19 entries): graph family completion
+(Adamic-Adar, k-core), k-center-seeded IVF + the cell-partitioned
+serving layout, incremental lake CDC across compaction + snapshot
+schema evolution, partial-agg rollup merging, count-min sketch, TF-IDF
+and bigram-PMI text statistics, cross-batch MinHash / containment /
+estimator-calibration dedup, SCD2 change application, interval-overlap
+join, JSONL round trip, and the profiling / freshness / k-anonymity
+data-quality trio.
 
 Registered after extra_queries; with the round-4 window fully folded
 into the driver-green backlog, every entry here lands inside the
