@@ -378,18 +378,35 @@ def containment_pairs(
     hub-frequency shingles is never surfaced (the LSH-style false
     negative, traded for a skew-proof plan).
 
+    Shuffle budget: the corpus gram stream is cut to the NEW BATCH'S
+    shingle vocabulary by the FIRST join (with |batch| ≪ |corpus| that
+    side broadcasts and the restriction is map-side — the corpus never
+    shuffles at full width; with a corpus-scale batch AQE falls back to
+    the honest shuffle), and every later stage — document frequency,
+    hub filter, candidate pairs, intersection counts — runs on that
+    restricted stream. The document-frequency values are unchanged by
+    the restriction: only shingles shared with the batch can ever form
+    a candidate, and for those the restricted stream holds every
+    corpus occurrence.
+
     Returns ``(new_id, corpus_id, containment)`` with containment ≥
     ``threshold``."""
-    sh_c = tracked_persist(
-        exploded_shingles(corpus, id_col, text_col, n),
-        StorageLevel.MEMORY_AND_DISK,
-    )
     sh_n = tracked_persist(
         exploded_shingles(new_batch, id_col, text_col, n),
         StorageLevel.MEMORY_AND_DISK,
     )
-    rare = sh_c.join(
-        sh_c.groupBy("shingle_x")
+    sh_c_raw = exploded_shingles(corpus, id_col, text_col, n, distinct=False)
+    # (corpus_id, shingle_x) DISTINCT, restricted to batch shingles
+    # BEFORE the distinct — the dedup shuffle carries only matching
+    # grams, not the corpus stream.
+    relevant = tracked_persist(
+        sh_c_raw.join(sh_n.select("shingle_x").distinct(), "shingle_x")
+        .distinct()
+        .select(F.col(id_col).alias("corpus_id"), "shingle_x"),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    sub_hub = relevant.join(
+        relevant.groupBy("shingle_x")
         .agg(F.count("*").alias("df_c"))
         .filter(F.col("df_c") <= max_shingle_df)
         .select("shingle_x"),
@@ -397,26 +414,28 @@ def containment_pairs(
     )
     cand = tracked_persist(
         sh_n.select(F.col(id_col).alias("new_id"), "shingle_x")
-        .join(rare.select(F.col(id_col).alias("corpus_id"), "shingle_x"), "shingle_x")
+        .join(sub_hub, "shingle_x")
         .select("new_id", "corpus_id")
         .distinct(),
         StorageLevel.MEMORY_AND_DISK,
     )
-    set_n = sh_n.join(
-        cand.select(F.col("new_id").alias(id_col)).distinct(), id_col
-    ).select(F.col(id_col).alias("new_id"), "shingle_x")
-    set_c = sh_c.join(
-        cand.select(F.col("corpus_id").alias(id_col)).distinct(), id_col
-    ).select(F.col(id_col).alias("corpus_id"), "shingle_x")
-    nn = set_n.groupBy("new_id").agg(F.count("*").alias("n_new"))
+    # exact intersection (hub shingles included) for candidate pairs
+    # only: restrict the relevant stream to candidate corpus docs, then
+    # pair it with the batch shingles.
+    set_c = relevant.join(
+        cand.select("corpus_id").distinct(), "corpus_id"
+    )
     inter = (
-        cand.join(set_n, "new_id")
+        cand.join(
+            sh_n.select(F.col(id_col).alias("new_id"), "shingle_x"), "new_id"
+        )
         .join(set_c, ["corpus_id", "shingle_x"])
         .groupBy("new_id", "corpus_id")
         .agg(F.count("*").alias("n_inter"))
     )
+    nn = sh_n.groupBy(id_col).agg(F.count("*").alias("n_new"))
     return (
-        inter.join(nn, "new_id")
+        inter.join(nn.withColumnRenamed(id_col, "new_id"), "new_id")
         .select(
             "new_id",
             "corpus_id",
