@@ -132,6 +132,7 @@ HEADLINE = [
     "dq_k_anonymity",
     "lake_schema_evolution_snapshot",
     "dedup_minhash_estimate",
+    "stream_watermark_finalization",
 ]
 
 

@@ -1372,3 +1372,91 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b")
     )
+
+
+@query(
+    "stream_watermark_finalization",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w
+                FROM events WHERE ts >= TIMESTAMP '2024-01-05')
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events
+    FROM events, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 3
+    """,
+)
+def stream_watermark_finalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark FINALIZATION semantics run through an actual
+    Structured Streaming query (not a batch twin): the recent half of
+    the feed arrives as micro-batch 1, the OLD half arrives AFTER it
+    (batch 2 — the replayed-backfill / lagging-partition shape), under
+    a 1-hour watermark with 1-hour tumbling append-mode windows. What
+    the engine GUARANTEES — and what this entry pins cross-engine — is
+    exactly-once emission per closed window: after batch 1 the
+    watermark sits 1 h behind the feed's high-water mark, so batch 1's
+    closed windows emit once and its two open windows are withheld;
+    batch 2's rows are all "too late", which Spark documents as *not
+    guaranteed to be dropped* — this path aggregates them into their
+    own long-past windows, which then finalize immediately in the same
+    micro-batch (measured: numRowsDroppedByWatermark = 0, state holds
+    only the 2 open windows). The emission set is therefore one clean
+    predicate — every window whose end ≤ the final watermark — which
+    the oracle states directly; the arrival split is hour-aligned so
+    no window straddles the two batches and nothing can double-emit.
+    File order is pinned via mtimes + maxFilesPerTrigger=1, making the
+    micro-batch sequence (and so the watermark trajectory)
+    deterministic — the one semantics a batch-evaluated streaming twin
+    cannot express."""
+    import os as _os
+    import time as _time
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    src = os.path.join(tempfile.gettempdir(), f"spark_graft_late_src_{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    _os.makedirs(src)
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    cutoff = "2024-01-05"
+    recent = ev.filter(F.col("ts") >= cutoff)
+    late = ev.filter(F.col("ts") < cutoff)
+    # one file per micro-batch; mtime order = delivery order
+    recent.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    late.coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+    b1_file = [f for f in _os.listdir(src + "/b1") if f.endswith(".parquet")][0]
+    b2_file = [f for f in _os.listdir(src + "/b2") if f.endswith(".parquet")][0]
+    _os.rename(_os.path.join(src, "b1", b1_file), _os.path.join(src, "0001.parquet"))
+    _os.rename(_os.path.join(src, "b2", b2_file), _os.path.join(src, "0002.parquet"))
+    now = _time.time()
+    _os.utime(_os.path.join(src, "0001.parquet"), (now - 120, now - 120))
+    _os.utime(_os.path.join(src, "0002.parquet"), (now, now))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("__w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"late_drop_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start", "event_type")
