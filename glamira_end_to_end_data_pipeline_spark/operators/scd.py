@@ -143,9 +143,12 @@ def scd2_apply_changes(
 
     Plan shape: ONE key-keyed shuffle joins changes to current rows;
     history rides a union with no shuffle. Output is the full new
-    dimension state (key, state, valid_from, valid_to, is_current)."""
-    cur = dim.filter(F.col("is_current"))
-    hist = dim.filter(~F.col("is_current"))
+    dimension state (key, state, valid_from, valid_to, is_current).
+    A NULL ``is_current`` (an upstream load glitch) is treated as
+    not-current: the row passes through with history, untouched —
+    never silently dropped."""
+    cur = dim.filter(F.col("is_current").eqNullSafe(F.lit(True)))
+    hist = dim.filter(~F.col("is_current").eqNullSafe(F.lit(True)))
     ch = changes.select(
         F.col(key_col),
         F.col(state_col).alias("_new_state"),

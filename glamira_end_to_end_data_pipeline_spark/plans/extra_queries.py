@@ -23,10 +23,14 @@ from glamira_end_to_end_data_pipeline_spark.sources import lake, read_table
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent co-purchase part graph — parts co-ordered in ≥ 2
-    distinct orders (the multiplicity threshold that keeps the
-    co-occurrence graph sparse at every scale; the unthresholded one
-    densifies toward complete). Shared by all four graph entries.
+    """Frequent co-purchase part graph — part pairs whose
+    MULTIPLICITY-WEIGHTED co-order count is ≥ 2 (per order the pair
+    (u, v) contributes n_u·n_v line pairs, so two co-orders qualify,
+    and so does ONE order holding a duplicated part — the exact
+    lineitem-self-join semantics the oracles state). The threshold
+    keeps the co-occurrence graph sparse at every scale; the
+    unthresholded one densifies toward complete. Shared by all four
+    graph entries.
 
     Built as ONE orderkey-shuffle: collect each order's parts
     (partial-aggregated ObjectHashAggregate), generate its ordered

@@ -1,4 +1,4 @@
-"""Round-5 additions (19 entries): graph family completion
+"""Round-5 additions (21 entries): graph family completion
 (Adamic-Adar, k-core), k-center-seeded IVF + the cell-partitioned
 serving layout, incremental lake CDC across compaction + snapshot
 schema evolution, partial-agg rollup merging, count-min sketch, TF-IDF
@@ -33,6 +33,8 @@ from glamira_end_to_end_data_pipeline_spark.plans.northstar_queries import (
     TOKENS_SQL,
 )
 from glamira_end_to_end_data_pipeline_spark.plans.queries import query
+from glamira_end_to_end_data_pipeline_spark.caching import tracked_persist
+from pyspark.storagelevel import StorageLevel
 from glamira_end_to_end_data_pipeline_spark.sources import lake, read_table
 
 
@@ -250,11 +252,17 @@ def lake_incremental_across_compaction(
 @query(
     "a_incremental_rollup_merge",
     """
-    SELECT cast(date_trunc('month', l_shipdate) AS DATE) AS month,
-           count(*) AS n_items,
-           round(sum(l_extendedprice), 2) AS total_revenue,
-           round(round(sum(l_extendedprice), 2) / count(*), 4) AS avg_price
-    FROM lineitem
+    WITH daily AS (
+        SELECT cast(l_shipdate AS DATE) AS day,
+               count(*) AS cnt,
+               sum(l_extendedprice) AS rev
+        FROM lineitem GROUP BY 1
+    )
+    SELECT cast(date_trunc('month', day) AS DATE) AS month,
+           cast(sum(cnt) AS BIGINT) AS n_items,
+           round(sum(rev), 2) AS total_revenue,
+           round(round(sum(rev), 2) / sum(cnt), 4) AS avg_price
+    FROM daily
     GROUP BY 1
     ORDER BY 1
     """,
@@ -265,8 +273,12 @@ def a_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged sums, never averaged averages) — the incremental-maintenance
     shape that lets a 100 TB pipeline serve any coarser grain from a
     stored fine-grain rollup without ever rescanning raw data. The
-    oracle aggregates the raw table directly in one level; equality
-    proves the merge is lossless. In production the daily table is the
+    oracle replays the same two-level nesting (daily CTE, then the
+    monthly merge) so both engines sum in the same structure — a
+    one-level oracle would differ from the merged sum by an ulp at a
+    rounding boundary (double addition is not associative); equality
+    then proves the merge arithmetic (sum-of-sums, count-of-counts,
+    mean from merged totals) is lossless. In production the daily table is the
     persisted artifact each new partition appends one row-group to."""
     li = read_table(spark, sf_dir, "lineitem")
     daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
@@ -325,8 +337,14 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     a one-row broadcast (the BM25 scalar discipline), and the top-3 is
     a per-doc window over probe-doc terms only."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(normalized_tokens("text")).alias("token")
+    # one tokenize pass for BOTH consumers (df over the corpus, tf over
+    # the probe docs) — without the persist each branch re-scans and
+    # re-tokenizes the full table.
+    toks = tracked_persist(
+        docs.select(
+            "doc_id", F.explode(normalized_tokens("text")).alias("token")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
     df_ = (
         toks.distinct()
@@ -1060,8 +1078,11 @@ def a_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(normalized_tokens("text")).alias("token")
+    # the token stream feeds the grid build, the exact counts, and the
+    # probe lineage — tokenize once.
+    toks = tracked_persist(
+        docs.select(F.explode(normalized_tokens("text")).alias("token")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     sketch = countmin_build(toks, d=4, w=1024)
     truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
@@ -1119,7 +1140,12 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join), unigram/bigram counts partial-aggregate to vocabulary
     cardinality, and the two corpus totals ride a one-row broadcast."""
     docs = read_table(spark, sf_dir, "documents")
-    tl = docs.select(normalized_tokens("text").alias("toks"))
+    # the token-array table feeds the bigram zip, the unigram counts,
+    # and the corpus totals — tokenize once.
+    tl = tracked_persist(
+        docs.select(normalized_tokens("text").alias("toks")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     n = F.size("toks")
     bg = (
         tl.select(

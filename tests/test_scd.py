@@ -128,3 +128,34 @@ def test_scd2_apply_changes_semantics(spark):
         (2, "A", d("2024-01-01")): (None, True),              # no-op kept open
         (3, "C", d("2024-01-01")): (None, True),              # untouched
     }
+
+
+def test_scd2_apply_changes_null_is_current_passes_through(spark):
+    from datetime import date
+
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import (
+        scd2_apply_changes,
+    )
+
+    d = lambda s: date.fromisoformat(s)  # noqa: E731
+    dim = spark.createDataFrame(
+        [
+            (1, "A", d("2024-01-01"), None, None),   # glitched flag
+            (2, "B", d("2024-01-01"), None, True),
+        ],
+        "c_custkey long, segment string, valid_from date, valid_to date, "
+        "is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "Z", d("2024-06-01")), (2, "Z", d("2024-06-01"))],
+        "c_custkey long, segment string, valid_from date",
+    )
+    rows = scd2_apply_changes(dim, changes, "c_custkey").collect()
+    by = {(r.c_custkey, r.segment): (r.valid_to, r.is_current) for r in rows}
+    # NULL-flag row survives untouched (treated as not-current, so the
+    # change to key 1 is a no-op against a key with no current version)
+    assert by[(1, "A")] == (None, None)
+    assert len([r for r in rows if r.c_custkey == 1]) == 1
+    # key 2 merges normally
+    assert by[(2, "B")] == (d("2024-06-01"), False)
+    assert by[(2, "Z")] == (None, True)
