@@ -133,6 +133,7 @@ HEADLINE = [
     "lake_schema_evolution_snapshot",
     "dedup_minhash_estimate",
     "stream_watermark_finalization",
+    "lake_stats_pruned_read",
 ]
 
 

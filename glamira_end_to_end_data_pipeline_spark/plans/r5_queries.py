@@ -1486,3 +1486,48 @@ def stream_watermark_finalization(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+@query(
+    "lake_stats_pruned_read",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS band_revenue
+    FROM orders
+    WHERE o_totalprice BETWEEN 200000 AND 300000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def lake_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File skipping from MANIFEST column metrics (sources/lake.py:
+    write_snapshot(stats_cols=...) + read_snapshot_pruned) — the
+    Iceberg/Delta zone-map layer: each commit records per-file min/max
+    for chosen columns in the manifest, and a range probe opens ONLY
+    files whose range can intersect the predicate — pruning at the
+    PLANNING layer, before any parquet footer is touched (one level
+    above parquet's own row-group stats, which still cost a file open
+    each; at 100 TB with object-store latencies the difference is the
+    query). The write clusters rows into value-banded files so the
+    stats are selective — stats on a randomly-laid-out table prune
+    nothing, which is the whole layout-as-an-operator lesson. Pruned
+    results must equal the plain filtered scan (the oracle); the
+    files-skipped observability is pinned in tests/test_sources.py."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_zonemap_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders")
+    banded = o.repartition(4, F.floor(F.col("o_totalprice") / 150000))
+    lake.write_snapshot(spark, banded, path, stats_cols=["o_totalprice"])
+    df, _n_read, _n_total = lake.read_snapshot_pruned(
+        spark, path, "o_totalprice", 200000, 300000
+    )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("band_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

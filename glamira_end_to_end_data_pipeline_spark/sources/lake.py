@@ -291,7 +291,11 @@ def snapshot_tags(spark: SparkSession, path: str) -> set:
 
 
 def write_snapshot(
-    spark: SparkSession, df: DataFrame, path: str, tag: str | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    tag: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as an APPEND snapshot (the Iceberg/Delta commit
     shape without the table format): the batch lands in an immutable
@@ -315,14 +319,114 @@ def write_snapshot(
     check :func:`snapshot_tags` first and skip already-committed work —
     the lake-side half of exactly-once for at-least-once producers.
 
+    ``stats_cols`` records per-file min/max for the named columns in
+    the manifest (Iceberg's column metrics / Delta's file stats — zone
+    maps at the planning layer): :func:`read_snapshot_pruned` can then
+    skip whole files whose range cannot satisfy a predicate WITHOUT
+    opening them. One extra aggregation job per commit, grouped by
+    ``input_file_name`` so all files stat in a single pass; stats are
+    carried forward file-by-file from the parent manifest, so old
+    versions' stats are never recomputed.
+
     Returns the committed version number (1-based)."""
     version = latest_snapshot_version(spark, path) + 1
     new_files = _write_version_data(spark, df, path, version)
-    files = (
-        _read_manifest(spark, path, version - 1) if version > 1 else []
-    ) + new_files
-    _commit_manifest(spark, path, version, files, tag)
+    prev_files: list[str] = []
+    prev_stats: dict = {}
+    if version > 1:
+        prev_doc = _read_manifest_doc(spark, path, version - 1)
+        prev_files = prev_doc["files"]
+        prev_stats = prev_doc.get("stats", {})
+    files = prev_files + new_files
+    stats = dict(prev_stats)
+    if stats_cols:
+        stats.update(_file_stats(spark, new_files, stats_cols))
+    _commit_manifest(spark, path, version, files, tag, stats=stats or None)
     return version
+
+
+def _file_stats(
+    spark: SparkSession, files: list[str], cols: list[str]
+) -> dict:
+    """Per-file min/max for ``cols`` over exactly ``files`` — one
+    aggregation grouped on ``input_file_name`` (a single job however
+    many files), values JSON-serialized as strings so the manifest
+    stays engine-neutral."""
+    if not files:
+        return {}
+    df = spark.read.parquet(*files)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).cast("string").alias(f"__mn_{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"__mx_{c}"))
+    rows = (
+        df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    )
+
+    def _norm(uri: str) -> str:
+        # input_file_name gives file:///p; Hadoop Path.toString gives
+        # file:/p — strip the scheme so both compare as plain paths.
+        if "://" in uri:
+            uri = uri.split("://", 1)[1]
+        elif ":" in uri.split("/", 1)[0]:
+            uri = uri.split(":", 1)[1]
+        return "/" + uri.lstrip("/")
+
+    by_norm = {_norm(f): f for f in files}
+    out: dict = {}
+    for r in rows:
+        key = by_norm.get(_norm(r["__f"]))
+        if key is None:
+            continue
+        out[key] = {
+            c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in cols
+        }
+    return out
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Stats-pruned snapshot read: plan from the manifest's per-file
+    min/max (see ``write_snapshot(stats_cols=...)``) and open ONLY the
+    files whose [min, max] range intersects [lo, hi] — file skipping at
+    the PLANNING layer, before any parquet footer is touched (what
+    Iceberg/Delta do with column metrics; one step above parquet's own
+    row-group stats, which still require opening the file). Files with
+    no recorded stats are conservatively read. The residual predicate
+    still applies row-level — pruning is an optimization, never a
+    filter.
+
+    Returns ``(df, n_files_read, n_files_total)`` — the counts are the
+    observability a maintenance job alerts on (pruning silently
+    degrading to 0% is a layout regression)."""
+    if version is None:
+        version = latest_snapshot_version(spark, path)
+    doc = _read_manifest_doc(spark, path, version)
+    files, stats = doc["files"], doc.get("stats", {})
+    lo_s, hi_s = str(lo), str(hi)
+
+    def may_match(f: str) -> bool:
+        st = stats.get(f, {}).get(col)
+        if not st or st[0] is None or st[1] is None:
+            return True
+        # numeric compare when both parse, else lexicographic
+        try:
+            return float(st[0]) <= float(hi_s) and float(st[1]) >= float(lo_s)
+        except ValueError:
+            return st[0] <= hi_s and st[1] >= lo_s
+
+    keep = [f for f in files if may_match(f)]
+    if not keep:
+        empty = spark.read.parquet(*files).limit(0)
+        return empty.filter(F.col(col).between(lo, hi)), 0, len(files)
+    df = spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+    return df, len(keep), len(files)
 
 
 def _write_version_data(
@@ -347,6 +451,7 @@ def _commit_manifest(
     files: list[str],
     tag: str | None = None,
     operation: str = "append",
+    stats: dict | None = None,
 ) -> None:
     """Atomically publish a version's manifest (temp write + rename).
 
@@ -359,6 +464,8 @@ def _commit_manifest(
     doc = {"version": version, "files": files, "operation": operation}
     if tag is not None:
         doc["tag"] = tag
+    if stats:
+        doc["stats"] = stats
     payload = json.dumps(doc).encode("utf-8")
     fs, _ = _hadoop_fs(spark, path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path

@@ -229,3 +229,31 @@ def test_incremental_read_skips_compaction_rewrites(spark, tmp_path):
     # manifests record the operation (Iceberg's snapshot operation field)
     assert lake._read_manifest_doc(spark, path, 3)["operation"] == "rewrite"
     assert lake._read_manifest_doc(spark, path, 4)["operation"] == "append"
+
+
+def test_stats_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "zonemap")
+    # 4 value-banded files: [0,100), [100,200), [200,300), [300,400)
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    banded = df.repartition(4, F.floor(F.col("id") / 100))
+    lake.write_snapshot(spark, banded, path, stats_cols=["id"])
+    out, n_read, n_total = lake.read_snapshot_pruned(spark, path, "id", 120, 180)
+    # 4 hash buckets can collide into fewer files; ≥3 distinct ranges
+    assert n_total >= 3
+    assert n_read < n_total, "stats pruning opened every file"
+    got = sorted(r["id"] for r in out.collect())
+    assert got == list(range(120, 181))
+    # a predicate outside every file range reads zero files, zero rows
+    empty, n0, _ = lake.read_snapshot_pruned(spark, path, "id", 5000, 6000)
+    assert n0 == 0 and empty.count() == 0
+    # appends carry old stats forward and stat the new files
+    lake.write_snapshot(
+        spark, spark.range(1000, 1100).select(F.col("id"), F.lit(0).alias("grp")),
+        path, stats_cols=["id"],
+    )
+    out2, n_read2, n_total2 = lake.read_snapshot_pruned(spark, path, "id", 1000, 1050)
+    assert out2.count() == 51 and n_read2 < n_total2
