@@ -134,6 +134,7 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "stream_watermark_finalization",
     "lake_stats_pruned_read",
+    "graph_lpa_communities",
 ]
 
 

@@ -353,3 +353,59 @@ def kcore_peel(
     return und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007) over an undirected
+    edge list, made DETERMINISTIC: every node starts labeled with its
+    own id; each round it adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label (plain LPA breaks ties
+    randomly, which is useless for a reproducible pipeline or a
+    cross-engine oracle). Unlike connected components (which merges
+    everything reachable) LPA stops at density boundaries — two
+    communities joined by one bridge edge keep separate labels — and
+    unlike k-core it assigns EVERY node a community.
+
+    ``rounds`` is fixed (unrollable oracle; LPA converges in a handful
+    of sweeps on most graphs). Per round: one edge⋈label join + one
+    (node, label) count + one per-node argmax — all keyed on the node,
+    partial-aggregated, with ``localCheckpoint`` flattening the plan
+    (the pagerank discipline). Returns (node, community)."""
+    und = tracked_persist(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst).cast("long").alias("u"),
+                F.col(src).cast("long").alias("v"),
+            )
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    from pyspark.sql import Window as _W
+
+    for _ in range(rounds):
+        votes = (
+            und.join(
+                labels.withColumnRenamed("node", "v"), "v"
+            )
+            .groupBy(F.col("u").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = _W.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint()
+        )
+    return labels.withColumnRenamed("lab", "community")

@@ -1531,3 +1531,54 @@ def lake_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_LPA_ROUND = """
+    v{r} AS (
+        SELECT und.u AS node, l.lab, count(*) AS c
+        FROM und JOIN l{p} l ON l.node = und.v
+        GROUP BY 1, 2
+    ),
+    l{r} AS (
+        SELECT node, lab FROM (
+            SELECT node, lab, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, lab) AS rn
+            FROM v{r}
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "graph_lpa_communities",
+    f"""
+    WITH {_COPURCHASE_SQL.strip()},
+    nodes AS (SELECT DISTINCT u AS node FROM und),
+    l0 AS (SELECT node, node AS lab FROM nodes),
+    {",".join(_LPA_ROUND.format(r=r, p=r - 1).strip() for r in (1, 2, 3))}
+    SELECT cast(lab AS bigint) AS community,
+           cast(count(*) AS bigint) AS n_members
+    FROM l3 GROUP BY 1
+    ORDER BY n_members DESC, community
+    LIMIT 20
+    """,
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities on the co-purchase
+    graph (operators/graph.py:lpa_communities — most-frequent neighbor
+    label, smallest label on ties, 3 synchronous rounds): the
+    density-boundary community detector between connected components
+    (merges everything reachable) and k-core (drops sparse nodes
+    entirely). Top-20 communities by size. Each round is one edge⋈label
+    join + a node-keyed argmax — node-cardinality state, localCheckpoint
+    per round; the oracle unrolls the identical three sweeps."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        lpa_communities,
+    )
+
+    labels = lpa_communities(_copurchase_edges(spark, sf_dir), rounds=3)
+    return (
+        labels.groupBy(F.col("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(20)
+    )

@@ -193,3 +193,19 @@ def test_kcore_peel_converges_to_core(spark):
     assert one == {1, 2, 3, 4}
     # k above the max degree empties the graph
     assert kcore_peel(edges, k=4, rounds=2).count() == 0
+
+
+def test_lpa_separates_bridge_joined_cliques(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        lpa_communities,
+    )
+
+    # two K4 cliques {0..3} and {10..13} joined by one bridge 3-10:
+    # connected components would merge them; LPA keeps two communities
+    # (each clique converges to its min id).
+    k4a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k4b = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4a + k4b + [(3, 10)], ["u", "v"])
+    got = {r["node"]: r["community"] for r in lpa_communities(edges).collect()}
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[i + 10] for i in range(4)} == {10}
