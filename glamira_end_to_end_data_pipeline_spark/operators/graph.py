@@ -18,7 +18,7 @@ loop's working set does not grow with iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -376,23 +376,23 @@ def lpa_communities(
     (node, label) count + one per-node argmax — all keyed on the node,
     partial-aggregated, with ``localCheckpoint`` flattening the plan
     (the pagerank discipline). Returns (node, community)."""
-    und = tracked_persist(
+    # persist the BASE edge select, then derive the adjacency union
+    # from the cache — persisting the union directly would execute the
+    # caller's (often expensive) edge plan once per union branch while
+    # the cache materializes (the pagerank discipline).
+    e = tracked_persist(
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-        )
-        .unionAll(
-            edges.select(
-                F.col(dst).cast("long").alias("u"),
-                F.col(src).cast("long").alias("v"),
-            )
         ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    und = tracked_persist(
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
         StorageLevel.MEMORY_AND_DISK,
     )
     labels = und.select(F.col("u").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
-    from pyspark.sql import Window as _W
-
     for _ in range(rounds):
         votes = (
             und.join(
@@ -401,7 +401,7 @@ def lpa_communities(
             .groupBy(F.col("u").alias("node"), "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = _W.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
         labels = (
             votes.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

@@ -1,4 +1,4 @@
-"""Round-5 additions (21 entries): graph family completion
+"""Round-5 additions: graph family completion
 (Adamic-Adar, k-core), k-center-seeded IVF + the cell-partitioned
 serving layout, incremental lake CDC across compaction + snapshot
 schema evolution, partial-agg rollup merging, count-min sketch, TF-IDF
@@ -27,6 +27,7 @@ from glamira_end_to_end_data_pipeline_spark.operators.dedup import normalized_to
 from glamira_end_to_end_data_pipeline_spark.operators.graph import (
     adamic_adar_link_prediction,
     kcore_peel,
+    lpa_communities,
 )
 from glamira_end_to_end_data_pipeline_spark.plans.northstar_queries import (
     _COS_SQL,
@@ -1571,10 +1572,6 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely). Top-20 communities by size. Each round is one edge⋈label
     join + a node-keyed argmax — node-cardinality state, localCheckpoint
     per round; the oracle unrolls the identical three sweeps."""
-    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
-        lpa_communities,
-    )
-
     labels = lpa_communities(_copurchase_edges(spark, sf_dir), rounds=3)
     return (
         labels.groupBy(F.col("community"))

@@ -391,6 +391,7 @@ def read_snapshot_pruned(
     lo,
     hi,
     version: int | None = None,
+    merge_schema: bool = False,
 ) -> tuple[DataFrame, int, int]:
     """Stats-pruned snapshot read: plan from the manifest's per-file
     min/max (see ``write_snapshot(stats_cols=...)``) and open ONLY the
@@ -405,27 +406,45 @@ def read_snapshot_pruned(
     Returns ``(df, n_files_read, n_files_total)`` — the counts are the
     observability a maintenance job alerts on (pruning silently
     degrading to 0% is a layout regression)."""
+    import math
+
     if version is None:
         version = latest_snapshot_version(spark, path)
     doc = _read_manifest_doc(spark, path, version)
     files, stats = doc["files"], doc.get("stats", {})
-    lo_s, hi_s = str(lo), str(hi)
+    numeric_probe = isinstance(lo, (int, float)) and isinstance(hi, (int, float))
 
     def may_match(f: str) -> bool:
         st = stats.get(f, {}).get(col)
         if not st or st[0] is None or st[1] is None:
             return True
-        # numeric compare when both parse, else lexicographic
-        try:
-            return float(st[0]) <= float(hi_s) and float(st[1]) >= float(lo_s)
-        except ValueError:
-            return st[0] <= hi_s and st[1] >= lo_s
+        # Comparison semantics follow the PROBE's type — the same
+        # contract the residual filter has: numeric bounds → numeric
+        # compare (stats that don't parse, or parse to NaN — Spark's
+        # max over a NaN-bearing double is NaN — conservatively read
+        # the file; NaN must never prune), string bounds →
+        # lexicographic on the stat strings.
+        if numeric_probe:
+            try:
+                mn, mx = float(st[0]), float(st[1])
+            except ValueError:
+                return True
+            if math.isnan(mn) or math.isnan(mx):
+                return True
+            return mn <= float(hi) and mx >= float(lo)
+        return st[0] <= str(hi) and st[1] >= str(lo)
 
     keep = [f for f in files if may_match(f)]
+    reader = spark.read
+    if merge_schema:
+        # schema-evolved snapshots: without the union schema an
+        # arbitrary stat-less old file can win inference and the
+        # filter column fails to resolve (see read_snapshot).
+        reader = reader.option("mergeSchema", "true")
     if not keep:
-        empty = spark.read.parquet(*files).limit(0)
+        empty = reader.parquet(*files).limit(0)
         return empty.filter(F.col(col).between(lo, hi)), 0, len(files)
-    df = spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+    df = reader.parquet(*keep).filter(F.col(col).between(lo, hi))
     return df, len(keep), len(files)
 
 
@@ -504,10 +523,20 @@ def compact_snapshot(
     latest = latest_snapshot_version(spark, path)
     if latest == 0:
         raise FileNotFoundError(f"no snapshots under {path}")
+    prev_doc = _read_manifest_doc(spark, path, latest)
     version = latest + 1
     compacted = read_snapshot(spark, path, latest).repartition(n_files)
     files = _write_version_data(spark, compacted, path, version)
-    _commit_manifest(spark, path, version, files, operation="rewrite")
+    # Column metrics must survive compaction: the old per-file stats
+    # describe files this rewrite replaces, so RE-stat the compacted
+    # files over every column the previous manifest tracked — otherwise
+    # the rewrite silently wipes the stats and pruned reads degrade to
+    # full scans forever (the regression the read path's observability
+    # exists to catch).
+    prev_stats = prev_doc.get("stats", {})
+    stat_cols = sorted({c for st in prev_stats.values() for c in st})
+    stats = _file_stats(spark, files, stat_cols) if stat_cols else None
+    _commit_manifest(spark, path, version, files, operation="rewrite", stats=stats)
     return version, len(files)
 
 

@@ -257,3 +257,37 @@ def test_stats_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path):
     )
     out2, n_read2, n_total2 = lake.read_snapshot_pruned(spark, path, "id", 1000, 1050)
     assert out2.count() == 51 and n_read2 < n_total2
+
+
+def test_stats_pruning_survives_compaction_and_nan(spark, tmp_path):
+    import math
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "zm2")
+    df = spark.range(0, 300).select(F.col("id"), F.col("id").cast("double").alias("x"))
+    lake.write_snapshot(
+        spark, df.repartition(3, F.floor(F.col("id") / 100)), path,
+        stats_cols=["id"],
+    )
+    # compaction re-stats the rewritten files over the tracked columns
+    lake.compact_snapshot(spark, path, n_files=2)
+    doc = lake._read_manifest_doc(spark, path, 2)
+    assert doc.get("stats"), "rewrite manifest wiped the column metrics"
+    assert all("id" in st for st in doc["stats"].values())
+    out, n_read, n_total = lake.read_snapshot_pruned(spark, path, "id", 0, 10)
+    assert out.count() == 11
+    # NaN stats must never prune: a file whose double max is NaN is read
+    nan_df = spark.createDataFrame(
+        [(1000, float("nan")), (1001, 250.0)], "id long, x double"
+    ).coalesce(1)
+    lake.write_snapshot(spark, nan_df, path, stats_cols=["x"])
+    pruned, n_r, n_t = lake.read_snapshot_pruned(spark, path, "x", 200.0, 300.0)
+    vals = [r["x"] for r in pruned.collect()]
+    assert 250.0 in vals, "NaN-stat file was wrongly pruned"
+    # string probes compare lexicographically, matching the residual
+    sdf = spark.createDataFrame([("30",), ("9",)], ["s"]).coalesce(1)
+    spath = str(tmp_path / "zm3")
+    lake.write_snapshot(spark, sdf, spath, stats_cols=["s"])
+    got, _, _ = lake.read_snapshot_pruned(spark, spath, "s", "2", "5")
+    assert [r["s"] for r in got.collect()] == ["30"]
