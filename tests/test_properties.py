@@ -185,3 +185,85 @@ def test_classifier_score_bounded_and_pure(spark, batch):
     for r in rows:
         assert 0.0 <= r["clf_score"] <= 1.0
         assert r["clf_label"] == ("keep" if r["clf_score"] >= 0.5 else "drop")
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.sampled_from([f"tok{i}" for i in range(12)]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_countmin_dominates_truth_on_random_multisets(spark, tokens):
+    """Count-min one-sided error: for EVERY present item, estimate ≥
+    exact count — under heavy forced collisions (w=16 ≪ vocabulary·d)."""
+    from glamira_end_to_end_data_pipeline_spark.operators.sketch import (
+        countmin_build,
+        countmin_query,
+    )
+
+    df = spark.createDataFrame([(t,) for t in tokens], ["token"])
+    sk = countmin_build(df, d=4, w=16)
+    est = {
+        r["token"]: r["cm_estimate"]
+        for r in countmin_query(sk, df.distinct(), d=4, w=16).collect()
+    }
+    truth: dict[str, int] = {}
+    for t in tokens:
+        truth[t] = truth.get(t, 0) + 1
+    assert set(est) == set(truth)
+    for t, c in truth.items():
+        assert est[t] >= c, (t, est[t], c)
+
+
+@SETTLE
+@given(st.integers(5, 30), st.integers(1, 4))
+def test_containment_prefix_snippet_is_total(spark, n_extra, k):
+    """A snippet that is a token-prefix of a corpus doc has containment
+    exactly 1.0 (every snippet shingle occurs in the doc), and every
+    reported score is in (0, 1]."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    words = [f"w{i}x" for i in range(5 + n_extra)]
+    doc = " ".join(words)
+    snippet = " ".join(words[: 3 + k])
+    corpus = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    new = spark.createDataFrame([(100, snippet)], ["doc_id", "text"])
+    rows = containment_pairs(corpus, new, threshold=0.0).collect()
+    scores = {(r["new_id"], r["corpus_id"]): r["containment"] for r in rows}
+    assert scores[(100, 1)] == 1.0
+    assert all(0.0 < s <= 1.0 for s in scores.values())
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=16,
+    ),
+    st.integers(2, 3),
+)
+def test_kcore_survivors_keep_degree_k(spark, raw_edges, k):
+    """After enough peeling rounds to converge on an ≤8-node graph,
+    every survivor has degree ≥ k WITHIN the surviving subgraph — the
+    defining k-core property."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import kcore_peel
+
+    edges = sorted({(u, v) for u, v in raw_edges if u < v})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["node"]: r["degree"] for r in kcore_peel(df, k=k, rounds=8).collect()}
+    # degrees reported are within the surviving subgraph
+    surv = set(got)
+    for node, deg in got.items():
+        true_deg = sum(
+            1 for u, v in edges
+            if (u == node and v in surv) or (v == node and u in surv)
+        )
+        assert deg == true_deg
+        assert deg >= k
