@@ -135,6 +135,7 @@ HEADLINE = [
     "stream_watermark_finalization",
     "lake_stats_pruned_read",
     "graph_lpa_communities",
+    "lake_rollback_commit",
 ]
 
 

@@ -1579,3 +1579,53 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(20)
     )
+
+
+@query(
+    "lake_rollback_commit",
+    """
+    WITH good AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0)
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           cast(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(4 AS BIGINT) AS n_versions
+    FROM good
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def lake_rollback_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback as a COMMIT (sources/lake.py:rollback_snapshot —
+    Iceberg's move-the-head): v1 lands the good batch, v2 appends a bad
+    batch (the corrupted-upstream incident), v3 rolls back to v1 by
+    manifest copy — the bad version stays time-travelable for the
+    postmortem, readers flip atomically, column stats ride along, and
+    an incremental read across the rollback delivers ZERO rows (the
+    reinstated files were already delivered at v1; re-delivery would
+    double-count downstream). The result reads the post-rollback head
+    plus a fourth no-op-safe version count; the oracle derives the same
+    good-batch state from the source."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_rb_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders")
+    good = o.filter(F.col("o_orderkey") % 3 != 0)
+    bad = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    lake.write_snapshot(spark, good, path, stats_cols=["o_orderkey"])
+    lake.write_snapshot(spark, bad, path, stats_cols=["o_orderkey"])
+    lake.rollback_snapshot(spark, path, 1)
+    assert lake.read_incremental(spark, path, 2, 3).count() == 0
+    lake.write_snapshot(spark, good.limit(0), path)  # empty post-incident append
+    head = lake.read_snapshot(spark, path)
+    n_versions = lake.latest_snapshot_version(spark, path)
+    return (
+        head.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("bigint"))
+        .orderBy("o_orderpriority")
+    )

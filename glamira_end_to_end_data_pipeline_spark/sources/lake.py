@@ -540,6 +540,30 @@ def compact_snapshot(
     return version, len(files)
 
 
+def rollback_snapshot(spark: SparkSession, path: str, to_version: int) -> int:
+    """Roll the table back to ``to_version`` AS A NEW COMMIT (Iceberg's
+    rollback: move the head, never erase history): the new manifest is
+    a copy of the target's file list and column stats, tagged
+    ``operation="rollback"``. Every intermediate version stays
+    time-travelable — the bad batch remains inspectable — and readers
+    flip atomically at the manifest rename, the same guarantee as any
+    commit. Incremental (CDC) readers SKIP rollback commits exactly
+    like rewrites (no new data rows exist; the reinstated files were
+    already delivered when first committed — re-delivering them would
+    double-count). Returns the new version number."""
+    target = _read_manifest_doc(spark, path, to_version)
+    version = latest_snapshot_version(spark, path) + 1
+    _commit_manifest(
+        spark,
+        path,
+        version,
+        target["files"],
+        operation="rollback",
+        stats=target.get("stats"),
+    )
+    return version
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
@@ -583,6 +607,8 @@ def read_incremental(
     for v in range(from_version + 1, to_version + 1):
         doc = _read_manifest_doc(spark, path, v)
         files = doc["files"]
+        # only APPEND commits carry new rows; rewrite (compaction) and
+        # rollback commits reshuffle/reinstate files already delivered.
         if doc.get("operation", "append") == "append":
             delta.extend(f for f in files if f not in seen)
         seen = set(files)

@@ -291,3 +291,23 @@ def test_stats_pruning_survives_compaction_and_nan(spark, tmp_path):
     lake.write_snapshot(spark, sdf, spath, stats_cols=["s"])
     got, _, _ = lake.read_snapshot_pruned(spark, spath, "s", "2", "5")
     assert [r["s"] for r in got.collect()] == ["30"]
+
+
+def test_rollback_is_a_commit_preserving_history(spark, tmp_path):
+    path = str(tmp_path / "rb")
+    lake.write_snapshot(spark, spark.range(0, 10), path, stats_cols=["id"])
+    lake.write_snapshot(spark, spark.range(100, 120), path, stats_cols=["id"])
+    v3 = lake.rollback_snapshot(spark, path, 1)
+    assert v3 == 3
+    # head is back to v1's contents; the bad batch stays inspectable
+    assert sorted(r["id"] for r in lake.read_snapshot(spark, path).collect()) == list(range(10))
+    assert lake.read_snapshot(spark, path, 2).count() == 30
+    # stats survive the rollback copy
+    assert lake._read_manifest_doc(spark, path, 3).get("stats")
+    # CDC across the rollback delivers nothing (no new rows exist)
+    assert lake.read_incremental(spark, path, 2, 3).count() == 0
+    # an append after rollback diffs against the rolled-back file set
+    lake.write_snapshot(spark, spark.range(500, 505), path)
+    assert sorted(
+        r["id"] for r in lake.read_incremental(spark, path, 3, 4).collect()
+    ) == list(range(500, 505))
