@@ -136,6 +136,8 @@ HEADLINE = [
     "lake_stats_pruned_read",
     "graph_lpa_communities",
     "lake_rollback_commit",
+    "j10_null_safe_join",
+    "w10_rank_distributions",
 ]
 
 

@@ -1629,3 +1629,109 @@ def lake_rollback_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_versions", F.lit(n_versions).cast("bigint"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "j10_null_safe_join",
+    """
+    WITH probes AS (
+        SELECT event_id,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END AS uid
+        FROM events WHERE event_id < 2000
+    ),
+    dim AS (
+        SELECT DISTINCT CASE WHEN user_id % 10 = 0 THEN NULL
+                             ELSE user_id END AS uid,
+               CASE WHEN user_id % 10 = 0 THEN 'anonymous'
+                    ELSE concat('user_', user_id) END AS label
+        FROM events
+    )
+    SELECT coalesce(d.label, 'unmatched') AS label,
+           count(*) AS n_probes
+    FROM probes p
+    LEFT JOIN dim d ON p.uid IS NOT DISTINCT FROM d.uid
+    GROUP BY 1
+    ORDER BY n_probes DESC, label
+    """,
+)
+def j10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM) — the third
+    null semantics beside J4's null-MISS `=` join and J9's null-aware
+    NOT IN: here NULL keys MATCH each other, the right behavior when
+    NULL is a real category ("anonymous") rather than absence. Spark
+    plans eqNullSafe as a plain hash join (the null bucket hashes like
+    any value — no skew surprise beyond an ordinary hot key, handled by
+    AQE); an `=` join would silently drop every anonymous probe to
+    'unmatched'."""
+    ev = read_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") < 2000).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+    )
+    dim = ev.select(
+        F.when(F.col("user_id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        F.when(F.col("user_id") % 10 == 0, F.lit("anonymous"))
+        .otherwise(F.concat(F.lit("user_"), F.col("user_id")))
+        .alias("label"),
+    ).distinct()
+    joined = probes.join(dim, probes["uid"].eqNullSafe(dim["uid"]), "left")
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("label"), F.lit("unmatched")).alias("label")
+        )
+        .agg(F.count(F.lit(1)).alias("n_probes"))
+        .orderBy(F.desc("n_probes"), "label")
+    )
+
+
+@query(
+    "w10_rank_distributions",
+    """
+    WITH daily AS (
+        SELECT cast(ts AS DATE) AS day, user_id,
+               round(sum(value), 2) AS day_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day, user_id, day_value,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CASE WHEN cume_dist() OVER w >= 0.9 THEN 'top_decile'
+                ELSE 'rest' END AS bucket
+    FROM daily
+    WHERE day < DATE '2024-01-08'
+    WINDOW w AS (PARTITION BY day ORDER BY day_value, user_id)
+    ORDER BY day, day_value, user_id
+    """,
+)
+def w10_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions — percent_rank (rank-1)/(n-1)
+    and cume_dist (peers-≤-me)/n — per day over user day-values: the
+    relative-standing analytics (top-decile flags, percentile cohorts)
+    that ntile cannot express exactly when group sizes vary. The
+    window orders by (value, user_id) so ranks are total-order
+    deterministic; one day-keyed exchange serves both functions and
+    the bucket CASE."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("day_value"))
+        .filter(F.col("day") < "2024-01-08")
+    )
+    w = Window.partitionBy("day").orderBy("day_value", "user_id")
+    return (
+        daily.select(
+            "day",
+            "user_id",
+            "day_value",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.when(F.cume_dist().over(w) >= 0.9, F.lit("top_decile"))
+            .otherwise(F.lit("rest"))
+            .alias("bucket"),
+        )
+        .orderBy("day", "day_value", "user_id")
+    )
