@@ -138,6 +138,8 @@ HEADLINE = [
     "lake_rollback_commit",
     "j10_null_safe_join",
     "w10_rank_distributions",
+    "dq_psi_drift",
+    "j_fuzzy_name_match",
 ]
 
 

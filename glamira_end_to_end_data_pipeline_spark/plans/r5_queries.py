@@ -1735,3 +1735,142 @@ def w10_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "day_value", "user_id")
     )
+
+
+@query(
+    "dq_psi_drift",
+    """
+    WITH ref AS (
+        SELECT least(cast(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+               count(*) AS n
+        FROM events WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1
+    ),
+    cur AS (
+        SELECT least(cast(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+               count(*) AS n
+        FROM events WHERE ts >= TIMESTAMP '2024-01-08' GROUP BY 1
+    ),
+    buckets AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+    tot AS (SELECT (SELECT sum(n) FROM ref) AS nr, (SELECT sum(n) FROM cur) AS nc),
+    joined AS (
+        SELECT b.bucket,
+               coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur,
+               (coalesce(r.n, 0) + 1.0) / (t.nr + 10.0) AS p,
+               (coalesce(c.n, 0) + 1.0) / (t.nc + 10.0) AS q
+        FROM buckets b
+        LEFT JOIN ref r ON r.bucket = b.bucket
+        LEFT JOIN cur c ON c.bucket = b.bucket
+        CROSS JOIN tot t
+    )
+    SELECT bucket,
+           cast(n_ref AS BIGINT) AS n_ref,
+           cast(n_cur AS BIGINT) AS n_cur,
+           round((p - q) * ln(p / q), 6) AS psi_term,
+           round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+    FROM joined
+    ORDER BY bucket
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring via the Population Stability Index
+    — PSI = Σ (p−q)·ln(p/q) over fixed value buckets, week-1 feed vs
+    the rest (the MLOps check that catches a shifted upstream before a
+    model quietly degrades; PSI > 0.25 is the classic retrain alarm).
+    Add-one smoothing keeps empty buckets finite in BOTH engines.
+    Two partial-aggregated bucket rollups + a 10-row spine join —
+    corpus-size-independent state; the all-rows window runs over 10
+    rows, not data."""
+    ev = read_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9))
+    ref = (
+        ev.filter(F.col("ts") < "2024-01-08")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    cur = (
+        ev.filter(F.col("ts") >= "2024-01-08")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    spine = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    tot = ref.agg(F.sum("n_ref").alias("nr")).join(
+        cur.agg(F.sum("n_cur").alias("nc"))
+    )
+    j = (
+        spine.join(ref, "bucket", "left")
+        .join(cur, "bucket", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            (
+                (F.coalesce("n_ref", F.lit(0)) + 1.0)
+                / (F.col("nr") + 10.0)
+            ).alias("p"),
+            (
+                (F.coalesce("n_cur", F.lit(0)) + 1.0)
+                / (F.col("nc") + 10.0)
+            ).alias("q"),
+        )
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    w = Window.partitionBy()
+    return (
+        j.select(
+            "bucket",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.round(term, 6).alias("psi_term"),
+            F.round(F.sum(term).over(w), 6).alias("psi_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "j_fuzzy_name_match",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+        SELECT p_name, regexp_extract(p_name, '([^ ]+)$', 1) AS block
+        FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           cast(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM blocked a
+    JOIN blocked b ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def j_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (the entity-resolution join): near-
+    identical part names (Levenshtein ≤ 2) found WITHOUT the n² name
+    cross-product — names first collapse to their distinct set
+    (name-cardinality ≪ rows), then pair only within a lexical BLOCK
+    (the trailing product-type word), the classic blocking-key design:
+    the quadratic term is per-block, and the expensive edit distance
+    runs only on block-equi candidates. The residual Levenshtein is
+    JVM-side codegen, not a UDF. At 100 TB the same shape holds —
+    distinct + block-equi-join + residual — with skew guarded by
+    blocking-key choice (a degenerate block would need salting, the
+    j_skew_salted pattern)."""
+    part = read_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.substring_index("p_name", " ", -1).alias("block")
+    )
+    a = blocked.select(F.col("p_name").alias("name_a"), "block")
+    b = blocked.select(F.col("p_name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .orderBy("name_a", "name_b")
+    )

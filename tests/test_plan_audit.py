@@ -76,6 +76,9 @@ BNLJ_OK = {
     # PMI's two corpus totals (n_uni, n_bi) are a ONE-ROW broadcast
     # onto the min-support-filtered bigram table.
     "text_bigram_pmi",
+    # PSI's two population totals are a ONE-ROW broadcast onto the
+    # 10-row bucket spine.
+    "dq_psi_drift",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are
@@ -93,6 +96,8 @@ UNPARTITIONED_WINDOW_OK = {
     # RRF rank derivation over the BOUNDED top-50 lists (post-
     # TakeOrderedAndProject); the raw corpus never enters a window.
     "text_hybrid_rrf",
+    # PSI total over the FIXED 10-row bucket spine — never data-sized.
+    "dq_psi_drift",
 }
 
 
