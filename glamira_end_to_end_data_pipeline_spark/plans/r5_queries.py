@@ -1616,7 +1616,14 @@ def lake_rollback_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake.write_snapshot(spark, good, path, stats_cols=["o_orderkey"])
     lake.write_snapshot(spark, bad, path, stats_cols=["o_orderkey"])
     lake.rollback_snapshot(spark, path, 1)
-    assert lake.read_incremental(spark, path, 2, 3).count() == 0
+    # in-query gate (explicit raise — a bare assert vanishes under
+    # python -O): the backward rollback must deliver zero CDC rows.
+    n_redelivered = lake.read_incremental(spark, path, 2, 3).count()
+    if n_redelivered != 0:
+        raise RuntimeError(
+            f"rollback re-delivered {n_redelivered} rows to the "
+            "incremental reader"
+        )
     lake.write_snapshot(spark, good.limit(0), path)  # empty post-incident append
     head = lake.read_snapshot(spark, path)
     n_versions = lake.latest_snapshot_version(spark, path)
@@ -1777,45 +1784,38 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rest (the MLOps check that catches a shifted upstream before a
     model quietly degrades; PSI > 0.25 is the classic retrain alarm).
     Add-one smoothing keeps empty buckets finite in BOTH engines.
-    Two partial-aggregated bucket rollups + a 10-row spine join —
-    corpus-size-independent state; the all-rows window runs over 10
-    rows, not data."""
+    ONE scan, ONE shuffle: both populations come from a single
+    conditional-count rollup per bucket (sum-of-CASE, never two
+    filtered scans), the spine join backfills empty buckets, and both
+    population totals are window sums over the 10 spine rows — every
+    post-scan operator works on bucket-cardinality state."""
     ev = read_table(spark, sf_dir, "events")
     bucket = F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9))
-    ref = (
-        ev.filter(F.col("ts") < "2024-01-08")
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_ref"))
-    )
-    cur = (
-        ev.filter(F.col("ts") >= "2024-01-08")
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_cur"))
+    is_ref = F.col("ts") < "2024-01-08"
+    counts = ev.groupBy(bucket.alias("bucket")).agg(
+        F.sum(is_ref.cast("long")).alias("n_ref"),
+        F.sum((~is_ref).cast("long")).alias("n_cur"),
     )
     spine = spark.range(0, 10).select(F.col("id").alias("bucket"))
-    tot = ref.agg(F.sum("n_ref").alias("nr")).join(
-        cur.agg(F.sum("n_cur").alias("nc"))
-    )
+    w = Window.partitionBy()
     j = (
-        spine.join(ref, "bucket", "left")
-        .join(cur, "bucket", "left")
-        .join(F.broadcast(tot))
+        spine.join(counts, "bucket", "left")
         .select(
             "bucket",
             F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
-            (
-                (F.coalesce("n_ref", F.lit(0)) + 1.0)
-                / (F.col("nr") + 10.0)
-            ).alias("p"),
-            (
-                (F.coalesce("n_cur", F.lit(0)) + 1.0)
-                / (F.col("nc") + 10.0)
-            ).alias("q"),
+        )
+        .withColumn("nr", F.sum("n_ref").over(w))
+        .withColumn("nc", F.sum("n_cur").over(w))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            ((F.col("n_ref") + 1.0) / (F.col("nr") + 10.0)).alias("p"),
+            ((F.col("n_cur") + 1.0) / (F.col("nc") + 10.0)).alias("q"),
         )
     )
     term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
-    w = Window.partitionBy()
     return (
         j.select(
             "bucket",

@@ -595,23 +595,35 @@ def read_incremental(
     (streaming/incremental.py) gets its input this way at a fraction of
     a full-table scan.
 
-    Walks the manifests version by version and takes each APPEND
-    commit's new files (diff against its parent); ``rewrite`` commits
-    (compaction — same rows, new files) are SKIPPED, matching Iceberg's
-    incremental scan over ``operation=replace`` snapshots. A raw
-    to-vs-from file-set diff would misread a compaction spanning the
-    range as "everything was appended" and double-deliver the whole
-    table to CDC consumers."""
+    Walks the manifests version by version. APPEND commits contribute
+    their new files (diff against everything seen so far in the walk);
+    ``rewrite`` commits (compaction — same rows, new files) are
+    SKIPPED, matching Iceberg's incremental scan over
+    ``operation=replace`` snapshots — a raw to-vs-from file-set diff
+    would misread a compaction spanning the range as "everything was
+    appended" and double-deliver the whole table. ``rollback`` commits
+    go through the same unseen-file diff as appends: rolling BACK
+    reinstates only files the walk already saw (delta stays empty),
+    while rolling FORWARD past the consumer's sync point makes
+    previously-removed files visible again and MUST deliver them —
+    skipping them would silently diverge the consumer's copy from the
+    table head. (This CDC stream is append-only: a rollback's row
+    REMOVALS are not representable, so a consumer that applied the
+    removed batch re-receives it on roll-forward — at-least-once on
+    reinstated data, never silent loss.)"""
     delta: list[str] = []
     seen = set(_read_manifest(spark, path, from_version)) if from_version else set()
     for v in range(from_version + 1, to_version + 1):
         doc = _read_manifest_doc(spark, path, v)
         files = doc["files"]
-        # only APPEND commits carry new rows; rewrite (compaction) and
-        # rollback commits reshuffle/reinstate files already delivered.
-        if doc.get("operation", "append") == "append":
+        if doc.get("operation", "append") != "rewrite":
             delta.extend(f for f in files if f not in seen)
-        seen = set(files)
+        # ``seen`` is MONOTONE — the union of every file observed in
+        # the walk, never reset to a version's file list: a rollback
+        # reinstating files from BEFORE a rewrite must still recognize
+        # them as already-delivered (a version-snapshot `seen` would
+        # forget them at the rewrite and re-deliver).
+        seen |= set(files)
     if not delta:
         return read_snapshot(spark, path, to_version).limit(0)
     return spark.read.parquet(*delta)

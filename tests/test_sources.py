@@ -311,3 +311,26 @@ def test_rollback_is_a_commit_preserving_history(spark, tmp_path):
     assert sorted(
         r["id"] for r in lake.read_incremental(spark, path, 3, 4).collect()
     ) == list(range(500, 505))
+
+
+def test_incremental_roll_forward_delivers_reinstated_files(spark, tmp_path):
+    # v1 {A}, v2 {A,B}, v3 rollback->1, v4 rollback->2 (roll-forward):
+    # a consumer synced at v3 (head = A only) MUST receive B at v4 —
+    # skipping it would silently diverge its copy from the table head.
+    path = str(tmp_path / "rf")
+    lake.write_snapshot(spark, spark.range(0, 5), path)
+    lake.write_snapshot(spark, spark.range(100, 103), path)
+    lake.rollback_snapshot(spark, path, 1)
+    lake.rollback_snapshot(spark, path, 2)
+    fwd = sorted(r["id"] for r in lake.read_incremental(spark, path, 3, 4).collect())
+    assert fwd == [100, 101, 102]
+    # but a consumer that saw v2 already has B: scanning (1,4] is not
+    # a double-delivery (seen is monotone across the rollbacks)
+    full = sorted(r["id"] for r in lake.read_incremental(spark, path, 1, 4).collect())
+    assert full == [100, 101, 102]
+    # rollback past a REWRITE still recognizes pre-rewrite files
+    p2 = str(tmp_path / "rw")
+    lake.write_snapshot(spark, spark.range(0, 5), p2)
+    lake.compact_snapshot(spark, p2, n_files=1)
+    lake.rollback_snapshot(spark, p2, 1)
+    assert lake.read_incremental(spark, p2, 1, 3).count() == 0
