@@ -228,6 +228,21 @@ _DRIVER_GREEN = _R2_GREEN | _R3_GREEN | _R4_GREEN
 # only rows that FAILED in r5 after fixing them. Step 2 of
 # _window_order() then auto-front-loads whatever round 6 registers
 # fresh. Keep never-graded entry count ≤ 50 before registering more.
+#
+# The round-5 window (slots 0-49) as shipped: the 31 never-graded
+# entries below, then 19 deferred greens re-graded as filler. Expected
+# _R5_GREEN therefore contains (at least) these 31 names:
+# q12_priority_by_flag, graph_triangles, stream_cdc_apply,
+# graph_link_prediction, graph_adamic_adar, graph_kcore,
+# emb_ivf_kcenter_topk, lake_incremental_across_compaction, a_incremental_rollup_merge,
+# text_tfidf_topterms, dedup_cross_batch_minhash, dq_profile_columns,
+# j_interval_overlap, emb_ivf_partitioned_prune, dedup_containment_snippets,
+# s_jsonl_round_trip, scd2_apply_changes, dq_freshness_check,
+# a_countmin_tokens, text_bigram_pmi, dq_k_anonymity,
+# lake_schema_evolution_snapshot, dedup_minhash_estimate, stream_watermark_finalization,
+# lake_stats_pruned_read, graph_lpa_communities, lake_rollback_commit,
+# j10_null_safe_join, w10_rank_distributions, dq_psi_drift,
+# j_fuzzy_name_match.
 
 
 def _window_order() -> list[str]:
