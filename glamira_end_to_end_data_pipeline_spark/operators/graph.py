@@ -167,7 +167,7 @@ def jaccard_link_prediction(
     k_top: int = 20,
     src: str = "u",
     dst: str = "v",
-    max_mid_degree: int = 1000,
+    max_mid_degree: int | None = None,
 ) -> DataFrame:
     """Common-neighbor Jaccard link prediction over an undirected edge
     list (distinct ``u < v`` pairs): for node pairs NOT currently linked
@@ -182,19 +182,22 @@ def jaccard_link_prediction(
     edges leave via one anti-join, and the top-k is
     orderBy().limit(k) — TakeOrderedAndProject, no global window.
 
-    **Hub guard** (``max_mid_degree``): a midpoint of degree d emits
-    d(d-1)/2 wedges into ONE shuffle key group — a single viral hub
-    detonates the join no matter how sparse the rest of the graph is
-    (a star graph is the degenerate case: n² candidate pairs, all
-    through the center). Midpoints with degree > ``max_mid_degree``
-    are excluded from wedge generation BEFORE the self-join, bounding
-    per-key fan-out at max_mid_degree² regardless of graph shape. This
-    is also the standard recommender semantics: a neighbor shared with
-    everyone ("everyone bought a gift bag") carries no similarity
-    signal — the same inverse-frequency logic as Adamic-Adar's 1/log d
-    weighting, taken to a hard cutoff so the plan is skew-proof.
-    Scores count only sub-hub common neighbors; denominators keep the
-    full degrees, so capped scores are a lower bound on true Jaccard."""
+    **Hub guard** (``max_mid_degree``, default ``None`` = no cap, true
+    Jaccard): a midpoint of degree d emits d(d-1)/2 wedges into ONE
+    shuffle key group — a single viral hub detonates the join no matter
+    how sparse the rest of the graph is (a star graph is the degenerate
+    case: n² candidate pairs, all through the center). When a cap is
+    PASSED, midpoints with degree > ``max_mid_degree`` are excluded
+    from wedge generation BEFORE the self-join, bounding per-key
+    fan-out at max_mid_degree² regardless of graph shape. This is also
+    the standard recommender semantics: a neighbor shared with everyone
+    ("everyone bought a gift bag") carries no similarity signal — the
+    same inverse-frequency logic as Adamic-Adar's 1/log d weighting,
+    taken to a hard cutoff so the plan is skew-proof. SEMANTICS UNDER A
+    CAP: scores count only sub-hub common neighbors while denominators
+    keep the full degrees, so capped scores are a LOWER BOUND on true
+    Jaccard — which is why the cap is opt-in, never a silent default
+    (skew-prone callers at scale should pass one deliberately)."""
     e, deg, inter = _capped_wedge_pairs(edges, src, dst, max_mid_degree)
     cand = inter.join(e, (inter["a"] == e["u"]) & (inter["b"] == e["v"]), "left_anti")
     scored = (
@@ -217,7 +220,7 @@ def jaccard_link_prediction(
 
 
 def _capped_wedge_pairs(
-    edges: DataFrame, src: str, dst: str, max_mid_degree: int
+    edges: DataFrame, src: str, dst: str, max_mid_degree: int | None
 ):
     """Shared candidate machinery for the neighborhood-overlap scorers
     (:func:`jaccard_link_prediction`, :func:`adamic_adar_link_prediction`):
@@ -245,11 +248,12 @@ def _capped_wedge_pairs(
         ),
         StorageLevel.MEMORY_AND_DISK,
     )
+    mids = deg if max_mid_degree is None else deg.filter(
+        F.col("d") <= max_mid_degree
+    )
     sub_hub = und.join(
         F.broadcast(
-            deg.filter(F.col("d") <= max_mid_degree).select(
-                F.col("node").alias("v"), F.col("d").alias("d_mid")
-            )
+            mids.select(F.col("node").alias("v"), F.col("d").alias("d_mid"))
         ),
         "v",
     )
@@ -274,7 +278,7 @@ def adamic_adar_link_prediction(
     k_top: int = 20,
     src: str = "u",
     dst: str = "v",
-    max_mid_degree: int = 1000,
+    max_mid_degree: int | None = None,
 ) -> DataFrame:
     """Adamic-Adar link prediction over an undirected edge list: for
     unlinked 2-hop pairs, score = Σ_{m ∈ N(a)∩N(b)} 1/ln(deg(m)) — the
@@ -282,9 +286,12 @@ def adamic_adar_link_prediction(
     (Adamic & Adar 2003): a shared neighbor linked to everything is
     weak evidence, a shared neighbor with few links is strong. The
     smooth version of the same insight the hub cap applies as a hard
-    cutoff — so the two compose naturally: sub-hub midpoints are
-    weighted by 1/ln d, super-hub midpoints (> ``max_mid_degree``)
-    contribute zero AND never enter the wedge shuffle.
+    cutoff — so the two compose naturally when a cap is passed: sub-hub
+    midpoints are weighted by 1/ln d, super-hub midpoints
+    (> ``max_mid_degree``) contribute zero AND never enter the wedge
+    shuffle. Default ``None`` = no cap (exact Adamic-Adar); pass a cap
+    deliberately on skew-prone graphs — see
+    :func:`jaccard_link_prediction` for the lower-bound semantics.
 
     Same plan shape as :func:`jaccard_link_prediction` (one wedge
     shuffle keyed on the pair, anti-join, TakeOrderedAndProject top-k);
@@ -408,4 +415,131 @@ def lpa_communities(
             .select("node", "lab")
             .localCheckpoint()
         )
+    return labels.withColumnRenamed("lab", "community")
+
+
+def kcore_exact(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """k-core peeling to the FIXED POINT: loop until a round removes no
+    edge, so the survivors are exactly the k-core no matter how deep the
+    removal cascade runs — the convergence-looped companion of
+    :func:`kcore_peel`, whose fixed ``rounds`` leaves a SUPERSET of the
+    core on graphs whose cascade outruns it (a dangling chain of length
+    L needs L rounds: each peel exposes the next degree-deficient node).
+
+    Convergence is detected on the EDGE count (driver-side, the
+    pagerank discipline): degrees derive from edges, so an unchanged
+    edge set is an unchanged degree table is an unchanged survivor set
+    — a true fixed point, not a heuristic. Each round removes ≥1 edge
+    or terminates, bounding iterations by |E| (``max_rounds`` is a
+    runaway backstop for adversarial inputs, not a semantic knob).
+
+    Per-round cost is identical to :func:`kcore_peel` — ONE partial-
+    aggregated degree count + two semi-joins against the shrinking
+    survivor set — plus one O(1) driver-side count of the freshly
+    ``localCheckpoint``-ed (already materialized) edge cache; the plan
+    stays flat across arbitrarily many rounds. Returns ``(node,
+    degree)`` within the k-core."""
+    und = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst).cast("long").alias("u"),
+                F.col(src).cast("long").alias("v"),
+            )
+        )
+        .localCheckpoint()
+    )
+    n_edges = und.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = und.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        und = (
+            und.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_next = und.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def lpa_exact(
+    edges: DataFrame,
+    max_rounds: int = 12,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Deterministic synchronous label propagation run to STABILITY:
+    iterate :func:`lpa_communities`' vote/argmax round until no node
+    changes label (or ``max_rounds``, a hard cap) — the convergence-
+    looped companion for graphs where the label wave outruns a fixed
+    round count (a chain of length L relays the community label one hop
+    per round).
+
+    The cap is part of the CONTRACT, not just a backstop: synchronous
+    LPA can 2-cycle on bipartite-ish structures (Raghavan 2007's known
+    oscillation), so "loop forever until stable" is not total. The
+    semantics are exactly "``max_rounds`` unrolled rounds" — a
+    cross-engine oracle unrolls precisely that — while the stability
+    check merely EXITS EARLY once a fixed point is reached (labels at a
+    fixed point are invariant under further rounds, so early exit and
+    full unroll agree). Change detection is one node-sized self-join
+    count per round, driver-side.
+
+    Returns ``(node, community)``."""
+    e = tracked_persist(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    und = tracked_persist(
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+        new_labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
     return labels.withColumnRenamed("lab", "community")

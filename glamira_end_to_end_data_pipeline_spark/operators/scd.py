@@ -126,6 +126,9 @@ def scd2_apply_changes(
     key_col: str,
     state_col: str = "segment",
     eff_col: str = "valid_from",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    cur_col: str = "is_current",
 ) -> DataFrame:
     """Apply a change batch to an existing SCD2 dimension — the
     maintenance half of the snapshot pattern (:func:`scd2_versions`
@@ -141,14 +144,27 @@ def scd2_apply_changes(
     batch (pre-dedup with dedup-to-latest otherwise; enforcing it here
     would hide a double-apply bug).
 
+    ``dim`` may carry ANY extra attribute columns beyond the key /
+    state / validity triplet — they pass through untouched on history
+    and unchanged rows, and a real change carries the current version's
+    attribute values onto both the closed row and the new open version
+    (the change batch describes only the tracked state; untracked
+    attributes persist until their own feed updates them — the standard
+    multi-attribute SCD2 merge). The validity columns are
+    parameterized (``from_col`` / ``to_col`` / ``cur_col``) so a
+    dimension with differently-named bookkeeping columns resolves
+    instead of failing.
+
     Plan shape: ONE key-keyed shuffle joins changes to current rows;
     history rides a union with no shuffle. Output is the full new
-    dimension state (key, state, valid_from, valid_to, is_current).
-    A NULL ``is_current`` (an upstream load glitch) is treated as
-    not-current: the row passes through with history, untouched —
-    never silently dropped."""
-    cur = dim.filter(F.col("is_current").eqNullSafe(F.lit(True)))
-    hist = dim.filter(~F.col("is_current").eqNullSafe(F.lit(True)))
+    dimension state with exactly ``dim``'s columns. A NULL ``cur_col``
+    (an upstream load glitch) is treated as not-current: the row passes
+    through with history, untouched — never silently dropped."""
+    for c in (key_col, state_col, from_col, to_col, cur_col):
+        if c not in dim.columns:
+            raise ValueError(f"dim is missing required column {c!r}")
+    cur = dim.filter(F.col(cur_col).eqNullSafe(F.lit(True)))
+    hist = dim.filter(~F.col(cur_col).eqNullSafe(F.lit(True)))
     ch = changes.select(
         F.col(key_col),
         F.col(state_col).alias("_new_state"),
@@ -163,19 +179,23 @@ def scd2_apply_changes(
         F.col("_new_state").isNotNull()
         & (F.col("_new_state") != F.col(state_col))
     )
+    # Rebuild rows by OVERRIDING the affected columns positionally over
+    # dim's full column list, so extra attribute columns ride along.
+    closed_over = {
+        to_col: F.col("_eff"),
+        cur_col: F.lit(False),
+    }
+    new_over = {
+        state_col: F.col("_new_state"),
+        from_col: F.col("_eff"),
+        to_col: F.lit(None).cast(dim.schema[to_col].dataType),
+        cur_col: F.lit(True),
+    }
     closed_rows = closed.select(
-        F.col(key_col),
-        F.col(state_col),
-        F.col("valid_from"),
-        F.col("_eff").alias("valid_to"),
-        F.lit(False).alias("is_current"),
+        *[closed_over.get(c, F.col(c)).alias(c) for c in dim.columns]
     )
     new_rows = closed.select(
-        F.col(key_col),
-        F.col("_new_state").alias(state_col),
-        F.col("_eff").alias("valid_from"),
-        F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
-        F.lit(True).alias("is_current"),
+        *[new_over.get(c, F.col(c)).alias(c) for c in dim.columns]
     )
     return (
         hist.select(*dim.columns)

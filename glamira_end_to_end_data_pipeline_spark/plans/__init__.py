@@ -1,22 +1,24 @@
 """Query-registry assembly + driver-window ordering.
 
 The driver's correctness gate grades ``list(QUERIES)[:50]`` — the first
-50 entries in registration order — per round. Rounds 2-4 produced
-driver-green rows for 149 of the 153 entries registered through round 4
-(the frozensets ``_R2_GREEN`` / ``_R3_GREEN`` / ``_R4_GREEN`` mirror
-CORRECTNESS_r0{2,3,4}.json). This module rebuilds the registry in a
-curated order so the round-5 window grades exactly what has never been
-graded green:
+50 entries in registration order — per round. After round 5 every one
+of the 180 registered entries has at least one green driver grade (the
+frozensets ``_R2_GREEN`` … ``_R5_GREEN`` mirror
+CORRECTNESS_r0{2,3,4,5}.json), so from round 6 the window switches to
+STALENESS ROTATION — "ever green" is not "still green" when shared
+helpers churn underneath 130 unre-checked entries per round. The
+rebuilt order is:
 
-1. ``_ROTATE_FIRST_R5`` — the single r4 red (q12, an oracle typing bug
-   since fixed) plus the three entries registered past the full r4
-   window (slots 0-3);
-2. remaining *fresh* entries (round-5 additions in extra_queries /
-   r5_queries, in neither frozen green set nor the rotate list) in
-   registration order — fresh work is graded the round it ships
-   (slots 4+);
-3. the 149 entries already driver-green in r2 ∪ r3 ∪ r4, deferred past
-   the window.
+1. ``_ROTATE_FIRST_R6`` — entries whose IMPLEMENTATION changed this
+   round (the ADVICE r5 fixes: PSI bucket clamp, read_incremental
+   seen-seeding, scd2 generic column carry, link-prediction hub-cap
+   default flip) — re-graded the round their code moves;
+2. fresh round-6 entries (never driver-graded) in registration order —
+   fresh work is graded the round it ships;
+3. every already-graded entry, ordered by how STALE its latest green
+   is (last-graded round ascending, registration order within a
+   round) — the window tail picks up the entries longest unre-checked;
+   round 7 continues from wherever round 6's 50-slot window ends.
 
 The dicts are mutated in place so every existing ``from ... import
 QUERIES`` reference observes the new order.
@@ -31,24 +33,29 @@ from glamira_end_to_end_data_pipeline_spark.plans import (  # noqa: E402,F401
     star_queries,
     streaming_queries,
 )
-
-# extra_queries MUST import last: its entries deliberately land at the
-# end of the fresh ordering, outside the already-full round-4 window.
 from glamira_end_to_end_data_pipeline_spark.plans import extra_queries  # noqa: E402,F401
-
-# round-5 fresh entries — land behind the four front-loaded re-grades,
-# inside the (otherwise empty) round-5 window.
 from glamira_end_to_end_data_pipeline_spark.plans import r5_queries  # noqa: E402,F401
 
-# Round-5 front-loads: the single r4 failure (q12 — oracle typing bug,
-# now CAST-to-BIGINT-fixed) plus the three entries registered past the
-# full r4 window and therefore never driver-graded. These MUST occupy
-# window slots 0-3 in round 5.
-_ROTATE_FIRST_R5 = (
-    "q12_priority_by_flag",
-    "graph_triangles",
+# round-6 fresh entries — imported last; land behind the rotate-first
+# block, inside the round-6 window.
+from glamira_end_to_end_data_pipeline_spark.plans import r6_queries  # noqa: E402,F401
+
+# Round-6 front-loads: entries whose code changed in round 6 (ADVICE r5
+# fixes), re-graded before anything else. dq_psi_drift's bucket clamp is
+# a real semantic change (NULL/negative values now handled identically
+# in both engines); the others are implementation rewrites whose results
+# must prove unchanged (read_incremental's cumulative seen-seeding feeds
+# four entries; scd2_apply_changes now carries arbitrary dim columns;
+# the link-prediction pair now receives its hub cap explicitly).
+_ROTATE_FIRST_R6 = (
+    "dq_psi_drift",
+    "lake_rollback_commit",
+    "lake_incremental_across_compaction",
+    "lake_snapshot_read",
     "stream_cdc_apply",
+    "scd2_apply_changes",
     "graph_link_prediction",
+    "graph_adamic_adar",
 )
 
 # Driver-green in CORRECTNESS_r02.json (round-2 window).
@@ -164,8 +171,8 @@ _R3_GREEN = frozenset(
 )
 
 # Driver-green in CORRECTNESS_r04.json (round-4 window; the only red
-# row was q12_priority_by_flag, an oracle typing bug re-front-loaded in
-# _ROTATE_FIRST_R5 after the CAST fix).
+# row was q12_priority_by_flag, an oracle typing bug fixed and
+# re-greened in round 5).
 _R4_GREEN = frozenset(
     {
         "q7_volume_shipping",
@@ -220,41 +227,97 @@ _R4_GREEN = frozenset(
     }
 )
 
-_DRIVER_GREEN = _R2_GREEN | _R3_GREEN | _R4_GREEN
+# Driver-green in CORRECTNESS_r05.json (round-5 window, 50/50 green:
+# the 31 never-graded r5 additions + 19 re-graded r2/r3-era fillers).
+_R5_GREEN = frozenset(
+    {
+        "q12_priority_by_flag",
+        "graph_triangles",
+        "stream_cdc_apply",
+        "graph_link_prediction",
+        "graph_adamic_adar",
+        "graph_kcore",
+        "emb_ivf_kcenter_topk",
+        "lake_incremental_across_compaction",
+        "a_incremental_rollup_merge",
+        "text_tfidf_topterms",
+        "dedup_cross_batch_minhash",
+        "dq_profile_columns",
+        "j_interval_overlap",
+        "emb_ivf_partitioned_prune",
+        "dedup_containment_snippets",
+        "s_jsonl_round_trip",
+        "scd2_apply_changes",
+        "dq_freshness_check",
+        "a_countmin_tokens",
+        "text_bigram_pmi",
+        "dq_k_anonymity",
+        "lake_schema_evolution_snapshot",
+        "dedup_minhash_estimate",
+        "stream_watermark_finalization",
+        "lake_stats_pruned_read",
+        "graph_lpa_communities",
+        "lake_rollback_commit",
+        "j10_null_safe_join",
+        "w10_rank_distributions",
+        "dq_psi_drift",
+        "j_fuzzy_name_match",
+        "flagship_daily_events",
+        "p1_typed_projection",
+        "p6_p7_membership_coalesce",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "a1_a3_topk_event_types",
+        "a2_multicol_distinct",
+        "a5_minmax_date_range",
+        "a6_a7_worklist_pick",
+        "j1_j5_star_join_defaults",
+        "j3_computed_date_key_join",
+        "j4_composite_key_null_miss",
+        "j7_anti_join_unprocessed",
+        "j9_not_in_null_aware",
+        "q4_semi_join_priority",
+        "q6_forecast_revenue",
+        "q5_local_supplier_volume",
+        "q18_large_volume_customers",
+        "q2_min_cost_supplier",
+    }
+)
 
-# ROUND-6 TODO (apply BEFORE adding round-6 entries): fold the green
-# rows of CORRECTNESS_r05.json into a `_R5_GREEN` frozenset, OR it into
-# _DRIVER_GREEN, and clear _ROTATE_FIRST_R5 to () — re-front-loading
-# only rows that FAILED in r5 after fixing them. Step 2 of
-# _window_order() then auto-front-loads whatever round 6 registers
-# fresh. Keep never-graded entry count ≤ 50 before registering more.
-#
-# The round-5 window (slots 0-49) as shipped: the 31 never-graded
-# entries below, then 19 deferred greens re-graded as filler. Expected
-# _R5_GREEN therefore contains (at least) these 31 names:
-# q12_priority_by_flag, graph_triangles, stream_cdc_apply,
-# graph_link_prediction, graph_adamic_adar, graph_kcore,
-# emb_ivf_kcenter_topk, lake_incremental_across_compaction, a_incremental_rollup_merge,
-# text_tfidf_topterms, dedup_cross_batch_minhash, dq_profile_columns,
-# j_interval_overlap, emb_ivf_partitioned_prune, dedup_containment_snippets,
-# s_jsonl_round_trip, scd2_apply_changes, dq_freshness_check,
-# a_countmin_tokens, text_bigram_pmi, dq_k_anonymity,
-# lake_schema_evolution_snapshot, dedup_minhash_estimate, stream_watermark_finalization,
-# lake_stats_pruned_read, graph_lpa_communities, lake_rollback_commit,
-# j10_null_safe_join, w10_rank_distributions, dq_psi_drift,
-# j_fuzzy_name_match.
+# ROUND-7 TODO (apply BEFORE adding round-7 entries): fold the green
+# rows of CORRECTNESS_r06.json into `_R6_GREEN`, move any red rows
+# (after fixing them) into `_ROTATE_FIRST_R7`, and keep the staleness
+# rotation running — _last_graded() already does the right thing once
+# the new frozenset is added to its round list.
+
+
+def _last_graded(name: str) -> int:
+    """Latest round whose driver window graded ``name`` green (0 =
+    never graded — fresh this round). Later rounds win: r5 re-graded
+    19 entries first greened in r2/r3."""
+    for rnd, green in (
+        (5, _R5_GREEN),
+        (4, _R4_GREEN),
+        (3, _R3_GREEN),
+        (2, _R2_GREEN),
+    ):
+        if name in green:
+            return rnd
+    return 0
 
 
 def _window_order() -> list[str]:
     registered = list(QUERIES)
-    front = [n for n in _ROTATE_FIRST_R5 if n in QUERIES]
+    front = [n for n in _ROTATE_FIRST_R6 if n in QUERIES]
     fresh = [
-        n
-        for n in registered
-        if n not in _ROTATE_FIRST_R5 and n not in _DRIVER_GREEN
+        n for n in registered if _last_graded(n) == 0 and n not in front
     ]
-    deferred = [n for n in registered if n in _DRIVER_GREEN]
-    return front + fresh + deferred
+    pos = {n: i for i, n in enumerate(registered)}
+    graded = sorted(
+        (n for n in registered if _last_graded(n) > 0 and n not in front),
+        key=lambda n: (_last_graded(n), pos[n]),
+    )
+    return front + fresh + graded
 
 
 def _apply_order() -> None:

@@ -243,4 +243,6 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = copurchase_edges(spark, sf_dir)
-    return jaccard_link_prediction(edges, k_top=20)
+    # cap passed EXPLICITLY (the operator's default is None = exact
+    # scores); the oracle applies the identical cutoff.
+    return jaccard_link_prediction(edges, k_top=20, max_mid_degree=1000)

@@ -91,8 +91,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors, composed with the hard hub cap (midpoints of degree >
     1000 never enter the wedge shuffle). Same skew-proof plan as the
     Jaccard twin; the weight rides the wedge rows so scoring is free."""
+    # cap passed EXPLICITLY (the operator's default is None = exact
+    # scores); the oracle applies the identical cutoff.
     return adamic_adar_link_prediction(
-        _copurchase_edges(spark, sf_dir), k_top=20
+        _copurchase_edges(spark, sf_dir), k_top=20, max_mid_degree=1000
     )
 
 
@@ -1748,14 +1750,16 @@ def w10_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_psi_drift",
     """
     WITH ref AS (
-        SELECT least(cast(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+        SELECT greatest(0, least(cast(floor(value / 50.0) AS BIGINT), 9)) AS bucket,
                count(*) AS n
-        FROM events WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-08' AND value IS NOT NULL GROUP BY 1
     ),
     cur AS (
-        SELECT least(cast(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+        SELECT greatest(0, least(cast(floor(value / 50.0) AS BIGINT), 9)) AS bucket,
                count(*) AS n
-        FROM events WHERE ts >= TIMESTAMP '2024-01-08' GROUP BY 1
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08' AND value IS NOT NULL GROUP BY 1
     ),
     buckets AS (SELECT unnest(generate_series(0, 9)) AS bucket),
     tot AS (SELECT (SELECT sum(n) FROM ref) AS nr, (SELECT sum(n) FROM cur) AS nc),
@@ -1788,9 +1792,18 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-count rollup per bucket (sum-of-CASE, never two
     filtered scans), the spine join backfills empty buckets, and both
     population totals are window sums over the 10 spine rows — every
-    post-scan operator works on bucket-cardinality state."""
-    ev = read_table(spark, sf_dir, "events")
-    bucket = F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9))
+    post-scan operator works on bucket-cardinality state.
+
+    The bucket is clamped into [0, 9] and NULL values are dropped
+    IDENTICALLY in both engines, so the population totals (nr/nc here,
+    sum-over-ref/cur in the oracle) count exactly the same rows even if
+    ``events.value`` carries NULLs or negatives — without the clamp the
+    spine join would silently drop out-of-range buckets from the Spark
+    totals while the oracle counted every group."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.greatest(
+        F.lit(0), F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9))
+    )
     is_ref = F.col("ts") < "2024-01-08"
     counts = ev.groupBy(bucket.alias("bucket")).agg(
         F.sum(is_ref.cast("long")).alias("n_ref"),

@@ -602,17 +602,34 @@ def read_incremental(
     ``operation=replace`` snapshots — a raw to-vs-from file-set diff
     would misread a compaction spanning the range as "everything was
     appended" and double-deliver the whole table. ``rollback`` commits
-    go through the same unseen-file diff as appends: rolling BACK
-    reinstates only files the walk already saw (delta stays empty),
-    while rolling FORWARD past the consumer's sync point makes
-    previously-removed files visible again and MUST deliver them —
-    skipping them would silently diverge the consumer's copy from the
-    table head. (This CDC stream is append-only: a rollback's row
-    REMOVALS are not representable, so a consumer that applied the
-    removed batch re-receives it on roll-forward — at-least-once on
-    reinstated data, never silent loss.)"""
+    go through the same unseen-file diff as appends, and "seen" means
+    *ever visible in any version ≤ the walk point* — so a rollback
+    (backward OR forward) only ever reinstates files the consumer was
+    already delivered, and its delta stays empty.
+
+    CONTRACT — the stream COMPOSES: for any v₀ < v₁ < v₂ the delivered
+    file sets satisfy ``delta(v₀,v₂) = delta(v₀,v₁) ⊎ delta(v₁,v₂)``
+    (disjoint union), so an always-incremental consumer receives every
+    appended row exactly once regardless of how it chunks the version
+    range, even across interleaved rewrites and rollbacks. The flip
+    side: this CDC stream is APPEND-ONLY — a rollback's row REMOVALS
+    are not representable, so a consumer that separately applied a
+    rollback's removals must full-resync to reconverge with the head
+    (standard CDC practice); re-delivering reinstated files here would
+    instead double-count rows for every consumer that never truncated,
+    which is the common case."""
     delta: list[str] = []
-    seen = set(_read_manifest(spark, path, from_version)) if from_version else set()
+    # Seed ``seen`` with every file visible in ANY manifest up to the
+    # sync point — not just from_version's list. A consumer synced at
+    # from_version has, by induction, been delivered every file that was
+    # ever an append up to that point; if a pre-sync rewrite replaced
+    # files F1 with F2 and a post-sync rollback reinstates F1, the
+    # F1 rows are already in the consumer's copy and re-delivering them
+    # would double-count. Manifests are cumulative file lists (small,
+    # driver-side JSON), so the walk costs one tiny read per version.
+    seen: set[str] = set()
+    for v in range(1, from_version + 1):
+        seen.update(_read_manifest(spark, path, v))
     for v in range(from_version + 1, to_version + 1):
         doc = _read_manifest_doc(spark, path, v)
         files = doc["files"]

@@ -209,3 +209,74 @@ def test_lpa_separates_bridge_joined_cliques(spark):
     got = {r["node"]: r["community"] for r in lpa_communities(edges).collect()}
     assert {got[i] for i in range(4)} == {0}
     assert {got[i + 10] for i in range(4)} == {10}
+
+
+def _chain_clique_edges(chain_len):
+    """4-clique {0..3} + dangling chain 10..10+chain_len bridged at 3."""
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges.append((3, 10))
+    edges += [(10 + i, 11 + i) for i in range(chain_len)]
+    return edges
+
+
+def test_kcore_exact_peels_deep_cascade(spark):
+    # A dangling 8-node chain needs 8 peel rounds at k=2 — fixed-round
+    # peeling (rounds=3) provably leaves chain remnants, the exact
+    # variant must reach the true core (just the clique).
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        kcore_exact,
+        kcore_peel,
+    )
+
+    df = spark.createDataFrame(_chain_clique_edges(7), ["u", "v"])
+    exact = {r["node"]: r["degree"] for r in kcore_exact(df, k=2).collect()}
+    assert exact == {0: 3, 1: 3, 2: 3, 3: 3}
+    fixed = {r["node"] for r in kcore_peel(df, k=2, rounds=3).collect()}
+    assert fixed > set(exact)  # strict superset: the under-peel case
+
+
+def test_kcore_exact_empty_core(spark):
+    # A bare path has no 2-core: the loop must peel to empty and stop.
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import kcore_exact
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
+    assert kcore_exact(df, k=2).count() == 0
+
+
+def test_lpa_exact_relays_through_chain(spark):
+    # Two 4-cliques joined by a 6-node chain: the min label (0) must
+    # relay the full chain length — more rounds than the fixed-3
+    # lpa_communities sweeps — while the far clique keeps its own
+    # majority label.
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        lpa_communities,
+        lpa_exact,
+    )
+
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges.append((3, 10))
+    edges += [(10 + i, 11 + i) for i in range(5)]
+    edges.append((15, 50))
+    edges += [(a + 50, b + 50) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["node"]: r["community"] for r in lpa_exact(df, max_rounds=12).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 16)} == {0}  # wave crossed the chain
+    assert {got[n] for n in range(50, 54)} == {50}
+    # fixed-3-round labels freeze the wavefront mid-chain
+    frozen = {
+        r["node"]: r["community"] for r in lpa_communities(df, rounds=3).collect()
+    }
+    assert any(frozen[n] != 0 for n in range(10, 16))
+
+
+def test_lpa_exact_early_exit_matches_cap(spark):
+    # On an already-stable community structure (one triangle), early
+    # exit at round 1 must equal any deeper cap (fixed-point invariance
+    # — the property the unrolled oracle relies on).
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import lpa_exact
+
+    df = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], ["u", "v"])
+    a = sorted(map(tuple, lpa_exact(df, max_rounds=2).collect()))
+    b = sorted(map(tuple, lpa_exact(df, max_rounds=8).collect()))
+    assert a == b

@@ -98,6 +98,8 @@ UNPARTITIONED_WINDOW_OK = {
     "text_hybrid_rrf",
     # PSI total over the FIXED 10-row bucket spine — never data-sized.
     "dq_psi_drift",
+    # Benford population total over the ≤9-row first-digit rollup.
+    "dq_benford_check",
 }
 
 

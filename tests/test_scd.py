@@ -159,3 +159,54 @@ def test_scd2_apply_changes_null_is_current_passes_through(spark):
     # key 2 merges normally
     assert by[(2, "B")] == (d("2024-06-01"), False)
     assert by[(2, "Z")] == (None, True)
+
+
+def test_scd2_apply_changes_carries_wide_columns(spark):
+    # A dim with extra attribute columns AND renamed validity columns:
+    # the round-6 generalization must carry the untracked attributes
+    # onto closed + new rows and resolve the custom names.
+    from datetime import date
+
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import (
+        scd2_apply_changes,
+    )
+
+    d = lambda s: date.fromisoformat(s)  # noqa: E731
+    dim = spark.createDataFrame(
+        [
+            (1, "A", d("2024-01-01"), None, True, "Alice", 7),
+            (2, "B", d("2024-01-01"), None, True, "Bob", 9),
+        ],
+        "k long, seg string, eff_from date, eff_to date, cur boolean, "
+        "name string, region long",
+    )
+    changes = spark.createDataFrame(
+        [(1, "Z", d("2024-06-01"))], "k long, seg string, eff date"
+    )
+    rows = scd2_apply_changes(
+        dim,
+        changes,
+        "k",
+        state_col="seg",
+        eff_col="eff",
+        from_col="eff_from",
+        to_col="eff_to",
+        cur_col="cur",
+    ).collect()
+    assert {tuple(r) for r in rows} == {
+        (1, "A", d("2024-01-01"), d("2024-06-01"), False, "Alice", 7),
+        (1, "Z", d("2024-06-01"), None, True, "Alice", 7),
+        (2, "B", d("2024-01-01"), None, True, "Bob", 9),
+    }
+
+
+def test_scd2_apply_changes_missing_column_raises(spark):
+    import pytest as _pytest
+
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import (
+        scd2_apply_changes,
+    )
+
+    dim = spark.createDataFrame([(1, "A")], "k long, seg string")
+    with _pytest.raises(ValueError, match="valid_from"):
+        scd2_apply_changes(dim, dim, "k", state_col="seg")
