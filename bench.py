@@ -145,6 +145,8 @@ HEADLINE = [
     "scd2_apply_wide_dim",
     "dq_benford_check",
     "text_url_canonicalize",
+    "dq_referential_integrity",
+    "emb_matryoshka_recall",
 ]
 
 

@@ -59,11 +59,21 @@ def _ratio(num: Column, den: Column) -> Column:
 
 
 def quality_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Heuristic quality features + composite score: length band,
     punctuation density, digit density, stopword ratio (C4/Gopher-style
-    filters re-expressed as one map-only projection)."""
+    filters re-expressed as one map-only projection).
+
+    ``passthrough`` names extra input columns to carry into the output
+    unchanged — so a composed pipeline that needs both the score AND
+    (say) the text downstream stays ONE map-only projection instead of
+    scoring then joining back to the input on the id (a whole extra
+    shuffle, plus a second traversal of everything upstream of ``df``
+    when the optimizer can't reuse the exchange)."""
     text = F.col(text_col)
     toks = normalized_tokens(text_col)
     n_chars = F.length(text)
@@ -86,6 +96,7 @@ def quality_score(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n_tokens.alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),
         digit_ratio.alias("digit_ratio"),

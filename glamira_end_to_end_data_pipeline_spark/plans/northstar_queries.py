@@ -394,12 +394,16 @@ def text_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = kept.join(
         flags.filter(F.col("contaminated")).select("doc_id"), "doc_id", "left_anti"
     )
-    good = (
-        text.quality_score(clean)
-        .filter(F.col("quality_score") >= 0.5)
-        .select("doc_id", "n_tokens")
+    # score with the text CARRIED THROUGH (map-only projection) so the
+    # split/checksum stage needs no join back onto `clean` — the r4-era
+    # formulation scored then self-joined on doc_id, re-traversing the
+    # dedup+decontaminate subplan a second time whenever exchange reuse
+    # didn't kick in (the round-6 stage profile put ~85% of the
+    # capstone's cost in that upstream subplan).
+    good = text.quality_score(clean, passthrough=("text",)).filter(
+        F.col("quality_score") >= 0.5
     )
-    final = text.split_assign(clean.join(good, "doc_id"))
+    final = text.split_assign(good.select("doc_id", "text", "n_tokens"))
     checksum = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast(
         "long"
     ) % F.lit(1099511627776)

@@ -493,3 +493,139 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("canonical_url")
     )
+
+
+_COS6 = (
+    "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+)
+
+
+@query(
+    "dq_referential_integrity",
+    """
+    WITH checks AS (
+        SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+               count(*) AS n_child_rows,
+               sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey -> part',
+               count(*),
+               sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer',
+               count(*),
+               sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT relationship, cast(n_child_rows AS BIGINT) AS n_child_rows,
+           cast(n_orphans AS BIGINT) AS n_orphans,
+           round(n_orphans / n_child_rows, 6) AS orphan_ratio
+    FROM checks ORDER BY relationship
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphan foreign keys across the
+    three load-bearing fact→dim relationships, the warehouse smoke test
+    every ingest pipeline runs before publishing (the reference's load
+    step trusts upstream keys; this is the check that catches a partial
+    dim load or an out-of-order batch). Each check is ONE left join
+    keyed on the FK with a conditional-count rollup — the dim side is
+    broadcast when it fits (customer/part at any realistic dim:fact
+    ratio), so the fact table streams once per relationship and
+    nothing wider than the 3-row summary ever leaves the executors."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part")
+    cust = read_table(spark, sf_dir, "customer")
+
+    def check(child, fk, parent, pk, label):
+        p = F.broadcast(parent.select(F.col(pk).alias("__pk")))
+        j = child.select(F.col(fk).alias("__fk")).join(
+            p, F.col("__fk") == F.col("__pk"), "left"
+        )
+        return j.agg(
+            F.lit(label).alias("relationship"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+            F.sum(F.col("__pk").isNull().cast("long"))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+
+    out = (
+        check(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey -> orders")
+        .unionByName(
+            check(li, "l_partkey", part, "p_partkey", "lineitem.l_partkey -> part")
+        )
+        .unionByName(
+            check(orders, "o_custkey", cust, "c_custkey", "orders.o_custkey -> customer")
+        )
+    )
+    return out.select(
+        "relationship",
+        "n_child_rows",
+        "n_orphans",
+        F.round(F.col("n_orphans") / F.col("n_child_rows"), 6).alias("orphan_ratio"),
+    ).orderBy("relationship")
+
+
+@query(
+    "emb_matryoshka_recall",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec
+          FROM embeddings WHERE vec_id >= 10),
+    gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY {_COS6.format(a="q_vec", b="c_vec")} DESC,
+                         neighbor_id) AS rank
+            FROM c, q
+        ) WHERE rank <= 5
+    ),
+    tr AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY {_COS6.format(a="q_vec[1:16]", b="c_vec[1:16]")} DESC,
+                         neighbor_id) AS rank
+            FROM c, q
+        ) WHERE rank <= 5
+    )
+    SELECT gt.query_id,
+           count(tr.neighbor_id) AS n_hit,
+           round(count(tr.neighbor_id) / 5.0, 6) AS recall
+    FROM gt LEFT JOIN tr
+        ON gt.query_id = tr.query_id AND gt.neighbor_id = tr.neighbor_id
+    GROUP BY gt.query_id
+    ORDER BY gt.query_id
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation recall@5 — rank by cosine
+    over only the FIRST 16 of 64 dims (the MRL serving trick: nested
+    prefixes of one embedding trade accuracy for 4× less compute and
+    bandwidth) and measure overlap with the full-dim exact top-5. This
+    is the evaluation loop that calibrates how short a prefix the
+    retrieval tier can run; the truncation itself is a zero-copy
+    ``slice`` on the stored vector — no re-embedding, the whole point
+    of matryoshka representations. Both rankings are the audited
+    brute-force shape (broadcast queries × corpus, allow-listed); the
+    recall probe join is k-bounded per query."""
+    from glamira_end_to_end_data_pipeline_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    gt = similarity.brute_force_topk(q, c, k=5)
+    tr = similarity.brute_force_topk(
+        q.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+        c.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+        k=5,
+    )
+    return similarity.ann_recall(gt, tr).orderBy("query_id")

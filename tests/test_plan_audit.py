@@ -57,6 +57,10 @@ BNLJ_OK = {
     # (broadcast queries × corpus — exactness is the point of a recall
     # measurement); the probe join itself is k-bounded per query.
     "emb_ann_recall",
+    # matryoshka truncation recall: BOTH rankings are brute_force_topk
+    # (full-dim ground truth + prefix-dim candidate) — same broadcast
+    # queries × corpus shape; the recall join is k-bounded per query.
+    "emb_matryoshka_recall",
     # MMR's pool stage IS brute_force_topk (broadcast queries × corpus);
     # the greedy rerank then runs on the pool-bounded rows only.
     "emb_mmr_rerank",

@@ -392,3 +392,21 @@ def test_domain_cap_tiebreak_is_id_asc(spark):
     )
     kept = sorted(r["doc_id"] for r in text.domain_cap(docs, cap=2).collect())
     assert kept == [0, 1]
+
+
+def test_quality_score_passthrough_carries_columns(spark):
+    # passthrough keeps the pipeline one map-only projection: the
+    # carried column must arrive unchanged next to the score columns.
+    from glamira_end_to_end_data_pipeline_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog", "web")],
+        "doc_id long, text string, source string",
+    )
+    out = quality_score(df, passthrough=("text", "source"))
+    assert out.columns[:3] == ["doc_id", "text", "source"]
+    row = out.collect()[0]
+    assert row["text"].startswith("the quick")
+    assert row["source"] == "web"
+    # default stays score-only (no silent schema change for callers)
+    assert "text" not in quality_score(df).columns
