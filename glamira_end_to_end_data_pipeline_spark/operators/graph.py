@@ -18,7 +18,7 @@ loop's working set does not grow with iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -306,6 +306,68 @@ def adamic_adar_link_prediction(
     ).limit(k_top)
 
 
+def ordered_pairs(arr: Column) -> Column:
+    """Map-side ordered-pair expansion of an array column: one
+    ``struct(u, v)`` per element pair with ``u < v``, multiplicity
+    n_u·n_v when values repeat (matching a self-join's semantics) — the
+    HOF that turns a ``collect_list``-ed group into its pair list
+    WITHOUT a second shuffle or a self-join. Per-group cost is O(k²) on
+    the collected array, which is the single-shuffle co-occurrence
+    edge-build discipline (orders are few-line; a group large enough to
+    make k² hurt needs the hub-cap treatment anyway). Shared by the
+    co-purchase edge builder and the graph-fixture clique expansion so
+    the idiom cannot drift between call sites. Explode the result and
+    read ``col.u`` / ``col.v``."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x: F.filter(
+                F.transform(
+                    arr,
+                    lambda y: F.when(x < y, F.struct(x.alias("u"), y.alias("v"))),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+
+
+def _peel_round(und: DataFrame, k: int) -> DataFrame:
+    """ONE k-core peel step over an undirected (both-directions) edge
+    list: one partial-aggregated degree count + two semi-joins against
+    the surviving node set. Shared by :func:`kcore_peel` (fixed rounds)
+    and :func:`kcore_exact` (convergence loop) so the two variants stay
+    provably in lockstep — the exact variant's contract IS "the fixed
+    variant run until nothing changes". Caller checkpoints the result."""
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    keep = deg.filter(F.col("d") >= k).select("node")
+    return (
+        und.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+        .select("u", "v")
+    )
+
+
+def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE synchronous LPA step: neighbor-label vote count + per-node
+    deterministic argmax (max count, ties to the smallest label).
+    Shared by :func:`lpa_communities` and :func:`lpa_exact` (same
+    lockstep rationale as :func:`_peel_round`). Caller checkpoints."""
+    votes = (
+        und.join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(F.col("u").alias("node"), "lab")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("node", "lab")
+    )
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int = 3,
@@ -347,16 +409,7 @@ def kcore_peel(
         StorageLevel.MEMORY_AND_DISK,
     )
     for _ in range(rounds):
-        deg = und.groupBy(F.col("u").alias("node")).agg(
-            F.count(F.lit(1)).alias("d")
-        )
-        keep = deg.filter(F.col("d") >= k).select("node")
-        und = (
-            und.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint()
-        )
+        und = _peel_round(und, k).localCheckpoint()
     return und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
@@ -401,20 +454,7 @@ def lpa_communities(
         "lab", F.col("node")
     )
     for _ in range(rounds):
-        votes = (
-            und.join(
-                labels.withColumnRenamed("node", "v"), "v"
-            )
-            .groupBy(F.col("u").alias("node"), "lab")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
-        labels = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", "lab")
-            .localCheckpoint()
-        )
+        labels = _lpa_round(und, labels).localCheckpoint()
     return labels.withColumnRenamed("lab", "community")
 
 
@@ -461,16 +501,7 @@ def kcore_exact(
     for _ in range(max_rounds):
         if n_edges == 0:
             break
-        deg = und.groupBy(F.col("u").alias("node")).agg(
-            F.count(F.lit(1)).alias("d")
-        )
-        keep = deg.filter(F.col("d") >= k).select("node")
-        und = (
-            und.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint()
-        )
+        und = _peel_round(und, k).localCheckpoint()
         n_next = und.count()
         if n_next == n_edges:
             break
@@ -521,18 +552,7 @@ def lpa_exact(
         .localCheckpoint()
     )
     for _ in range(max_rounds):
-        votes = (
-            und.join(labels.withColumnRenamed("node", "v"), "v")
-            .groupBy(F.col("u").alias("node"), "lab")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
-        new_labels = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", "lab")
-            .localCheckpoint()
-        )
+        new_labels = _lpa_round(und, labels).localCheckpoint()
         n_changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

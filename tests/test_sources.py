@@ -123,10 +123,17 @@ def test_mongo_live_round_trip_when_uri_configured(spark):
         pytest.skip("no SPARK_GRAFT_MONGO_URI configured in this sandbox")
     from glamira_end_to_end_data_pipeline_spark.sources.mongo import read_mongo
 
+    # Contract: point the URI at a database whose `smoke` collection
+    # holds ≥1 document with a `probe` field — the read must surface
+    # actual rows AND the expected field, so a silently-wrong
+    # database/collection option (the drift the key-set pin guards
+    # against) fails here instead of passing vacuously.
     df = read_mongo(
         spark, uri, os.environ.get("SPARK_GRAFT_MONGO_DB", "test"), "smoke"
     )
-    assert df.limit(1).count() >= 0
+    rows = df.limit(5).collect()
+    assert len(rows) >= 1, "smoke collection is empty or options misrouted"
+    assert "probe" in df.columns
 
 
 def test_mongo_read_raises_actionable_error_without_connector(spark):
