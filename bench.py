@@ -147,6 +147,7 @@ HEADLINE = [
     "text_url_canonicalize",
     "dq_referential_integrity",
     "emb_matryoshka_recall",
+    "a_hll_rollup_merge",
 ]
 
 

@@ -623,3 +623,57 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
     )
     return similarity.ann_recall(gt, tr).orderBy("query_id")
+
+
+@query(
+    "a_hll_rollup_merge",
+    """
+    WITH weekly AS (
+        SELECT date_trunc('week', ts) AS week,
+               count(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(week, '%Y-%m-%d') AS week,
+           cast(exact_users AS BIGINT) AS exact_users,
+           TRUE AS estimate_within_5pct
+    FROM weekly ORDER BY week
+    """,
+)
+def a_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch COUNT DISTINCT rollup — the pre-aggregation
+    pattern plain sums get from ``a_incremental_rollup_merge`` but
+    distinct counts fundamentally cannot: daily DataSketches HLL
+    sketches (``hll_sketch_agg``) are persisted state, and the weekly
+    estimate is ``hll_union_agg`` over 7 sketch BLOBS — no rescan of
+    raw events, the Druid/Iceberg serving-layer shape. At 100 TB the
+    raw table is touched once at the daily grain; every coarser grain
+    (week here, month, all-time) merges kilobyte sketches.
+
+    Sketch estimates are engine-specific bit-for-bit, so the graded
+    output is the EXACT weekly distinct plus a boolean asserting the
+    merged-sketch estimate lands within ±5% of it (HLL's lgK=12
+    standard error is ~1.6%, so 5% is a stable envelope, the
+    ``a_approx_sketches`` discipline); the oracle pins exact + TRUE."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+    exact = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(merged, "week")
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("estimate_within_5pct"),
+        )
+        .orderBy("week")
+    )
