@@ -267,3 +267,42 @@ def test_kcore_survivors_keep_degree_k(spark, raw_edges, k):
         )
         assert deg == true_deg
         assert deg >= k
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=18,
+    ),
+    st.integers(2, 3),
+)
+def test_kcore_exact_matches_python_fixpoint(spark, raw_edges, k):
+    """kcore_exact must equal the reference fixed point (iterate the
+    peel in plain Python until nothing changes) on ANY small graph —
+    including cascades of arbitrary depth, the case fixed-round peeling
+    cannot promise."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import kcore_exact
+
+    edges = sorted({(u, v) for u, v in raw_edges if u < v})
+    if not edges:
+        return
+    # Python reference: peel to the true fixed point.
+    und = set(edges) | {(v, u) for u, v in edges}
+    while True:
+        deg: dict[int, int] = {}
+        for u, _ in und:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in und if u in keep and v in keep}
+        if nxt == und:
+            break
+        und = nxt
+    expected = {}
+    for u, _ in und:
+        expected[u] = expected.get(u, 0) + 1
+
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["node"]: r["degree"] for r in kcore_exact(df, k=k).collect()}
+    assert got == expected
