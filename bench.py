@@ -148,6 +148,7 @@ HEADLINE = [
     "dq_referential_integrity",
     "emb_matryoshka_recall",
     "a_hll_rollup_merge",
+    "lake_merge_delete",
 ]
 
 

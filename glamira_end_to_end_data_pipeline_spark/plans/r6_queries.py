@@ -677,3 +677,97 @@ def a_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@query(
+    "lake_merge_delete",
+    """
+    WITH base AS (
+        SELECT cast(c_custkey AS BIGINT) AS c_custkey,
+               c_mktsegment, c_acctbal
+        FROM customer
+    ),
+    kept AS (
+        SELECT * FROM base
+        WHERE c_custkey % 10 <> 0 AND c_custkey % 10 <> 5
+    ),
+    upserted AS (
+        SELECT c_custkey, c_mktsegment, 999.99 AS c_acctbal
+        FROM base WHERE c_custkey % 10 = 5
+    ),
+    inserted AS (
+        SELECT c_custkey + 1000000 AS c_custkey, c_mktsegment,
+               42.0 AS c_acctbal
+        FROM base WHERE c_custkey % 100 = 7
+    ),
+    final AS (
+        SELECT * FROM kept
+        UNION ALL SELECT * FROM upserted
+        UNION ALL SELECT * FROM inserted
+    )
+    SELECT c_mktsegment, count(*) AS n_rows,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply — upserts, inserts AND DELETES — against a
+    partitioned serving lake (sources/lake.py:apply_cdc_partitioned,
+    the MERGE ... WHEN MATCHED AND op='D' THEN DELETE that the
+    upsert-only merge can't express): every 10th customer is deleted,
+    every key ending in 5 is updated to a flat balance, and a sparse
+    set of NEW keys inserts — one change batch, one copy-on-write pass
+    over only the touched partitions (dynamic partition overwrite,
+    untouched directories byte-identical). The graded result is the
+    post-merge per-segment rollup; the oracle derives the same final
+    state from the source table directly."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_cdcdel_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = read_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    base.repartition("c_mktsegment").write.partitionBy("c_mktsegment").parquet(
+        path
+    )
+    key = F.col("c_custkey")
+    dels = base.filter(key % 10 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("D").alias("op"),
+    )
+    ups = base.filter(key % 10 == 5).select(
+        "c_custkey",
+        F.lit(999.99).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("U").alias("op"),
+    )
+    ins = base.filter(key % 100 == 7).select(
+        (key + 1000000).alias("c_custkey"),
+        F.lit(42.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("U").alias("op"),
+    )
+    changes = dels.unionByName(ups).unionByName(ins)
+    lake.apply_cdc_partitioned(
+        spark, path, changes, ["c_custkey"], "c_mktsegment"
+    )
+    served = spark.read.parquet(path)
+    return (
+        served.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

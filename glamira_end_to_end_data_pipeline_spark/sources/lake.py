@@ -224,6 +224,54 @@ def merge_upsert_partitioned(
     return len(parts)
 
 
+def apply_cdc_partitioned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    partition_col: str,
+    op_col: str = "op",
+) -> int:
+    """MERGE with DELETE semantics on a partitioned parquet lake — the
+    full CDC apply (Debezium/Delta ``MERGE … WHEN MATCHED AND op='D'
+    THEN DELETE``) that :func:`merge_upsert_partitioned` deliberately
+    lacks: each change row carries ``op_col`` = ``'U'`` (upsert —
+    inserts and updates collapse, SCD1) or ``'D'`` (delete — the key's
+    current row is removed; deleting an absent key is a no-op, not an
+    error, matching idempotent-replay CDC). Data columns of ``'D'``
+    rows are ignored. Returns the number of partitions rewritten.
+
+    Same copy-on-write scale shape as the upsert-only merge: the
+    touched-partition list is one distinct over the (small) change
+    batch, the base read partition-prunes to those directories, ONE
+    anti-join on ``key_cols`` removes every changed key's old row
+    (upsert and delete alike — an upsert's replacement row then rides
+    the union, a delete's does not), and dynamic partition overwrite
+    leaves untouched directories alone. Same cross-partition contract
+    too: a change row must carry its key's CURRENT partition value.
+
+    At-most-one change per key per batch (pre-collapse a multi-op
+    feed with dedup-to-latest first — the standard CDC compaction);
+    with both a 'U' and a 'D' for one key in a batch the result would
+    depend on internal union order, so don't."""
+    parts = [
+        r[0] for r in changes.select(partition_col).distinct().collect()
+    ]  # bounded: one row per touched partition
+    base = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+    survivors = base.join(
+        changes.select(*key_cols).distinct(), list(key_cols), "left_anti"
+    )
+    inserts = changes.filter(F.col(op_col) != "D").select(*base.columns)
+    merged = survivors.unionByName(inserts).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(parts)
+
+
 # ---------------------------------------------------------------------------
 # Manifest-based snapshots: time travel + incremental (CDC-style) reads
 # ---------------------------------------------------------------------------

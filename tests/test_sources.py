@@ -398,3 +398,36 @@ def test_incremental_rollback_past_rewrite_no_redelivery(spark, tmp_path):
     # the masked case: sync point AT the rewrite (from_version=2) —
     # F1 is not in v2's manifest but was visible at v1
     assert lake.read_incremental(spark, p2, 2, 3).count() == 0
+
+
+def test_apply_cdc_partitioned_deletes_upserts_inserts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    path = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "b"), (4, 40.0, "c")],
+        "k long, bal double, seg string",
+    )
+    base.write.partitionBy("seg").parquet(path)
+    changes = spark.createDataFrame(
+        [
+            (1, None, "a", "D"),    # delete existing
+            (2, 99.0, "a", "U"),    # update existing
+            (5, 55.0, "b", "U"),    # insert new key
+            (9, None, "b", "D"),    # delete absent key: no-op
+        ],
+        "k long, bal double, seg string, op string",
+    )
+    n = lake.apply_cdc_partitioned(spark, path, changes, ["k"], "seg")
+    assert n == 2  # only partitions a and b touched
+    got = {
+        r["k"]: (r["bal"], r["seg"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {2: (99.0, "a"), 3: (30.0, "b"), 5: (55.0, "b"), 4: (40.0, "c")}
+    # untouched partition c kept its original file (no rewrite)
+    import glob
+
+    assert glob.glob(f"{path}/seg=c/*.parquet")
