@@ -306,3 +306,84 @@ def test_kcore_exact_matches_python_fixpoint(spark, raw_edges, k):
     df = spark.createDataFrame(edges, ["u", "v"])
     got = {r["node"]: r["degree"] for r in kcore_exact(df, k=k).collect()}
     assert got == expected
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_lpa_exact_matches_python_unroll(spark, raw_edges):
+    """lpa_exact's contract is 'max_rounds synchronous sweeps with
+    early exit at stability' — on ANY small graph it must equal the
+    plain-Python unroll of exactly max_rounds deterministic rounds
+    (fixed-point invariance makes early exit and full unroll agree;
+    on oscillating inputs both run the full cap)."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import lpa_exact
+
+    edges = sorted({(u, v) for u, v in raw_edges if u < v})
+    if not edges:
+        return
+    cap = 6
+    und: dict[int, set[int]] = {}
+    for u, v in edges:
+        und.setdefault(u, set()).add(v)
+        und.setdefault(v, set()).add(u)
+    lab = {n: n for n in und}
+    for _ in range(cap):
+        new = {}
+        for n in und:
+            cnt: dict[int, int] = {}
+            for m in und[n]:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            new[n] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        if new == lab:
+            break
+        lab = new
+
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        r["node"]: r["community"]
+        for r in lpa_exact(df, max_rounds=cap).collect()
+    }
+    assert got == lab
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=2,
+        max_size=14,
+    ),
+    st.integers(1, 3),
+)
+def test_jaccard_hub_cap_scores_are_lower_bounds(spark, raw_edges, cap):
+    """With a hub cap, every surviving pair's (n_common, jaccard) must
+    be ≤ the uncapped (exact) pair's — the documented lower-bound
+    semantics behind making the cap opt-in rather than a default."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    edges = sorted({(u, v) for u, v in raw_edges if u < v})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["u", "v"])
+    exact = {
+        (r["a"], r["b"]): (r["n_common"], r["jaccard"])
+        for r in jaccard_link_prediction(df, k_top=100).collect()
+    }
+    capped = {
+        (r["a"], r["b"]): (r["n_common"], r["jaccard"])
+        for r in jaccard_link_prediction(
+            df, k_top=100, max_mid_degree=cap
+        ).collect()
+    }
+    for pair, (nc, jc) in capped.items():
+        assert pair in exact
+        assert nc <= exact[pair][0]
+        assert jc <= exact[pair][1] + 1e-9
