@@ -696,7 +696,7 @@ def a_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base WHERE c_custkey % 10 = 5
     ),
     inserted AS (
-        SELECT c_custkey + 1000000 AS c_custkey, c_mktsegment,
+        SELECT c_custkey + 10000000 AS c_custkey, c_mktsegment,
                42.0 AS c_acctbal
         FROM base WHERE c_custkey % 100 = 7
     ),
@@ -716,7 +716,9 @@ def lake_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MERGE ... WHEN MATCHED AND op='D' THEN DELETE that the
     upsert-only merge can't express): every 10th customer is deleted,
     every key ending in 5 is updated to a flat balance, and a sparse
-    set of NEW keys inserts — one change batch, one copy-on-write pass
+    set of NEW keys inserts (offset +10,000,000, clear of real keys
+    through sf~66 — the sibling lake_merge_upsert's discipline) — one
+    change batch, one copy-on-write pass
     over only the touched partitions (dynamic partition overwrite,
     untouched directories byte-identical). The graded result is the
     post-merge per-segment rollup; the oracle derives the same final
@@ -753,7 +755,7 @@ def lake_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("U").alias("op"),
     )
     ins = base.filter(key % 100 == 7).select(
-        (key + 1000000).alias("c_custkey"),
+        (key + 10000000).alias("c_custkey"),
         F.lit(42.0).alias("c_acctbal"),
         "c_mktsegment",
         F.lit("U").alias("op"),

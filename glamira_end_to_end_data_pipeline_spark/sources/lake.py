@@ -186,6 +186,11 @@ def merge_upsert_partitioned(
     through, unmatched update keys insert. Returns the number of
     partitions rewritten.
 
+    Implemented as :func:`apply_cdc_partitioned` with a constant
+    ``op='U'`` — the upsert-only merge IS the CDC apply without
+    deletes, and sharing the copy-on-write core means the validation
+    and emptied-partition mechanics cannot drift between the two.
+
     Scale shape: only partitions ACTUALLY TOUCHED by the update batch
     are read and rewritten — the touched-partition list comes from one
     distinct over the (small) update batch, the base read prunes to
@@ -198,30 +203,15 @@ def merge_upsert_partitioned(
     Contract: an update row must carry its key's CURRENT partition
     value — moving a key across partitions requires including the old
     partition in the batch (standard COW-merge semantics; a table
-    format's transaction log is what lifts this restriction).
-
-    The merged frame is localCheckpoint-ed before the write because the
-    write overwrites directories the plan reads from (self-overwrite);
-    on a cluster, a reliable checkpoint or a staging dir serves the
-    same purpose."""
-    parts = [
-        r[0] for r in updates.select(partition_col).distinct().collect()
-    ]  # bounded: one row per touched partition
-    base = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
-    merged = (
-        base.join(
-            updates.select(*key_cols).distinct(), list(key_cols), "left_anti"
-        )
-        .unionByName(updates.select(*base.columns))
-        .localCheckpoint()
+    format's transaction log is what lifts this restriction)."""
+    return apply_cdc_partitioned(
+        spark,
+        path,
+        updates.withColumn("__op", F.lit("U")),
+        key_cols,
+        partition_col,
+        op_col="__op",
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return len(parts)
 
 
 def apply_cdc_partitioned(
@@ -234,26 +224,64 @@ def apply_cdc_partitioned(
 ) -> int:
     """MERGE with DELETE semantics on a partitioned parquet lake — the
     full CDC apply (Debezium/Delta ``MERGE … WHEN MATCHED AND op='D'
-    THEN DELETE``) that :func:`merge_upsert_partitioned` deliberately
-    lacks: each change row carries ``op_col`` = ``'U'`` (upsert —
-    inserts and updates collapse, SCD1) or ``'D'`` (delete — the key's
-    current row is removed; deleting an absent key is a no-op, not an
-    error, matching idempotent-replay CDC). Data columns of ``'D'``
-    rows are ignored. Returns the number of partitions rewritten.
+    THEN DELETE``): each change row carries ``op_col`` = ``'U'``
+    (upsert — inserts and updates collapse, SCD1) or ``'D'`` (delete —
+    the key's current row is removed; deleting an absent key is a
+    no-op, not an error, matching idempotent-replay CDC). Data columns
+    of ``'D'`` rows are ignored. Returns the number of partitions
+    rewritten (including any the batch emptied).
 
-    Same copy-on-write scale shape as the upsert-only merge: the
-    touched-partition list is one distinct over the (small) change
-    batch, the base read partition-prunes to those directories, ONE
-    anti-join on ``key_cols`` removes every changed key's old row
-    (upsert and delete alike — an upsert's replacement row then rides
-    the union, a delete's does not), and dynamic partition overwrite
-    leaves untouched directories alone. Same cross-partition contract
-    too: a change row must carry its key's CURRENT partition value.
+    FAILS FAST on malformed batches — one bounded aggregation over the
+    (small) change batch rejects NULL/unknown ``op_col`` values (a
+    NULL op would otherwise silently DELETE: the key's old row leaves
+    via the anti-join while ``op != 'D'`` evaluates NULL and drops the
+    replacement) and NULL partition values (``isin`` never matches
+    NULL, so the base's null-partition rows would be excluded from
+    survivors while dynamic overwrite clobbers that directory with
+    only the new rows).
+
+    Copy-on-write scale shape: the touched-partition list is one
+    distinct over the (small) change batch, the base read
+    partition-prunes to those directories, ONE anti-join on
+    ``key_cols`` removes every changed key's old row (upsert and
+    delete alike — an upsert's replacement row then rides the union, a
+    delete's does not), and dynamic partition overwrite leaves
+    untouched directories alone. Dynamic overwrite only rewrites
+    partitions PRESENT in the written data, so a partition whose every
+    row was deleted is removed explicitly afterwards via the Hadoop
+    FileSystem API (otherwise the "emptied" partition would silently
+    keep serving its old rows). Cross-partition contract: a change row
+    must carry its key's CURRENT partition value.
 
     At-most-one change per key per batch (pre-collapse a multi-op
     feed with dedup-to-latest first — the standard CDC compaction);
     with both a 'U' and a 'D' for one key in a batch the result would
-    depend on internal union order, so don't."""
+    depend on internal union order, so don't.
+
+    The merged frame is localCheckpoint-ed before the write because
+    the write overwrites directories the plan reads from
+    (self-overwrite); on a cluster, a reliable checkpoint or a staging
+    dir serves the same purpose."""
+    bad = changes.agg(
+        F.sum(
+            (
+                F.col(op_col).isNull() | ~F.col(op_col).isin("U", "D")
+            ).cast("long")
+        ).alias("bad_op"),
+        F.sum(F.col(partition_col).isNull().cast("long")).alias("null_part"),
+    ).collect()[0]
+    if bad["bad_op"]:
+        raise ValueError(
+            f"{bad['bad_op']} change row(s) carry a NULL/unknown {op_col!r} "
+            "(expected 'U' or 'D') — refusing: a NULL op would silently "
+            "delete its key"
+        )
+    if bad["null_part"]:
+        raise ValueError(
+            f"{bad['null_part']} change row(s) carry a NULL {partition_col!r} "
+            "— refusing: dynamic overwrite would clobber the "
+            "null-partition directory"
+        )
     parts = [
         r[0] for r in changes.select(partition_col).distinct().collect()
     ]  # bounded: one row per touched partition
@@ -263,12 +291,26 @@ def apply_cdc_partitioned(
     )
     inserts = changes.filter(F.col(op_col) != "D").select(*base.columns)
     merged = survivors.unionByName(inserts).localCheckpoint()
+    still_present = {
+        r[0] for r in merged.select(partition_col).distinct().collect()
+    }
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Partitions the batch EMPTIED never appear in `merged`, so dynamic
+    # overwrite left their directories (and old rows) in place — remove
+    # them through the FileSystem API (object-store safe, same pathway
+    # as gc_orphan_files).
+    fs, _ = _hadoop_fs(spark, path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    for p in parts:
+        if p not in still_present:
+            d = jvm_path(f"{path.rstrip('/')}/{partition_col}={p}")
+            if fs.exists(d):
+                fs.delete(d, True)
     return len(parts)
 
 

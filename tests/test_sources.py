@@ -401,7 +401,7 @@ def test_incremental_rollback_past_rewrite_no_redelivery(spark, tmp_path):
 
 
 def test_apply_cdc_partitioned_deletes_upserts_inserts(spark, tmp_path):
-    from pyspark.sql import functions as F
+    import glob
 
     from glamira_end_to_end_data_pipeline_spark.sources import lake
 
@@ -411,6 +411,7 @@ def test_apply_cdc_partitioned_deletes_upserts_inserts(spark, tmp_path):
         "k long, bal double, seg string",
     )
     base.write.partitionBy("seg").parquet(path)
+    before_c = sorted(glob.glob(f"{path}/seg=c/*.parquet"))
     changes = spark.createDataFrame(
         [
             (1, None, "a", "D"),    # delete existing
@@ -427,7 +428,54 @@ def test_apply_cdc_partitioned_deletes_upserts_inserts(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert got == {2: (99.0, "a"), 3: (30.0, "b"), 5: (55.0, "b"), 4: (40.0, "c")}
-    # untouched partition c kept its original file (no rewrite)
-    import glob
+    # untouched partition c: the IDENTICAL file list survived (a
+    # clobbering rewrite would produce new file names)
+    assert sorted(glob.glob(f"{path}/seg=c/*.parquet")) == before_c
 
-    assert glob.glob(f"{path}/seg=c/*.parquet")
+
+def test_apply_cdc_partitioned_emptied_partition_is_removed(spark, tmp_path):
+    # Deleting a partition's LAST row must remove its rows from reads:
+    # dynamic overwrite alone never rewrites a partition absent from
+    # the written data, so the emptied directory is swept explicitly.
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    path = str(tmp_path / "cdc_empty")
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b")], "k long, bal double, seg string"
+    ).write.partitionBy("seg").parquet(path)
+    changes = spark.createDataFrame(
+        [(1, None, "a", "D")], "k long, bal double, seg string, op string"
+    )
+    lake.apply_cdc_partitioned(spark, path, changes, ["k"], "seg")
+    rows = spark.read.parquet(path).collect()
+    assert [(r["k"], r["seg"]) for r in rows] == [(2, "b")]
+
+
+def test_apply_cdc_partitioned_rejects_malformed_batches(spark, tmp_path):
+    # NULL/unknown op would silently DELETE (anti-join removes the old
+    # row, op != 'D' evaluates NULL and drops the replacement); NULL
+    # partition would clobber the default-partition directory. Both
+    # must fail fast.
+    import pytest as _pytest
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    path = str(tmp_path / "cdc_bad")
+    spark.createDataFrame(
+        [(1, 10.0, "a")], "k long, bal double, seg string"
+    ).write.partitionBy("seg").parquet(path)
+    null_op = spark.createDataFrame(
+        [(1, 99.0, "a", None)], "k long, bal double, seg string, op string"
+    )
+    with _pytest.raises(ValueError, match="NULL/unknown 'op'"):
+        lake.apply_cdc_partitioned(spark, path, null_op, ["k"], "seg")
+    lowercase_op = spark.createDataFrame(
+        [(1, 99.0, "a", "d")], "k long, bal double, seg string, op string"
+    )
+    with _pytest.raises(ValueError, match="NULL/unknown 'op'"):
+        lake.apply_cdc_partitioned(spark, path, lowercase_op, ["k"], "seg")
+    null_part = spark.createDataFrame(
+        [(1, 99.0, None, "U")], "k long, bal double, seg string, op string"
+    )
+    with _pytest.raises(ValueError, match="NULL 'seg'"):
+        lake.apply_cdc_partitioned(spark, path, null_part, ["k"], "seg")
