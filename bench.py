@@ -149,6 +149,7 @@ HEADLINE = [
     "emb_matryoshka_recall",
     "a_hll_rollup_merge",
     "lake_merge_delete",
+    "stream_static_enrich",
 ]
 
 

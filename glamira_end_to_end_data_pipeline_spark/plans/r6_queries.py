@@ -773,3 +773,97 @@ def lake_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "stream_static_enrich",
+    """
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 100
+    ),
+    enriched AS (
+        SELECT coalesce(d.c_mktsegment, '(unknown)') AS segment, e.value
+        FROM events e LEFT JOIN dim d ON e.user_id = d.c_custkey
+        WHERE e.ts >= TIMESTAMP '2024-01-15'
+    )
+    SELECT segment, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM enriched GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment — the most common production streaming
+    shape (click stream joined to a dimension table) run as a REAL
+    two-micro-batch Structured Streaming query: a file-source stream
+    (maxFilesPerTrigger=1) left-joins the broadcast customer dim
+    per micro-batch and lands enriched rows in a memory sink; the
+    graded result is the batch rollup over the sink. Semantics worth
+    pinning: the STATIC side is re-evaluated every micro-batch (a dim
+    update between batches would be picked up — the poor man's SCD1
+    stream enrichment), the join itself needs no watermark or state
+    store (only stream-STREAM joins buffer), and unmatched events
+    surface as '(unknown)' instead of silently dropping (left join,
+    never inner, for a dimension that can lag the stream). At 100 TB
+    the dim rides a broadcast and the stream side never shuffles —
+    per-batch cost is a map-side hash join."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    src = _os.path.join(_tempfile.gettempdir(), f"spark_graft_sse_{tag}")
+    _shutil.rmtree(src, ignore_errors=True)
+    _os.makedirs(src)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    ).filter(F.col("ts") >= "2024-01-15")
+    # two files -> two micro-batches (mtime order = delivery order)
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    for i, b in ((1, b1), (2, b2)):
+        d = f"{src}/b{i}"
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        f = [x for x in _os.listdir(d) if x.endswith(".parquet")][0]
+        _os.rename(_os.path.join(d, f), _os.path.join(src, f"000{i}.parquet"))
+    now = _time.time()
+    _os.utime(_os.path.join(src, "0001.parquet"), (now - 120, now - 120))
+    _os.utime(_os.path.join(src, "0002.parquet"), (now, now))
+
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(F.col("c_custkey").cast("long").alias("c_custkey"), "c_mktsegment")
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "left"
+    ).select(
+        F.coalesce("c_mktsegment", F.lit("(unknown)")).alias("segment"),
+        "value",
+    )
+    name = f"sse_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
