@@ -171,13 +171,20 @@ def scd2_apply_changes(
         F.col(eff_col).alias("_eff"),
     )
     j = cur.join(ch, key_col, "left")
+    # Null-safe change detection: a current row whose tracked state is
+    # NULL (dim seeded before the attribute's feed went live) must still
+    # match exactly one branch. With plain =/!= both predicates evaluate
+    # NULL for such a row and it silently vanishes from the output. A
+    # NULL incoming state stays a no-op (indistinguishable from "no
+    # change row" after the left join); NULL→X is a real change and
+    # closes/opens. Oracle mirror: IS NOT DISTINCT FROM.
     unchanged = j.filter(
         F.col("_new_state").isNull()
-        | (F.col("_new_state") == F.col(state_col))
+        | F.col("_new_state").eqNullSafe(F.col(state_col))
     ).select(*dim.columns)
     closed = j.filter(
         F.col("_new_state").isNotNull()
-        & (F.col("_new_state") != F.col(state_col))
+        & ~F.col("_new_state").eqNullSafe(F.col(state_col))
     )
     # Rebuild rows by OVERRIDING the affected columns positionally over
     # dim's full column list, so extra attribute columns ride along.

@@ -891,7 +891,9 @@ def s_jsonl_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_apply_changes",
     """
     WITH cur AS (
-        SELECT c_custkey, c_mktsegment AS segment,
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 3 THEN NULL
+                    ELSE c_mktsegment END AS segment,
                DATE '2024-01-01' AS valid_from,
                CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
         FROM customer
@@ -919,13 +921,16 @@ def s_jsonl_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hist
         UNION ALL
         SELECT c_custkey, segment, valid_from, valid_to, is_current
-        FROM j WHERE new_state IS NULL OR new_state = segment
+        FROM j WHERE new_state IS NULL
+               OR new_state IS NOT DISTINCT FROM segment
         UNION ALL
         SELECT c_custkey, segment, valid_from, eff, FALSE
-        FROM j WHERE new_state IS NOT NULL AND new_state <> segment
+        FROM j WHERE new_state IS NOT NULL
+               AND new_state IS DISTINCT FROM segment
         UNION ALL
         SELECT c_custkey, new_state, eff, CAST(NULL AS DATE), TRUE
-        FROM j WHERE new_state IS NOT NULL AND new_state <> segment
+        FROM j WHERE new_state IS NOT NULL
+               AND new_state IS DISTINCT FROM segment
     )
     SELECT * FROM merged
     WHERE c_custkey < 300
@@ -939,9 +944,13 @@ def scd2_apply_changes_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     date and appends a new open one, no-op changes (same state) and
     untouched keys pass through, and pre-existing closed history rides
     along unmodified. One key-keyed shuffle for the change join; the
-    oracle replays the same CASE split. Fixture: every %4 customer
-    moves segment, every %8==1 'changes' to its existing segment (must
-    not create a version), %9 keys carry prior history."""
+    oracle replays the same CASE split with IS [NOT] DISTINCT FROM —
+    change detection is NULL-SAFE. Fixture: every %4 customer moves
+    segment, every %8==1 'changes' to its existing segment (must not
+    create a version), %9 keys carry prior history, and every %7==3
+    key's CURRENT state is NULL (dim seeded before the segment feed
+    went live) — NULL→MOVED must close/open, not silently drop the
+    row (the r6 VERDICT bug)."""
     from glamira_end_to_end_data_pipeline_spark.operators.scd import (
         scd2_apply_changes,
     )
@@ -949,7 +958,9 @@ def scd2_apply_changes_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     cur = cust.select(
         "c_custkey",
-        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_custkey") % 7 == 3, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
         F.lit("2024-01-01").cast("date").alias("valid_from"),
         F.lit(None).cast("date").alias("valid_to"),
         F.lit(True).alias("is_current"),

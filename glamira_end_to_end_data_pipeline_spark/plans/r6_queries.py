@@ -230,7 +230,10 @@ def graph_lpa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH base AS (
         SELECT cast(c_custkey AS BIGINT) AS c_custkey,
-               c_mktsegment AS segment, c_name,
+               CASE WHEN c_custkey % 11 = 4 THEN NULL
+                    ELSE c_mktsegment END AS segment,
+               CASE WHEN c_custkey % 13 = 6 THEN NULL
+                    ELSE c_name END AS c_name,
                cast(c_nationkey AS BIGINT) AS c_nationkey
         FROM customer
     ),
@@ -256,21 +259,22 @@ def graph_lpa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT cur.c_custkey, cur.segment, cur.valid_from, cur.valid_to,
                cur.is_current, cur.c_name, cur.c_nationkey
         FROM cur LEFT JOIN ch ON ch.c_custkey = cur.c_custkey
-        WHERE ch.c_custkey IS NULL OR ch.new_state = cur.segment
+        WHERE ch.c_custkey IS NULL
+              OR ch.new_state IS NOT DISTINCT FROM cur.segment
     ),
     closed AS (
         SELECT cur.c_custkey, cur.segment, cur.valid_from,
                ch.eff AS valid_to, FALSE AS is_current,
                cur.c_name, cur.c_nationkey
         FROM cur JOIN ch ON ch.c_custkey = cur.c_custkey
-        WHERE ch.new_state <> cur.segment
+        WHERE ch.new_state IS DISTINCT FROM cur.segment
     ),
     fresh AS (
         SELECT cur.c_custkey, ch.new_state AS segment,
                ch.eff AS valid_from, CAST(NULL AS DATE) AS valid_to,
                TRUE AS is_current, cur.c_name, cur.c_nationkey
         FROM cur JOIN ch ON ch.c_custkey = cur.c_custkey
-        WHERE ch.new_state <> cur.segment
+        WHERE ch.new_state IS DISTINCT FROM cur.segment
     )
     SELECT * FROM (
         SELECT * FROM hist
@@ -290,12 +294,21 @@ def scd2_apply_wide_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed rows and the new open versions both inherit the current
     version's untracked attributes; history and no-op rows pass
     through bit-identical. Same one-key-shuffle plan as the narrow
-    entry — the wide columns ride the existing join."""
+    entry — the wide columns ride the existing join. Round-7
+    hardening: every %11==4 key's CURRENT segment is NULL and every
+    %13==6 key's c_name attribute is NULL — NULL→PREMIUM must
+    close/open (null-safe change detection, IS DISTINCT FROM in the
+    oracle) and NULL attribute values must carry through both the
+    closed row and the new open version."""
     cust = read_table(spark, sf_dir, "customer")
     base = cust.select(
         F.col("c_custkey").cast("long").alias("c_custkey"),
-        F.col("c_mktsegment").alias("segment"),
-        F.col("c_name"),
+        F.when(F.col("c_custkey") % 11 == 4, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.when(F.col("c_custkey") % 13 == 6, F.lit(None))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
         F.col("c_nationkey").cast("long").alias("c_nationkey"),
     )
     hist = base.filter(F.col("c_custkey") % 7 == 0).select(

@@ -161,6 +161,45 @@ def test_scd2_apply_changes_null_is_current_passes_through(spark):
     assert by[(2, "Z")] == (None, True)
 
 
+def test_scd2_apply_changes_null_state_closes_not_drops(spark):
+    """r6 VERDICT bug: a current row with NULL tracked state receiving
+    a real change matched neither =/!= branch (both evaluate NULL) and
+    vanished. Null-safe detection must CLOSE it and open the new
+    version; a NULL incoming state stays a no-op."""
+    from datetime import date
+
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import (
+        scd2_apply_changes,
+    )
+
+    d = lambda s: date.fromisoformat(s)  # noqa: E731
+    dim = spark.createDataFrame(
+        [
+            (1, None, d("2024-01-01"), None, True),  # NULL state + change
+            (2, None, d("2024-01-01"), None, True),  # NULL state, no change
+            (3, "A", d("2024-01-01"), None, True),   # NULL incoming state
+        ],
+        "c_custkey long, segment string, valid_from date, valid_to date, "
+        "is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "Z", d("2024-06-01")), (3, None, d("2024-06-01"))],
+        "c_custkey long, segment string, valid_from date",
+    )
+    rows = scd2_apply_changes(dim, changes, "c_custkey").collect()
+    got = {
+        (r.c_custkey, r.segment, r.valid_from): (r.valid_to, r.is_current)
+        for r in rows
+    }
+    assert got == {
+        (1, None, d("2024-01-01")): (d("2024-06-01"), False),  # closed
+        (1, "Z", d("2024-06-01")): (None, True),               # opened
+        (2, None, d("2024-01-01")): (None, True),              # untouched
+        (3, "A", d("2024-01-01")): (None, True),               # NULL ch = no-op
+    }
+    assert len(rows) == 4  # nothing dropped, nothing duplicated
+
+
 def test_scd2_apply_changes_carries_wide_columns(spark):
     # A dim with extra attribute columns AND renamed validity columns:
     # the round-6 generalization must carry the untracked attributes
