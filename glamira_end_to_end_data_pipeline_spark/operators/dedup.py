@@ -791,17 +791,45 @@ def winnow_pairs(
     min_shared: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_fp_df: int | None = None,
 ) -> DataFrame:
     """Substring near-dup pairs by shared winnowing fingerprints: docs
     sharing ≥ ``min_shared`` selected fingerprints. Same banded-join
     economics as MinHash — only 31-bit fingerprints shuffle, the
     self-join keys on the fingerprint, and the pair count is a
-    groupBy."""
+    groupBy.
+
+    ``max_fp_df`` is the DOCUMENT-FREQUENCY hub guard (the
+    :func:`containment_pairs` discipline applied to the operator most
+    exposed to it — winnowing exists to find *repeated* substrings):
+    a fingerprint selected from a boilerplate run present in D
+    documents fans the self-join into D² pair rows on ONE shuffle key,
+    and at web-corpus scale a license header shared by millions of
+    pages is a guaranteed straggler-OOM. With a cap, fingerprints
+    appearing in more than ``max_fp_df`` documents are dropped BEFORE
+    the self-join — they are boilerplate mass, not plagiarism signal
+    (every MOSS deployment maintains exactly this ignore-list).
+    Consequence, mirrored in the graded oracle: a pair sharing ONLY
+    hub fingerprints is never surfaced, and ``n_shared`` counts
+    non-hub fingerprints only. ``None`` (default) keeps the exact
+    uncapped contract."""
     # persisted: the self-join consumes the fingerprint set twice and
     # would otherwise recompute the gram hashing + window selection for
     # both sides. (id, 31-bit fp) rows are orders of magnitude smaller
     # than the corpus.
     fps = tracked_persist(winnow_fingerprints(df, k, w, id_col, text_col))
+    if max_fp_df is not None:
+        # (id, fp) is distinct per document, so count(*) per fp IS the
+        # document frequency; the keep-list groupBy partial-aggregates
+        # map-side and the rejoin is on the same fp key the self-join
+        # shuffles on anyway.
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
     a = fps.select(F.col(id_col).alias("a"), "fp")
     b = fps.select(F.col(id_col).alias("b"), "fp")
     return (

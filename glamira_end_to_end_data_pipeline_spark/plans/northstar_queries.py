@@ -447,9 +447,11 @@ def text_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                )) AS fps
         FROM g
     ),
-    fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+    keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000),
+    fpk AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp))
     SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
-    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING count(*) >= 5
     """,
@@ -461,9 +463,17 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines), pairs sharing ≥5 selected fingerprints. Catches
     substring-level overlap (reordered sentences, partial copies) that
     token-shingle MinHash misses; guarantees detection of any shared
-    run ≥ w+k−1 = 19 chars."""
+    run ≥ w+k−1 = 19 chars. Fingerprints present in >1000 documents
+    are dropped before the self-join (document-frequency hub guard,
+    mirrored in the oracle's keep CTE) — a boilerplate fingerprint
+    shared by D docs would otherwise fan D² rows onto one shuffle
+    key."""
     return dedup.winnow_pairs(
-        corpus_with_dups(_docs(spark, sf_dir)), k=12, w=8, min_shared=5
+        corpus_with_dups(_docs(spark, sf_dir)),
+        k=12,
+        w=8,
+        min_shared=5,
+        max_fp_df=1000,
     )
 
 

@@ -133,6 +133,46 @@ def test_winnowing_guarantee_and_tie_rule(spark):
     assert (1, 4) in pairs and (1, 2) in pairs and (1, 3) not in pairs
 
 
+def test_winnow_pairs_hub_guard_bounds_boilerplate_fanout(spark):
+    """A boilerplate substring shared by D documents selects hot
+    fingerprints that would fan the self-join into D^2 pair rows on
+    one key. With max_fp_df below D those fingerprints are dropped
+    BEFORE the join: hub-only pairs vanish while pairs sharing
+    genuinely rare runs survive (their n_shared counting non-hub
+    fingerprints only)."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        winnow_pairs,
+    )
+
+    import hashlib
+
+    boiler = "this footer text appears on every single page"
+    # md5-hex filler: no two docs share a >=15-char run outside the boilerplate
+    uniq = lambda i: hashlib.md5(str(i).encode()).hexdigest()  # noqa: E731
+    docs = [(i, f"{uniq(i)} {uniq(i + 1000)} {boiler}") for i in range(1, 31)]
+    # docs 100/101 share a rare run on top of the boilerplate
+    rare = "xq zv wj kp tm br dl gn extra rare run"
+    docs += [(100, f"{boiler} {rare} tail alpha"), (101, f"{boiler} {rare} tail beta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = {
+        (r.a, r.b) for r in winnow_pairs(df, k=8, w=8, min_shared=1).collect()
+    }
+    assert len(uncapped) >= 32 * 31 / 2 - 40  # near all-pairs: the blowup
+
+    capped = {
+        (r.a, r.b)
+        for r in winnow_pairs(df, k=8, w=8, min_shared=1, max_fp_df=10).collect()
+    }
+    assert (100, 101) in capped, "rare-run pair must survive the guard"
+    # Selection is window-context-dependent, so a boilerplate gram
+    # picked in <=cap docs legitimately survives — the guarantee is
+    # bounded per-key fan-out (each surviving fingerprint contributes
+    # <= cap^2/2 pairs), not zero boilerplate pairs. The clique must
+    # collapse: near-all-pairs uncapped, a sparse remnant capped.
+    assert len(capped) < len(uncapped) / 4, (len(capped), len(uncapped))
+
+
 def test_sampling_and_mixing_deterministic_under_repartition(spark):
     """Membership/fan-out must be pure functions of the id: identical
     results across re-runs and partitionings, expected mixing rate
