@@ -542,35 +542,66 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's size threshold/AQE picks broadcast when the key column fits
     (it does at graded scale) and degrades to a shuffle join when a
     fact-proportional parent like orders outgrows it at 100 TB — a
-    mandatory F.broadcast here would OOM instead of degrading. Nothing
-    wider than the 3-row summary ever leaves the executors."""
+    mandatory F.broadcast here would OOM instead of degrading. The two
+    lineitem-side FK probes (→orders, →part) are FUSED into one pass
+    over the fact — both parent key sets join onto the same scan and a
+    single aggregate row carries both orphan counts, unpivoted by
+    ``stack`` into the two report rows (at 100 TB one fact scan is the
+    whole cost; the r6 shape scanned it twice). Nothing wider than the
+    3-row summary ever leaves the executors."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     part = read_table(spark, sf_dir, "part")
     cust = read_table(spark, sf_dir, "customer")
 
-    def check(child, fk, parent, pk, label):
-        p = parent.select(F.col(pk).alias("__pk"))
-        j = child.select(F.col(fk).alias("__fk")).join(
-            p, F.col("__fk") == F.col("__pk"), "left"
+    fused = (
+        li.select(
+            F.col("l_orderkey").alias("__fk_o"),
+            F.col("l_partkey").alias("__fk_p"),
         )
-        return j.agg(
-            F.lit(label).alias("relationship"),
+        .join(
+            orders.select(F.col("o_orderkey").alias("__pk_o")),
+            F.col("__fk_o") == F.col("__pk_o"),
+            "left",
+        )
+        .join(
+            part.select(F.col("p_partkey").alias("__pk_p")),
+            F.col("__fk_p") == F.col("__pk_p"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum(F.col("__pk_o").isNull().cast("long"))
+            .cast("bigint")
+            .alias("__orph_o"),
+            F.sum(F.col("__pk_p").isNull().cast("long"))
+            .cast("bigint")
+            .alias("__orph_p"),
+        )
+        .select(
+            F.expr(
+                "stack(2, 'lineitem.l_orderkey -> orders', __n, __orph_o, "
+                "'lineitem.l_partkey -> part', __n, __orph_p) "
+                "AS (relationship, n_child_rows, n_orphans)"
+            )
+        )
+    )
+    cust_check = (
+        orders.select(F.col("o_custkey").alias("__fk"))
+        .join(
+            cust.select(F.col("c_custkey").alias("__pk")),
+            F.col("__fk") == F.col("__pk"),
+            "left",
+        )
+        .agg(
+            F.lit("orders.o_custkey -> customer").alias("relationship"),
             F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
             F.sum(F.col("__pk").isNull().cast("long"))
             .cast("bigint")
             .alias("n_orphans"),
         )
-
-    out = (
-        check(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey -> orders")
-        .unionByName(
-            check(li, "l_partkey", part, "p_partkey", "lineitem.l_partkey -> part")
-        )
-        .unionByName(
-            check(orders, "o_custkey", cust, "c_custkey", "orders.o_custkey -> customer")
-        )
     )
+    out = fused.unionByName(cust_check)
     return out.select(
         "relationship",
         "n_child_rows",
