@@ -306,9 +306,19 @@ def apply_cdc_partitioned(
     # as gc_orphan_files).
     fs, _ = _hadoop_fs(spark, path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    # Directory names must match what Spark's file committer WROTE:
+    # partition values are Hive-escaped on write (space, '=', '%', '/'
+    # → %XX), so a raw f-string of the value would miss the directory
+    # and the 'emptied' partition would silently keep serving its old
+    # rows. Use Spark's own escaper for both halves of the dir name.
+    esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     for p in parts:
         if p not in still_present:
-            d = jvm_path(f"{path.rstrip('/')}/{partition_col}={p}")
+            dirname = (
+                f"{esc.escapePathName(partition_col)}="
+                f"{esc.escapePathName(str(p))}"
+            )
+            d = jvm_path(f"{path.rstrip('/')}/{dirname}")
             if fs.exists(d):
                 fs.delete(d, True)
     return len(parts)
@@ -567,10 +577,33 @@ def _commit_manifest(
     ``operation`` records HOW this version came to be — ``append`` (new
     rows) vs ``rewrite`` (same rows, new files: compaction) — exactly
     Iceberg's snapshot ``operation`` field. Incremental readers need it
-    to tell data changes from file reshuffles."""
+    to tell data changes from file reshuffles.
+
+    Each manifest also folds forward ``ever`` — the cumulative set of
+    every file visible in ANY version ≤ this one — so an incremental
+    reader seeds its already-delivered set with ONE manifest read at
+    the sync point instead of re-walking manifests 1..from_version on
+    every call (O(V²) over a version-tailing consumer's lifetime).
+    One sorted list of file names per manifest: tiny next to the
+    per-version file lists the doc already carries."""
     import json
 
-    doc = {"version": version, "files": files, "operation": operation}
+    prev_ever: list[str] = []
+    if version > 1:
+        prev_doc = _read_manifest_doc(spark, path, version - 1)
+        if "ever" in prev_doc:
+            prev_ever = prev_doc["ever"]
+        else:
+            # Legacy manifests predate the cumulative list: rebuild it
+            # once here; every later commit folds forward in one read.
+            for v in range(1, version):
+                prev_ever.extend(_read_manifest(spark, path, v))
+    doc = {
+        "version": version,
+        "files": files,
+        "operation": operation,
+        "ever": sorted(set(prev_ever) | set(files)),
+    }
     if tag is not None:
         doc["tag"] = tag
     if stats:
@@ -731,11 +764,19 @@ def read_incremental(
     # ever an append up to that point; if a pre-sync rewrite replaced
     # files F1 with F2 and a post-sync rollback reinstates F1, the
     # F1 rows are already in the consumer's copy and re-delivering them
-    # would double-count. Manifests are cumulative file lists (small,
-    # driver-side JSON), so the walk costs one tiny read per version.
+    # would double-count. The sync-point manifest carries the
+    # cumulative ``ever`` list folded forward at commit time, so
+    # seeding is ONE manifest read — a version-tailing consumer pays
+    # O(V) manifest reads over the table's lifetime, not O(V²). Legacy
+    # manifests without the field fall back to the full walk.
     seen: set[str] = set()
-    for v in range(1, from_version + 1):
-        seen.update(_read_manifest(spark, path, v))
+    if from_version >= 1:
+        doc0 = _read_manifest_doc(spark, path, from_version)
+        if "ever" in doc0:
+            seen = set(doc0["ever"])
+        else:
+            for v in range(1, from_version + 1):
+                seen.update(_read_manifest(spark, path, v))
     for v in range(from_version + 1, to_version + 1):
         doc = _read_manifest_doc(spark, path, v)
         files = doc["files"]

@@ -400,6 +400,48 @@ def test_incremental_rollback_past_rewrite_no_redelivery(spark, tmp_path):
     assert lake.read_incremental(spark, p2, 2, 3).count() == 0
 
 
+def test_incremental_seed_is_one_manifest_read(spark, tmp_path, monkeypatch):
+    # Each manifest folds the cumulative 'ever' file list forward at
+    # commit time, so read_incremental seeds `seen` with ONE read at
+    # from_version (O(V) over a tailing consumer's life, not O(V²)).
+    p = str(tmp_path / "ever")
+    lake.write_snapshot(spark, spark.range(0, 3), p)
+    lake.compact_snapshot(spark, p, n_files=1)
+    lake.rollback_snapshot(spark, p, 1)
+    lake.write_snapshot(spark, spark.range(100, 102), p)
+    # the cumulative list carries rewritten-away files across versions
+    doc = lake._read_manifest_doc(spark, p, 4)
+    assert set(lake._read_manifest(spark, p, 1)) <= set(doc["ever"])
+    assert set(lake._read_manifest(spark, p, 2)) <= set(doc["ever"])
+
+    calls = []
+    orig = lake._read_manifest_doc
+
+    def counting(spark_, path_, version_):
+        calls.append(version_)
+        return orig(spark_, path_, version_)
+
+    monkeypatch.setattr(lake, "_read_manifest_doc", counting)
+    got = sorted(r["id"] for r in lake.read_incremental(spark, p, 3, 4).collect())
+    assert got == [100, 101]
+    # one seed read at v3 + one walk read at v4 — no 1..from re-walk
+    assert calls == [3, 4], calls
+
+    # legacy manifests (no 'ever') still seed correctly via the walk
+    import json
+
+    for v in (1, 2, 3, 4):
+        mf = tmp_path / "ever" / "_manifests" / f"v{v}.json"
+        d = json.loads(mf.read_text())
+        d.pop("ever", None)
+        mf.write_text(json.dumps(d))
+        crc = mf.parent / f".v{v}.json.crc"  # stale Hadoop checksum
+        if crc.exists():
+            crc.unlink()
+        spark.catalog.refreshByPath(str(mf))  # drop cached file size
+    assert lake.read_incremental(spark, p, 2, 3).count() == 0
+
+
 def test_apply_cdc_partitioned_deletes_upserts_inserts(spark, tmp_path):
     import glob
 
@@ -449,6 +491,26 @@ def test_apply_cdc_partitioned_emptied_partition_is_removed(spark, tmp_path):
     lake.apply_cdc_partitioned(spark, path, changes, ["k"], "seg")
     rows = spark.read.parquet(path).collect()
     assert [(r["k"], r["seg"]) for r in rows] == [(2, "b")]
+
+
+def test_apply_cdc_partitioned_sweeps_escaped_partition_dirs(spark, tmp_path):
+    # Partition values with Hive-escaped characters (space, '=', '%')
+    # land in %XX-encoded directory names; the emptied-partition sweep
+    # must resolve the SAME name or the old rows silently survive.
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    path = str(tmp_path / "cdc_escaped")
+    spark.createDataFrame(
+        [(1, 10.0, "US East"), (2, 20.0, "a=b%c"), (3, 30.0, "plain")],
+        "k long, bal double, seg string",
+    ).write.partitionBy("seg").parquet(path)
+    changes = spark.createDataFrame(
+        [(1, None, "US East", "D"), (2, None, "a=b%c", "D")],
+        "k long, bal double, seg string, op string",
+    )
+    lake.apply_cdc_partitioned(spark, path, changes, ["k"], "seg")
+    rows = spark.read.parquet(path).collect()
+    assert [(r["k"], r["seg"]) for r in rows] == [(3, "plain")]
 
 
 def test_apply_cdc_partitioned_rejects_malformed_batches(spark, tmp_path):
