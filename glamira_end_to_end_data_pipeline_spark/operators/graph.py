@@ -248,9 +248,30 @@ def _capped_wedge_pairs(
         ),
         StorageLevel.MEMORY_AND_DISK,
     )
-    mids = deg if max_mid_degree is None else deg.filter(
-        F.col("d") <= max_mid_degree
-    )
+    if max_mid_degree is None:
+        # Uncapped = exact scores, but a viral hub fans d² wedges into
+        # one shuffle key. The default flipped 1000 → None in round 6
+        # (capped scores are lower bounds, so a silent cap was the
+        # wrong default); this warning is the flip's safety net for
+        # callers who relied on the old bound: one cheap degree-agg
+        # action (deg is persisted and feeds two broadcasts anyway)
+        # names the hub before the wedge join detonates on it.
+        hub = deg.orderBy(F.desc("d")).limit(1).collect()
+        if hub and hub[0]["d"] > 10_000:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "uncapped wedge join: max node degree is %d (node %s) — "
+                "%.1e candidate pairs through one shuffle key; pass "
+                "max_mid_degree to bound the fan-out (scores become "
+                "lower bounds)",
+                hub[0]["d"],
+                hub[0]["node"],
+                hub[0]["d"] ** 2 / 2,
+            )
+        mids = deg
+    else:
+        mids = deg.filter(F.col("d") <= max_mid_degree)
     sub_hub = und.join(
         F.broadcast(
             mids.select(F.col("node").alias("v"), F.col("d").alias("d_mid"))

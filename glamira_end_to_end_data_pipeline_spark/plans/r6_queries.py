@@ -393,9 +393,11 @@ def dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_url_canonicalize",
     r"""
     WITH u AS (
-        SELECT 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/'
+        SELECT 'HTTPS://WWW.' || upper(coalesce(source, 'nosource'))
+               || '.Example.COM:443/docs/'
                || cast(doc_id % 50 AS VARCHAR)
-               || '?utm_source=feed&b=2&ref=' || lang || '&a=1#frag' AS url
+               || '?utm_source=feed&b=2&ref=' || coalesce(lang, 'nolang')
+               || '&a=1#frag' AS url
         FROM documents
     ),
     parts AS (
@@ -445,13 +447,18 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only until the one canonical-URL count shuffle — at 100 TB
     this shape is scan-bound, exactly right for a per-record rewrite."""
     docs = read_table(spark, sf_dir, "documents")
+    # source/lang coalesce to sentinels BEFORE synthesis: a NULL in
+    # either would otherwise null the whole concat on the Spark side
+    # while Spark-vs-DuckDB regexp/ORDER BY NULL conventions diverge —
+    # the oracle mirrors the same coalesce, keeping the entry robust
+    # to fixture changes that introduce NULLs.
     url = F.concat(
         F.lit("HTTPS://WWW."),
-        F.upper("source"),
+        F.upper(F.coalesce(F.col("source"), F.lit("nosource"))),
         F.lit(".Example.COM:443/docs/"),
         (F.col("doc_id") % 50).cast("string"),
         F.lit("?utm_source=feed&b=2&ref="),
-        F.col("lang"),
+        F.coalesce(F.col("lang"), F.lit("nolang")),
         F.lit("&a=1#frag"),
     )
     parts = docs.select(
@@ -697,7 +704,12 @@ def a_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is the EXACT weekly distinct plus a boolean asserting the
     merged-sketch estimate lands within ±5% of it (HLL's lgK=12
     standard error is ~1.6%, so 5% is a stable envelope, the
-    ``a_approx_sketches`` discipline); the oracle pins exact + TRUE."""
+    ``a_approx_sketches`` discipline); the oracle pins exact + TRUE.
+    Requires the Spark >=3.5 ``hll_*`` functions;
+    ``tests/test_plans.py::test_hll_rollup_envelope_holds_at_graded_sf``
+    asserts the envelope directly at the graded sf and reports the
+    per-week error magnitude on a miss (an oracle row-mismatch alone
+    would be opaque)."""
     ev = read_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("week", "ts").alias("week"),

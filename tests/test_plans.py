@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
 
@@ -312,3 +313,45 @@ def test_ivf_partitioned_layout_prunes_partitions(spark, registry):
     assert "cell" in pf and pf.strip() != "[", (
         "cell probe filter did not reach partition pruning:\n" + scan
     )
+
+
+def test_hll_rollup_envelope_holds_at_graded_sf(spark, registry):
+    """a_hll_rollup_merge's oracle pins estimate_within_5pct=TRUE, so a
+    >5% HLL miss (different sf, a Spark upgrade changing the
+    DataSketches impl) would fail the differential as an opaque row
+    mismatch. This test asserts the envelope DIRECTLY at the graded sf
+    and, on failure, names the offending weeks and their error
+    magnitudes so the regression is diagnosable. Requires the Spark
+    >=3.5 hll_* functions (the entry's documented floor)."""
+    from tests.conftest import SF_ORACLE
+
+    rows = registry["a_hll_rollup_merge"](spark, SF_ORACLE).collect()
+    assert rows, "no weeks produced"
+    bad = [r["week"] for r in rows if not r["estimate_within_5pct"]]
+    if bad:
+        # Re-derive the error magnitudes for the failure message only
+        # (the graded output carries the boolean; the raw estimate is
+        # engine-specific and cannot be hash-compared).
+        from glamira_end_to_end_data_pipeline_spark.plans.queries import read_table
+
+        ev = read_table(spark, SF_ORACLE, "events")
+        daily = ev.groupBy(
+            F.date_trunc("week", "ts").alias("week"),
+            F.to_date("ts").alias("day"),
+        ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+        merged = daily.groupBy("week").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+        exact = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+            F.count_distinct("user_id").alias("ex")
+        )
+        errs = {
+            r["week"].strftime("%Y-%m-%d"): round(
+                abs(r["est"] - r["ex"]) / r["ex"] * 100, 2
+            )
+            for r in exact.join(merged, "week").collect()
+        }
+        raise AssertionError(
+            f"HLL weekly estimate outside the 5% envelope for {bad}; "
+            f"error magnitudes (pct): {errs}"
+        )
