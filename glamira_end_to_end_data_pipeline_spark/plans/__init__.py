@@ -40,22 +40,29 @@ from glamira_end_to_end_data_pipeline_spark.plans import r5_queries  # noqa: E40
 # block, inside the round-6 window.
 from glamira_end_to_end_data_pipeline_spark.plans import r6_queries  # noqa: E402,F401
 
-# Round-6 front-loads: entries whose code changed in round 6 (ADVICE r5
-# fixes), re-graded before anything else. dq_psi_drift's bucket clamp is
-# a real semantic change (NULL/negative values now handled identically
-# in both engines); the others are implementation rewrites whose results
-# must prove unchanged (read_incremental's cumulative seen-seeding feeds
-# four entries; scd2_apply_changes now carries arbitrary dim columns;
-# the link-prediction pair now receives its hub cap explicitly).
-_ROTATE_FIRST_R6 = (
-    "dq_psi_drift",
-    "lake_rollback_commit",
-    "lake_incremental_across_compaction",
-    "lake_snapshot_read",
-    "stream_cdc_apply",
+# Round-7 front-loads: entries whose code changed in round 7, re-graded
+# the round their implementation moves. scd2_apply_changes/_wide_dim:
+# null-safe change detection + NULL-state fixtures (the r6 VERDICT
+# wrong-answer bug); dedup_winnowing_pairs: document-frequency hub
+# guard in both engines; dq_referential_integrity: fused single-scan
+# lineitem probes; text_url_canonicalize: NULL-sentinel synthesis;
+# the lake block: partition-dir escaping in the CDC sweep + the
+# cumulative `ever` manifest field that reseats read_incremental
+# (write_snapshot/compact/rollback all emit the new field, so every
+# manifest-walking entry re-proves unchanged results).
+_ROTATE_FIRST_R7 = (
     "scd2_apply_changes",
-    "graph_link_prediction",
-    "graph_adamic_adar",
+    "scd2_apply_wide_dim",
+    "dedup_winnowing_pairs",
+    "dq_referential_integrity",
+    "text_url_canonicalize",
+    "lake_merge_delete",
+    "lake_merge_upsert",
+    "lake_incremental_across_compaction",
+    "lake_rollback_commit",
+    "stream_cdc_apply",
+    "stream_snapshot_commits",
+    "lake_compact_commit",
 )
 
 # Driver-green in CORRECTNESS_r02.json (round-2 window).
@@ -284,11 +291,68 @@ _R5_GREEN = frozenset(
     }
 )
 
-# ROUND-7 TODO (apply BEFORE adding round-7 entries): fold the green
-# rows of CORRECTNESS_r06.json into `_R6_GREEN`, move any red rows
-# (after fixing them) into `_ROTATE_FIRST_R7`, and keep the staleness
-# rotation running — _last_graded() already does the right thing once
-# the new frozenset is added to its round list.
+# Driver-green in CORRECTNESS_r06.json (round-6 window, 50/50 green:
+# the front-loaded ADVICE-r5 re-grades + 12 fresh r6 entries + the 30
+# stalest r2-era re-grades).
+_R6_GREEN = frozenset(
+    {
+        "dq_psi_drift",
+        "lake_rollback_commit",
+        "lake_incremental_across_compaction",
+        "lake_snapshot_read",
+        "stream_cdc_apply",
+        "scd2_apply_changes",
+        "graph_link_prediction",
+        "graph_adamic_adar",
+        "graph_kcore_exact",
+        "graph_lpa_exact",
+        "scd2_apply_wide_dim",
+        "dq_benford_check",
+        "text_url_canonicalize",
+        "dq_referential_integrity",
+        "emb_matryoshka_recall",
+        "a_hll_rollup_merge",
+        "lake_merge_delete",
+        "stream_static_enrich",
+        "j_skew_salted",
+        "a_skewed_salted_agg",
+        "j_bucketed_colocated",
+        "j6_value_range_join",
+        "w1_dedup_latest",
+        "w3_date_spine",
+        "w6_forward_fill",
+        "w7_new_vs_returning",
+        "a_cohort_retention",
+        "a_funnel_conversion",
+        "w8_event_transitions",
+        "w9_ntile_quartiles",
+        "w5_scd2_user_segments",
+        "j8_asof_event_segments",
+        "w4_rolling_user_value",
+        "dq_schema_checks",
+        "f_json_parse_corrupt",
+        "f_date_parts_dim",
+        "f_surrogate_keys",
+        "f_ip_enrichment",
+        "f_string_cleaning",
+        "f_misc_scalars",
+        "a8_running_counters",
+        "a_approx_sketches",
+        "a_exact_percentiles",
+        "f_pandas_udaf_robust_stats",
+        "a_multigrain_rollup",
+        "a_cube_weekday_mix",
+        "a_pivot_daily_mix",
+        "setops_users_vs_customers",
+        "s7_master_schema_rules",
+        "s9_load_routing",
+    }
+)
+
+# ROUND-8 TODO (apply BEFORE adding round-8 entries): fold the green
+# rows of CORRECTNESS_r07.json into `_R7_GREEN`, move any red rows
+# (after fixing them) into `_ROTATE_FIRST_R8`, and keep the staleness
+# rotation draining the r3/r4-era backlog.
 
 
 def _last_graded(name: str) -> int:
@@ -296,6 +360,7 @@ def _last_graded(name: str) -> int:
     never graded — fresh this round). Later rounds win: r5 re-graded
     19 entries first greened in r2/r3."""
     for rnd, green in (
+        (6, _R6_GREEN),
         (5, _R5_GREEN),
         (4, _R4_GREEN),
         (3, _R3_GREEN),
@@ -308,7 +373,7 @@ def _last_graded(name: str) -> int:
 
 def _window_order() -> list[str]:
     registered = list(QUERIES)
-    front = [n for n in _ROTATE_FIRST_R6 if n in QUERIES]
+    front = [n for n in _ROTATE_FIRST_R7 if n in QUERIES]
     fresh = [
         n for n in registered if _last_graded(n) == 0 and n not in front
     ]
