@@ -841,6 +841,60 @@ def winnow_pairs(
     )
 
 
+def span_duplication_stats(
+    df: DataFrame,
+    n: int = 16,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-span statistics — the per-document duplication
+    metric of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), approximated at span granularity: every
+    OVERLAPPING ``n``-token window (stride 1) is hashed, and a span is
+    duplicated when its exact content appears in ≥ ``min_docs``
+    DISTINCT documents. Returns ``(id, n_spans, n_dup_spans,
+    dup_frac)`` — the fraction of a document that is verbatim-repeated
+    corpus text, the quantity their suffix-array pass computes and the
+    drop/trim decisions key on.
+
+    Complementary coverage: :func:`segment_boilerplate`'s fixed
+    non-overlapping segments miss repeats that straddle a segment
+    boundary or sit at a different alignment; stride-1 spans catch ANY
+    verbatim run of ≥ n tokens wherever it starts (the winnowing
+    guarantee without the selection lossiness — exact, at n× the
+    intermediate rows).
+
+    Scale shape: spans hash to 31-bit ints BEFORE any shuffle (the
+    :func:`exploded_shingles` discipline — the stream carries (id,
+    long), never span text); document frequency is one hash-shuffle
+    with map-side partial aggregation; the flag rejoins on the same
+    hash key (AQE absorbs hot boilerplate spans) and the per-doc
+    rollup moves only (id, flag) pairs. Span-set semantics (DISTINCT
+    per doc): a span repeated WITHIN one document only is not corpus
+    duplication."""
+    spans = exploded_shingles(df, id_col, text_col, n)
+    # (id, shingle_x) is already DISTINCT, so a plain count per span
+    # IS the document frequency — no count-distinct expansion needed.
+    docfreq = spans.groupBy("shingle_x").agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    return (
+        spans.join(docfreq, "shingle_x")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__nd") >= min_docs).cast("int")).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+        )
+    )
+
+
 def segment_boilerplate(
     df: DataFrame,
     seg_tokens: int = 10,

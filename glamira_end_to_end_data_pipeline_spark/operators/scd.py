@@ -82,6 +82,7 @@ def asof_join(
     state_ts_col: str,
     value_col: str,
     default: str | None = None,
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """Left as-of join: attach the latest state with
     ``state_ts <= probe_ts`` to every probe row.
@@ -90,7 +91,18 @@ def asof_join(
     *before* probe rows at equal timestamps (``_kind`` 0 < 1), so a state
     becoming valid exactly at the probe instant IS picked up — matching
     DuckDB's ``ASOF JOIN ... ON probe.ts >= state.ts`` semantics.
-    """
+
+    ``tolerance`` is the feature-store STALENESS BOUND (pandas
+    ``merge_asof(tolerance=)``; point-in-time-correct feature joins):
+    a carried state older than ``tolerance`` at the probe instant is
+    discarded — the probe gets ``default``/NULL, never a stale
+    feature. Units: SECONDS for timestamp columns, the column's own
+    units for numerics. Implemented by carrying the matched state's
+    timestamp through the same window (one struct column — no extra
+    shuffle, no join): the tolerance test is a map-side filter on the
+    carried pair."""
+    from pyspark.sql.types import DateType, TimestampType
+
     probe_cols = probe.columns
     tagged_states = states.select(
         F.col(key_col).alias("_key"),
@@ -111,12 +123,32 @@ def asof_join(
         .orderBy("_ts", "_kind")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The carried payload is (state_ts, value) as ONE struct so a
+    # single last(ignorenulls) window keeps them consistent — two
+    # separate last() calls could disagree if a state's value were
+    # NULL (ignorenulls would skip it for the value but not the ts).
+    pair = F.when(
+        F.col("_kind") == 0, F.struct(F.col("_ts").alias("sts"), F.col("_state").alias("sval"))
+    )
     out = (
         tagged_states.unionByName(tagged_probes)
-        .withColumn("_asof", F.last("_state", ignorenulls=True).over(w))
+        .withColumn("_carried", F.last(pair, ignorenulls=True).over(w))
         .filter(F.col("_kind") == 1)
     )
-    asof = F.col("_asof") if default is None else F.coalesce("_asof", F.lit(default))
+    asof = F.col("_carried.sval")
+    if tolerance is not None:
+        ts_type = isinstance(
+            probe.schema[probe_ts_col].dataType, (TimestampType, DateType)
+        )
+        if ts_type:
+            age = F.unix_timestamp(F.col("_ts")) - F.unix_timestamp(
+                F.col("_carried.sts")
+            )
+        else:
+            age = F.col("_ts") - F.col("_carried.sts")
+        asof = F.when(age <= tolerance, asof)
+    if default is not None:
+        asof = F.coalesce(asof, F.lit(default))
     return out.select(*probe_cols, asof.alias(value_col))
 
 

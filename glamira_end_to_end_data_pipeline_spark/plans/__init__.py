@@ -40,6 +40,10 @@ from glamira_end_to_end_data_pipeline_spark.plans import r5_queries  # noqa: E40
 # block, inside the round-6 window.
 from glamira_end_to_end_data_pipeline_spark.plans import r6_queries  # noqa: E402,F401
 
+# round-7 fresh entries — never graded, so _last_graded() == 0 places
+# them right behind the round-7 rotate-first block.
+from glamira_end_to_end_data_pipeline_spark.plans import r7_queries  # noqa: E402,F401
+
 # Round-7 front-loads: entries whose code changed in round 7, re-graded
 # the round their implementation moves. scd2_apply_changes/_wide_dim:
 # null-safe change detection + NULL-state fixtures (the r6 VERDICT

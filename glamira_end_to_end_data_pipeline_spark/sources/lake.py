@@ -396,6 +396,7 @@ def write_snapshot(
     path: str,
     tag: str | None = None,
     stats_cols: list[str] | None = None,
+    replace: bool = False,
 ) -> int:
     """Commit ``df`` as an APPEND snapshot (the Iceberg/Delta commit
     shape without the table format): the batch lands in an immutable
@@ -428,12 +429,22 @@ def write_snapshot(
     carried forward file-by-file from the parent manifest, so old
     versions' stats are never recomputed.
 
+    ``replace=True`` commits ``df`` as the table's ENTIRE new state
+    (Iceberg's ``overwrite`` snapshot): the manifest lists ONLY this
+    batch's files and the operation is recorded as ``replace``. Every
+    prior version stays time-travelable. Incremental readers deliver a
+    replace's new files through the normal unseen-file diff — its row
+    REMOVALS are as unrepresentable in the append-only CDC stream as a
+    rollback's (see :func:`read_incremental`); a consumer that must
+    track removals diffs two snapshots row-level with
+    :func:`snapshot_diff` instead.
+
     Returns the committed version number (1-based)."""
     version = latest_snapshot_version(spark, path) + 1
     new_files = _write_version_data(spark, df, path, version)
     prev_files: list[str] = []
     prev_stats: dict = {}
-    if version > 1:
+    if version > 1 and not replace:
         prev_doc = _read_manifest_doc(spark, path, version - 1)
         prev_files = prev_doc["files"]
         prev_stats = prev_doc.get("stats", {})
@@ -441,7 +452,15 @@ def write_snapshot(
     stats = dict(prev_stats)
     if stats_cols:
         stats.update(_file_stats(spark, new_files, stats_cols))
-    _commit_manifest(spark, path, version, files, tag, stats=stats or None)
+    _commit_manifest(
+        spark,
+        path,
+        version,
+        files,
+        tag,
+        operation="replace" if replace else "append",
+        stats=stats or None,
+    )
     return version
 
 
@@ -791,6 +810,65 @@ def read_incremental(
     if not delta:
         return read_snapshot(spark, path, to_version).limit(0)
     return spark.read.parquet(*delta)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two committed versions — the
+    semantic diff :func:`read_incremental` (file-level, append-only)
+    cannot express: which KEYS were inserted, updated, or deleted
+    between v₀ and v₁ (Delta's CDF / Iceberg's changelog scan computed
+    retroactively from plain snapshots). This is what a downstream
+    consumer applies after a ``replace`` commit or a rollback, where
+    the append-only stream's removals are unrepresentable.
+
+    Returns one row per CHANGED key: ``change_type`` ``'I'`` (in v₁
+    only), ``'D'`` (in v₀ only), ``'U'`` (in both, any compare column
+    differs null-safely); unchanged keys are dropped before anything
+    leaves the join. ``'I'``/``'U'`` rows carry the post-image values,
+    ``'D'`` rows the pre-image. ``compare_cols`` defaults to every
+    common non-key column.
+
+    Contract: ``key_cols`` must be unique per version (it's a keyed
+    table state, not an event log). Plan shape: ONE full-outer shuffle
+    on the keys; each side's compare columns travel as a single struct
+    (null-safe struct equality gives the per-row change test without
+    N column comparisons in the filter), and only changed rows survive
+    the filter — at 100 TB the output is proportional to the churn,
+    not the table."""
+    a = read_snapshot(spark, path, from_version)
+    b = read_snapshot(spark, path, to_version)
+    keys = list(key_cols)
+    if compare_cols is None:
+        common = [c for c in b.columns if c in set(a.columns)]
+        compare_cols = [c for c in common if c not in set(keys)]
+    cmp_cols = list(compare_cols)
+    ka = a.select(*keys, F.struct(*cmp_cols).alias("__pre"))
+    kb = b.select(*keys, F.struct(*cmp_cols).alias("__post"))
+    j = ka.join(kb, keys, "full_outer")
+    change = (
+        F.when(F.col("__pre").isNull(), F.lit("I"))
+        .when(F.col("__post").isNull(), F.lit("D"))
+        .when(~F.col("__pre").eqNullSafe(F.col("__post")), F.lit("U"))
+    )
+    img = F.when(F.col("change_type") == "D", F.col("__pre")).otherwise(
+        F.col("__post")
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            "change_type",
+            *keys,
+            *[img[c].alias(c) for c in cmp_cols],
+        )
+    )
 
 
 def gc_orphan_files(spark: SparkSession, path: str) -> int:

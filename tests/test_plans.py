@@ -355,3 +355,15 @@ def test_hll_rollup_envelope_holds_at_graded_sf(spark, registry):
             f"HLL weekly estimate outside the 5% envelope for {bad}; "
             f"error magnitudes (pct): {errs}"
         )
+
+
+def test_filtered_ann_pushes_label_predicate_to_scan(spark, registry):
+    # Pre-filtering contract: the metadata predicate must land in the
+    # embeddings scan's PushedFilters UNDER the IVF machinery — a
+    # post-filter plan would score unfiltered candidates and return
+    # fewer than k under selective predicates.
+    plan = plan_of(registry["emb_filtered_ann_topk"](spark, SF_SMALL))
+    scans = [b for b in plan.split("\n\n") if "PushedFilters" in b]
+    assert any(
+        "label" in b.split("PushedFilters:")[1].split("]")[0] for b in scans
+    ), "label predicate did not reach any parquet scan:\n" + plan

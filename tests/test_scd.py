@@ -249,3 +249,25 @@ def test_scd2_apply_changes_missing_column_raises(spark):
     dim = spark.createDataFrame([(1, "A")], "k long, seg string")
     with _pytest.raises(ValueError, match="valid_from"):
         scd2_apply_changes(dim, dim, "k", state_col="seg")
+
+
+def test_asof_join_tolerance_discards_stale_states(spark):
+    states = spark.createDataFrame(
+        [(1, _ts(1), "old"), (1, _ts(5), "new")],
+        "k int, vf timestamp, seg string",
+    )
+    probes = spark.createDataFrame(
+        [
+            (100, 1, _ts(1, 12)),  # 12h after 'old' -> stale under 6h bound
+            (101, 1, _ts(5, 3)),   # 3h after 'new' -> fresh
+            (102, 1, _ts(5)),      # exactly at the state -> age 0, fresh
+        ],
+        "pid int, k int, pts timestamp",
+    )
+    out = asof_join(
+        probes, states,
+        key_col="k", probe_ts_col="pts", state_ts_col="vf",
+        value_col="seg", default="none", tolerance=6 * 3600,
+    )
+    got = {r.pid: r.seg for r in out.collect()}
+    assert got == {100: "none", 101: "new", 102: "new"}

@@ -541,3 +541,42 @@ def test_apply_cdc_partitioned_rejects_malformed_batches(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="NULL 'seg'"):
         lake.apply_cdc_partitioned(spark, path, null_part, ["k"], "seg")
+
+
+def test_snapshot_diff_classifies_i_u_d_nullsafe(spark, tmp_path):
+    # Row-level CDF: I/U/D per key, unchanged dropped, NULL-safe
+    # compare (NULL→NULL is unchanged, NULL→value is an update),
+    # D rows carry the pre-image, I/U rows the post-image.
+    p = str(tmp_path / "diff")
+    v1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", None)],
+        "k long, seg string, bal double",
+    )
+    v2 = spark.createDataFrame(
+        [(2, "B", 2.0), (3, None, 3.0), (4, "d", 9.0), (5, "e", 5.0)],
+        "k long, seg string, bal double",
+    )
+    lake.write_snapshot(spark, v1, p)
+    lake.write_snapshot(spark, v2, p, replace=True)
+    rows = {
+        r["k"]: (r["change_type"], r["seg"], r["bal"])
+        for r in lake.snapshot_diff(spark, p, 1, 2, ["k"]).collect()
+    }
+    assert rows == {
+        1: ("D", "a", 1.0),       # deleted: pre-image
+        2: ("U", "B", 2.0),       # updated: post-image
+        4: ("U", "d", 9.0),       # NULL -> value IS a change
+        5: ("I", "e", 5.0),       # inserted
+    }  # key 3 (NULL == NULL) is unchanged and absent
+
+
+def test_replace_commit_is_whole_table_state(spark, tmp_path):
+    p = str(tmp_path / "repl")
+    lake.write_snapshot(spark, spark.range(0, 5), p)
+    lake.write_snapshot(spark, spark.range(100, 103), p, replace=True)
+    # v2 IS the new state, not an append; v1 stays time-travelable
+    assert sorted(r["id"] for r in lake.read_snapshot(spark, p, 2).collect()) == [100, 101, 102]
+    assert lake.read_snapshot(spark, p, 1).count() == 5
+    # incremental delivers the replace's new rows once (removals are
+    # unrepresentable in the append-only stream, as documented)
+    assert lake.read_incremental(spark, p, 1, 2).count() == 3

@@ -450,3 +450,32 @@ def test_quality_score_passthrough_carries_columns(spark):
     assert row["source"] == "web"
     # default stays score-only (no silent schema change for callers)
     assert "text" not in quality_score(df).columns
+
+
+def test_span_duplication_stats_catches_unaligned_repeats(spark):
+    """Overlapping stride-1 spans must flag a verbatim repeat at ANY
+    alignment; per-doc dup_frac is 1.0 for exact copies and 0 for
+    unique text."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        span_duplication_stats,
+    )
+
+    shared = "one two three four five six"  # 6 tokens
+    rows = [
+        (1, f"{shared} tail1 tail2"),
+        (2, f"head1 head2 head3 {shared}"),    # same run, shifted alignment
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8"),        # unique
+        (4, f"{shared} tail1 tail2"),          # exact copy of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac)
+        for r in span_duplication_stats(df, n=6).collect()
+    }
+    # docs 1 and 4 identical -> every span duplicated
+    assert got[1][2] == 1.0 and got[4][2] == 1.0
+    # doc 2 shares exactly the one 6-token run with 1/4 despite the
+    # alignment shift (fixed segmentation would miss it)
+    assert got[2][1] >= 1
+    # unique doc shares nothing
+    assert got[3][1] == 0
