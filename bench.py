@@ -150,6 +150,12 @@ HEADLINE = [
     "a_hll_rollup_merge",
     "lake_merge_delete",
     "stream_static_enrich",
+    "lake_snapshot_diff",
+    "j_asof_tolerance",
+    "a_histogram_rollup_merge",
+    "dq_outlier_mad",
+    "dedup_exact_spans",
+    "emb_filtered_ann_topk",
 ]
 
 
