@@ -156,6 +156,9 @@ HEADLINE = [
     "dq_outlier_mad",
     "dedup_exact_spans",
     "emb_filtered_ann_topk",
+    "w_gaps_islands",
+    "mm_phash_near_dup",
+    "mm_shard_pack",
 ]
 
 

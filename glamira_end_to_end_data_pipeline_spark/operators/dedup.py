@@ -594,22 +594,51 @@ def simhash_near_dups(
     share at least one exact chunk → join per chunk, then exact hamming
     verify. Same banded-join shape as LSH — linear-ish shuffle."""
     sh = tracked_persist(simhash60(df, id_col, text_col), StorageLevel.MEMORY_AND_DISK)
-    width = SIMHASH_BITS // chunks
+    return hamming_near_dups_int(
+        sh,
+        id_col=id_col,
+        hash_col="simhash_int",
+        max_hamming=max_hamming,
+        chunks=chunks,
+        bits=SIMHASH_BITS,
+    )
+
+
+def hamming_near_dups_int(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Banded Hamming near-dup join over ANY integer fingerprint column
+    (SimHash text sketches, image perceptual hashes, audio
+    chromaprints): band the ``bits``-bit hash into ``chunks`` equal
+    slices; by pigeonhole, pairs within ``max_hamming`` ≤ chunks−1 bit
+    flips share at least one exact slice → equi-join per slice, then
+    exact ``bit_count(xor)`` verification on the candidates. The
+    shared machinery behind :func:`simhash_near_dups` and the
+    multimodal pHash entry — same banded-join economics as MinHash
+    LSH: only (id, 60-bit int) rows shuffle, candidates are pairs that
+    collide on a slice, never the n² pair space, and the verify is
+    codegen'd integer math."""
+    width = bits // chunks
     entries = [
         F.struct(
             F.lit(c).alias("chunk_id"),
-            (F.shiftright("simhash_int", c * width) % (1 << width)).alias("chunk"),
+            (F.shiftright(hash_col, c * width) % (1 << width)).alias("chunk"),
         )
         for c in range(chunks)
     ]
-    banded = sh.select(
-        F.col(id_col), F.col("simhash_int"), F.explode(F.array(*entries)).alias("e")
-    ).select(id_col, "simhash_int", "e.chunk_id", "e.chunk")
+    banded = hashed.select(
+        F.col(id_col), F.col(hash_col), F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, hash_col, "e.chunk_id", "e.chunk")
     left = banded.select(
-        F.col(id_col).alias("a"), F.col("simhash_int").alias("sim_a"), "chunk_id", "chunk"
+        F.col(id_col).alias("a"), F.col(hash_col).alias("sim_a"), "chunk_id", "chunk"
     )
     right = banded.select(
-        F.col(id_col).alias("b"), F.col("simhash_int").alias("sim_b"), "chunk_id", "chunk"
+        F.col(id_col).alias("b"), F.col(hash_col).alias("sim_b"), "chunk_id", "chunk"
     )
     cand = (
         left.join(right, ["chunk_id", "chunk"])

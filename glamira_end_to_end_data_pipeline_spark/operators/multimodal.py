@@ -18,11 +18,11 @@ worth of payload bytes in executor memory.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 from typing import Callable
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -185,6 +185,41 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return pruned.mapInPandas(run, out_schema)
+
+
+def pack_shards(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    group_cols: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """WebDataset-style shard assignment: within each group, records
+    are packed sequentially (deterministic ``order_col`` order) into
+    shards of ~``budget`` bytes — ``shard_id`` = exclusive running
+    size / budget. The dataloader contract this feeds needs (a)
+    deterministic membership (resumable builds — pure function of the
+    input, no RNG, no task order), and (b) bounded shard size so a
+    training worker's read amplification is capped; both hold by
+    construction. An item larger than the budget gets its own
+    shard-id range rather than failing (WebDataset's oversized-sample
+    behavior).
+
+    Scale shape: ONE window per group — ``group_cols`` must therefore
+    bound the group size (a macro-batch id, a date, an input chunk:
+    the natural packing unit every sharded corpus already has), never
+    a 3-value modality alone; with bounded groups the cumsum is an
+    embarrassingly parallel per-group sort, no global ordering
+    anywhere."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn(
+        "shard_id", F.floor(cum / F.lit(float(budget))).cast("int")
+    )
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:

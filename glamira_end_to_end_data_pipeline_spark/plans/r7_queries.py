@@ -7,7 +7,10 @@ the differential grades VALUES, not an envelope), robust MAD outlier
 detection, exact repeated-span duplication stats (Lee et al. 2022's
 per-document metric at span granularity), and filtered ANN (metadata
 predicate pushed into the scan UNDER the IVF prune — the
-Qdrant/Milvus filtered-search shape on plain parquet).
+Qdrant/Milvus filtered-search shape on plain parquet). Batch 2:
+gaps-and-islands streaks (Tabibitosan anchor, one shuffle), perceptual-
+hash image near-dup via the generalized banded Hamming join, and
+WebDataset-style deterministic shard packing.
 
 Registered after r6_queries; every entry lands inside the round-7
 grading window behind the front-loaded changed-code re-grades (see
@@ -516,4 +519,190 @@ def emb_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_cells=8,
         nprobe=2,
+    )
+
+
+@query(
+    "w_gaps_islands",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    r AS (
+        SELECT user_id, d,
+               row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, d - cast(rn AS INT) AS anchor, count(*) AS run_len
+        FROM r GROUP BY 1, 2
+    )
+    SELECT user_id,
+           cast(sum(run_len) AS BIGINT) AS n_days,
+           count(*) AS n_islands,
+           cast(max(run_len) AS BIGINT) AS max_run
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — contiguous active-day runs per user (the
+    classic streak/retention primitive: "longest consecutive-day
+    streak", churn-gap detection): the Tabibitosan anchor trick, date
+    minus per-user row_number, turns every consecutive run into one
+    constant group key, so islands fall out of a plain groupBy — no
+    self-join, no iterative gap chasing. Engine shape: the distinct,
+    the row_number window, and both rollups all share ONE shuffle on
+    user_id (Catalyst reuses the partitioning); per-user day counts
+    are bounded (≤ days in the retention horizon), so the window is
+    skew-safe at any user count."""
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        days.withColumn("rn", F.row_number().over(w))
+        .select("user_id", F.date_sub(F.col("d"), F.col("rn")).alias("anchor"))
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum("run_len").cast("bigint").alias("n_days"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("run_len").cast("bigint").alias("max_run"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "mm_phash_near_dup",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 511)) AS media_id),
+    ph0 AS (
+        SELECT media_id,
+               ('0x' || substr(md5(upper(repeat(md5(media_id::VARCHAR), 4))),
+                               1, 15))::BIGINT AS phash
+        FROM ids
+    ),
+    ph AS (
+        SELECT media_id, phash FROM ph0
+        UNION ALL
+        SELECT media_id + 100000,
+               xor(phash, (1::BIGINT << cast(media_id % 60 AS INT)))
+        FROM ph0 WHERE media_id % 5 = 0
+    )
+    SELECT a.media_id AS a, b.media_id AS b,
+           cast(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM ph a JOIN ph b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ORDER BY a, b
+    """,
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup detection — the visual half of
+    corpus dedup (re-encoded/resized copies of one image share a pHash
+    within a few bits while cryptographic hashes diverge completely):
+    a 60-bit fingerprint per asset (md5-derived stand-in over the
+    payload bytes, since real pHash needs a decoder — the banding math
+    is identical for a DCT pHash), then the SHARED banded Hamming join
+    (operators/dedup.py:hamming_near_dups_int, the simhash machinery
+    generalized): 4×15-bit slices, pigeonhole guarantees every pair
+    within 3 flips collides on a slice, exact bit_count(xor) verifies
+    candidates. Fixture plants single-bit-flipped copies of every 5th
+    asset; the oracle brute-forces all pairs — the banded join must
+    find exactly the same set (recall 1.0 by construction when
+    max_hamming < chunks). Only (id, int64) rows ever shuffle."""
+    from glamira_end_to_end_data_pipeline_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, 512)
+    ph0 = media.select(
+        "media_id",
+        F.conv(F.substring(F.md5(F.hex("payload")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+    flipped = ph0.filter(F.col("media_id") % 5 == 0).select(
+        (F.col("media_id") + 100000).alias("media_id"),
+        F.col("phash")
+        .bitwiseXOR(
+            F.expr("shiftleft(cast(1 AS BIGINT), cast(media_id % 60 AS INT))")
+        )
+        .alias("phash"),
+    )
+    ph = ph0.unionByName(flipped)
+    return (
+        dedup.hamming_near_dups_int(
+            ph, id_col="media_id", hash_col="phash", max_hamming=3, chunks=4
+        )
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("a", "b")
+    )
+
+
+@query(
+    "mm_shard_pack",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 511)) AS media_id),
+    m AS (
+        SELECT media_id,
+               CASE media_id % 3 WHEN 0 THEN 'image'
+                                 WHEN 1 THEN 'audio'
+                                 ELSE 'video' END AS modality,
+               cast(media_id // 128 AS INT) AS batch,
+               cast((media_id % 997) * 64 + 64 AS BIGINT) AS size_bytes
+        FROM ids
+    ),
+    packed AS (
+        SELECT *, cast(floor(coalesce(sum(size_bytes) OVER (
+                   PARTITION BY modality, batch ORDER BY media_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) / 1048576.0) AS INT) AS shard_id
+        FROM m
+    )
+    SELECT modality, batch, shard_id,
+           count(*) AS n_items,
+           cast(sum(size_bytes) AS BIGINT) AS shard_bytes
+    FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing (operators/multimodal.py:
+    pack_shards): multimodal records pack sequentially into ~1 MiB
+    shards within (modality, macro-batch) groups — the layout step
+    between a curated corpus and the training dataloader, where
+    deterministic membership (resumable builds) and bounded shard
+    size (capped read amplification per worker) are the contract.
+    shard_id is the exclusive running payload size over the budget —
+    a pure function of the input, zero RNG, zero task-order
+    dependence. The window partitions on (modality, batch): the
+    macro-batch bounds every group (WebDataset packs per input chunk
+    for exactly this reason), so no 3-value modality-only hot key
+    exists at any corpus size. Payload sizes are synthesized from the
+    id (the 64-byte stub payload scaled) so the packing math, not the
+    stub codec, is what's graded."""
+    from glamira_end_to_end_data_pipeline_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, 512).select(
+        "media_id",
+        "modality",
+        (F.col("media_id") / 128).cast("int").alias("batch"),
+        ((F.col("media_id") % 997) * 64 + F.length("payload"))
+        .cast("long")
+        .alias("size_bytes"),
+    )
+    packed = mm.pack_shards(
+        media,
+        size_col="size_bytes",
+        budget=1 << 20,
+        group_cols=["modality", "batch"],
+        order_col="media_id",
+    )
+    return (
+        packed.groupBy("modality", "batch", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("size_bytes").cast("bigint").alias("shard_bytes"),
+        )
+        .orderBy("modality", "batch", "shard_id")
     )
