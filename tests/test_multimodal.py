@@ -112,3 +112,40 @@ def test_decoder_swap_changes_zero_plans(spark):
     finally:
         mm.DECODERS["image"] = orig
     assert before == after
+
+
+def test_pack_shards_deterministic_and_budget_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from glamira_end_to_end_data_pipeline_spark.operators.multimodal import (
+        pack_shards,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 200).select(
+        "media_id",
+        "modality",
+        (F.col("media_id") / 64).cast("int").alias("batch"),
+        ((F.col("media_id") % 97) * 64 + F.length("payload"))
+        .cast("long")
+        .alias("size_bytes"),
+    )
+    a = pack_shards(media, "size_bytes", 4096, ["modality", "batch"], "media_id")
+    b = pack_shards(
+        media.repartition(13), "size_bytes", 4096, ["modality", "batch"], "media_id"
+    )
+    rows_a = {r["media_id"]: r["shard_id"] for r in a.collect()}
+    rows_b = {r["media_id"]: r["shard_id"] for r in b.collect()}
+    assert rows_a == rows_b, "shard membership must not depend on partitioning"
+    # shard ids are monotone in media_id within a group, and a shard's
+    # PRE-item cumulative size never exceeds its budget slot
+    import collections
+
+    per_group = collections.defaultdict(list)
+    for r in a.orderBy("modality", "batch", "media_id").collect():
+        per_group[(r["modality"], r["batch"])].append((r["media_id"], r["shard_id"], r["size_bytes"]))
+    for g, items in per_group.items():
+        cum = 0
+        for _, shard, size in items:
+            assert shard == cum // 4096, (g, items)
+            cum += size
