@@ -159,6 +159,8 @@ HEADLINE = [
     "w_gaps_islands",
     "mm_phash_near_dup",
     "mm_shard_pack",
+    "graph_scc_exact",
+    "a_decimal_money_sum",
 ]
 
 

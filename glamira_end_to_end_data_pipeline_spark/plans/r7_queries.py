@@ -706,3 +706,100 @@ def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality", "batch", "shard_id")
     )
+
+
+# Two components processed in parallel rounds: cycles bridged 3->10
+# (condensation ordering: 10's SCC resolves only after 0's leaves),
+# and a separate chain with an embedded 2-cycle (singletons 20/22,
+# SCC {21,23}). Outer rounds assign ALL current roots at once, so the
+# flat condensation keeps the round count at 3 — the fixture stresses
+# multi-node SCCs, singletons, and DAG ordering without paying one
+# driver-loop round per component.
+_SCC_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 0),      # 4-cycle  -> SCC {0,1,2,3}
+    (10, 11), (11, 12), (12, 10),        # 3-cycle  -> SCC {10,11,12}
+    (3, 10),                             # bridge (condensation DAG)
+    (20, 21), (21, 22),                  # chain    -> singletons 20, 22
+    (21, 23), (23, 21),                  # 2-cycle  -> SCC {21,23}
+]
+
+_SCC_EDGES_SQL = ", ".join(f"({u}, {v})" for u, v in _SCC_EDGES)
+
+
+@query(
+    "graph_scc_exact",
+    f"""
+    WITH RECURSIVE edges(u, v) AS (
+        SELECT * FROM (VALUES {_SCC_EDGES_SQL}) t(u, v)
+    ),
+    reach(s, t) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.s, e.v FROM reach r JOIN edges e ON r.t = e.u
+    ),
+    nodes AS (
+        SELECT u AS node FROM edges UNION SELECT v FROM edges
+    ),
+    mutual AS (
+        SELECT a.s AS node, a.t AS peer
+        FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s
+    )
+    SELECT cast(n.node AS BIGINT) AS node,
+           cast(least(n.node, coalesce(min(m.peer), n.node)) AS BIGINT)
+               AS scc_id
+    FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+    GROUP BY n.node ORDER BY node
+    """,
+)
+def graph_scc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components to the fixed point
+    (operators/graph.py:scc_exact — the coloring / forward-backward
+    algorithm, the BSP-parallel SCC family since Tarjan's stack cannot
+    distribute): forward min-coloring converges on a one-row Σlabel
+    aggregate (labels only decrease), the backward sweep flags each
+    color root's component along class-internal edges only (sound AND
+    complete — a smaller-colored intermediate would have recolored
+    the class), and every outer round assigns at least each root, so
+    rounds are bounded by the SCC count. Fixture: two directed cycles
+    bridged through a chain with an embedded 2-cycle — exercising
+    multi-node SCCs, singletons, and the condensation DAG ordering in
+    one graph. The oracle is the ground-truth definition itself:
+    DuckDB's recursive transitive closure, mutual reachability, min
+    peer id."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import scc_exact
+
+    edges = spark.createDataFrame(_SCC_EDGES, "u long, v long")
+    return scc_exact(edges).orderBy("node")
+
+
+@query(
+    "a_decimal_money_sum",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(cast(o_totalprice AS DECIMAL(18, 2))) AS total_price,
+           max(cast(o_totalprice AS DECIMAL(18, 2))) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def a_decimal_money_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money aggregation — the ledger-grade arithmetic
+    surface a warehouse cannot fake with doubles (a float sum of 100 M
+    prices drifts in the cents; a DECIMAL(18,2) sum is exact or it
+    overflows loudly): totals cast to decimal AT THE SCAN and summed
+    under Spark's decimal aggregation (Tungsten's unscaled-long fast
+    path while the values fit, widening precision per SQL rules).
+    Engine-exact by definition — no rounding, no ULP envelope, the
+    hash compare is on exact decimal values in both engines."""
+    orders = read_table(spark, sf_dir, "orders")
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money).alias("total_price"),
+            F.max(money).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

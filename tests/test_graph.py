@@ -280,3 +280,22 @@ def test_lpa_exact_early_exit_matches_cap(spark):
     a = sorted(map(tuple, lpa_exact(df, max_rounds=2).collect()))
     b = sorted(map(tuple, lpa_exact(df, max_rounds=8).collect()))
     assert a == b
+
+
+def test_scc_exact_components_and_singletons(spark):
+    """SCC fixed point: multi-node cycles collapse to min-id components,
+    chain nodes stay singletons, the bridge never merges two SCCs, and
+    a node on a cycle embedded mid-chain joins its 2-cycle partner."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import scc_exact
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1), (1, 2), (2, 0),          # triangle SCC {0,1,2}
+            (2, 5), (5, 6),                  # tail -> singletons
+            (6, 7), (7, 6),                  # 2-cycle {6,7}
+            (8, 0),                          # into the triangle, no cycle back
+        ],
+        "u long, v long",
+    )
+    got = {r.node: r.scc_id for r in scc_exact(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 6, 7: 6, 8: 8}
