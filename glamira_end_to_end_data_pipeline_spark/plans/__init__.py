@@ -9,16 +9,18 @@ STALENESS ROTATION — "ever green" is not "still green" when shared
 helpers churn underneath 130 unre-checked entries per round. The
 rebuilt order is:
 
-1. ``_ROTATE_FIRST_R6`` — entries whose IMPLEMENTATION changed this
-   round (the ADVICE r5 fixes: PSI bucket clamp, read_incremental
-   seen-seeding, scd2 generic column carry, link-prediction hub-cap
-   default flip) — re-graded the round their code moves;
-2. fresh round-6 entries (never driver-graded) in registration order —
+1. ``_ROTATE_FIRST_R7`` — entries whose IMPLEMENTATION changed this
+   round (the r6 VERDICT/ADVICE fixes: null-safe SCD2 change
+   detection, the winnowing hub guard, the fused referential-
+   integrity scan, URL-canonicalize NULL sentinels, the lake
+   partition-dir escaping + cumulative `ever` manifest field) —
+   re-graded the round their code moves;
+2. fresh round-7 entries (never driver-graded) in registration order —
    fresh work is graded the round it ships;
 3. every already-graded entry, ordered by how STALE its latest green
    is (last-graded round ascending, registration order within a
    round) — the window tail picks up the entries longest unre-checked;
-   round 7 continues from wherever round 6's 50-slot window ends.
+   round 8 continues from wherever round 7's 50-slot window ends.
 
 The dicts are mutated in place so every existing ``from ... import
 QUERIES`` reference observes the new order.
