@@ -14,7 +14,11 @@ Scale design (100 TB):
 - MinHash+LSH is the linear-ish near-dup path: per-doc signatures
   (narrow), band buckets (explode ×bands), self-join on (band, hash) —
   shuffle keys are tiny hashes, never text. Hot buckets (boilerplate
-  docs) are the skew risk → AQE skew-join + optional bucket-size cap.
+  docs) are the skew risk → every pair generator carries a
+  document-frequency cap (``max_bucket_size`` on the banded joins,
+  ``max_fp_df`` on winnowing/containment) that drops over-cap buckets
+  BEFORE the self-join — AQE skew-split can rebalance partitions but
+  cannot reduce a D² candidate blowup on one key.
 - all-pairs n-gram Jaccard is quadratic per shared shingle; it is the
   *verification* step over LSH candidates, not a corpus-wide scan.
 """
@@ -176,9 +180,36 @@ def lsh_bands(
     ).select(id_col, "band.band_id", "band.band_hash")
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands_df: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Distinct (a, b) with a < b sharing at least one band bucket —
-    the self-join shuffles only (band_id, band_hash, id)."""
+    the self-join shuffles only (band_id, band_hash, id).
+
+    ``max_bucket_size`` is the hot-bucket guard (the ``winnow_pairs``
+    ``max_fp_df`` discipline applied to the band join): a boilerplate
+    band value shared by D documents fans the self-join into D² pair
+    rows on ONE shuffle key — AQE can re-split the partition but not
+    reduce the quadratic row count. With a cap, band buckets holding
+    more than ``max_bucket_size`` documents are dropped BEFORE the
+    self-join: a bucket that hot is boilerplate mass (a template
+    shared corpus-wide), and its members still pair up through their
+    OTHER bands whenever they share genuinely similar content.
+    Consequence, mirrored in graded oracles: a pair whose only shared
+    buckets are over-cap is never surfaced. ``None`` (default) keeps
+    the exact uncapped contract. The document-frequency groupBy
+    partial-aggregates map-side and the keep-join runs on the same
+    (band_id, band_hash) key the self-join shuffles on anyway."""
+    if max_bucket_size is not None:
+        keep = (
+            bands_df.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        bands_df = bands_df.join(keep, ["band_id", "band_hash"])
     left = bands_df.select(
         F.col(id_col).alias("a"), F.col("band_id"), F.col("band_hash")
     )
@@ -227,9 +258,12 @@ def minhash_near_dups(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
     candidate pairs → exact-Jaccard verify → threshold.
+    ``max_bucket_size`` forwards to :func:`lsh_candidate_pairs` (the
+    hot-bucket guard for boilerplate-heavy corpora).
 
     Shuffle budget: the raw (non-distinct) shingle stream NEVER
     shuffles at full width. MinHash signatures are MIN aggregates —
@@ -253,7 +287,11 @@ def minhash_near_dups(
         minhash_signatures(sh_raw, id_col, num_hashes), StorageLevel.MEMORY_AND_DISK
     )
     cand = tracked_persist(
-        lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col),
+        lsh_candidate_pairs(
+            lsh_bands(sig, id_col, num_hashes, bands),
+            id_col,
+            max_bucket_size=max_bucket_size,
+        ),
         StorageLevel.MEMORY_AND_DISK,
     )
     cand_ids = (
@@ -588,11 +626,14 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 60-bit hash into ``chunks``
     15-bit chunks; by pigeonhole, pairs within ``max_hamming`` ≤ chunks-1
     share at least one exact chunk → join per chunk, then exact hamming
-    verify. Same banded-join shape as LSH — linear-ish shuffle."""
+    verify. Same banded-join shape as LSH — linear-ish shuffle.
+    ``max_bucket_size`` forwards to :func:`hamming_near_dups_int` (the
+    hot-slice guard for boilerplate-heavy corpora)."""
     sh = tracked_persist(simhash60(df, id_col, text_col), StorageLevel.MEMORY_AND_DISK)
     return hamming_near_dups_int(
         sh,
@@ -601,6 +642,7 @@ def simhash_near_dups(
         max_hamming=max_hamming,
         chunks=chunks,
         bits=SIMHASH_BITS,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -611,6 +653,7 @@ def hamming_near_dups_int(
     max_hamming: int = 3,
     chunks: int = 4,
     bits: int = SIMHASH_BITS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded Hamming near-dup join over ANY integer fingerprint column
     (SimHash text sketches, image perceptual hashes, audio
@@ -622,18 +665,42 @@ def hamming_near_dups_int(
     multimodal pHash entry — same banded-join economics as MinHash
     LSH: only (id, 60-bit int) rows shuffle, candidates are pairs that
     collide on a slice, never the n² pair space, and the verify is
-    codegen'd integer math."""
+    codegen'd integer math.
+
+    Slice extraction is unsigned-shift + mask — NOT ``%`` — because
+    ``shiftright`` is arithmetic and Spark's ``%`` keeps the
+    dividend's sign: a fingerprint with the top bit set (any true
+    64-bit hash) would otherwise band to a *negative* slice value that
+    never collides with the positive slice of a hash sharing the same
+    bits — silent recall loss.
+
+    ``max_bucket_size`` drops (chunk_id, slice) buckets holding more
+    than that many fingerprints before the self-join — D identical
+    boilerplate thumbnails otherwise produce D² candidate rows on one
+    shuffle key (see :func:`lsh_candidate_pairs`). Capped pairs whose
+    only shared slices are over-cap are not surfaced; mirrored in the
+    graded oracles. ``None`` keeps the exact pigeonhole contract."""
     width = bits // chunks
     entries = [
         F.struct(
             F.lit(c).alias("chunk_id"),
-            (F.shiftright(hash_col, c * width) % (1 << width)).alias("chunk"),
+            F.shiftrightunsigned(F.col(hash_col), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("chunk"),
         )
         for c in range(chunks)
     ]
     banded = hashed.select(
         F.col(id_col), F.col(hash_col), F.explode(F.array(*entries)).alias("e")
     ).select(id_col, hash_col, "e.chunk_id", "e.chunk")
+    if max_bucket_size is not None:
+        keep = (
+            banded.groupBy("chunk_id", "chunk")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_bucket_size)
+            .select("chunk_id", "chunk")
+        )
+        banded = banded.join(keep, ["chunk_id", "chunk"])
     left = banded.select(
         F.col(id_col).alias("a"), F.col(hash_col).alias("sim_a"), "chunk_id", "chunk"
     )

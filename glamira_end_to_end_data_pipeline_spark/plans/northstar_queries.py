@@ -146,7 +146,41 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # MinHash+LSH pipeline as reusable CTEs ending in `pairs` (a, b, jaccard)
 # — shared by the pair entry and the connected-components clusters entry.
-MINHASH_PAIRS_CTES = f"""{CORPUS_CTE.strip()},
+# `_CAND_BUCKET_CAP_SQL` is spliced into the capped variant's candidate
+# join (dedup_minhash_lsh mirrors the engine's max_bucket_size guard);
+# the uncapped CTE text stays byte-identical for the cluster entries.
+LSH_BUCKET_CAP = 24
+SIMHASH_BUCKET_CAP = 24
+
+
+def _minhash_pairs_ctes(bucket_cap: int | None) -> str:
+    """MinHash+LSH CTE chain ending in ``pairs`` (a, b, jaccard). With
+    ``bucket_cap`` the candidate join first drops band buckets holding
+    more than that many documents — the DuckDB twin of
+    ``lsh_candidate_pairs(max_bucket_size=...)``; ``None`` keeps the
+    uncapped candidate join byte-identical to the pre-cap text."""
+    if bucket_cap is None:
+        cand = """cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        WHERE l.doc_id < r.doc_id
+    ),"""
+    else:
+        cand = f"""keep AS (
+        SELECT band_id, band_hash FROM bands
+        GROUP BY band_id, band_hash HAVING count(*) <= {bucket_cap}
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l
+        JOIN keep k
+          ON l.band_id = k.band_id AND l.band_hash = k.band_hash
+        JOIN bands r
+          ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        WHERE l.doc_id < r.doc_id
+    ),"""
+    return f"""{CORPUS_CTE.strip()},
     {SHINGLES_CTE.strip()},
     sig AS (
         SELECT doc_id,
@@ -163,12 +197,7 @@ MINHASH_PAIRS_CTES = f"""{CORPUS_CTE.strip()},
                END AS band_hash
         FROM sig, (VALUES (0), (1), (2), (3)) v(band_id)
     ),
-    cand AS (
-        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        FROM bands l JOIN bands r
-          ON l.band_id = r.band_id AND l.band_hash = r.band_hash
-        WHERE l.doc_id < r.doc_id
-    ),
+    {cand}
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
     inter AS (
         SELECT c.a, c.b, count(*) AS n_inter
@@ -187,10 +216,14 @@ MINHASH_PAIRS_CTES = f"""{CORPUS_CTE.strip()},
     )"""
 
 
+MINHASH_PAIRS_CTES = _minhash_pairs_ctes(None)
+MINHASH_PAIRS_CTES_CAPPED = _minhash_pairs_ctes(LSH_BUCKET_CAP)
+
+
 @query(
     "dedup_minhash_lsh",
     f"""
-    WITH {MINHASH_PAIRS_CTES}
+    WITH {MINHASH_PAIRS_CTES_CAPPED}
     SELECT a, b, jaccard FROM pairs
     """,
 )
@@ -200,9 +233,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shingle reduced to a 31-bit int, then 16 affine permutations
     mod 2^31-1 (exact 64-bit math in both engines); band buckets make
     the candidate join linear-ish (SURVEY north-star; scale analysis in
-    operators/dedup.py)."""
+    operators/dedup.py). The candidate join carries the hot-bucket
+    guard (max_bucket_size=LSH_BUCKET_CAP, mirrored in the oracle's
+    `keep` CTE): at web scale a boilerplate band bucket shared by D
+    docs fans D² candidate rows onto one shuffle key; over-cap buckets
+    are dropped before the self-join in BOTH engines."""
     return dedup.minhash_near_dups(
-        corpus_with_dups(_docs(spark, sf_dir)), num_hashes=16, bands=4, threshold=0.5
+        corpus_with_dups(_docs(spark, sf_dir)),
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+        max_bucket_size=LSH_BUCKET_CAP,
     )
 
 
@@ -548,20 +589,46 @@ _SIMHASH_INT_SQL = " + ".join(
                count(*) AS n_toks
         FROM hashed GROUP BY doc_id
     ),
-    sims AS (SELECT doc_id, ({_SIMHASH_INT_SQL})::BIGINT AS simhash_int FROM votes)
-    SELECT l.doc_id AS a, r.doc_id AS b,
-           bit_count(xor(l.simhash_int, r.simhash_int)) AS hamming
-    FROM sims l JOIN sims r ON l.doc_id < r.doc_id
-    WHERE bit_count(xor(l.simhash_int, r.simhash_int)) <= 3
+    sims AS (SELECT doc_id, ({_SIMHASH_INT_SQL})::BIGINT AS simhash_int FROM votes),
+    slices AS (
+        SELECT doc_id,
+               c.chunk_id,
+               (simhash_int >> (c.chunk_id * 15)) & 32767 AS chunk
+        FROM sims, (VALUES (0), (1), (2), (3)) c(chunk_id)
+    ),
+    keep AS (
+        SELECT chunk_id, chunk FROM slices
+        GROUP BY chunk_id, chunk HAVING count(*) <= {SIMHASH_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM slices l
+        JOIN keep k ON l.chunk_id = k.chunk_id AND l.chunk = k.chunk
+        JOIN slices r ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk
+        WHERE l.doc_id < r.doc_id
+    )
+    SELECT c.a, c.b,
+           bit_count(xor(sa.simhash_int, sb.simhash_int)) AS hamming
+    FROM cand c
+    JOIN sims sa ON sa.doc_id = c.a
+    JOIN sims sb ON sb.doc_id = c.b
+    WHERE bit_count(xor(sa.simhash_int, sb.simhash_int)) <= 3
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60-bit, md5 bit family) near-dup pairs with hamming ≤ 3,
     banded into 4×15-bit chunks (32,768 buckets each) for the candidate
     join (pigeonhole guarantees recall at this radius; 60-bit width
-    keeps random hamming-≤3 collisions negligible at corpus scale)."""
+    keeps random hamming-≤3 collisions negligible at corpus scale).
+    The oracle now reproduces the BANDED join itself — slices, the
+    hot-slice cap (max_bucket_size=SIMHASH_BUCKET_CAP, `keep` CTE),
+    candidate generation, exact verify — so the pigeonhole machinery
+    is hash-checked cross-engine, not just the final pair set."""
     return dedup.simhash_near_dups(
-        corpus_with_dups(_docs(spark, sf_dir)), max_hamming=3, chunks=4
+        corpus_with_dups(_docs(spark, sf_dir)),
+        max_hamming=3,
+        chunks=4,
+        max_bucket_size=SIMHASH_BUCKET_CAP,
     ).select("a", "b", "hamming")
 
 

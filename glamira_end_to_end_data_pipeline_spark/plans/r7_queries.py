@@ -575,9 +575,15 @@ def w_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_BUCKET_CAP = 24
+# 60-bit constant fingerprint for the planted boilerplate cluster (a
+# default thumbnail re-encoded 40× — all copies hash identically).
+PHASH_HOT = (1 << 59) | 0x5A5A5A5A5A5A5A
+
+
 @query(
     "mm_phash_near_dup",
-    """
+    f"""
     WITH ids AS (SELECT unnest(generate_series(0, 511)) AS media_id),
     ph0 AS (
         SELECT media_id,
@@ -591,11 +597,31 @@ def w_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT media_id + 100000,
                xor(phash, (1::BIGINT << cast(media_id % 60 AS INT)))
         FROM ph0 WHERE media_id % 5 = 0
+        UNION ALL
+        SELECT 200000 + t.i, {PHASH_HOT}::BIGINT FROM range(40) t(i)
+    ),
+    slices AS (
+        SELECT media_id, c.chunk_id,
+               (phash >> (c.chunk_id * 15)) & 32767 AS chunk
+        FROM ph, (VALUES (0), (1), (2), (3)) c(chunk_id)
+    ),
+    keep AS (
+        SELECT chunk_id, chunk FROM slices
+        GROUP BY chunk_id, chunk HAVING count(*) <= {PHASH_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT l.media_id AS a, r.media_id AS b
+        FROM slices l
+        JOIN keep k ON l.chunk_id = k.chunk_id AND l.chunk = k.chunk
+        JOIN slices r ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk
+        WHERE l.media_id < r.media_id
     )
-    SELECT a.media_id AS a, b.media_id AS b,
-           cast(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-    FROM ph a JOIN ph b ON a.media_id < b.media_id
-    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    SELECT c.a, c.b,
+           cast(bit_count(xor(pa.phash, pb.phash)) AS INT) AS hamming
+    FROM cand c
+    JOIN ph pa ON pa.media_id = c.a
+    JOIN ph pb ON pb.media_id = c.b
+    WHERE bit_count(xor(pa.phash, pb.phash)) <= 3
     ORDER BY a, b
     """,
 )
@@ -609,10 +635,15 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:hamming_near_dups_int, the simhash machinery
     generalized): 4×15-bit slices, pigeonhole guarantees every pair
     within 3 flips collides on a slice, exact bit_count(xor) verifies
-    candidates. Fixture plants single-bit-flipped copies of every 5th
-    asset; the oracle brute-forces all pairs — the banded join must
-    find exactly the same set (recall 1.0 by construction when
-    max_hamming < chunks). Only (id, int64) rows ever shuffle."""
+    candidates. Fixture plants (a) single-bit-flipped copies of every
+    5th asset and (b) a 40-copy boilerplate cluster sharing ONE
+    constant pHash — the default-thumbnail hub that fans D² candidate
+    rows onto one shuffle key at scale. The banded join runs with
+    max_bucket_size=PHASH_BUCKET_CAP (< 40), so every hub slice is
+    dropped before the self-join and the 780 intra-hub pairs are never
+    surfaced; the oracle reproduces the slices / keep-cap / candidate /
+    verify chain exactly, so the cap semantics themselves are
+    hash-checked cross-engine. Only (id, int64) rows ever shuffle."""
     from glamira_end_to_end_data_pipeline_spark.operators import multimodal as mm
 
     media = mm.synthetic_media(spark, 512)
@@ -630,10 +661,19 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("phash"),
     )
-    ph = ph0.unionByName(flipped)
+    hot = spark.range(40).select(
+        (F.col("id") + 200000).alias("media_id"),
+        F.lit(PHASH_HOT).cast("long").alias("phash"),
+    )
+    ph = ph0.unionByName(flipped).unionByName(hot)
     return (
         dedup.hamming_near_dups_int(
-            ph, id_col="media_id", hash_col="phash", max_hamming=3, chunks=4
+            ph,
+            id_col="media_id",
+            hash_col="phash",
+            max_hamming=3,
+            chunks=4,
+            max_bucket_size=PHASH_BUCKET_CAP,
         )
         .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("a", "b")

@@ -465,3 +465,85 @@ def test_countmin_never_underestimates(spark):
     ghost = spark.createDataFrame([("never-seen-token",)], ["token"])
     g = countmin_query(sk, ghost, d=4, w=8).collect()[0]
     assert g["cm_estimate"] >= 0
+
+
+def test_hamming_bands_top_bit_set_fingerprints(spark):
+    """bits=64 contract: a fingerprint with the sign bit set must band
+    into the same slice buckets as a positive hash sharing those bits.
+    The arithmetic-shift + signed-% formulation banded the negative
+    hash to negative slice values that never collided (silent recall
+    loss); unsigned-shift + mask fixes it."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        hamming_near_dups_int,
+    )
+
+    x = 0x0123456789ABCDEF
+    # hA = x with the top bit set (negative two's-complement long),
+    # hB = x with the top bit clear: hamming distance exactly 1, and
+    # slices 0..2 (the low 48 bits) are bit-identical.
+    h_a = (x | (1 << 63)) - (1 << 64)
+    h_b = x
+    df = spark.createDataFrame([(1, h_a), (2, h_b)], "id long, fp long")
+    out = hamming_near_dups_int(
+        df, id_col="id", hash_col="fp", max_hamming=1, chunks=4, bits=64
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["hamming"] == 1
+    # two DIFFERENT negative fingerprints sharing a slice also collide
+    h_c = h_a ^ (1 << 5)
+    df2 = spark.createDataFrame([(1, h_a), (2, h_c)], "id long, fp long")
+    out2 = hamming_near_dups_int(
+        df2, id_col="id", hash_col="fp", max_hamming=1, chunks=4, bits=64
+    ).collect()
+    assert len(out2) == 1 and out2[0]["hamming"] == 1
+
+
+def test_hamming_bucket_cap_drops_hot_slice(spark):
+    """A boilerplate cluster of D identical fingerprints fans D^2
+    candidates onto one slice key; with max_bucket_size < D every hub
+    slice is dropped before the self-join, while a genuinely-near pair
+    outside the hub still surfaces through its own (small) buckets."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        hamming_near_dups_int,
+    )
+
+    hub = [(i, 0x0F0F0F0F0F0F0F) for i in range(30)]
+    near = [(100, 0x12345678ABCDE0), (101, 0x12345678ABCDE1)]
+    df = spark.createDataFrame(hub + near, "id long, fp long")
+    capped = hamming_near_dups_int(
+        df, id_col="id", hash_col="fp", max_hamming=3, chunks=4,
+        max_bucket_size=24,
+    ).collect()
+    assert {(r["a"], r["b"]) for r in capped} == {(100, 101)}
+    uncapped = hamming_near_dups_int(
+        df, id_col="id", hash_col="fp", max_hamming=3, chunks=4
+    )
+    assert uncapped.count() == 30 * 29 // 2 + 1
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """Same guard on the MinHash band join: D docs sharing identical
+    text collapse into one band bucket per band; cap < D kills the D^2
+    candidate blowup while distinct near-dup pairs still pair up."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_near_dups,
+        minhash_signatures,
+        exploded_shingles,
+    )
+
+    boiler = "terms of service apply to all users of this site always"
+    rows = [(i, boiler) for i in range(30)] + [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = minhash_signatures(exploded_shingles(df, distinct=False))
+    bands = lsh_bands(sig)
+    capped = lsh_candidate_pairs(bands, max_bucket_size=24)
+    assert {(r["a"], r["b"]) for r in capped.collect()} == {(100, 101)}
+    assert lsh_candidate_pairs(bands).count() == 30 * 29 // 2 + 1
+    # end-to-end: capped pipeline surfaces only the non-hub pair
+    pairs = minhash_near_dups(df, threshold=0.3, max_bucket_size=24)
+    assert {(r["a"], r["b"]) for r in pairs.collect()} == {(100, 101)}
