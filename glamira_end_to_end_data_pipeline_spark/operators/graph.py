@@ -94,8 +94,16 @@ def pagerank(
                 "outdeg",
                 (base + d * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint()
+            # eager=False: intermediate rounds materialize in ONE
+            # cascade at the final eager checkpoint below instead of
+            # paying a ~0.3 s driver action each — lineage is still
+            # cut per round, so the plan never deepens with iters.
+            .localCheckpoint(eager=False)
         )
+    # materialize BEFORE unpersisting the edge/node caches the lazy
+    # chain still reads — unpersisting first would recompute them from
+    # the caller's raw plan once per round.
+    ranks = ranks.localCheckpoint()
     e.unpersist()
     nodes.unpersist()
     return ranks
@@ -430,7 +438,9 @@ def kcore_peel(
         StorageLevel.MEMORY_AND_DISK,
     )
     for _ in range(rounds):
-        und = _peel_round(und, k).localCheckpoint()
+        # eager=False: the fixed-round cascade materializes at the
+        # consumer's action — lineage still cut per round.
+        und = _peel_round(und, k).localCheckpoint(eager=False)
     return und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
@@ -475,7 +485,8 @@ def lpa_communities(
         "lab", F.col("node")
     )
     for _ in range(rounds):
-        labels = _lpa_round(und, labels).localCheckpoint()
+        # eager=False: same one-cascade discipline as kcore_peel.
+        labels = _lpa_round(und, labels).localCheckpoint(eager=False)
     return labels.withColumnRenamed("lab", "community")
 
 
@@ -519,14 +530,25 @@ def kcore_exact(
         .localCheckpoint()
     )
     n_edges = und.count()
-    for _ in range(max_rounds):
+    # Adaptive doubling: peeling is monotone (edges only leave), so an
+    # unchanged edge count over a BATCH of peel rounds proves the fixed
+    # point held at the batch start, and peeling a converged core is a
+    # no-op — batch 1, 2, 4, 8 rounds per driver action (the ~0.3 s
+    # action floor dominates on local mode; the cap bounds plan depth
+    # and overshoot work).
+    batch = 1
+    rounds_done = 0
+    while rounds_done < max_rounds:
         if n_edges == 0:
             break
-        und = _peel_round(und, k).localCheckpoint()
+        for _ in range(batch):
+            und = _peel_round(und, k).localCheckpoint(eager=False)
+        rounds_done += batch
         n_next = und.count()
         if n_next == n_edges:
             break
         n_edges = n_next
+        batch = min(batch * 2, 8)
     return und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
@@ -572,17 +594,32 @@ def lpa_exact(
         .withColumn("lab", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_rounds):
-        new_labels = _lpa_round(und, labels).localCheckpoint()
+    # Adaptive doubling with a LAST-TWO-STATES probe: synchronous LPA
+    # can 2-cycle, so "labels unchanged across a batch" does NOT prove
+    # a fixed point (a period-2 oscillation matches any even batch).
+    # Comparing only the batch's final two consecutive states is sound:
+    # consecutive equality IS the fixed-point definition, so early exit
+    # returns exactly labels(max_rounds); if no consecutive pair ever
+    # matches, the batches are clamped to run precisely ``max_rounds``
+    # unrolled rounds — the contract the cross-engine oracle unrolls.
+    rounds_done = 0
+    batch = 1
+    while rounds_done < max_rounds:
+        batch = min(batch, max_rounds - rounds_done)
+        prev = labels
+        for _ in range(batch):
+            prev = labels
+            labels = _lpa_round(und, labels).localCheckpoint(eager=False)
+        rounds_done += batch
         n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            labels.alias("n")
+            .join(prev.alias("o"), "node")
             .filter(F.col("n.lab") != F.col("o.lab"))
             .count()
         )
-        labels = new_labels
         if n_changed == 0:
             break
+        batch = min(batch * 2, 8)
     return labels.withColumnRenamed("lab", "community")
 
 
@@ -604,6 +641,19 @@ def scc_exact(
        reaches v, by iterated min-propagation along edges. Labels
        only decrease, so Σf is strictly monotone — convergence is ONE
        single-row aggregate per inner round, not a row-level diff.
+    0. TRIM to a fixed point: a node with no in-edges or no out-edges
+       within the remaining subgraph cannot sit on a cycle — it is its
+       own singleton SCC. On real directed graphs (web, citation,
+       follow graphs) the vast majority of nodes are trivial SCCs, and
+       trimming peels them in cheap |E|-linear rounds (two distincts +
+       two semi-joins each) before the expensive coloring machinery
+       ever runs — the standard FW-BW-Trim refinement (McLendon et
+       al.). Trim runs at the top of EVERY outer round, so nodes made
+       trivial by peeling an SCC also exit through the cheap path.
+    1. FORWARD coloring to a fixed point: ``f(v)`` = min id that
+       reaches v, by iterated min-propagation along edges. Labels
+       only decrease, so Σf is strictly monotone — convergence is ONE
+       single-row aggregate per inner round, not a row-level diff.
     2. For each color class rooted at r (``f(r) = r``), the SCC of r
        is exactly the members that reach r back USING ONLY same-color
        nodes: any r→*v path stays inside color r (an intermediate
@@ -619,12 +669,24 @@ def scc_exact(
 
     The loop discipline is kcore_exact's: ``localCheckpoint`` after
     every mutation keeps the plan flat however many rounds run;
-    per-round driver actions are O(1)-row aggregates. Each inner step
-    is one edge-keyed join + one min/distinct aggregation — the
-    Pregel message shape, linear in |E| per round. Round counts are
-    bounded by the subgraph DIAMETER (forward) and SCC count (outer)
-    — on real web/social graphs both are small relative to |E|, which
-    is why FW-BW variants are the standard at scale."""
+    per-round driver actions are O(1)-row aggregates. Every inner
+    loop (trim, forward, backward) is monotone — node sets shrink,
+    labels only decrease, flags only grow — so convergence probes run
+    on an ADAPTIVE DOUBLING schedule (1, 2, 4, … batched propagation
+    steps per driver action, capped to bound plan depth): a probe
+    showing no change over a batch proves the fixed point held at the
+    batch's START, and overshooting a fixed point is a no-op, so
+    batching trades cheap redundant joins for the ~0.3 s/action
+    driver floor that dominates iterative graph work on local mode.
+    Each step is one edge-keyed join + one min/distinct aggregation —
+    the Pregel message shape, linear in |E| per round. Round counts
+    are bounded by the subgraph DIAMETER (forward) and SCC count
+    (outer).
+
+    Raises ``RuntimeError`` if ``max_rounds`` outer rounds exhaust
+    with nodes still unassigned (a silent partial result would look
+    like a valid labelling); an empty edge set returns an empty
+    (node, scc_id) frame."""
     e_all = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -640,19 +702,52 @@ def scc_exact(
     )
     e = e_all
     assigned_parts: list[DataFrame] = []
-    # The remaining-node count is tracked ARITHMETICALLY (it shrinks by
-    # exactly the flagged count each round), so the outer loop costs no
-    # isEmpty/count action of its own.
+    # The remaining-node count is tracked ARITHMETICALLY where it can
+    # be (it shrinks by exactly the flagged count after the backward
+    # pass); trim probes re-measure it directly.
     n_rem = remaining.count()
     for _ in range(max_rounds):
         if n_rem == 0:
             break
-        # 1. forward min-label propagation to the fixed point. TWO
-        # propagation steps ride each checkpointed round: a driver
-        # action (the Σlabel convergence probe) costs a fixed ~0.3 s
-        # on local mode regardless of data, so halving the action
-        # count halves the loop's wall-clock floor while the plan
-        # stays two joins deep — never lineage-unbounded.
+        # 0. TRIM to a fixed point: nodes missing either edge
+        # direction in the remaining subgraph are singleton SCCs.
+        # Node sets only shrink, so a probe showing no shrink over a
+        # batch proves the fixed point — doubling schedule applies.
+        trim_start = remaining
+        batch = 1
+        while n_rem > 0:
+            for _ in range(batch):
+                both = (
+                    e.select(F.col("u").alias("node"))
+                    .distinct()
+                    .join(e.select(F.col("v").alias("node")).distinct(), "node")
+                    .localCheckpoint(eager=False)
+                )
+                e = (
+                    e.join(both.withColumnRenamed("node", "u"), "u", "left_semi")
+                    .join(both.withColumnRenamed("node", "v"), "v", "left_semi")
+                    .localCheckpoint(eager=False)
+                )
+                remaining = both
+            n_next = remaining.count()
+            if n_next == n_rem:
+                break
+            n_rem = n_next
+            batch = min(batch * 2, 8)
+        trimmed = trim_start.join(remaining, "node", "left_anti")
+        assigned_parts.append(
+            trimmed.select("node", F.col("node").alias("scc_id")).localCheckpoint(
+                eager=False
+            )
+        )
+        if n_rem == 0:
+            break
+        # 1. forward min-label propagation to the fixed point, probed
+        # on the doubling schedule: a driver action (the Σlabel
+        # convergence probe) costs a fixed ~0.3 s on local mode
+        # regardless of data, and labels only decrease, so Σ unchanged
+        # over a batch of steps proves convergence held at the batch
+        # start while overshoot is a no-op.
         def _fwd_step(labels: DataFrame) -> DataFrame:
             msgs = e.join(labels, e["u"] == labels["node"]).select(
                 e["v"].alias("node"), F.col("lab")
@@ -664,16 +759,19 @@ def scc_exact(
             )
 
         # eager=False: the checkpoint materializes AT the convergence
-        # probe (one driver action per round total, not two) while
-        # still cutting lineage for the next round.
+        # probe (one driver action per batch total) while still
+        # cutting lineage for the next step.
         f = remaining.select("node", F.col("node").alias("lab")).localCheckpoint()
         prev = f.agg(F.sum("lab")).collect()[0][0]
+        batch = 2
         for _ in range(max_rounds):
-            f = _fwd_step(_fwd_step(f)).localCheckpoint(eager=False)
+            for _ in range(batch):
+                f = _fwd_step(f).localCheckpoint(eager=False)
             s = f.agg(F.sum("lab")).collect()[0][0]
             if s == prev:
                 break
             prev = s
+            batch = min(batch * 2, 16)
         # 2. class-internal edges + backward flag from the roots
         fu = f.select(F.col("node").alias("u"), F.col("lab").alias("lab_u"))
         fv = f.select(F.col("node").alias("v"), F.col("lab").alias("lab_v"))
@@ -692,13 +790,16 @@ def scc_exact(
 
         g = f.filter(F.col("node") == F.col("lab")).localCheckpoint(eager=False)
         n_flagged = g.count()
+        batch = 2
         for _ in range(max_rounds):
-            # same two-steps-per-action discipline as the forward pass
-            g = _bwd_step(_bwd_step(g)).localCheckpoint(eager=False)
+            # flags only grow — same monotone-probe argument
+            for _ in range(batch):
+                g = _bwd_step(g).localCheckpoint(eager=False)
             n_next = g.count()
             if n_next == n_flagged:
                 break
             n_flagged = n_next
+            batch = min(batch * 2, 16)
         # 3. assign the flagged members, shrink the subgraph
         assigned_parts.append(g.withColumnRenamed("lab", "scc_id"))
         done = g.select("node")
@@ -711,6 +812,14 @@ def scc_exact(
             .localCheckpoint(eager=False)
         )
         n_rem -= n_flagged
+    else:
+        if n_rem > 0:
+            raise RuntimeError(
+                f"scc_exact: {n_rem} nodes unassigned after {max_rounds} "
+                "outer rounds — raise max_rounds (result would be partial)"
+            )
+    if not assigned_parts:
+        return edges.sparkSession.createDataFrame([], "node long, scc_id long")
     out = assigned_parts[0]
     for part in assigned_parts[1:]:
         out = out.unionAll(part)

@@ -761,6 +761,11 @@ _SCC_EDGES = [
     (3, 10),                             # bridge (condensation DAG)
     (20, 21), (21, 22),                  # chain    -> singletons 20, 22
     (21, 23), (23, 21),                  # 2-cycle  -> SCC {21,23}
+] + [
+    # long trivial chain off the 4-cycle: 13 singleton SCCs that the
+    # TRIM pre-pass must peel through the cheap path (pre-trim, the
+    # coloring loop assigned ONE chain node per expensive outer round)
+    (3, 30), *[(30 + i, 31 + i) for i in range(12)],
 ]
 
 _SCC_EDGES_SQL = ", ".join(f"({u}, {v})" for u, v in _SCC_EDGES)

@@ -299,3 +299,40 @@ def test_scc_exact_components_and_singletons(spark):
     )
     got = {r.node: r.scc_id for r in scc_exact(edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 6, 7: 6, 8: 8}
+
+
+def test_scc_exact_empty_and_chain(spark):
+    """Empty edge set returns an empty typed frame (not IndexError);
+    a pure chain — all-trivial SCCs, the trim pre-pass fast path —
+    labels every node its own singleton."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import scc_exact
+
+    empty = spark.createDataFrame([], "u long, v long")
+    out = scc_exact(empty)
+    assert out.columns == ["node", "scc_id"]
+    assert out.count() == 0
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "u long, v long"
+    )
+    got = {r.node: r.scc_id for r in scc_exact(chain).collect()}
+    assert got == {i: i for i in range(11)}
+
+
+def test_scc_exact_raises_on_round_exhaustion(spark):
+    """max_rounds hit with unassigned nodes must raise, not silently
+    drop them."""
+    import pytest
+
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import scc_exact
+
+    # cycle {10,11} downstream of cycle {0,1}: forward coloring paints
+    # everything color 0, the backward flag only reaches {0,1}, so the
+    # downstream cycle needs a second outer round — max_rounds=1
+    # leaves it unassigned (trim removes nothing: every node has both
+    # edge directions)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 10), (10, 11), (11, 10)], "u long, v long"
+    )
+    with pytest.raises(RuntimeError, match="unassigned"):
+        scc_exact(edges, max_rounds=1)
