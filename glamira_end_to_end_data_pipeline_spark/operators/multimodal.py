@@ -193,6 +193,7 @@ def pack_shards(
     budget: int,
     group_cols: Sequence[str],
     order_col: str,
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """WebDataset-style shard assignment: within each group, records
     are packed sequentially (deterministic ``order_col`` order) into
@@ -210,10 +211,19 @@ def pack_shards(
     the natural packing unit every sharded corpus already has), never
     a 3-value modality alone; with bounded groups the cumsum is an
     embarrassingly parallel per-group sort, no global ordering
-    anywhere."""
+    anywhere.
+
+    DETERMINISM REQUIREMENT: ``order_col`` must totally order each
+    group, or the running sum — and therefore shard membership —
+    depends on Spark's tie order, which varies with partitioning and
+    run (exactly the resumable-build property the contract promises).
+    When the natural order key can repeat (ingest timestamps, file
+    offsets), pass ``tiebreak_cols`` (e.g. the record's unique id) to
+    extend the sort into a total order; the window simply orders by
+    ``(order_col, *tiebreak_cols)``."""
     w = (
         Window.partitionBy(*group_cols)
-        .orderBy(order_col)
+        .orderBy(order_col, *tiebreak_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum(size_col).over(w), F.lit(0))

@@ -352,6 +352,44 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> list[str]:
     return _read_manifest_doc(spark, path, version)["files"]
 
 
+# Full cumulative `ever` lists are persisted only every Nth manifest;
+# the versions between carry deltas. N bounds BOTH the reconstruction
+# walk (≤ N manifest reads) and manifest storage growth (O(V) total,
+# not O(V²)).
+EVER_CHECKPOINT_EVERY = 16
+
+
+def _cumulative_ever(spark: SparkSession, path: str, version: int) -> list[str]:
+    """Every file visible in ANY version ≤ ``version``: walk back to
+    the nearest manifest carrying a full ``ever`` checkpoint (≤
+    ``EVER_CHECKPOINT_EVERY`` reads), then fold the ``ever_delta``
+    lists above it forward. Three manifest generations compose:
+    checkpoint+delta (current), full-``ever``-every-version (previous),
+    and legacy docs with neither — the last fall back to a full
+    ``files`` walk of their prefix."""
+    deltas: list[list[str]] = []
+    v = version
+    while v >= 1:
+        doc = _read_manifest_doc(spark, path, v)
+        if "ever" in doc:
+            ever = set(doc["ever"])
+            break
+        if "ever_delta" in doc:
+            deltas.append(doc["ever_delta"])
+            v -= 1
+            continue
+        # legacy prefix: no cumulative bookkeeping at or below v
+        ever = set()
+        for w in range(1, v + 1):
+            ever.update(_read_manifest(spark, path, w))
+        break
+    else:
+        ever = set()
+    for d in deltas:
+        ever.update(d)
+    return sorted(ever)
+
+
 def latest_snapshot_version(spark: SparkSession, path: str) -> int:
     """Highest committed snapshot version, or 0 if none."""
     fs, mdir = _hadoop_fs(spark, _manifest_dir(path))
@@ -598,31 +636,32 @@ def _commit_manifest(
     Iceberg's snapshot ``operation`` field. Incremental readers need it
     to tell data changes from file reshuffles.
 
-    Each manifest also folds forward ``ever`` — the cumulative set of
-    every file visible in ANY version ≤ this one — so an incremental
-    reader seeds its already-delivered set with ONE manifest read at
-    the sync point instead of re-walking manifests 1..from_version on
-    every call (O(V²) over a version-tailing consumer's lifetime).
-    One sorted list of file names per manifest: tiny next to the
-    per-version file lists the doc already carries."""
+    Each manifest also carries the cumulative set of every file
+    visible in ANY version ≤ this one, CHECKPOINTED: versions 1,
+    ``EVER_CHECKPOINT_EVERY``, 2·``EVER_CHECKPOINT_EVERY``, … store
+    the full sorted ``ever`` list; every other version stores only
+    ``ever_delta`` (this version's genuinely-new file names). A reader
+    seeding at version V reconstructs the set with a BOUNDED walk —
+    nearest checkpoint at-or-below V plus the deltas above it, ≤
+    ``EVER_CHECKPOINT_EVERY`` manifest reads — so total manifest
+    storage over a table's life is O(V) (full lists only every Nth
+    version) instead of the O(V²) a full-list-every-version scheme
+    accumulates, and a version-tailing consumer still never re-walks
+    the whole history."""
     import json
 
-    prev_ever: list[str] = []
-    if version > 1:
-        prev_doc = _read_manifest_doc(spark, path, version - 1)
-        if "ever" in prev_doc:
-            prev_ever = prev_doc["ever"]
-        else:
-            # Legacy manifests predate the cumulative list: rebuild it
-            # once here; every later commit folds forward in one read.
-            for v in range(1, version):
-                prev_ever.extend(_read_manifest(spark, path, v))
+    prev_ever: set[str] = (
+        set(_cumulative_ever(spark, path, version - 1)) if version > 1 else set()
+    )
     doc = {
         "version": version,
         "files": files,
         "operation": operation,
-        "ever": sorted(set(prev_ever) | set(files)),
     }
+    if version == 1 or version % EVER_CHECKPOINT_EVERY == 0:
+        doc["ever"] = sorted(prev_ever | set(files))
+    else:
+        doc["ever_delta"] = sorted(set(files) - prev_ever)
     if tag is not None:
         doc["tag"] = tag
     if stats:
@@ -783,19 +822,14 @@ def read_incremental(
     # ever an append up to that point; if a pre-sync rewrite replaced
     # files F1 with F2 and a post-sync rollback reinstates F1, the
     # F1 rows are already in the consumer's copy and re-delivering them
-    # would double-count. The sync-point manifest carries the
-    # cumulative ``ever`` list folded forward at commit time, so
-    # seeding is ONE manifest read — a version-tailing consumer pays
-    # O(V) manifest reads over the table's lifetime, not O(V²). Legacy
-    # manifests without the field fall back to the full walk.
+    # would double-count. Commit-time bookkeeping (checkpointed
+    # ``ever`` + per-version ``ever_delta``) makes seeding a BOUNDED
+    # walk — at most EVER_CHECKPOINT_EVERY manifest reads regardless
+    # of table age — while total manifest storage stays O(V). Legacy
+    # manifests without either field fall back to the full walk.
     seen: set[str] = set()
     if from_version >= 1:
-        doc0 = _read_manifest_doc(spark, path, from_version)
-        if "ever" in doc0:
-            seen = set(doc0["ever"])
-        else:
-            for v in range(1, from_version + 1):
-                seen.update(_read_manifest(spark, path, v))
+        seen = set(_cumulative_ever(spark, path, from_version))
     for v in range(from_version + 1, to_version + 1):
         doc = _read_manifest_doc(spark, path, v)
         files = doc["files"]

@@ -149,3 +149,41 @@ def test_pack_shards_deterministic_and_budget_bounded(spark):
         for _, shard, size in items:
             assert shard == cum // 4096, (g, items)
             cum += size
+
+
+def test_pack_shards_tiebreak_totalizes_duplicate_order_keys(spark):
+    """With a repeating order key (same ingest second), tiebreak_cols
+    must make shard membership a pure function of the data — identical
+    across partitioning layouts."""
+    from pyspark.sql import functions as F
+
+    from glamira_end_to_end_data_pipeline_spark.operators.multimodal import (
+        pack_shards,
+    )
+
+    rows = [(i, "img", 0, i % 3, 900) for i in range(30)]  # ts has dups
+    df = spark.createDataFrame(
+        rows, "media_id long, modality string, batch int, ts int, size_bytes long"
+    )
+    out1 = pack_shards(
+        df.repartition(1), "size_bytes", 2048, ["modality", "batch"], "ts",
+        tiebreak_cols=["media_id"],
+    )
+    out2 = pack_shards(
+        df.repartition(13, "media_id"), "size_bytes", 2048,
+        ["modality", "batch"], "ts", tiebreak_cols=["media_id"],
+    )
+    m1 = {r.media_id: r.shard_id for r in out1.collect()}
+    m2 = {r.media_id: r.shard_id for r in out2.collect()}
+    assert m1 == m2
+    # tiebroken order == ordering by the unique key alone here
+    ref = pack_shards(df, "size_bytes", 2048, ["modality", "batch"], "media_id")
+    # not identical orders (ts groups reorder), but membership is still
+    # budget-bounded and total
+    sizes = (
+        out1.groupBy("modality", "batch", "shard_id")
+        .agg(F.sum("size_bytes").alias("b"))
+        .collect()
+    )
+    assert all(r.b <= 2048 + 900 for r in sizes)
+    assert ref.count() == out1.count()

@@ -400,19 +400,26 @@ def test_incremental_rollback_past_rewrite_no_redelivery(spark, tmp_path):
     assert lake.read_incremental(spark, p2, 2, 3).count() == 0
 
 
-def test_incremental_seed_is_one_manifest_read(spark, tmp_path, monkeypatch):
-    # Each manifest folds the cumulative 'ever' file list forward at
-    # commit time, so read_incremental seeds `seen` with ONE read at
-    # from_version (O(V) over a tailing consumer's life, not O(V²)).
+def test_incremental_seed_is_bounded_walk(spark, tmp_path, monkeypatch):
+    # Cumulative 'ever' bookkeeping is CHECKPOINTED: v1 and every
+    # EVER_CHECKPOINT_EVERY-th manifest store the full list, versions
+    # between store only their delta — manifest storage is O(V) over
+    # the table's life and seeding is a bounded (≤ interval) walk,
+    # never a 1..from_version re-walk.
     p = str(tmp_path / "ever")
     lake.write_snapshot(spark, spark.range(0, 3), p)
     lake.compact_snapshot(spark, p, n_files=1)
     lake.rollback_snapshot(spark, p, 1)
     lake.write_snapshot(spark, spark.range(100, 102), p)
-    # the cumulative list carries rewritten-away files across versions
-    doc = lake._read_manifest_doc(spark, p, 4)
-    assert set(lake._read_manifest(spark, p, 1)) <= set(doc["ever"])
-    assert set(lake._read_manifest(spark, p, 2)) <= set(doc["ever"])
+    # checkpoint at v1 carries the full list; v2..v4 carry deltas only
+    assert "ever" in lake._read_manifest_doc(spark, p, 1)
+    for v in (2, 3, 4):
+        doc = lake._read_manifest_doc(spark, p, v)
+        assert "ever" not in doc and "ever_delta" in doc
+    # reconstruction still carries rewritten-away files across versions
+    ever4 = set(lake._cumulative_ever(spark, p, 4))
+    assert set(lake._read_manifest(spark, p, 1)) <= ever4
+    assert set(lake._read_manifest(spark, p, 2)) <= ever4
 
     calls = []
     orig = lake._read_manifest_doc
@@ -424,22 +431,44 @@ def test_incremental_seed_is_one_manifest_read(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(lake, "_read_manifest_doc", counting)
     got = sorted(r["id"] for r in lake.read_incremental(spark, p, 3, 4).collect())
     assert got == [100, 101]
-    # one seed read at v3 + one walk read at v4 — no 1..from re-walk
-    assert calls == [3, 4], calls
+    # seed walk v3→v2→v1 (nearest checkpoint) + one walk read at v4 —
+    # bounded by the checkpoint interval, not the table's age
+    assert calls == [3, 2, 1, 4], calls
+    assert len(calls) <= lake.EVER_CHECKPOINT_EVERY + 1
 
-    # legacy manifests (no 'ever') still seed correctly via the walk
+    # legacy manifests (neither field) still seed correctly via the
+    # full prefix walk
     import json
 
     for v in (1, 2, 3, 4):
         mf = tmp_path / "ever" / "_manifests" / f"v{v}.json"
         d = json.loads(mf.read_text())
         d.pop("ever", None)
+        d.pop("ever_delta", None)
         mf.write_text(json.dumps(d))
         crc = mf.parent / f".v{v}.json.crc"  # stale Hadoop checksum
         if crc.exists():
             crc.unlink()
         spark.catalog.refreshByPath(str(mf))  # drop cached file size
     assert lake.read_incremental(spark, p, 2, 3).count() == 0
+
+
+def test_ever_checkpoint_boundary(spark, tmp_path):
+    # A table long enough to cross the checkpoint interval: the Nth
+    # manifest stores a full 'ever' list again, and reconstruction at
+    # versions past it never walks below the checkpoint.
+    p = str(tmp_path / "ckpt")
+    n = lake.EVER_CHECKPOINT_EVERY
+    for i in range(n + 1):
+        lake.write_snapshot(spark, spark.range(i * 2, i * 2 + 2), p)
+    assert "ever" in lake._read_manifest_doc(spark, p, n)
+    assert "ever_delta" in lake._read_manifest_doc(spark, p, n + 1)
+    ever = set(lake._cumulative_ever(spark, p, n + 1))
+    for v in range(1, n + 2):
+        assert set(lake._read_manifest(spark, p, v)) <= ever
+    # incremental read across the boundary delivers exactly the new files
+    got = sorted(r["id"] for r in lake.read_incremental(spark, p, n, n + 1).collect())
+    assert got == [n * 2, n * 2 + 1]
 
 
 def test_apply_cdc_partitioned_deletes_upserts_inserts(spark, tmp_path):
