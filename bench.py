@@ -161,6 +161,11 @@ HEADLINE = [
     "mm_shard_pack",
     "graph_scc_exact",
     "a_decimal_money_sum",
+    "sample_mix_stratified",
+    "a_kmv_distinct_merge",
+    "text_bigram_lm_score",
+    "graph_bfs_distances",
+    "text_seq_pack_split",
 ]
 
 

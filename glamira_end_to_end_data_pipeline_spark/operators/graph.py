@@ -18,6 +18,8 @@ loop's working set does not grow with iterations.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -824,3 +826,58 @@ def scc_exact(
     for part in assigned_parts[1:]:
         out = out.unionAll(part)
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: Sequence[int],
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Multi-source BFS hop distances over a directed edge list, run to
+    the fixed point — the unweighted SSSP every graph system exposes
+    (GraphX ``shortestPaths``, Pregel's canonical example). Returns
+    ``(node, dist)`` for every node REACHABLE from any source (the
+    min over sources of the hop count; unreachable nodes are absent).
+
+    Per step: dist'(v) = min(dist(v), 1 + min over in-neighbors'
+    dist) — one edge⋈dist join + one min-aggregation, the Pregel
+    message shape, linear in |E|. The frontier state is monotone in
+    BOTH probe dimensions (the reached-node count only grows, each
+    node's dist only shrinks), so a (count, sum) pair unchanged across
+    a batch of steps proves the fixed point held at the batch start —
+    the same adaptive-doubling schedule as :func:`scc_exact`: 1, 2,
+    4, … steps per ~0.3 s driver action, lineage cut per step by lazy
+    ``localCheckpoint``. Rounds are bounded by graph diameter."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node long, dist long"
+    ).localCheckpoint()
+
+    def _step(d: DataFrame) -> DataFrame:
+        msgs = e.join(d, e["u"] == d["node"]).select(
+            e["v"].alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        return d.unionAll(msgs).groupBy("node").agg(F.min("dist").alias("dist"))
+
+    probe = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
+    prev = (probe[0], probe[1])
+    batch = 1
+    for _ in range(max_rounds):
+        for _ in range(batch):
+            dist = _step(dist).localCheckpoint(eager=False)
+        probe = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
+        cur = (probe[0], probe[1])
+        if cur == prev:
+            break
+        prev = cur
+        batch = min(batch * 2, 16)
+    return dist

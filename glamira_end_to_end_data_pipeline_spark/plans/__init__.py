@@ -9,18 +9,19 @@ STALENESS ROTATION — "ever green" is not "still green" when shared
 helpers churn underneath 130 unre-checked entries per round. The
 rebuilt order is:
 
-1. ``_ROTATE_FIRST_R7`` — entries whose IMPLEMENTATION changed this
-   round (the r6 VERDICT/ADVICE fixes: null-safe SCD2 change
-   detection, the winnowing hub guard, the fused referential-
-   integrity scan, URL-canonicalize NULL sentinels, the lake
-   partition-dir escaping + cumulative `ever` manifest field) —
-   re-graded the round their code moves;
-2. fresh round-7 entries (never driver-graded) in registration order —
+1. ``_ROTATE_FIRST_R8`` — entries whose IMPLEMENTATION changed this
+   round (the r7 VERDICT/ADVICE fixes: banded-join hot-bucket caps +
+   the unsigned slice-extraction fix with oracles that now reproduce
+   the banding, the SCC trim pre-pass + extended fixture, the graph
+   family's adaptive-doubling probes, the pack_shards tiebreak, the
+   checkpointed `ever`/`ever_delta` manifest bookkeeping) — re-graded
+   the round their code moves;
+2. fresh round-8 entries (never driver-graded) in registration order —
    fresh work is graded the round it ships;
 3. every already-graded entry, ordered by how STALE its latest green
    is (last-graded round ascending, registration order within a
    round) — the window tail picks up the entries longest unre-checked;
-   round 8 continues from wherever round 7's 50-slot window ends.
+   round 9 continues from wherever round 8's 50-slot window ends.
 
 The dicts are mutated in place so every existing ``from ... import
 QUERIES`` reference observes the new order.
@@ -46,29 +47,39 @@ from glamira_end_to_end_data_pipeline_spark.plans import r6_queries  # noqa: E40
 # them right behind the round-7 rotate-first block.
 from glamira_end_to_end_data_pipeline_spark.plans import r7_queries  # noqa: E402,F401
 
-# Round-7 front-loads: entries whose code changed in round 7, re-graded
-# the round their implementation moves. scd2_apply_changes/_wide_dim:
-# null-safe change detection + NULL-state fixtures (the r6 VERDICT
-# wrong-answer bug); dedup_winnowing_pairs: document-frequency hub
-# guard in both engines; dq_referential_integrity: fused single-scan
-# lineitem probes; text_url_canonicalize: NULL-sentinel synthesis;
-# the lake block: partition-dir escaping in the CDC sweep + the
-# cumulative `ever` manifest field that reseats read_incremental
-# (write_snapshot/compact/rollback all emit the new field, so every
-# manifest-walking entry re-proves unchanged results).
-_ROTATE_FIRST_R7 = (
-    "scd2_apply_changes",
-    "scd2_apply_wide_dim",
-    "dedup_winnowing_pairs",
-    "dq_referential_integrity",
-    "text_url_canonicalize",
-    "lake_merge_delete",
-    "lake_merge_upsert",
+# round-8 fresh entries — never graded; land behind the round-8
+# rotate-first block, inside the round-8 window.
+from glamira_end_to_end_data_pipeline_spark.plans import r8_queries  # noqa: E402,F401
+
+# Round-8 front-loads: entries whose code changed in round 8, re-graded
+# the round their implementation moves. graph_scc_exact: TRIM pre-pass
+# + trivial-chain fixture + doubling probes; dedup_minhash_lsh /
+# dedup_simhash / mm_phash_near_dup: hot-bucket caps mirrored into the
+# oracles (the simhash/phash oracles now reproduce the banded join
+# itself) + the unsigned slice-extraction fix + the phash hub fixture;
+# the rest of the graph family: adaptive-doubling convergence probes /
+# lazy-cascade checkpoints (results fixed-point-invariant — re-proved
+# here); mm_shard_pack: pack_shards tiebreak parameter; the manifest
+# block: checkpointed `ever`+`ever_delta` bookkeeping reseats every
+# snapshot/manifest-walking entry.
+_ROTATE_FIRST_R8 = (
+    "graph_scc_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "mm_phash_near_dup",
+    "graph_kcore_exact",
+    "graph_lpa_exact",
+    "graph_pagerank",
+    "graph_kcore",
+    "graph_lpa_communities",
+    "mm_shard_pack",
     "lake_incremental_across_compaction",
     "lake_rollback_commit",
-    "stream_cdc_apply",
-    "stream_snapshot_commits",
     "lake_compact_commit",
+    "lake_snapshot_read",
+    "lake_snapshot_diff",
+    "stream_snapshot_commits",
+    "stream_cdc_apply",
 )
 
 # Driver-green in CORRECTNESS_r02.json (round-2 window).
@@ -355,10 +366,66 @@ _R6_GREEN = frozenset(
     }
 )
 
-# ROUND-8 TODO (apply BEFORE adding round-8 entries): fold the green
-# rows of CORRECTNESS_r07.json into `_R7_GREEN`, move any red rows
-# (after fixing them) into `_ROTATE_FIRST_R8`, and keep the staleness
-# rotation draining the r3/r4-era backlog.
+# Driver-green in CORRECTNESS_r07.json (round-7 window, 50/50 green).
+_R7_GREEN = frozenset(
+    {
+        "scd2_apply_changes",
+        "scd2_apply_wide_dim",
+        "dedup_winnowing_pairs",
+        "dq_referential_integrity",
+        "text_url_canonicalize",
+        "lake_merge_delete",
+        "lake_merge_upsert",
+        "lake_incremental_across_compaction",
+        "lake_rollback_commit",
+        "stream_cdc_apply",
+        "stream_snapshot_commits",
+        "lake_compact_commit",
+        "lake_snapshot_diff",
+        "j_asof_tolerance",
+        "a_histogram_rollup_merge",
+        "dq_outlier_mad",
+        "dedup_exact_spans",
+        "emb_filtered_ann_topk",
+        "w_gaps_islands",
+        "mm_phash_near_dup",
+        "mm_shard_pack",
+        "graph_scc_exact",
+        "a_decimal_money_sum",
+        "q21_waiting_suppliers",
+        "s4_text_ip_worklist",
+        "s12_crawler_parse",
+        "emb_quantize_int8",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_clusters",
+        "text_pretraining_pipeline",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "emb_cosine_topk",
+        "emb_ann_lsh_topk",
+        "emb_ivf_topk",
+        "emb_ivf_refined_topk",
+        "emb_near_dup_pairs",
+        "text_token_stats",
+        "text_quality_score",
+        "text_language_id",
+        "text_fingerprint",
+        "text_split_assign",
+        "text_pack_sequences",
+        "text_shuffle_shards",
+        "text_decontaminate",
+        "text_repetition_filter",
+        "text_quality_filter_stratified",
+        "text_vocab_topk",
+        "text_pii_scrub",
+    }
+)
+
+# ROUND-9 TODO (apply BEFORE adding round-9 entries): fold the green
+# rows of CORRECTNESS_r08.json into `_R8_GREEN`, move any red rows
+# (after fixing them) into `_ROTATE_FIRST_R9`, and keep the staleness
+# rotation draining the r4-era backlog.
 
 
 def _last_graded(name: str) -> int:
@@ -366,6 +433,7 @@ def _last_graded(name: str) -> int:
     never graded — fresh this round). Later rounds win: r5 re-graded
     19 entries first greened in r2/r3."""
     for rnd, green in (
+        (7, _R7_GREEN),
         (6, _R6_GREEN),
         (5, _R5_GREEN),
         (4, _R4_GREEN),
@@ -379,7 +447,7 @@ def _last_graded(name: str) -> int:
 
 def _window_order() -> list[str]:
     registered = list(QUERIES)
-    front = [n for n in _ROTATE_FIRST_R7 if n in QUERIES]
+    front = [n for n in _ROTATE_FIRST_R8 if n in QUERIES]
     fresh = [
         n for n in registered if _last_graded(n) == 0 and n not in front
     ]

@@ -336,3 +336,34 @@ def test_scc_exact_raises_on_round_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="unassigned"):
         scc_exact(edges, max_rounds=1)
+
+
+def test_bfs_distances_matches_python_bfs(spark):
+    """Doubling-probe BFS equals a reference BFS on the doubling graph;
+    unreachable nodes are absent."""
+    from collections import deque
+
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import bfs_distances
+
+    n = 60
+    pairs = [(i, (2 * i) % n) for i in range(n)] + [
+        (i, (2 * i + 1) % n) for i in range(n)
+    ]
+    # plus an unreachable island
+    pairs += [(1000, 1001), (1001, 1000)]
+    edges = spark.createDataFrame(pairs, "u long, v long")
+    got = {r.node: r.dist for r in bfs_distances(edges, [0]).collect()}
+
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+    ref = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                q.append(v)
+    assert got == ref
+    assert 1000 not in got and 1001 not in got
