@@ -166,6 +166,12 @@ HEADLINE = [
     "text_bigram_lm_score",
     "graph_bfs_distances",
     "text_seq_pack_split",
+    "dedup_cdc_chunks",
+    "a_kmv_setops",
+    "mm_audio_energy",
+    "sample_priority_weighted",
+    "a_poisson_bootstrap_ci",
+    "w_rolling_median",
 ]
 
 

@@ -1040,3 +1040,95 @@ def segment_boilerplate(
             ),
         )
     )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (CDC) duplication profile — the
+    storage-dedup shape (LBFS/FastCDC, here at token granularity): a
+    chunk boundary falls AFTER token *i* whenever the token's 60-bit
+    md5 hash ≡ 0 (mod ``boundary_mod``), so boundaries are a pure
+    function of CONTENT. Unlike fixed windows (segment_boilerplate) or
+    stride-1 spans (span_duplication_stats), an insertion near a doc's
+    head shifts no downstream chunk — identical suffixes still produce
+    identical chunks, which is the whole point of CDC and what makes it
+    the right granularity for dedup of revision-heavy corpora (wiki
+    histories, Common Crawl re-fetches). Expected chunk length is
+    ``boundary_mod`` tokens.
+
+    Returns per-document totals: (id, n_chunks, n_tokens, dup_chunks,
+    dup_tokens, dup_token_frac) where a chunk is duplicated when its
+    exact content occurs more than once corpus-wide.
+
+    Scale shape: boundary selection and chunk slicing are ARRAY
+    expressions — map-only, no per-token explode of full text and no
+    window function (contrast: a running-sum formulation would shuffle
+    every token row). Chunks leave the map stage as 128-bit hashes;
+    the occurrence count is one hash-keyed shuffle with map-side
+    partial aggregation, and the per-doc rollup re-shuffles only
+    (id, int) pairs. Nothing quadratic; hot chunks (boilerplate) are
+    single aggregation keys, not join keys, so no D² blowup exists to
+    guard against."""
+    toks = normalized_tokens(text_col)
+    with_toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), toks.alias("__toks")
+    )
+    n = F.size("__toks")
+    # sequence(1, 0) counts DOWN in Spark — guard n == 1 (no interior
+    # boundary positions) with an explicit empty array.
+    interior = F.when(n > 1, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    cuts = F.filter(
+        interior,
+        lambda i: F.conv(
+            F.substring(F.md5(F.element_at(F.col("__toks"), i)), 1, 15), 16, 10
+        ).cast("long")
+        % boundary_mod
+        == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(cuts, lambda c: c + 1))
+    ends = F.concat(cuts, F.array(n))
+    chunks = with_toks.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(starts.alias("s"), ends.alias("e"))).alias(
+            "chunk_idx", "__se"
+        ),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        (F.col("__se.e") - F.col("__se.s") + 1).cast("long").alias("__n_tok"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__toks"),
+                    F.col("__se.s"),
+                    F.col("__se.e") - F.col("__se.s") + 1,
+                ),
+            )
+        ).alias("__h"),
+    )
+    occ = chunks.groupBy("__h").agg(F.count(F.lit(1)).alias("__n_occ"))
+    dup = F.col("__n_occ") > 1
+    return (
+        chunks.join(occ, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("__n_tok").cast("long").alias("n_tokens"),
+            F.sum(dup.cast("int")).cast("long").alias("dup_chunks"),
+            F.sum(F.when(dup, F.col("__n_tok")).otherwise(0))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_token_frac",
+            F.round(F.col("dup_tokens") / F.col("n_tokens").cast("double"), 6),
+        )
+    )

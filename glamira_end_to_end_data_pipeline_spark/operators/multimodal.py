@@ -254,3 +254,57 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         ),
         F.when(F.col("id") % 3 == 2, (F.col("id") * 500 + 1000)).alias("duration_ms"),
     )
+
+
+def audio_energy_windows(
+    media: DataFrame,
+    window_bytes: int = 16,
+    silence_threshold: int = 1900,
+) -> DataFrame:
+    """Fixed-duration audio windowing + energy/silence profile — the
+    VAD-ish pre-filter an audio corpus runs before expensive ASR
+    (drop silent/near-silent windows; reference treats media as opaque
+    payloads, this keeps that contract: ref 5.dcs/product_crawler.py
+    downloads assets as raw bytes). Each payload is cut into
+    ``window_bytes`` windows; a window's "energy" is the sum of its
+    raw byte values (for 8-bit PCM this IS the amplitude sum — a real
+    codec decode would slot in front via DECODERS without changing
+    this plan's shape).
+
+    Implementation note — fully JVM-side, ZERO Python: the payload is
+    hex-encoded once (codegen'd ``hex``), windows are substrings, and
+    byte values come from a transform over 2-hex-char slices folded
+    with ``aggregate`` — binary → per-window scalars without any UDF,
+    so the whole profile is map-only (no shuffle at all; window rows
+    explode from a sequence, never from a join). At 100 TB of audio
+    this is the scan-speed path: predicate `is_silence` can be applied
+    in the same stage, and nothing but (id, window, scalars) survives
+    the scan."""
+    hexp = F.hex(F.col("payload"))
+    hex_w = 2 * window_bytes
+    n_win = (F.length(hexp) / hex_w).cast("int")
+    win = media.select(
+        "media_id",
+        hexp.alias("__hex"),
+        F.explode(F.sequence(F.lit(0), n_win - 1)).alias("window_idx"),
+    )
+    win_hex = F.col("__hex").substr(
+        F.col("window_idx") * hex_w + 1, F.lit(hex_w)
+    )
+    byte_vals = F.transform(
+        F.sequence(F.lit(0), F.lit(window_bytes - 1)),
+        lambda i: F.conv(win_hex.substr(i * 2 + 1, F.lit(2)), 16, 10).cast(
+            "long"
+        ),
+    )
+    energy = F.aggregate(
+        byte_vals, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return win.select(
+        "media_id",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        (F.col("window_idx").cast("long") * window_bytes).alias("start_byte"),
+        energy.alias("energy"),
+        F.round(energy / F.lit(float(window_bytes)), 4).alias("mean_level"),
+        (energy < silence_threshold).alias("is_silence"),
+    )

@@ -418,7 +418,17 @@ def text_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited operator (shingle hashes on the wire, broadcast benchmark
     grams, map-only scoring/splitting), composed without any
     driver-side materialization between stages — one lazy plan,
-    Catalyst sees everything."""
+    Catalyst sees everything.
+
+    r8 stage profile (sf0.1, per-stage counts on the persisted
+    corpus): MinHash candidate generation ~57% of wall, quality
+    scoring ~17%, corpus build ~20%, retain + decontaminate <5%
+    combined. Decontamination re-shingles at n=8 (MinHash shingles
+    are n=3 — different streams, nothing shareable) but costs ~0.2 s
+    against the persisted corpus, so the capstone's cost is the
+    intrinsic MinHash stage — the same cost visible standalone in
+    ``dedup_minhash_lsh``. Accepted; no cross-stage sharing exists to
+    exploit."""
     from glamira_end_to_end_data_pipeline_spark.caching import tracked_persist
 
     docs = _docs(spark, sf_dir)

@@ -425,3 +425,593 @@ def text_seq_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "window_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 2: content-defined chunk dedup, KMV set operations,
+# JVM-side audio windowing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cdc_chunks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+        WHERE trim(text) <> ''
+    ),
+    sz AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    cutp AS (
+        SELECT doc_id, t, n,
+               list_filter(generate_series(1, n - 1),
+                   i -> ('0x' || substr(md5(t[i]), 1, 15))::BIGINT % 8 = 0)
+                   AS cuts
+        FROM sz
+    ),
+    se AS (
+        SELECT doc_id, t,
+               list_prepend(1, list_transform(cuts, c -> c + 1)) AS starts,
+               list_append(cuts, n) AS ends
+        FROM cutp
+    ),
+    chx AS (
+        SELECT doc_id, t, starts, ends,
+               unnest(generate_series(1, len(starts))) AS i
+        FROM se
+    ),
+    ch AS (
+        SELECT doc_id, i - 1 AS chunk_idx,
+               ends[i] - starts[i] + 1 AS n_tok,
+               md5(array_to_string(t[starts[i]:ends[i]], ' ')) AS h
+        FROM chx
+    ),
+    occ AS (SELECT h, count(*) AS n_occ FROM ch GROUP BY h)
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           cast(sum(c.n_tok) AS BIGINT) AS n_tokens,
+           cast(sum(CASE WHEN o.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_chunks,
+           cast(sum(CASE WHEN o.n_occ > 1 THEN c.n_tok ELSE 0 END) AS BIGINT)
+               AS dup_tokens,
+           round(sum(CASE WHEN o.n_occ > 1 THEN c.n_tok ELSE 0 END)
+                 / sum(c.n_tok)::DOUBLE, 6) AS dup_token_frac
+    FROM ch c JOIN occ o USING (h)
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking duplication profile
+    (operators/dedup.py::cdc_chunk_stats) — the LBFS/FastCDC storage-
+    dedup shape at token granularity: chunk boundaries are a pure
+    function of local content (token-hash ≡ 0 mod 8), so insertions
+    shift no downstream chunk and identical suffixes of revised
+    documents still dedup — the granularity revision-heavy corpora
+    (wiki histories, re-crawls) need, complementing fixed windows
+    (dedup_segment_boilerplate) and stride-1 spans (dedup_exact_spans).
+    Per doc: chunk/token totals and the duplicated-token fraction
+    against corpus-wide exact chunk occurrence. Boundary selection and
+    slicing are map-only array expressions; only 128-bit chunk hashes
+    shuffle (once, map-side combined)."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        cdc_chunk_stats,
+    )
+
+    return cdc_chunk_stats(_docs(spark, sf_dir), boundary_mod=8).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "a_kmv_setops",
+    f"""
+    WITH hashed AS (
+        SELECT event_type,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                   % {_KMV_P} AS h,
+               user_id
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type,
+               (list_sort(list(DISTINCT h)))[1:{_KMV_K}] AS sk,
+               count(DISTINCT user_id) AS n_exact
+        FROM hashed GROUP BY event_type
+    ),
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    ex AS (
+        SELECT x.event_type AS et_a, y.event_type AS et_b,
+               count(*) AS exact_intersection
+        FROM du x JOIN du y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT a.event_type AS et_a, b.event_type AS et_b,
+               a.sk AS sk_a, b.sk AS sk_b,
+               a.n_exact AS na, b.n_exact AS nb
+        FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ),
+    est AS (
+        SELECT et_a, et_b, na, nb,
+               list_sort(list_distinct(sk_a || sk_b))[1:{_KMV_K}] AS merged,
+               list_intersect(sk_a, sk_b) AS inter
+        FROM p
+    ),
+    est2 AS (
+        SELECT et_a, et_b, na, nb, merged, inter,
+               CASE WHEN len(merged) < {_KMV_K} THEN {_KMV_P}
+                    ELSE merged[{_KMV_K}] END AS kth,
+               least({_KMV_K}, len(merged)) AS denom
+        FROM est
+    ),
+    est3 AS (
+        SELECT et_a, et_b, na, nb,
+               len(list_filter(inter, v -> v <= kth))::DOUBLE / denom
+                   AS jac_raw,
+               CASE WHEN len(merged) < {_KMV_K} THEN len(merged)::DOUBLE
+                    ELSE {float(_KMV_K - 1) * _KMV_P} / kth::DOUBLE
+               END AS union_raw
+        FROM est2
+    )
+    SELECT e.et_a, e.et_b,
+           round(jac_raw, 6) AS est_jaccard,
+           round(union_raw, 4) AS est_union,
+           round(jac_raw * union_raw, 4) AS est_intersection,
+           round(coalesce(x.exact_intersection, 0)
+                 / (e.na + e.nb - coalesce(x.exact_intersection, 0))::DOUBLE,
+                 6) AS exact_jaccard,
+           cast(coalesce(x.exact_intersection, 0) AS BIGINT)
+               AS exact_intersection
+    FROM est3 e LEFT JOIN ex x USING (et_a, et_b)
+    ORDER BY et_a, et_b
+    """,
+)
+def a_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS over KMV sketches — the fourth
+    mergeable-sketch capability (after HLL / histogram / KMV distinct
+    merge): audience-overlap estimation between segments WITHOUT
+    rescanning raw data. Per event-type pair: the KMV union sketch is
+    the k smallest of the two sketches' union, θ is its k-th value,
+    and |A∩B| is estimated as (|{{common hashes ≤ θ}}| / k) · |A∪B|̂
+    (Dasgupta et al., the Theta framework) — the exact math a serving
+    layer runs on STORED per-segment sketch columns. Exact
+    jaccard/intersection computed alongside, so the driver grades the
+    estimator's value AND its input discipline cross-engine
+    (deterministic md5-derived 31-bit hashes, bit-exact IEEE division).
+    Scale: sketches are k·8-byte bounded metadata built in one
+    map-side-combined pass; the pairwise stage is |segments|² over
+    BROADCAST sketch rows (allow-listed BNLJ — segment counts are
+    small by construction); the exact baseline joins distinct
+    (segment, user) pairs on the user key only."""
+    ev = read_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        _hash_mod(F.col("user_id"), _KMV_P).alias("h"),
+        "user_id",
+    )
+    sk = hashed.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, _KMV_K).alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("et_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_exact").alias("na"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("et_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("nb"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("et_a") < F.col("et_b"))
+    merged = F.slice(
+        F.array_sort(F.array_union("sk_a", "sk_b")), 1, _KMV_K
+    ).alias("merged")
+    est = pairs.select(
+        "et_a",
+        "et_b",
+        "na",
+        "nb",
+        merged,
+        F.array_intersect("sk_a", "sk_b").alias("inter"),
+    )
+    msz = F.size("merged")
+    kth = F.when(msz < _KMV_K, F.lit(_KMV_P)).otherwise(
+        F.element_at("merged", _KMV_K)
+    )
+    est = est.withColumn("kth", kth).withColumn(
+        "denom", F.least(F.lit(_KMV_K), msz)
+    )
+    jac_raw = (
+        F.size(
+            F.filter(F.col("inter"), lambda v: v <= F.col("kth"))
+        ).cast("double")
+        / F.col("denom")
+    )
+    union_raw = F.when(msz < _KMV_K, msz.cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1) * _KMV_P) / F.col("kth").cast("double")
+    )
+    est = est.withColumn("jac_raw", jac_raw).withColumn(
+        "union_raw", union_raw
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    x = du.select(F.col("event_type").alias("et_a"), "user_id")
+    y = du.select(F.col("event_type").alias("et_b"), "user_id")
+    ex = (
+        x.join(y, "user_id")
+        .filter(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    exact_i = F.coalesce("exact_intersection", F.lit(0))
+    return (
+        est.join(ex, ["et_a", "et_b"], "left")
+        .select(
+            "et_a",
+            "et_b",
+            F.round("jac_raw", 6).alias("est_jaccard"),
+            F.round("union_raw", 4).alias("est_union"),
+            F.round(F.col("jac_raw") * F.col("union_raw"), 4).alias(
+                "est_intersection"
+            ),
+            F.round(
+                exact_i
+                / (F.col("na") + F.col("nb") - exact_i).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+            exact_i.cast("long").alias("exact_intersection"),
+        )
+        .orderBy("et_a", "et_b")
+    )
+
+
+@query(
+    "mm_audio_energy",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 511)) AS media_id),
+    au AS (
+        SELECT media_id, upper(repeat(md5(media_id::VARCHAR), 4)) AS hx
+        FROM ids WHERE media_id % 3 = 1
+    ),
+    w AS (
+        SELECT media_id, hx,
+               unnest(generate_series(0, length(hx) // 32 - 1)) AS window_idx
+        FROM au
+    ),
+    e AS (
+        SELECT media_id, window_idx,
+               cast(list_sum(list_transform(generate_series(0, 15),
+                   i -> ('0x' || substr(hx, window_idx * 32 + i * 2 + 1, 2))
+                            ::BIGINT)) AS BIGINT) AS energy
+        FROM w
+    )
+    SELECT media_id, window_idx, window_idx * 16 AS start_byte, energy,
+           round(energy / 16.0, 4) AS mean_level,
+           energy < 1900 AS is_silence
+    FROM e ORDER BY media_id, window_idx
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing + energy/silence profile
+    (operators/multimodal.py::audio_energy_windows) — the third
+    modality's first-class op beside image resize/pHash and video
+    frame sampling: payloads cut into fixed 16-byte windows, per-
+    window energy (byte-value sum — amplitude sum for 8-bit PCM) and
+    a silence flag, the VAD pre-filter that gates expensive ASR.
+    Distinct from every other mm_* entry: ZERO Python — hex/substr/
+    transform/aggregate keep binary → scalar extraction inside
+    whole-stage codegen, map-only, proving opaque-payload byte math
+    doesn't need even an Arrow batch. The oracle regenerates the
+    deterministic md5-derived fixture payloads hex-side."""
+    from glamira_end_to_end_data_pipeline_spark.operators.multimodal import (
+        audio_energy_windows,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 512).filter(F.col("modality") == "audio")
+    return audio_energy_windows(media, window_bytes=16).orderBy(
+        "media_id", "window_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 3: priority sampling, deterministic Poisson bootstrap,
+# exact rolling median.
+# ---------------------------------------------------------------------------
+
+_PRI_K = 200
+_PRI_SCALE = 2147483648.0  # 2^31: w * 2^31 exact in a double for w <= ~4e6
+
+
+@query(
+    "sample_priority_weighted",
+    f"""
+    WITH pr AS (
+        SELECT doc_id, source, n_chars,
+               (n_chars * {_PRI_SCALE}) /
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 2147483647 + 1) AS priority
+        FROM documents
+    ),
+    top AS (
+        SELECT * FROM pr ORDER BY priority DESC, doc_id LIMIT {_PRI_K + 1}
+    ),
+    tau AS (SELECT min(priority) AS tau FROM top)
+    SELECT doc_id, source, n_chars, priority,
+           greatest(n_chars::DOUBLE, tau) AS w_hat
+    FROM top, tau WHERE priority > tau
+    ORDER BY priority DESC, doc_id
+    """,
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup) — weighted sampling
+    WITHOUT replacement with an unbiased subset-sum estimator, the
+    principled way to draw a size-capped weighted eval/debug corpus:
+    each doc gets priority q = w/u (w = n_chars, u uniform in (0,1]),
+    the top-k by priority are the sample, and with tau = the (k+1)-th
+    priority each sampled doc's weight estimate w_hat = max(w, tau)
+    makes sum(w_hat) an unbiased estimate of total corpus chars.
+    Determinism discipline: u's numerator is the 60-bit md5 of the doc
+    id mod (2^31-1), so q = (w·2^31)/(h+1) is one IEEE division of two
+    exactly-representable integers — bit-identical on any engine, no
+    RNG seed to ship, membership reproducible under re-runs and
+    repartitioning.
+
+    Scale shape: priorities are map-only; the top-(k+1) is
+    TakeOrderedAndProject (per-partition heaps, k+1 rows to the
+    driver-side merge — never a global sort); tau is a ONE-ROW
+    broadcast back onto the k+1 survivors. At 100 TB nothing but
+    (k+1) rows ever leaves the scan stage."""
+    docs = read_table(spark, sf_dir, "documents")
+    pri = (
+        F.col("n_chars").cast("double")
+        * F.lit(_PRI_SCALE)
+        / (_hash_mod(F.col("doc_id"), 2147483647) + 1).cast("double")
+    ).alias("priority")
+    top = (
+        docs.select("doc_id", "source", "n_chars", pri)
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(_PRI_K + 1)
+    )
+    tau = top.agg(F.min("priority").alias("tau"))
+    return (
+        top.crossJoin(F.broadcast(tau))
+        .filter(F.col("priority") > F.col("tau"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "priority",
+            F.greatest(F.col("n_chars").cast("double"), F.col("tau")).alias(
+                "w_hat"
+            ),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+    )
+
+
+# Poisson(1) CDF at 0..8, as decimal literals both engines parse to the
+# SAME doubles: replicate weight = #{j : cdf_j <= u}, capped at 9.
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+    "0.999998874797402",
+)
+_BOOT_B = 32
+
+# Affine fan-out family across replicates — dedup.minhash_coeffs'
+# exact formula (operators/dedup.py::minhash_coeffs), re-derived here
+# so the oracle embeds the same constants.
+_BOOT_COEFFS = [
+    ((b * 2_654_435_761 + 1) % 2147483647, (b * 40_503 + 17) % 2147483647)
+    for b in range(_BOOT_B)
+]
+
+
+def _boot_oracle() -> str:
+    coeffs = ", ".join(f"({b}, {a}::BIGINT, {c}::BIGINT)" for b, (a, c) in enumerate(_BOOT_COEFFS))
+    w = "(" + " + ".join(f"(u >= {c})::INT" for c in _POIS_CDF) + ")"
+    return f"""
+    WITH co(b, ca, cc) AS (VALUES {coeffs}),
+    rows_x AS (
+        SELECT event_type,
+               ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+                   % 2147483647 AS x,
+               cast(round(value * 100.0) AS BIGINT) AS cents
+        FROM events
+    ),
+    uu AS (
+        SELECT event_type, b, cents,
+               ((x * ca + cc) % 2147483647) / 2147483647.0 AS u
+        FROM rows_x, co
+    ),
+    wts AS (SELECT event_type, b, cents, {{w}} AS w FROM uu),
+    bm AS (
+        SELECT event_type, b,
+               (cast(sum(w * cents) AS DOUBLE) / 100.0) / sum(w) AS m
+        FROM wts GROUP BY event_type, b
+    ),
+    arr AS (
+        SELECT event_type, list_sort(list(m)) AS ms FROM bm
+        GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, count(*) AS n_events,
+               (cast(sum(cents) AS DOUBLE) / 100.0) / count(*) AS exact_mean
+        FROM rows_x GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_events, e.exact_mean,
+           a.ms[16] AS boot_median_lo,
+           a.ms[2] AS ci_lo, a.ms[{{hi}}] AS ci_hi
+    FROM ex e JOIN arr a USING (event_type)
+    ORDER BY event_type
+    """.replace("{w}", w).replace("{hi}", str(_BOOT_B - 1))
+
+
+@query("a_poisson_bootstrap_ci", _boot_oracle())
+def a_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap — per-segment mean with a
+    resampling confidence interval in ONE pass over the raw data, the
+    significance machinery an eval/AB pipeline needs at scale
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams"): each row's weight in replicate b is a Poisson(1) draw,
+    so a replicate is a resample-with-replacement WITHOUT
+    materializing resamples. The draw is inverse-CDF over
+    u_b = ((x·a_b + c_b) mod P)/P where x is ONE 60-bit md5 of the row
+    id reduced mod P = 2^31-1 and (a_b, c_b) is the same
+    affine-permutation family the MinHash signatures use
+    (operators/dedup.py::minhash_coeffs formula): md5 scrambles the
+    row dimension once, the affine family fans it out across the 32
+    replicates with two integer ops each. Products stay under 2^62 so
+    the modular math is exact BIGINT on any engine; the CDF thresholds
+    are decimal literals; money moves as exact cents longs — every
+    replicate mean is bit-identical cross-engine.
+
+    Scale shape: the replicate fan-out is a posexplode of the
+    32-element zipped literal coefficient array feeding DIRECTLY into
+    a map-side-combined (segment, b) partial aggregate — generated
+    rows never shuffle (the exchange moves two longs per (segment,
+    replicate) per task), and the CI is element_at over the sorted
+    32-long replicate-mean array. The alternative 64-wide-column
+    no-explode form was measured SLOWER (3.5 s vs 1.6 s at sf0.1):
+    its ~300-node expression tree costs more in per-invocation
+    Catalyst analysis + codegen size (1 MB task binaries) than the
+    bounded fan-out costs in execution — wide-expression plans are a
+    driver-side scale hazard of their own."""
+    ev = read_table(spark, sf_dir, "events")
+    x = _hash_mod(F.col("event_id"), 2147483647)
+    cents = F.round(F.col("value") * 100.0).cast("long")
+    base = ev.select("event_type", cents.alias("cents"), x.alias("x"))
+    ca = F.array(*[F.lit(a) for a, _ in _BOOT_COEFFS])
+    cc = F.array(*[F.lit(c) for _, c in _BOOT_COEFFS])
+    fan = base.select(
+        "event_type",
+        "cents",
+        "x",
+        F.posexplode(F.arrays_zip(ca.alias("a"), cc.alias("c"))).alias(
+            "b", "__ac"
+        ),
+    )
+    u = (
+        (F.col("x") * F.col("__ac.a") + F.col("__ac.c")) % 2147483647
+    ) / F.lit(2147483647.0)
+    w = None
+    for c in _POIS_CDF:
+        term = (u >= float(c)).cast("int")
+        w = term if w is None else w + term
+    bm = (
+        fan.select("event_type", "b", "cents", w.alias("w"))
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                (F.sum(F.col("w") * F.col("cents")).cast("double") / 100.0)
+                / F.sum("w")
+            ).alias("m")
+        )
+    )
+    arr = bm.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("m")).alias("__ms")
+    )
+    exact = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.sum("cents").cast("double") / 100.0) / F.count(F.lit(1))
+        ).alias("exact_mean"),
+    )
+    return (
+        exact.join(arr, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "exact_mean",
+            F.element_at("__ms", _BOOT_B // 2).alias("boot_median_lo"),
+            F.element_at("__ms", 2).alias("ci_lo"),
+            F.element_at("__ms", _BOOT_B - 1).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "w_rolling_median",
+    """
+    WITH daily AS (
+        SELECT event_type, cast(ts AS DATE) AS day,
+               cast(sum(cast(value AS DECIMAL(18, 2))) AS DOUBLE) AS rev
+        FROM events GROUP BY event_type, cast(ts AS DATE)
+    ),
+    w AS (
+        SELECT event_type, day, rev,
+               list_sort(list(rev) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        FROM daily
+    )
+    SELECT event_type, day, rev,
+           len(arr) AS n_in_window,
+           CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+                ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+           END AS roll_median
+    FROM w ORDER BY event_type, day
+    """,
+)
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day EXACT rolling median of daily revenue per
+    segment — the robust-trend sibling of w4's rolling mean: medians
+    resist the spike days that drag a mean, which is why monitoring /
+    anomaly baselines prefer them; no Spark builtin gives an exact
+    windowed median, so the frame's values are collected per the
+    ROWS BETWEEN frame (bounded: ≤7 values), sorted, and the middle
+    element(s) extracted — array math stays in codegen, and even-count
+    frames average the two middle values exactly (daily revs are
+    DECIMAL sums cast to exact doubles; their sum and half are
+    exact-rounded, bit-identical cross-engine).
+
+    Scale shape: the raw scan reduces to one row per (segment, day)
+    with map-side partial aggregation BEFORE any window; the window
+    then shuffles only daily rows partitioned by segment with a
+    7-element bounded frame — no unpartitioned window, no growing
+    state. At 100 TB the windowed stage's input is |segments|·|days|
+    rows regardless of event volume."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("rev").over(win))
+    n = F.size("__arr")
+    mid_odd = F.element_at("__arr", ((n + 1) / 2).cast("int"))
+    mid_even = (
+        F.element_at("__arr", (n / 2).cast("int"))
+        + F.element_at("__arr", (n / 2).cast("int") + 1)
+    ) / 2.0
+    return (
+        daily.withColumn("__arr", arr)
+        .select(
+            "event_type",
+            "day",
+            "rev",
+            n.cast("bigint").alias("n_in_window"),
+            F.when(n % 2 == 1, mid_odd).otherwise(mid_even).alias(
+                "roll_median"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -187,3 +187,34 @@ def test_pack_shards_tiebreak_totalizes_duplicate_order_keys(spark):
     )
     assert all(r.b <= 2048 + 900 for r in sizes)
     assert ref.count() == out1.count()
+
+
+def test_audio_energy_windows_matches_hand_computation(media):
+    import hashlib
+
+    rows = mm.audio_energy_windows(
+        media.filter("modality = 'audio'"), window_bytes=16
+    ).collect()
+    by_key = {(r.media_id, r.window_idx): r for r in rows}
+    # payload = unhex(md5(id) * 4) = 64 bytes -> 4 windows of 16
+    mid = 1  # id % 3 == 1 -> audio
+    payload = bytes.fromhex(hashlib.md5(b"1").hexdigest() * 4)
+    assert len(payload) == 64
+    for w in range(4):
+        seg = payload[w * 16 : (w + 1) * 16]
+        r = by_key[(mid, w)]
+        assert r.energy == sum(seg)
+        assert r.start_byte == w * 16
+        assert r.mean_level == round(sum(seg) / 16.0, 4)
+        assert r.is_silence == (sum(seg) < 1900)
+    n_audio = media.filter("modality = 'audio'").count()
+    assert len(rows) == n_audio * 4
+
+
+def test_audio_energy_windows_is_pure_codegen(media):
+    """No Python evaluation node anywhere — binary -> scalars stays
+    JVM-side (the entry's whole point)."""
+    df = mm.audio_energy_windows(media.filter("modality = 'audio'"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan

@@ -83,6 +83,18 @@ BNLJ_OK = {
     # PSI's two population totals are a ONE-ROW broadcast onto the
     # 10-row bucket spine.
     "dq_psi_drift",
+    # bigram LM's vocabulary size V is a ONE-ROW broadcast cross-
+    # joined onto the probe-doc bigram rows (the BM25/TF-IDF scalar
+    # discipline).
+    "text_bigram_lm_score",
+    # KMV set-ops: the pairwise stage crosses |segments| broadcast
+    # sketch rows (bounded metadata — k·8 bytes each, segment count
+    # small by construction); the raw scan never enters the BNLJ.
+    "a_kmv_setops",
+    # priority sampling's tau (the (k+1)-th priority) is a ONE-ROW
+    # broadcast back onto the k+1 TakeOrderedAndProject survivors —
+    # the raw corpus never enters the BNLJ.
+    "sample_priority_weighted",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are

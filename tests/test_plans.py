@@ -367,3 +367,68 @@ def test_filtered_ann_pushes_label_predicate_to_scan(spark, registry):
     assert any(
         "label" in b.split("PushedFilters:")[1].split("]")[0] for b in scans
     ), "label predicate did not reach any parquet scan:\n" + plan
+
+
+def test_priority_sample_top_k_shape_and_estimator(spark, registry):
+    """sample_priority_weighted: the top-(k+1) must plan as
+    TakeOrderedAndProject (per-partition heaps — never a global sort),
+    tau is a one-row broadcast, and the Duffield-Lund-Thorup estimator
+    sum(max(w, tau)) should land near the true total weight."""
+    df = registry["sample_priority_weighted"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    from glamira_end_to_end_data_pipeline_spark.plans.r8_queries import _PRI_K
+
+    assert len(rows) == _PRI_K
+    assert all(r.w_hat >= r.n_chars for r in rows)
+    est = sum(r.w_hat for r in rows)
+    exact = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .agg(F.sum("n_chars"))
+        .collect()[0][0]
+    )
+    assert 0.5 * exact < est < 2.0 * exact
+
+
+def test_poisson_bootstrap_partial_agg_and_ci_brackets_mean(
+    spark, registry
+):
+    """a_poisson_bootstrap_ci: the 32-replicate fan-out must feed a
+    map-side partial aggregate (generated rows never shuffle — the
+    exchange moves (segment, b) partials only), and the percentile CI
+    must bracket the exact mean for every segment (the bootstrap
+    distribution centers on the sample mean)."""
+    df = registry["a_poisson_bootstrap_ci"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "Generate" in plan  # the bounded 32-element literal fan-out
+    # the (segment, b) aggregate runs partially map-side, so generated
+    # rows collapse before any exchange
+    assert "partial_sum" in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.ci_lo <= r.exact_mean <= r.ci_hi, r
+        assert r.ci_lo <= r.boot_median_lo <= r.ci_hi, r
+
+
+def test_rolling_median_matches_python_replay(spark, registry):
+    """w_rolling_median: exact trailing-7 median re-derived in Python
+    from the emitted daily revs; window stage partitioned by segment."""
+    df = registry["w_rolling_median"](spark, SF_SMALL)
+    rows = df.collect()
+    by_seg: dict = {}
+    for r in rows:  # already ordered (event_type, day)
+        by_seg.setdefault(r.event_type, []).append(r)
+    assert len(by_seg) > 1
+    for seg, rs in by_seg.items():
+        revs = [r.rev for r in rs]
+        for i, r in enumerate(rs):
+            w = sorted(revs[max(0, i - 6) : i + 1])
+            assert r.n_in_window == len(w)
+            mid = (
+                w[len(w) // 2]
+                if len(w) % 2 == 1
+                else (w[len(w) // 2 - 1] + w[len(w) // 2]) / 2.0
+            )
+            assert r.roll_median == mid, (seg, r.day)

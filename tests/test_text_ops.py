@@ -479,3 +479,56 @@ def test_span_duplication_stats_catches_unaligned_repeats(spark):
     assert got[2][1] >= 1
     # unique doc shares nothing
     assert got[3][1] == 0
+
+
+def test_cdc_chunks_shift_invariance_and_totals(spark):
+    """The CDC property fixed windows lack: prepending tokens to a doc
+    leaves the chunking of the shared suffix intact (after the first
+    content-defined boundary), so the shared suffix's chunks still
+    dedup across the original and the revised doc."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        cdc_chunk_stats,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    revised = "inserted preamble " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, revised), (3, "unrelated words entirely here")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in cdc_chunk_stats(df).collect()}
+    # token totals are exact
+    assert rows[1].n_tokens == 120
+    assert rows[2].n_tokens == 122
+    assert rows[3].dup_chunks == 0
+    # the shared suffix dedups: most of doc 1's tokens are in chunks
+    # whose exact content also appears in doc 2 (all but the prefix up
+    # to the first boundary).
+    assert rows[1].dup_token_frac > 0.8
+    assert rows[2].dup_tokens == rows[1].dup_tokens
+
+
+def test_cdc_chunks_single_token_and_empty_docs(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        cdc_chunk_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "   "), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in cdc_chunk_stats(df).collect()}
+    assert set(rows) == {1}  # blank docs filtered, no sequence(1,0) trap
+    assert rows[1].n_chunks == 1 and rows[1].n_tokens == 1
+
+
+def test_cdc_chunks_cover_every_token_exactly_once(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        cdc_chunk_stats,
+    )
+
+    texts = [(i, " ".join(f"w{i}_{j}" for j in range(i * 7 % 50 + 1))) for i in range(1, 20)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    rows = cdc_chunk_stats(df).collect()
+    for r in rows:
+        expect = len(texts[r.doc_id - 1][1].split())
+        assert r.n_tokens == expect, r
