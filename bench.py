@@ -175,6 +175,38 @@ HEADLINE = [
 ]
 
 
+def _busy(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _host_probe() -> dict:
+    """Fixed CPU workload timed single-thread and 32-way, recorded with
+    every bench run so cross-round comparisons can separate CODE
+    regressions from HOST throughput swings: in round 8 every query —
+    including plan-untouched ones — ran ~1.6× slower than the round-7
+    record, and a probe like this one attributed it (single-thread speed
+    unchanged; 32-way scaling efficiency 55%, i.e. ~17 effective cores —
+    the container's share of the machine shrank, not the plans)."""
+    import concurrent.futures
+
+    n = 5_000_000
+    t0 = time.time()
+    _busy(n)
+    single = time.time() - t0
+    t0 = time.time()
+    with concurrent.futures.ProcessPoolExecutor(32) as ex:
+        list(ex.map(_busy, [n] * 32))
+    par = time.time() - t0
+    return {
+        "single_s": round(single, 3),
+        "par32_wall_s": round(par, 3),
+        "effective_cores": round(32 * single / par, 1) if par > 0 else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -246,6 +278,7 @@ def main() -> None:
         "queries": timings,
         "methodology": f"min of {runs} runs/query (steady-state)",
         "first_run_total": round(sum(cold.values()), 3),
+        "host_probe": _host_probe(),
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
