@@ -1067,7 +1067,12 @@ def cdc_chunk_stats(
     Scale shape: boundary selection and chunk slicing are ARRAY
     expressions — map-only, no per-token explode of full text and no
     window function (contrast: a running-sum formulation would shuffle
-    every token row). Chunks leave the map stage as 128-bit hashes;
+    every token row). The boundary filter's lambda evaluates
+    interpreted (HOFs are not codegen'd) with one md5 per interior
+    token — accepted deliberately: the codegen'd alternative explodes
+    a row per token and needs a doc-keyed WINDOW to reassemble chunk
+    spans, i.e. it trades interpreted map-only CPU for a full shuffle
+    of every token row, the wrong side of the trade at corpus scale. Chunks leave the map stage as 128-bit hashes;
     the occurrence count is one hash-keyed shuffle with map-side
     partial aggregation, and the per-doc rollup re-shuffles only
     (id, int) pairs. Nothing quadratic; hot chunks (boilerplate) are

@@ -274,19 +274,31 @@ def audio_energy_windows(
     Implementation note — fully JVM-side, ZERO Python: the payload is
     hex-encoded once (codegen'd ``hex``), windows are substrings, and
     byte values come from a transform over 2-hex-char slices folded
-    with ``aggregate`` — binary → per-window scalars without any UDF,
-    so the whole profile is map-only (no shuffle at all; window rows
-    explode from a sequence, never from a join). At 100 TB of audio
-    this is the scan-speed path: predicate `is_silence` can be applied
-    in the same stage, and nothing but (id, window, scalars) survives
-    the scan."""
+    with ``aggregate`` — binary → per-window scalars without any UDF
+    or Arrow batch. The higher-order lambdas evaluate as interpreted
+    JVM expressions (HOFs are not whole-stage-codegen compiled), which
+    is the right trade here: the per-window element count is a fixed
+    16, and the alternative — exploding per-byte rows to stay in
+    codegen — would multiply the stage's row count 16× before the
+    re-aggregation. The whole profile is map-only (no shuffle at all;
+    window rows explode from a sequence, never from a join). At 100 TB
+    of audio this is the scan-speed path: predicate `is_silence`
+    applies in the same stage, and nothing but (id, window, scalars)
+    survives the scan."""
     hexp = F.hex(F.col("payload"))
     hex_w = 2 * window_bytes
     n_win = (F.length(hexp) / hex_w).cast("int")
+    # A trailing partial window is DROPPED (fixed-duration windows by
+    # definition — a VAD decision needs the full frame), and payloads
+    # shorter than one window yield zero rows: sequence(0, -1) counts
+    # DOWN in Spark, so the guard below is load-bearing, not cosmetic.
+    idxs = F.when(n_win >= 1, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     win = media.select(
         "media_id",
         hexp.alias("__hex"),
-        F.explode(F.sequence(F.lit(0), n_win - 1)).alias("window_idx"),
+        F.explode(idxs).alias("window_idx"),
     )
     win_hex = F.col("__hex").substr(
         F.col("window_idx") * hex_w + 1, F.lit(hex_w)

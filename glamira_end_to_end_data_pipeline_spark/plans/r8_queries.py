@@ -699,8 +699,10 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     window energy (byte-value sum — amplitude sum for 8-bit PCM) and
     a silence flag, the VAD pre-filter that gates expensive ASR.
     Distinct from every other mm_* entry: ZERO Python — hex/substr/
-    transform/aggregate keep binary → scalar extraction inside
-    whole-stage codegen, map-only, proving opaque-payload byte math
+    transform/aggregate keep binary → scalar extraction JVM-side and
+    map-only (the HOF lambdas evaluate interpreted over a fixed 16
+    elements per window — see the operator docstring for why that
+    beats a per-byte explode), proving opaque-payload byte math
     doesn't need even an Arrow batch. The oracle regenerates the
     deterministic md5-derived fixture payloads hex-side."""
     from glamira_end_to_end_data_pipeline_spark.operators.multimodal import (

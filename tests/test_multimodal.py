@@ -218,3 +218,22 @@ def test_audio_energy_windows_is_pure_codegen(media):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_audio_energy_windows_short_and_ragged_payloads(spark):
+    """Payloads shorter than one window yield ZERO rows (not the
+    descending-sequence garbage Spark's sequence(0, -1) would emit),
+    and a trailing partial window is dropped."""
+    df = spark.createDataFrame(
+        [(1, bytes(range(8))), (2, bytes(range(40))), (3, b"")],
+        "media_id long, payload binary",
+    )
+    rows = mm.audio_energy_windows(df, window_bytes=16).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert 1 not in by_id  # 8 bytes < one window
+    assert 3 not in by_id  # empty payload
+    assert [r.window_idx for r in sorted(by_id[2], key=lambda r: r.window_idx)] == [0, 1]
+    assert all(r.window_idx >= 0 for r in rows)
+    assert by_id[2][0].energy == sum(range(16))
