@@ -367,3 +367,21 @@ def test_bfs_distances_matches_python_bfs(spark):
                 q.append(v)
     assert got == ref
     assert 1000 not in got and 1001 not in got
+
+
+def test_bfs_multi_source_min_and_unreachable_absent(spark):
+    """Multi-source BFS takes the MIN hop count over sources; nodes no
+    source reaches never appear; an empty edge set returns exactly the
+    seed rows at distance 0."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import bfs_distances
+
+    # 0 -> 1 -> 2 -> 3 and 10 -> 3 (source 10 shortcuts node 3);
+    # island 99 -> 100 unreachable from both sources.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 3), (99, 100)], "u long, v long"
+    )
+    got = {r.node: r.dist for r in bfs_distances(edges, [0, 10]).collect()}
+    assert got == {0: 0, 10: 0, 1: 1, 2: 2, 3: 1}
+    empty = spark.createDataFrame([], "u long, v long")
+    got0 = {r.node: r.dist for r in bfs_distances(empty, [7]).collect()}
+    assert got0 == {7: 0}

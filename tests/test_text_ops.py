@@ -532,3 +532,60 @@ def test_cdc_chunks_cover_every_token_exactly_once(spark):
     for r in rows:
         expect = len(texts[r.doc_id - 1][1].split())
         assert r.n_tokens == expect, r
+
+
+def test_seq_pack_split_window_invariants(spark):
+    """text_seq_pack_split: every window except each shard's tail holds
+    exactly _PACK_W tokens; per-shard window totals equal the shard's
+    total token count (no token lost or double-counted across split
+    boundaries); carryover counts docs that entered mid-window."""
+    from __spark_entry__ import queries
+    from glamira_end_to_end_data_pipeline_spark.plans.r8_queries import (
+        _PACK_W,
+    )
+
+    rows = queries()["text_seq_pack_split"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    import duckdb
+
+    tot = dict(
+        duckdb.sql(
+            """
+        SELECT doc_id % 8 AS shard,
+               sum(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+        FROM '/root/testdata/sf0.001/documents.parquet' GROUP BY 1
+        """
+        ).fetchall()
+    )
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: r.window_id)
+        # contiguous window ids from 0
+        assert [r.window_id for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert r.n_tokens == _PACK_W, r
+        assert 0 < rs[-1].n_tokens <= _PACK_W
+        assert sum(r.n_tokens for r in rs) == tot[shard]
+        assert all(0 <= r.n_carryover <= r.n_docs for r in rs)
+
+
+def test_kmv_estimate_within_theory_envelope(spark):
+    """a_kmv_distinct_merge: the KMV estimator's relative standard
+    error is ~1/sqrt(k-2) (~13% at k=64); assert a generous 4-sigma
+    envelope on every graded week so a hash/merge regression (which
+    produces order-of-magnitude drift) cannot hide."""
+    from __spark_entry__ import queries
+
+    rows = queries()["a_kmv_distinct_merge"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        if r.exact_distinct >= 64:
+            assert (
+                abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+                < 0.52
+            ), r
