@@ -964,8 +964,11 @@ def a_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day EXACT rolling median of daily revenue per
-    segment — the robust-trend sibling of w4's rolling mean: medians
+    """Trailing-7-row EXACT rolling median of daily revenue per
+    segment (seven OBSERVED days — a ROWS frame over the daily rollup;
+    the calendar-interval RANGE variant is w4's shape, and the spine
+    join of w6 densifies gaps when calendar semantics are required) —
+    the robust-trend sibling of w4's rolling mean: medians
     resist the spike days that drag a mean, which is why monitoring /
     anomaly baselines prefer them; no Spark builtin gives an exact
     windowed median, so the frame's values are collected per the
