@@ -387,3 +387,40 @@ def test_jaccard_hub_cap_scores_are_lower_bounds(spark, raw_edges, cap):
         assert pair in exact
         assert nc <= exact[pair][0]
         assert jc <= exact[pair][1] + 1e-9
+
+
+word = st.text(alphabet="abcdefgh", min_size=1, max_size=5)
+docs_strategy = st.lists(
+    st.lists(word, min_size=0, max_size=40), min_size=1, max_size=8
+)
+
+
+@SETTLE
+@given(docs_strategy)
+def test_cdc_chunks_partition_tokens_exactly(spark, token_lists):
+    """CDC chunking is a PARTITION of each document's token stream:
+    chunk token counts sum to the doc's token count, chunk ids are
+    contiguous, and duplicated-token mass never exceeds the total —
+    over arbitrary corpora including duplicate docs and single-token
+    docs (blank docs are filtered by contract)."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        cdc_chunk_stats,
+    )
+
+    rows_in = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    got = {r.doc_id: r for r in cdc_chunk_stats(df).collect()}
+    for i, toks in enumerate(token_lists):
+        if not toks:
+            assert i not in got
+            continue
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        assert 0 <= r.dup_chunks <= r.n_chunks
+    # exact-duplicate docs must show FULL duplication both ways
+    texts = [" ".join(t) for t in token_lists if t]
+    dupes = {t for t in texts if texts.count(t) > 1}
+    for i, toks in enumerate(token_lists):
+        if toks and " ".join(toks) in dupes:
+            assert got[i].dup_token_frac == 1.0
