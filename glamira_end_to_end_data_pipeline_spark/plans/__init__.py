@@ -422,10 +422,12 @@ _R7_GREEN = frozenset(
     }
 )
 
-# ROUND-9 TODO (apply BEFORE adding round-9 entries): fold the green
-# rows of CORRECTNESS_r08.json into `_R8_GREEN`, move any red rows
-# (after fixing them) into `_ROTATE_FIRST_R9`, and keep the staleness
-# rotation draining the r4-era backlog.
+# ROUND-9 TODO (apply BEFORE adding round-9 entries): run
+# `python scripts/fold_round.py CORRECTNESS_r08.json` — paste its
+# `_R8_GREEN` frozenset here, fix any red rows and front-load them
+# into `_ROTATE_FIRST_R9`, and keep the staleness rotation draining
+# the r4-era backlog (the script prints the next window-tail
+# candidates).
 
 
 def _last_graded(name: str) -> int:
