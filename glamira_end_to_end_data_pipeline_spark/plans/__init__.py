@@ -82,6 +82,26 @@ _ROTATE_FIRST_R8 = (
     "stream_cdc_apply",
 )
 
+# Round-9 front-loads: the two r8 reds (oracle sums now CAST AS BIGINT
+# — the engine values were verified identical, DuckDB's HUGEINT sum
+# broke the value hash), plus entries whose implementation moves this
+# round: sample_priority_weighted (ADVICE n<=k regime fix),
+# a_poisson_bootstrap_ci (ADVICE zero-weight-replicate guard),
+# graph_scc_exact + the convergence-looped graph family (trim-skip +
+# probe batching), lake_rollback_commit (checkpointed-`ever` read-path
+# re-measure).
+_ROTATE_FIRST_R9 = (
+    "sample_mix_stratified",
+    "text_seq_pack_split",
+    "sample_priority_weighted",
+    "a_poisson_bootstrap_ci",
+    "graph_scc_exact",
+    "graph_bfs_distances",
+    "graph_kcore_exact",
+    "graph_lpa_exact",
+    "lake_rollback_commit",
+)
+
 # Driver-green in CORRECTNESS_r02.json (round-2 window).
 _R2_GREEN = frozenset(
     {
@@ -422,12 +442,61 @@ _R7_GREEN = frozenset(
     }
 )
 
-# ROUND-9 TODO (apply BEFORE adding round-9 entries): run
-# `python scripts/fold_round.py CORRECTNESS_r08.json` — paste its
-# `_R8_GREEN` frozenset here, fix any red rows and front-load them
-# into `_ROTATE_FIRST_R9`, and keep the staleness rotation draining
-# the r4-era backlog (the script prints the next window-tail
-# candidates).
+# Driver-green in CORRECTNESS_r08.json (round-8 window, 48/50: the two
+# reds were oracle-typing bugs — DuckDB HUGEINT sums vs Spark BIGINT —
+# fixed by casting the oracle sums, front-loaded below).
+_R8_GREEN = frozenset(
+    {
+        "graph_scc_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "mm_phash_near_dup",
+        "graph_kcore_exact",
+        "graph_lpa_exact",
+        "graph_pagerank",
+        "graph_kcore",
+        "graph_lpa_communities",
+        "mm_shard_pack",
+        "lake_incremental_across_compaction",
+        "lake_rollback_commit",
+        "lake_compact_commit",
+        "lake_snapshot_read",
+        "lake_snapshot_diff",
+        "stream_snapshot_commits",
+        "stream_cdc_apply",
+        "a_kmv_distinct_merge",
+        "text_bigram_lm_score",
+        "graph_bfs_distances",
+        "dedup_cdc_chunks",
+        "a_kmv_setops",
+        "mm_audio_energy",
+        "sample_priority_weighted",
+        "a_poisson_bootstrap_ci",
+        "w_rolling_median",
+        "star_stg_summary",
+        "star_dim_customer",
+        "star_dim_session_context",
+        "star_date_range",
+        "star_dim_date",
+        "star_dim_product",
+        "star_dim_location",
+        "star_fact_sales_order",
+        "stream_star_fact_incremental",
+        "stream_tumbling_event_counts",
+        "stream_session_windows",
+        "stream_sliding_window_counts",
+        "stream_dedup_replayed",
+        "stream_interval_join_attribution",
+        "s5_s6_incremental_ingest",
+        "s_csv_round_trip",
+        "s_schema_evolution",
+        "s_partitioned_lake",
+        "mm_extract_features",
+        "mm_feature_ann_topk",
+        "mm_resize_images",
+        "mm_video_frame_sample",
+    }
+)
 
 
 def _last_graded(name: str) -> int:
@@ -435,6 +504,7 @@ def _last_graded(name: str) -> int:
     never graded — fresh this round). Later rounds win: r5 re-graded
     19 entries first greened in r2/r3."""
     for rnd, green in (
+        (8, _R8_GREEN),
         (7, _R7_GREEN),
         (6, _R6_GREEN),
         (5, _R5_GREEN),
@@ -449,7 +519,7 @@ def _last_graded(name: str) -> int:
 
 def _window_order() -> list[str]:
     registered = list(QUERIES)
-    front = [n for n in _ROTATE_FIRST_R8 if n in QUERIES]
+    front = [n for n in _ROTATE_FIRST_R9 if n in QUERIES]
     fresh = [
         n for n in registered if _last_graded(n) == 0 and n not in front
     ]

@@ -62,9 +62,10 @@ def _hash_mod(col, mod: int):
     SELECT source,
            any_value(rate_pct) AS rate_pct,
            count(*) AS n_total,
-           sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN bucket < rate_pct THEN n_chars ELSE 0 END)
-               AS kept_chars
+           CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN bucket < rate_pct THEN n_chars ELSE 0 END)
+               AS BIGINT) AS kept_chars
     FROM rated GROUP BY source ORDER BY source
     """,
 )
@@ -352,9 +353,10 @@ _PACK_SHARDS = 8
     )
     SELECT shard, w AS window_id,
            count(*) AS n_docs,
-           sum(least((w + 1) * {_PACK_W}, cum + n_tok)
-               - greatest(w * {_PACK_W}, cum)) AS n_tokens,
-           sum(CASE WHEN w > start_w THEN 1 ELSE 0 END) AS n_carryover
+           CAST(sum(least((w + 1) * {_PACK_W}, cum + n_tok)
+               - greatest(w * {_PACK_W}, cum)) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN w > start_w THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_carryover
     FROM exploded GROUP BY shard, w ORDER BY shard, window_id
     """,
 )

@@ -32,7 +32,15 @@ def main() -> int:
         return 2
     path = sys.argv[1]
     m = re.search(r"r(\d+)", path)
-    rnd = int(m.group(1)) if m else 0
+    if not m:
+        print(
+            f"error: cannot parse round number (r<digits>) from {path!r}; "
+            "a silent round-0 default would drop green entries from the "
+            "rotation-candidate list",
+            file=sys.stderr,
+        )
+        return 2
+    rnd = int(m.group(1))
     doc = json.load(open(path))
 
     def is_green(v: dict) -> bool:

@@ -33,6 +33,27 @@ def test_every_query_has_oracle_or_is_declared():
         assert qs[name].__doc__ and "no oracle" in qs[name].__doc__.lower(), name
 
 
+@pytest.mark.parametrize("name", sorted(oracle_sql()))
+def test_oracle_has_no_hugeint_columns(duck, name):
+    """Driver-hash type parity lint. DuckDB's sum() over INT/BIGINT
+    returns HUGEINT (int128); Spark's sum() returns BIGINT. The driver
+    hashes VALUES WITH TYPES, so an uncast oracle sum diverges on type
+    even when every value matches — this exact bug cost two r8 reds
+    (sample_mix_stratified, text_seq_pack_split). Relation type
+    inference is plan-only (no execution), so this lints all oracles
+    cheaply. House style: CAST(sum(...) AS BIGINT) in the oracle."""
+    rel = duck.sql(oracle_sql()[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in {"HUGEINT", "UHUGEINT", "INT128", "UINT128"}
+    ]
+    assert not bad, (
+        f"{name}: oracle returns int128 column(s) {bad}; "
+        "CAST(sum(...) AS BIGINT) to match Spark's type hash"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(queries()))
 def test_query_matches_oracle(spark, duck, name):
     qs, os_ = queries(), oracle_sql()
