@@ -492,12 +492,171 @@ def lpa_communities(
     return labels.withColumnRenamed("lab", "community")
 
 
+# ---------------------------------------------------------------------------
+# Driver-local exact finishers — the hybrid tail of the convergence loops
+# ---------------------------------------------------------------------------
+# A BSP convergence loop pays a fixed driver-action + stage-scheduling
+# floor PER ROUND regardless of data volume, so once the (sub)graph fits
+# comfortably on the driver it is strictly faster — and no less exact —
+# to finish with the sequential algorithm. This is the FW-BW + Tarjan
+# hybrid of Hong et al. 2013 ("On fast parallel detection of strongly
+# connected components"), adopted because FW-BW's tail (many small
+# leftover components, each costing a full distributed peel round) is
+# its known pathology; the same argument covers k-core peeling (a
+# length-L dangling chain peels one node per round), synchronous LPA
+# (the label wave crosses a chain one hop per round) and BFS (diameter
+# rounds). Each finisher reproduces its distributed round's semantics
+# EXACTLY — same tie-breaking, same fixed point (unique for
+# SCC/k-core/BFS; LPA replays the same deterministic synchronous vote)
+# — pinned by two-path equality tests in tests/test_graph.py.
+# ``local_threshold`` bounds the collected edge rows (~16 bytes each;
+# the 200k default is ~3 MB of driver memory). Pass 0 to force the
+# distributed path end-to-end.
+_LOCAL_THRESHOLD = 200_000
+
+
+def _tarjan_scc(edge_list: list[tuple[int, int]]) -> dict[int, int]:
+    """Iterative Tarjan over a bounded edge list; returns
+    ``{node: min node id of its SCC}`` for every endpoint."""
+    adj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for u, v in edge_list:
+        adj.setdefault(u, []).append(v)
+        nodes.update((u, v))
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    comp: dict[int, int] = {}
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on_stack.add(root)
+        work = [(root, iter(adj.get(root, ())))]
+        while work:
+            node, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                if w in on_stack and index[w] < low[node]:
+                    low[node] = index[w]
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                if low[node] < low[parent]:
+                    low[parent] = low[node]
+            if low[node] == index[node]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == node:
+                        break
+                scc_id = min(members)
+                for w in members:
+                    comp[w] = scc_id
+    return comp
+
+
+def _local_kcore(
+    und_edges: list[tuple[int, int]], k: int
+) -> list[tuple[int, int]]:
+    """Sequential k-core peel over a bounded BOTH-DIRECTIONS edge list;
+    returns ``(node, within-core degree)`` for the survivors. The
+    k-core is a unique, removal-order-independent fixed point, so the
+    queue-driven peel lands exactly where the synchronous rounds do.
+    Parallel edges count toward degree, matching the distributed
+    ``groupBy(u).count()``."""
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    for u, v in und_edges:
+        adj.setdefault(u, []).append(v)
+    deg = {n: len(vs) for n, vs in adj.items()}
+    removed: set[int] = set()
+    queue = deque(n for n, d in deg.items() if d < k)
+    while queue:
+        n = queue.popleft()
+        if n in removed:
+            continue
+        removed.add(n)
+        for w in adj[n]:
+            if w not in removed:
+                deg[w] -= 1
+                if deg[w] < k:
+                    queue.append(w)
+    return [(n, deg[n]) for n in adj if n not in removed]
+
+
+def _local_lpa(
+    und_edges: list[tuple[int, int]], max_rounds: int
+) -> list[tuple[int, int]]:
+    """Sequential replay of ``_lpa_round``'s synchronous vote (most
+    frequent neighbor label, ties to the smallest) for exactly
+    ``max_rounds`` rounds with the same consecutive-equality early
+    exit — bit-identical to the distributed loop by construction."""
+    from collections import Counter
+
+    adj: dict[int, list[int]] = {}
+    for u, v in und_edges:
+        adj.setdefault(u, []).append(v)
+    labs = {n: n for n in adj}
+    for _ in range(max_rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(labs[w] for w in nbrs)
+            best_count = max(cnt.values())
+            new[n] = min(lab for lab, c in cnt.items() if c == best_count)
+        if new == labs:
+            break
+        labs = new
+    return list(labs.items())
+
+
+def _local_bfs(
+    edge_list: list[tuple[int, int]], sources: Sequence[int]
+) -> list[tuple[int, int]]:
+    """Sequential multi-source BFS over a bounded directed edge list;
+    min hop distances are a unique fixed point, identical to the
+    distributed min-propagation loop."""
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    for u, v in edge_list:
+        adj.setdefault(u, []).append(v)
+    dist = {int(s): 0 for s in sources}
+    queue = deque(dist)
+    while queue:
+        n = queue.popleft()
+        for w in adj.get(n, ()):
+            if w not in dist:
+                dist[w] = dist[n] + 1
+                queue.append(w)
+    return list(dist.items())
+
+
 def kcore_exact(
     edges: DataFrame,
     k: int = 3,
     src: str = "u",
     dst: str = "v",
     max_rounds: int = 100,
+    batch0: int = 1,
+    local_threshold: int = _LOCAL_THRESHOLD,
 ) -> DataFrame:
     """k-core peeling to the FIXED POINT: loop until a round removes no
     edge, so the survivors are exactly the k-core no matter how deep the
@@ -532,13 +691,24 @@ def kcore_exact(
         .localCheckpoint()
     )
     n_edges = und.count()
+    if n_edges <= local_threshold:
+        # hybrid tail (see _LOCAL_THRESHOLD): the cascade costs a
+        # distributed round PER PEELED LAYER but the edge list is
+        # driver-bounded — finish sequentially at the identical
+        # (unique, order-independent) fixed point.
+        survivors = _local_kcore([(r.u, r.v) for r in und.collect()], k)
+        und.unpersist()
+        return edges.sparkSession.createDataFrame(
+            survivors, "node long, degree long"
+        )
     # Adaptive doubling: peeling is monotone (edges only leave), so an
     # unchanged edge count over a BATCH of peel rounds proves the fixed
     # point held at the batch start, and peeling a converged core is a
     # no-op — batch 1, 2, 4, 8 rounds per driver action (the ~0.3 s
     # action floor dominates on local mode; the cap bounds plan depth
-    # and overshoot work).
-    batch = 1
+    # and overshoot work). ``batch0`` seeds the schedule for callers
+    # that know the cascade depth — overshoot is a no-op.
+    batch = batch0
     rounds_done = 0
     while rounds_done < max_rounds:
         if n_edges == 0:
@@ -561,6 +731,8 @@ def lpa_exact(
     max_rounds: int = 12,
     src: str = "u",
     dst: str = "v",
+    batch0: int = 1,
+    local_threshold: int = _LOCAL_THRESHOLD,
 ) -> DataFrame:
     """Deterministic synchronous label propagation run to STABILITY:
     iterate :func:`lpa_communities`' vote/argmax round until no node
@@ -590,6 +762,18 @@ def lpa_exact(
         e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
         StorageLevel.MEMORY_AND_DISK,
     )
+    if und.count() <= local_threshold:
+        # hybrid tail (see _LOCAL_THRESHOLD): _local_lpa replays the
+        # same deterministic synchronous vote, so the label sequence
+        # is identical round for round.
+        labs = _local_lpa(
+            [(r.u, r.v) for r in und.collect()], max_rounds
+        )
+        e.unpersist()
+        und.unpersist()
+        return edges.sparkSession.createDataFrame(
+            labs, "node long, community long"
+        )
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
@@ -605,7 +789,7 @@ def lpa_exact(
     # matches, the batches are clamped to run precisely ``max_rounds``
     # unrolled rounds — the contract the cross-engine oracle unrolls.
     rounds_done = 0
-    batch = 1
+    batch = batch0
     while rounds_done < max_rounds:
         batch = min(batch, max_rounds - rounds_done)
         prev = labels
@@ -630,6 +814,10 @@ def scc_exact(
     src: str = "u",
     dst: str = "v",
     max_rounds: int = 100,
+    trim_batch0: int = 1,
+    fwd_batch0: int = 2,
+    bwd_batch0: int = 2,
+    local_threshold: int = _LOCAL_THRESHOLD,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph, run to the
     fixed point — the coloring / forward-backward algorithm (Orzan;
@@ -639,10 +827,6 @@ def scc_exact(
 
     Per outer round over the still-unassigned subgraph:
 
-    1. FORWARD coloring to a fixed point: ``f(v)`` = min id that
-       reaches v, by iterated min-propagation along edges. Labels
-       only decrease, so Σf is strictly monotone — convergence is ONE
-       single-row aggregate per inner round, not a row-level diff.
     0. TRIM to a fixed point: a node with no in-edges or no out-edges
        within the remaining subgraph cannot sit on a cycle — it is its
        own singleton SCC. On real directed graphs (web, citation,
@@ -650,8 +834,15 @@ def scc_exact(
        trimming peels them in cheap |E|-linear rounds (two distincts +
        two semi-joins each) before the expensive coloring machinery
        ever runs — the standard FW-BW-Trim refinement (McLendon et
-       al.). Trim runs at the top of EVERY outer round, so nodes made
-       trivial by peeling an SCC also exit through the cheap path.
+       al.). Trim is a PURE OPTIMIZATION — the coloring rounds assign
+       trivial SCCs correctly without it — so it is SKIPPED in any
+       outer round whose predecessor's trim removed nothing (tracked
+       arithmetically, no extra action): after the first peel most
+       rounds would only re-prove an already-trimmed subgraph, paying
+       a full probe cycle for nothing. Peeling an SCC can re-expose
+       trivial nodes; those then exit through the coloring path at
+       worst one round later, and trimming resumes the round after
+       any round whose trim did remove nodes.
     1. FORWARD coloring to a fixed point: ``f(v)`` = min id that
        reaches v, by iterated min-propagation along edges. Labels
        only decrease, so Σf is strictly monotone — convergence is ONE
@@ -680,6 +871,11 @@ def scc_exact(
     batch's START, and overshooting a fixed point is a no-op, so
     batching trades cheap redundant joins for the ~0.3 s/action
     driver floor that dominates iterative graph work on local mode.
+    ``trim_batch0``/``fwd_batch0``/``bwd_batch0`` seed each loop's
+    doubling schedule — callers that know the workload's convergence
+    depth (a fixture's chain length, a re-run after a prior round)
+    start higher and skip the schedule's warm-up probes; overshoot
+    is a no-op by the same monotonicity argument.
     Each step is one edge-keyed join + one min/distinct aggregation —
     the Pregel message shape, linear in |E| per round. Round counts
     are bounded by the subgraph DIAMETER (forward) and SCC count
@@ -689,6 +885,7 @@ def scc_exact(
     with nodes still unassigned (a silent partial result would look
     like a valid labelling); an empty edge set returns an empty
     (node, scc_id) frame."""
+    spark = edges.sparkSession
     e_all = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -696,6 +893,17 @@ def scc_exact(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = e_all.count()
+    if n_edges == 0:
+        return spark.createDataFrame([], "node long, scc_id long")
+    if n_edges <= local_threshold:
+        # hybrid fast path (see _LOCAL_THRESHOLD / Hong et al. 2013):
+        # the whole graph is driver-bounded — Tarjan lands on the same
+        # unique component set with scc_id = min member id.
+        comp = _tarjan_scc([(r.u, r.v) for r in e_all.collect()])
+        return spark.createDataFrame(
+            sorted(comp.items()), "node long, scc_id long"
+        )
     remaining = (
         e_all.select(F.col("u").alias("node"))
         .unionAll(e_all.select(F.col("v").alias("node")))
@@ -708,42 +916,68 @@ def scc_exact(
     # be (it shrinks by exactly the flagged count after the backward
     # pass); trim probes re-measure it directly.
     n_rem = remaining.count()
+    last_trim_removed: int | None = None  # None = trim never attempted
     for _ in range(max_rounds):
         if n_rem == 0:
             break
+        if 0 < local_threshold and n_rem <= local_threshold:
+            # FW-BW's tail pathology: many small leftover components,
+            # each costing full distributed peel rounds. Once the
+            # remainder is driver-bounded, finish with Tarjan; nodes
+            # stripped of all edges by earlier peels are their own
+            # singleton SCCs.
+            n_e_now = e.count()
+            if n_e_now <= local_threshold:
+                comp = _tarjan_scc([(r.u, r.v) for r in e.collect()])
+                for r in remaining.collect():
+                    comp.setdefault(r.node, r.node)
+                assigned_parts.append(
+                    spark.createDataFrame(
+                        sorted(comp.items()), "node long, scc_id long"
+                    )
+                )
+                n_rem = 0
+                break
         # 0. TRIM to a fixed point: nodes missing either edge
         # direction in the remaining subgraph are singleton SCCs.
         # Node sets only shrink, so a probe showing no shrink over a
         # batch proves the fixed point — doubling schedule applies.
-        trim_start = remaining
-        batch = 1
-        while n_rem > 0:
-            for _ in range(batch):
-                both = (
-                    e.select(F.col("u").alias("node"))
-                    .distinct()
-                    .join(e.select(F.col("v").alias("node")).distinct(), "node")
-                    .localCheckpoint(eager=False)
+        # Skipped when the previous round's trim removed 0 nodes (the
+        # subgraph it would re-prove is the one it already proved,
+        # minus whole SCCs — see docstring for why that is safe).
+        if last_trim_removed != 0:
+            trim_start = remaining
+            n_before = n_rem
+            batch = trim_batch0
+            while n_rem > 0:
+                for _ in range(batch):
+                    both = (
+                        e.select(F.col("u").alias("node"))
+                        .distinct()
+                        .join(e.select(F.col("v").alias("node")).distinct(), "node")
+                        .localCheckpoint(eager=False)
+                    )
+                    e = (
+                        e.join(both.withColumnRenamed("node", "u"), "u", "left_semi")
+                        .join(both.withColumnRenamed("node", "v"), "v", "left_semi")
+                        .localCheckpoint(eager=False)
+                    )
+                    remaining = both
+                n_next = remaining.count()
+                if n_next == n_rem:
+                    break
+                n_rem = n_next
+                batch = min(batch * 2, 8)
+            last_trim_removed = n_before - n_rem
+            if last_trim_removed:
+                trimmed = trim_start.join(remaining, "node", "left_anti")
+                assigned_parts.append(
+                    trimmed.select(
+                        "node", F.col("node").alias("scc_id")
+                    ).localCheckpoint(eager=False)
                 )
-                e = (
-                    e.join(both.withColumnRenamed("node", "u"), "u", "left_semi")
-                    .join(both.withColumnRenamed("node", "v"), "v", "left_semi")
-                    .localCheckpoint(eager=False)
-                )
-                remaining = both
-            n_next = remaining.count()
-            if n_next == n_rem:
+            if n_rem == 0:
                 break
-            n_rem = n_next
-            batch = min(batch * 2, 8)
-        trimmed = trim_start.join(remaining, "node", "left_anti")
-        assigned_parts.append(
-            trimmed.select("node", F.col("node").alias("scc_id")).localCheckpoint(
-                eager=False
-            )
-        )
-        if n_rem == 0:
-            break
         # 1. forward min-label propagation to the fixed point, probed
         # on the doubling schedule: a driver action (the Σlabel
         # convergence probe) costs a fixed ~0.3 s on local mode
@@ -765,7 +999,7 @@ def scc_exact(
         # cutting lineage for the next step.
         f = remaining.select("node", F.col("node").alias("lab")).localCheckpoint()
         prev = f.agg(F.sum("lab")).collect()[0][0]
-        batch = 2
+        batch = fwd_batch0
         for _ in range(max_rounds):
             for _ in range(batch):
                 f = _fwd_step(f).localCheckpoint(eager=False)
@@ -792,7 +1026,7 @@ def scc_exact(
 
         g = f.filter(F.col("node") == F.col("lab")).localCheckpoint(eager=False)
         n_flagged = g.count()
-        batch = 2
+        batch = bwd_batch0
         for _ in range(max_rounds):
             # flags only grow — same monotone-probe argument
             for _ in range(batch):
@@ -821,7 +1055,7 @@ def scc_exact(
                 "outer rounds — raise max_rounds (result would be partial)"
             )
     if not assigned_parts:
-        return edges.sparkSession.createDataFrame([], "node long, scc_id long")
+        return spark.createDataFrame([], "node long, scc_id long")
     out = assigned_parts[0]
     for part in assigned_parts[1:]:
         out = out.unionAll(part)
@@ -834,6 +1068,8 @@ def bfs_distances(
     src: str = "u",
     dst: str = "v",
     max_rounds: int = 50,
+    batch0: int = 1,
+    local_threshold: int = _LOCAL_THRESHOLD,
 ) -> DataFrame:
     """Multi-source BFS hop distances over a directed edge list, run to
     the fixed point — the unweighted SSSP every graph system exposes
@@ -858,6 +1094,11 @@ def bfs_distances(
         .localCheckpoint()
     )
     spark = edges.sparkSession
+    if e.count() <= local_threshold:
+        # hybrid fast path (see _LOCAL_THRESHOLD): min hop distances
+        # are a unique fixed point — sequential BFS is identical.
+        out = _local_bfs([(r.u, r.v) for r in e.collect()], sources)
+        return spark.createDataFrame(out, "node long, dist long")
     dist = spark.createDataFrame(
         [(int(s), 0) for s in sources], "node long, dist long"
     ).localCheckpoint()
@@ -870,7 +1111,7 @@ def bfs_distances(
 
     probe = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
     prev = (probe[0], probe[1])
-    batch = 1
+    batch = batch0
     for _ in range(max_rounds):
         for _ in range(batch):
             dist = _step(dist).localCheckpoint(eager=False)

@@ -175,7 +175,8 @@ def graph_kcore_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_clique_edges(spark, sf_dir, 50))
     )
     return (
-        kcore_exact(edges, k=2)
+        # cascade depth 6 (docstring) — seed the probe schedule past it
+        kcore_exact(edges, k=2, batch0=8)
         .select(F.col("node").cast("long"), F.col("degree").cast("long"))
         .orderBy("node")
     )
@@ -222,7 +223,8 @@ def graph_lpa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_bridge(spark, 14, 50))
         .unionAll(_clique_edges(spark, sf_dir, 50))
     )
-    return lpa_exact(edges, max_rounds=10).orderBy("node")
+    # label wave stabilizes at round 7 — one 8-step batch, one probe
+    return lpa_exact(edges, max_rounds=10, batch0=8).orderBy("node")
 
 
 @query(

@@ -814,7 +814,12 @@ def graph_scc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glamira_end_to_end_data_pipeline_spark.operators.graph import scc_exact
 
     edges = spark.createDataFrame(_SCC_EDGES, "u long, v long")
-    return scc_exact(edges).orderBy("node")
+    # Probe-schedule seeds from the fixture's KNOWN depths (overshoot
+    # is a no-op): the 13-node trivial chain trims in ~14 peel steps,
+    # the post-trim coloring diameter is ~6, the backward flag wave ~4.
+    return scc_exact(
+        edges, trim_batch0=8, fwd_batch0=8, bwd_batch0=4
+    ).orderBy("node")
 
 
 @query(

@@ -317,7 +317,14 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("u"), ((F.col("id") * 2 + 1) % _BFS_N).alias("v")
         )
     )
-    return bfs_distances(edges, _BFS_SOURCES).orderBy("node")
+    # local_threshold=0 DELIBERATELY forces the distributed Pregel
+    # loop so the driver keeps grading a live BSP convergence loop
+    # (the kcore/lpa/scc fixtures exercise the hybrid's local-finish
+    # path; pytest pins the two paths equal on every fixture).
+    # diameter 8 from the seeds — one 8-step batch + one equal probe.
+    return bfs_distances(
+        edges, _BFS_SOURCES, batch0=8, local_threshold=0
+    ).orderBy("node")
 
 
 _PACK_W = 1024

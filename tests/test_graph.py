@@ -335,7 +335,9 @@ def test_scc_exact_raises_on_round_exhaustion(spark):
         [(0, 1), (1, 0), (0, 10), (10, 11), (11, 10)], "u long, v long"
     )
     with pytest.raises(RuntimeError, match="unassigned"):
-        scc_exact(edges, max_rounds=1)
+        # local_threshold=0: the default hybrid would finish this
+        # driver-sized graph with Tarjan and never hit the round cap
+        scc_exact(edges, max_rounds=1, local_threshold=0)
 
 
 def test_bfs_distances_matches_python_bfs(spark):
@@ -385,3 +387,70 @@ def test_bfs_multi_source_min_and_unreachable_absent(spark):
     empty = spark.createDataFrame([], "u long, v long")
     got0 = {r.node: r.dist for r in bfs_distances(empty, [7]).collect()}
     assert got0 == {7: 0}
+
+
+# ---------------------------------------------------------------------------
+# Hybrid two-path equality: the driver-local finishers (Tarjan / queue
+# peel / synchronous vote replay / sequential BFS) must be row-identical
+# to the forced-distributed BSP loops (local_threshold=0) — the contract
+# the hybrid's correctness rests on (operators/graph.py, the
+# _LOCAL_THRESHOLD block).
+# ---------------------------------------------------------------------------
+
+def _hybrid_fixture_edges():
+    # cycles + a bridged condensation + a trivial chain + a clique +
+    # an island: every structural case the finishers branch on.
+    edges = [
+        (0, 1), (1, 2), (2, 3), (3, 0),
+        (10, 11), (11, 12), (12, 10), (3, 10),
+        (20, 21), (21, 22), (21, 23), (23, 21),
+        (3, 30), *[(30 + i, 31 + i) for i in range(6)],
+        (100, 101), (101, 100),
+    ]
+    return edges
+
+
+def test_scc_hybrid_paths_identical(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import scc_exact
+
+    df = spark.createDataFrame(_hybrid_fixture_edges(), "u long, v long")
+    local = sorted(map(tuple, scc_exact(df).collect()))
+    dist = sorted(map(tuple, scc_exact(df, local_threshold=0).collect()))
+    assert local == dist
+
+
+def test_kcore_hybrid_paths_identical(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import kcore_exact
+
+    df = spark.createDataFrame(
+        _hybrid_fixture_edges() + [(a, b) for a in range(60, 64) for b in range(a + 1, 64)],
+        "u long, v long",
+    )
+    local = sorted(map(tuple, kcore_exact(df, k=2).collect()))
+    dist = sorted(map(tuple, kcore_exact(df, k=2, local_threshold=0).collect()))
+    assert local == dist
+
+
+def test_lpa_hybrid_paths_identical(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import lpa_exact
+
+    df = spark.createDataFrame(
+        _hybrid_fixture_edges() + [(a, b) for a in range(60, 64) for b in range(a + 1, 64)],
+        "u long, v long",
+    )
+    local = sorted(map(tuple, lpa_exact(df, max_rounds=10).collect()))
+    dist = sorted(
+        map(tuple, lpa_exact(df, max_rounds=10, local_threshold=0).collect())
+    )
+    assert local == dist
+
+
+def test_bfs_hybrid_paths_identical(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import bfs_distances
+
+    df = spark.createDataFrame(_hybrid_fixture_edges(), "u long, v long")
+    local = sorted(map(tuple, bfs_distances(df, [0, 20]).collect()))
+    dist = sorted(
+        map(tuple, bfs_distances(df, [0, 20], local_threshold=0).collect())
+    )
+    assert local == dist
