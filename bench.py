@@ -274,11 +274,22 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    probe = _host_probe()
+    eff = probe.get("effective_cores")
     doc = {
         "queries": timings,
         "methodology": f"min of {runs} runs/query (steady-state)",
         "first_run_total": round(sum(cold.values()), 3),
-        "host_probe": _host_probe(),
+        "host_probe": probe,
+        # Host-normalized total: what this run would cost on a host
+        # actually delivering the nominal 32 cores (total × eff/32,
+        # the linear model the round-8/9 cross-round analysis used).
+        # Compare THIS number across rounds before calling a fleet-wide
+        # regression; per-query ratios far above the fleet median are
+        # the real suspects.
+        "value_normalized_32c": (
+            round(total * eff / 32, 3) if eff else None
+        ),
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",

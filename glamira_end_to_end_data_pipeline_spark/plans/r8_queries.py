@@ -747,7 +747,11 @@ _PRI_SCALE = 2147483648.0  # 2^31: w * 2^31 exact in a double for w <= ~4e6
     top AS (
         SELECT * FROM pr ORDER BY priority DESC, doc_id LIMIT {_PRI_K + 1}
     ),
-    tau AS (SELECT min(priority) AS tau FROM top)
+    tau AS (
+        SELECT CASE WHEN count(*) = {_PRI_K + 1} THEN min(priority)
+                    ELSE 0 END AS tau
+        FROM top
+    )
     SELECT doc_id, source, n_chars, priority,
            greatest(n_chars::DOUBLE, tau) AS w_hat
     FROM top, tau WHERE priority > tau
@@ -784,7 +788,16 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority"), "doc_id")
         .limit(_PRI_K + 1)
     )
-    tau = top.agg(F.min("priority").alias("tau"))
+    # DLT n<=k regime: when the corpus has <= k rows the top-(k+1)
+    # window is the WHOLE corpus and there is no (k+1)-th discard row
+    # — tau = 0 keeps every row with w_hat = w (the estimator is then
+    # exact). Detected from the BOUNDED top frame's own count (k+1
+    # rows present <=> n > k), so no extra corpus-wide action.
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) == _PRI_K + 1, F.min("priority"))
+        .otherwise(F.lit(0.0))
+        .alias("tau")
+    )
     return (
         top.crossJoin(F.broadcast(tau))
         .filter(F.col("priority") > F.col("tau"))
@@ -847,6 +860,7 @@ def _boot_oracle() -> str:
         SELECT event_type, b,
                (cast(sum(w * cents) AS DOUBLE) / 100.0) / sum(w) AS m
         FROM wts GROUP BY event_type, b
+        HAVING sum(w) > 0
     ),
     arr AS (
         SELECT event_type, list_sort(list(m)) AS ms FROM bm
@@ -920,11 +934,18 @@ def a_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan.select("event_type", "b", "cents", w.alias("w"))
         .groupBy("event_type", "b")
         .agg(
-            (
+            F.when(
+                F.sum("w") > 0,
                 (F.sum(F.col("w") * F.col("cents")).cast("double") / 100.0)
-                / F.sum("w")
+                / F.sum("w"),
             ).alias("m")
         )
+        # a (segment, replicate) whose rows all drew weight 0 (prob
+        # e^-m per segment) yields no mean: drop it EXPLICITLY so both
+        # engines index the same sorted replicate array (Spark's
+        # collect_list drops NULLs, DuckDB's list() keeps them — the
+        # oracle's HAVING sum(w) > 0 is this same filter).
+        .filter(F.col("m").isNotNull())
     )
     arr = bm.groupBy("event_type").agg(
         F.array_sort(F.collect_list("m")).alias("__ms")

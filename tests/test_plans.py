@@ -432,3 +432,73 @@ def test_rolling_median_matches_python_replay(spark, registry):
                 else (w[len(w) // 2 - 1] + w[len(w) // 2]) / 2.0
             )
             assert r.roll_median == mid, (seg, r.day)
+
+
+def _write_documents(spark, tmp_path, rows):
+    """Write a documents.parquet with the testdata schema into a temp
+    sf-dir so registry entries can run against synthetic corpora."""
+    import os
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    return sf_dir
+
+
+def test_priority_sample_small_corpus_keeps_all(spark, registry, tmp_path):
+    """Duffield-Lund-Thorup n<=k regime (ADVICE r8): with fewer rows
+    than the sample budget there is no (k+1)-th discard row — every
+    row must be kept with w_hat = w (tau = 0), not k rows minus the
+    minimum-priority one."""
+    rows = [
+        (i, f"doc {i}", "en", f"src{i % 3}", 100 + 7 * i) for i in range(5)
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = registry["sample_priority_weighted"](spark, sf_dir).collect()
+    assert len(got) == 5
+    assert all(r.w_hat == float(r.n_chars) for r in got)
+    assert sum(r.w_hat for r in got) == float(sum(r[4] for r in rows))
+
+
+def test_mix_stratified_rate_convergence_and_growth_stability(
+    spark, registry, tmp_path
+):
+    """sample_mix_stratified invariants (VERDICT r8 #6): (1) the kept
+    fraction converges to each source's target rate as n grows (the
+    md5 bucket is uniform); (2) membership is STABLE under corpus
+    growth — adding docs never flips an existing doc's keep decision,
+    so per-source n_kept over the original ids is bit-identical
+    between corpus A and corpus A∪B (the no-RNG design the docstring
+    promises)."""
+    n_per = 4000
+    a_rows = [
+        (i, f"d{i}", "en", f"src{s}", 50 + i % 97)
+        for s in range(4)
+        for i in range(s * n_per, s * n_per + n_per)
+    ]
+    sf_a = _write_documents(spark, tmp_path / "a", a_rows)
+    got_a = {
+        r.source: r for r in registry["sample_mix_stratified"](spark, sf_a).collect()
+    }
+    for src, r in got_a.items():
+        rate = r.rate_pct / 100.0
+        assert abs(r.n_kept / r.n_total - rate) < 0.03, (src, r)
+    # grow the corpus: new ids, same sources
+    b_rows = [
+        (100_000 + i, f"x{i}", "en", f"src{i % 4}", 60) for i in range(2000)
+    ]
+    sf_ab = _write_documents(spark, tmp_path / "ab", a_rows + b_rows)
+    got_ab = {
+        r.source: r
+        for r in registry["sample_mix_stratified"](spark, sf_ab).collect()
+    }
+    for src, r in got_a.items():
+        grown = got_ab[src]
+        assert grown.n_total == r.n_total + 500
+        # kept count over the ORIGINAL ids is unchanged: kept(A∪B) on
+        # src = kept(A) + kept(new ids), and new ids kept <= 500
+        assert grown.n_kept >= r.n_kept
+        assert grown.n_kept - r.n_kept <= 500
