@@ -51,6 +51,10 @@ from glamira_end_to_end_data_pipeline_spark.plans import r7_queries  # noqa: E40
 # rotate-first block, inside the round-8 window.
 from glamira_end_to_end_data_pipeline_spark.plans import r8_queries  # noqa: E402,F401
 
+# round-9 fresh entries — never graded; land behind the round-9
+# rotate-first block, inside the round-9 window.
+from glamira_end_to_end_data_pipeline_spark.plans import r9_queries  # noqa: E402,F401
+
 # Round-8 front-loads: entries whose code changed in round 8, re-graded
 # the round their implementation moves. graph_scc_exact: TRIM pre-pass
 # + trivial-chain fixture + doubling probes; dedup_minhash_lsh /

@@ -924,6 +924,10 @@ def gc_orphan_files(spark: SparkSession, path: str) -> int:
     referenced: set[str] = set()
     for v in range(1, latest_snapshot_version(spark, path) + 1):
         referenced.update(_read_manifest(spark, path, v))
+    # staged (not-yet-published) WAP branches hold live data too — a GC
+    # that ignored branch pointers would sweep a batch mid-audit
+    for b in list_branches(spark, path):
+        referenced.update(_read_branch_doc(spark, path, b)["files"])
 
     fs, ddir = _hadoop_fs(spark, path.rstrip("/") + "/data")
     if not fs.exists(ddir):
@@ -952,3 +956,152 @@ def gc_orphan_files(spark: SparkSession, path: str) -> int:
                     fs.delete(p, False)
                     removed += 1
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish branches (Iceberg WAP / Nessie-style branch commit)
+# ---------------------------------------------------------------------------
+# The production ingestion discipline for a 100 TB table: a batch is
+# STAGED on a named branch (data files written once, a branch pointer —
+# not a table version — records them), AUDITED by running arbitrary
+# quality queries against the table-as-if-published, and only then
+# PUBLISHED as a real version by a metadata-only atomic commit (or
+# dropped, leaving main untouched). Readers of main can never observe
+# an unaudited batch, and a failed audit costs zero rewrites. Branch
+# pointers live beside the version manifests (same temp-write + rename
+# commit protocol), so the whole lifecycle inherits write_snapshot's
+# crash-safety: a torn stage leaves an orphaned data dir (GC-able; GC
+# reads branch pointers so a LIVE staged batch is never swept), never a
+# corrupt pointer. Reference parity: the reference's load step appends
+# unaudited (3.load_to_bigquery/load_to_staging.py) — WAP is the
+# missing safety layer a warehouse load of this shape needs at scale.
+
+
+def _branch_pointer(path: str, branch: str) -> str:
+    return f"{_manifest_dir(path)}/branch-{branch}.json"
+
+
+def _put_json(spark: SparkSession, target: str, doc: dict) -> None:
+    """Temp-write + rename a small JSON doc (the manifest commit
+    protocol, shared by branch pointers)."""
+    import json
+
+    payload = json.dumps(doc).encode("utf-8")
+    fs, _ = _hadoop_fs(spark, target)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    parent = jvm_path(target).getParent()
+    if not fs.exists(parent):
+        fs.mkdirs(parent)
+    tmp = jvm_path(target + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    if not fs.rename(tmp, jvm_path(target)):
+        raise IOError(f"could not commit {target}")
+
+
+def _read_branch_doc(spark: SparkSession, path: str, branch: str) -> dict:
+    import json
+
+    target = _branch_pointer(path, branch)
+    fs, bpath = _hadoop_fs(spark, target)
+    if not fs.exists(bpath):
+        raise FileNotFoundError(f"branch {branch!r} not staged under {path}")
+    raw = "\n".join(
+        r[0] for r in spark.read.option("wholetext", True).text(target).collect()
+    )
+    return json.loads(raw)
+
+
+def list_branches(spark: SparkSession, path: str) -> list[str]:
+    """Names of every staged (unpublished) branch, sorted."""
+    fs, mdir = _hadoop_fs(spark, _manifest_dir(path))
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for status in fs.listStatus(mdir):
+        name = status.getPath().getName()
+        if name.startswith("branch-") and name.endswith(".json"):
+            out.append(name[len("branch-"):-len(".json")])
+    return sorted(out)
+
+
+def stage_branch(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    branch: str,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """WAP step 1: write ``df``'s data files and record them on a named
+    branch pointer WITHOUT creating a table version. The pointer pins
+    ``base_version`` (the main head at stage time) so publish can
+    detect concurrent commits. Re-staging the same branch replaces its
+    staged batch (the old data dir is overwritten in place — same
+    immutable-version-dir layout as a commit, keyed by branch name)."""
+    base = latest_snapshot_version(spark, path)
+    new_files = _write_version_data(spark, df, path, f"b_{branch}")
+    doc = {"branch": branch, "base_version": base, "files": new_files}
+    if stats_cols:
+        doc["stats"] = _file_stats(spark, new_files, stats_cols)
+    _put_json(spark, _branch_pointer(path, branch), doc)
+    return doc
+
+
+def read_branch(spark: SparkSession, path: str, branch: str) -> DataFrame:
+    """WAP step 2 (audit): the table AS IF the branch were published —
+    the base version's files plus the staged batch. Audit queries run
+    against this frame; main readers see none of it."""
+    doc = _read_branch_doc(spark, path, branch)
+    base_files = (
+        _read_manifest(spark, path, doc["base_version"])
+        if doc["base_version"] > 0
+        else []
+    )
+    return spark.read.parquet(*(base_files + doc["files"]))
+
+
+def publish_branch(spark: SparkSession, path: str, branch: str) -> int:
+    """WAP step 3: fast-forward main to the branch — a metadata-only
+    atomic commit of the staged files as version ``base_version + 1``.
+    Raises if main moved since staging (the optimistic-concurrency
+    conflict Iceberg surfaces the same way: re-stage or rebase — a
+    silent publish over a moved head would drop the interleaved
+    commit's files from the new manifest). The branch pointer is
+    deleted after the commit; the data files are NOT rewritten."""
+    doc = _read_branch_doc(spark, path, branch)
+    head = latest_snapshot_version(spark, path)
+    if head != doc["base_version"]:
+        raise RuntimeError(
+            f"branch {branch!r} staged against v{doc['base_version']} but "
+            f"main is at v{head} — re-stage (concurrent commit detected)"
+        )
+    prev_files: list[str] = []
+    prev_stats: dict = {}
+    if head > 0:
+        prev_doc = _read_manifest_doc(spark, path, head)
+        prev_files = prev_doc["files"]
+        prev_stats = prev_doc.get("stats", {})
+    stats = dict(prev_stats)
+    stats.update(doc.get("stats", {}))
+    _commit_manifest(
+        spark,
+        path,
+        head + 1,
+        prev_files + doc["files"],
+        tag=f"wap:{branch}",
+        operation="append",
+        stats=stats or None,
+    )
+    drop_branch(spark, path, branch)
+    return head + 1
+
+
+def drop_branch(spark: SparkSession, path: str, branch: str) -> bool:
+    """Abandon a staged branch (failed audit): delete the pointer; the
+    staged data files become orphans and the next
+    :func:`gc_orphan_files` reclaims them. Main was never touched."""
+    fs, bpath = _hadoop_fs(spark, _branch_pointer(path, branch))
+    return bool(fs.exists(bpath) and fs.delete(bpath, False))

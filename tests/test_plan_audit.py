@@ -116,6 +116,12 @@ UNPARTITIONED_WINDOW_OK = {
     "dq_psi_drift",
     # Benford population total over the ≤9-row first-digit rollup.
     "dq_benford_check",
+    # cumulative-distinct running sum over the DAILY first-seen rollup
+    # — |days| rows, same shape as w7/a8.
+    "w_cumulative_distinct",
+    # rank derivation over the BOUNDED top-512 token list (post-
+    # TakeOrderedAndProject); raw tokens never enter the window.
+    "text_zipf_octaves",
 }
 
 
