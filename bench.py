@@ -172,6 +172,14 @@ HEADLINE = [
     "sample_priority_weighted",
     "a_poisson_bootstrap_ci",
     "w_rolling_median",
+    "w_cumulative_distinct",
+    "a_ttest_ab",
+    "sample_reservoir_per_stratum",
+    "text_zipf_octaves",
+    "j_multitouch_attribution",
+    "emb_centroid_drift",
+    "w_sessionize_incremental",
+    "lake_wap_publish",
 ]
 
 

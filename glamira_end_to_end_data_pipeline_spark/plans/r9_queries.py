@@ -324,3 +324,507 @@ def text_zipf_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("octave")
     )
+
+
+@query(
+    "j_multitouch_attribution",
+    """
+    WITH cents AS (
+        SELECT user_id, ts, event_id, event_type,
+               cast(round(value * 100.0) AS BIGINT) AS c
+        FROM events
+    ),
+    buyers AS (
+        SELECT user_id,
+               CAST(sum(c) AS BIGINT) AS r_cents,
+               max(ts) AS last_purchase
+        FROM cents WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+        SELECT t.user_id, t.event_type, b.r_cents,
+               row_number() OVER (PARTITION BY t.user_id
+                                  ORDER BY t.ts, t.event_id) AS pos,
+               count(*) OVER (PARTITION BY t.user_id) AS n
+        FROM cents t JOIN buyers b USING (user_id)
+        WHERE t.event_type <> 'purchase' AND t.ts < b.last_purchase
+    ),
+    credited AS (
+        SELECT event_type, user_id, r_cents,
+               CASE WHEN n = 1 THEN 10000
+                    WHEN n = 2 THEN 5000
+                    WHEN pos = 1 OR pos = n THEN 4000
+                    ELSE cast(2000 // (n - 2) AS BIGINT)
+                         + CASE WHEN pos - 1 <= 2000 % (n - 2)
+                                THEN 1 ELSE 0 END
+               END AS w_bp
+        FROM touches
+    )
+    SELECT event_type AS channel,
+           count(*) AS n_touches,
+           count(DISTINCT user_id) AS n_users,
+           round(CAST(sum(r_cents * w_bp) AS BIGINT) / 10000.0 / 100.0, 2)
+               AS credited_revenue
+    FROM credited GROUP BY event_type ORDER BY channel
+    """,
+)
+def j_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (40/20/40) multi-touch revenue attribution — the
+    marketing-analytics workhorse: each buyer's purchase revenue is
+    credited 40% to the first touch, 40% to the last, 20% split across
+    the middles (1 touch → 100%, 2 → 50/50). Exactness discipline:
+    weights are integer BASIS POINTS with the 20% middle share split
+    by LARGEST-REMAINDER (floor(2000/(n-2)) + 1 extra bp to the
+    earliest ``2000 mod (n-2)`` middles — the billing-grade allocation
+    that always sums to exactly 10000), and credit accumulates as
+    exact r_cents · w_bp longs, so the only doubles are two final
+    divisions of an exact integer — bit-identical cross-engine, no
+    row-order float summation. Scale shape: one user-keyed exchange
+    shared by the buyers aggregate and both touch windows, then a
+    channel-cardinality rollup."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100.0).cast("long").alias("c"),
+    )
+    buyers = (
+        cents.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").alias("r_cents"),
+            F.max("ts").alias("last_purchase"),
+        )
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    touches = (
+        cents.join(buyers, "user_id")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (F.col("ts") < F.col("last_purchase"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "r_cents",
+            F.row_number().over(wo).alias("pos"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    mid_base = F.floor(F.lit(2000) / (F.col("n") - 2)).cast("long")
+    mid_extra = F.when(
+        (F.col("pos") - 1) <= (F.lit(2000) % (F.col("n") - 2)), F.lit(1)
+    ).otherwise(F.lit(0))
+    w_bp = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("n") == 2, F.lit(5000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(4000))
+        .otherwise(mid_base + mid_extra)
+    ).cast("long")
+    return (
+        touches.select("event_type", "user_id", "r_cents", w_bp.alias("w_bp"))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("r_cents") * F.col("w_bp")) / 10000.0 / 100.0, 2
+            ).alias("credited_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+_DRIFT_DIMS = 64
+_DRIFT_MICRO = 1_000_000.0
+
+
+@query(
+    "emb_centroid_drift",
+    f"""
+    WITH e AS (
+        SELECT vec_id, label, vec_id % 2 AS batch, embedding
+        FROM embeddings
+    ),
+    counts AS (
+        SELECT label, batch, count(*) AS n FROM e GROUP BY label, batch
+    ),
+    d AS (
+        SELECT label, batch, i AS dim,
+               CAST(sum(cast(floor(embedding[i]::DOUBLE
+                                   * {_DRIFT_MICRO}::DOUBLE + 0.5::DOUBLE)
+                             AS BIGINT)) AS BIGINT) AS s
+        FROM e, unnest(generate_series(1, {_DRIFT_DIMS})) t(i)
+        GROUP BY label, batch, i
+    ),
+    dots AS (
+        SELECT a.label,
+               CAST(sum(a.s * b.s) AS BIGINT) AS dot,
+               CAST(sum(a.s * a.s) AS BIGINT) AS na2,
+               CAST(sum(b.s * b.s) AS BIGINT) AS nb2
+        FROM d a JOIN d b ON a.label = b.label AND a.dim = b.dim
+        WHERE a.batch = 0 AND b.batch = 1
+        GROUP BY a.label
+    )
+    SELECT t.label,
+           ca.n AS n_a, cb.n AS n_b,
+           CAST(floor(dot / (sqrt(na2::DOUBLE) * sqrt(nb2::DOUBLE))
+                      * 1000000::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+               AS cos_micro
+    FROM dots t
+    JOIN counts ca ON ca.label = t.label AND ca.batch = 0
+    JOIN counts cb ON cb.label = t.label AND cb.batch = 1
+    ORDER BY t.label
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid cosine between two batches — the
+    drift monitor a pipeline runs when a new extraction model lands
+    (cos_micro near 1e6 = stable representation; a drop flags the
+    labels whose geometry moved; micro-units keep the hash exact —
+    see the return comment). Cosine is scale-invariant, so the
+    centroids are the raw PER-DIMENSION SUMS — and those sums are
+    exact integers (each float quantized to 1e-6 micro-units before
+    summing), killing the row-order float-summation hazard a naive
+    avg() centroid hashes differently per engine. The dot product and
+    norms are themselves EXACT BIGINT sums over a (label, dim) join
+    (products stay under 2^59), so the only doubles are one final
+    division of exact integers — order-independent on both engines
+    (a double fold over the 64 dims was measured to diverge in the
+    6th decimal: the accumulation passes 2^53 and the engines fold in
+    different orders). Scale shape: the posexplode fans
+    out N·64 rows but partial-aggregates map-side to |labels|·2·64
+    exchanged rows; everything after is label-cardinality."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("batch"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    # quantize via floor(x + 0.5) in DOUBLE on BOTH engines — two
+    # cross-engine traps live here, both observed at sf0.01: Spark's
+    # round() detours through BigDecimal's shortest-decimal repr, and
+    # a bare 1000000.0 literal in DuckDB is DECIMAL(8,1), silently
+    # pulling the float into exact-decimal arithmetic (where ties at
+    # .5 exist that double arithmetic never produces). Every op in
+    # float->double, *, +, floor is IEEE-exact, so the longs match.
+    d = ex.groupBy("label", "batch", "dim").agg(
+        F.sum(
+            F.floor(F.col("v") * _DRIFT_MICRO + 0.5).cast("long")
+        ).alias("s")
+    )
+    counts = emb.groupBy(
+        "label", (F.col("vec_id") % 2).alias("batch")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = d.filter(F.col("batch") == 0).select("label", "dim", F.col("s").alias("sa"))
+    b = d.filter(F.col("batch") == 1).select("label", "dim", F.col("s").alias("sb"))
+    dots = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na2"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb2"),
+        )
+    )
+    na = counts.filter(F.col("batch") == 0).select("label", F.col("n").alias("n_a"))
+    nb = counts.filter(F.col("batch") == 1).select("label", F.col("n").alias("n_b"))
+    cos = F.col("dot") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    # micro-unit output via floor(x*1e6 + 0.5): every op in that chain
+    # (long->double, divide, sqrt, multiply, add, floor) is exactly
+    # specified by IEEE 754, so the BIGINT is bit-identical on any
+    # engine — decimal round(x, 6) is NOT (Spark's BigDecimal HALF_UP
+    # vs DuckDB's multiply/floor disagree when the quotient lands on a
+    # decimal .5 boundary, observed at sf0.01 label 1).
+    return (
+        dots.join(na, "label")
+        .join(nb, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.floor(cos * 1000000.0 + 0.5).cast("long").alias("cos_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+_SESS_GAP_S = 1800
+_SESS_CUT = "2024-01-16 00:00:00"
+_SESS_BUCKETS = 20
+
+
+@query(
+    "w_sessionize_incremental",
+    f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id FROM events
+    ),
+    full_flags AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR cast(floor(epoch(ts)) AS BIGINT)
+                            - cast(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                            > {_SESS_GAP_S}
+                    THEN 1 ELSE 0 END AS f
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    full_counts AS (
+        SELECT user_id, CAST(sum(f) AS BIGINT) AS n_full
+        FROM full_flags GROUP BY user_id
+    ),
+    b1 AS (SELECT * FROM ev WHERE ts < TIMESTAMP '{_SESS_CUT}'),
+    b2 AS (SELECT * FROM ev WHERE ts >= TIMESTAMP '{_SESS_CUT}'),
+    state AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN prev IS NULL
+                             OR cast(floor(epoch(ts)) AS BIGINT)
+                                - cast(floor(epoch(prev)) AS BIGINT)
+                                > {_SESS_GAP_S}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               max(ts) AS last_ts
+        FROM (SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM b1)
+        GROUP BY user_id
+    ),
+    b2_flagged AS (
+        SELECT b.user_id,
+               CASE WHEN prev IS NOT NULL THEN
+                        CASE WHEN cast(floor(epoch(ts)) AS BIGINT)
+                                  - cast(floor(epoch(prev)) AS BIGINT)
+                                  > {_SESS_GAP_S} THEN 1 ELSE 0 END
+                    WHEN s.last_ts IS NULL THEN 1
+                    WHEN cast(floor(epoch(ts)) AS BIGINT)
+                         - cast(floor(epoch(s.last_ts)) AS BIGINT)
+                         > {_SESS_GAP_S} THEN 1
+                    ELSE 0 END AS f
+        FROM (SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM b2) b
+        LEFT JOIN state s USING (user_id)
+    ),
+    b2_counts AS (
+        SELECT user_id, CAST(sum(f) AS BIGINT) AS n2
+        FROM b2_flagged GROUP BY user_id
+    ),
+    inc AS (
+        SELECT coalesce(s.user_id, b.user_id) AS user_id,
+               coalesce(s.n1, 0) + coalesce(b.n2, 0) AS n_inc
+        FROM state s FULL JOIN b2_counts b USING (user_id)
+    )
+    SELECT f.user_id % {_SESS_BUCKETS} AS bucket,
+           count(*) AS n_users,
+           CAST(sum(f.n_full) AS BIGINT) AS sessions_full,
+           CAST(sum(i.n_inc) AS BIGINT) AS sessions_inc,
+           CAST(sum(CASE WHEN f.n_full = i.n_inc THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_matched
+    FROM full_counts f JOIN inc i USING (user_id)
+    GROUP BY 1 ORDER BY bucket
+    """,
+)
+def w_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with STATE HANDOFF across batch boundaries — the
+    incremental twin of ``w_sessionize_batch`` for the nightly-run
+    regime where history must not be re-scanned: batch 1 (events
+    before the cut) emits a bounded per-user state row (open-session
+    last_ts + session count so far); batch 2 sessionizes with its
+    FIRST event's gap test falling back to the carried last_ts, so a
+    session spanning the boundary is continued, not double-counted.
+    The entry computes the incremental composition AND the full
+    re-scan, buckets users, and emits per-bucket counts with
+    n_matched — at every SF n_matched == n_users, the executable
+    proof the handoff is exact (the property the streaming
+    session_window's state store provides; this is its batch-restate
+    form). Scale shape: every stage is user-keyed — the state table
+    is one bounded row per user, exactly what a 100 TB daily run
+    persists between runs."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    cut = F.lit(_SESS_CUT).cast("timestamp")
+    gap = _SESS_GAP_S
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def flags(df, with_state=None):
+        prev = F.lag("ts").over(w)
+        base = df.withColumn("prev", prev)
+        if with_state is None:
+            f = F.when(
+                prev.isNull()
+                | (F.col("ts").cast("long") - prev.cast("long") > gap),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            return base.withColumn("f", f)
+        base = base.join(with_state, "user_id", "left")
+        f = (
+            F.when(
+                F.col("prev").isNotNull(),
+                F.when(
+                    F.col("ts").cast("long") - F.col("prev").cast("long")
+                    > gap,
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            )
+            .when(F.col("last_ts").isNull(), F.lit(1))
+            .when(
+                F.col("ts").cast("long") - F.col("last_ts").cast("long")
+                > gap,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+        )
+        return base.withColumn("f", f)
+
+    full_counts = (
+        flags(ev)
+        .groupBy("user_id")
+        .agg(F.sum("f").cast("bigint").alias("n_full"))
+    )
+    b1, b2 = ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
+    state = (
+        flags(b1)
+        .groupBy("user_id")
+        .agg(
+            F.sum("f").cast("bigint").alias("n1"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    b2_counts = (
+        flags(b2, with_state=state.select("user_id", "last_ts"))
+        .groupBy("user_id")
+        .agg(F.sum("f").cast("bigint").alias("n2"))
+    )
+    inc = (
+        state.select("user_id", "n1")
+        .join(b2_counts, "user_id", "full")
+        .select(
+            "user_id",
+            (F.coalesce("n1", F.lit(0)) + F.coalesce("n2", F.lit(0))).alias(
+                "n_inc"
+            ),
+        )
+    )
+    return (
+        full_counts.join(inc, "user_id")
+        .groupBy((F.col("user_id") % _SESS_BUCKETS).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_full").cast("bigint").alias("sessions_full"),
+            F.sum("n_inc").cast("bigint").alias("sessions_inc"),
+            F.sum(
+                F.when(F.col("n_full") == F.col("n_inc"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_matched"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "lake_wap_publish",
+    """
+    WITH incoming AS (
+        SELECT *, (o_orderkey % 12 = 1) AS is_bad
+        FROM orders WHERE o_orderkey % 4 = 1
+    ),
+    head AS (
+        SELECT o_orderpriority, o_orderkey FROM orders
+        WHERE o_orderkey % 4 <> 1
+        UNION ALL
+        SELECT o_orderpriority, o_orderkey FROM incoming WHERE NOT is_bad
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM incoming WHERE is_bad)
+               AS n_bad_audited,
+           CAST(2 AS BIGINT) AS n_versions,
+           CAST(0 AS BIGINT) AS n_branches_left
+    FROM head GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def lake_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (sources/lake.py::stage_branch/read_branch/
+    publish_branch/drop_branch — Iceberg's WAP pattern): v1 lands the
+    base table; the incoming batch (carrying corrupt negative-price
+    rows, the bad-upstream incident) is STAGED on a branch — main
+    readers provably see none of it — and AUDITED via read_branch
+    (table-as-if-published); the audit fails, the branch is dropped
+    (zero rewrites, main untouched), the cleaned batch re-stages,
+    re-audits clean, and PUBLISHES as a metadata-only atomic commit.
+    In-query gates raise if the audit misses the bad rows, if main's
+    head moves while a branch is staged, or if a stale branch pointer
+    survives the publish. Reference parity: the reference's warehouse
+    load appends unaudited (3.load_to_bigquery/load_to_staging.py:
+    job_config WRITE_APPEND straight into the serving table); WAP is
+    the safety layer that load shape needs at 100 TB, where a bad
+    batch is petabytes of rewrites if it reaches main. The oracle
+    derives the same post-publish head + audit count from the source
+    table."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_wap_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 4 != 1)
+    incoming = o.filter(F.col("o_orderkey") % 4 == 1).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 12 == 1, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")),
+    )
+    lake.write_snapshot(spark, base, path, stats_cols=["o_orderkey"])
+    lake.stage_branch(spark, incoming, path, "incoming")
+    # audit 1: bad rows present on the branch, invisible on main
+    n_bad = (
+        lake.read_branch(spark, path, "incoming")
+        .filter(F.col("o_totalprice") < 0)
+        .count()
+    )
+    n_main_bad = (
+        lake.read_snapshot(spark, path).filter(F.col("o_totalprice") < 0).count()
+    )
+    if n_bad == 0 or n_main_bad != 0:
+        raise RuntimeError(
+            f"WAP isolation broken: branch bad={n_bad}, main bad={n_main_bad}"
+        )
+    lake.drop_branch(spark, path, "incoming")
+    lake.stage_branch(
+        spark,
+        incoming.filter(F.col("o_totalprice") >= 0),
+        path,
+        "incoming",
+    )
+    if (
+        lake.read_branch(spark, path, "incoming")
+        .filter(F.col("o_totalprice") < 0)
+        .count()
+        != 0
+    ):
+        raise RuntimeError("WAP re-audit still sees bad rows")
+    lake.publish_branch(spark, path, "incoming")
+    n_versions = lake.latest_snapshot_version(spark, path)
+    branches_left = len(lake.list_branches(spark, path))
+    head = lake.read_snapshot(spark, path)
+    return (
+        head.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+        .withColumn("n_bad_audited", F.lit(n_bad).cast("bigint"))
+        .withColumn("n_versions", F.lit(n_versions).cast("bigint"))
+        .withColumn("n_branches_left", F.lit(branches_left).cast("bigint"))
+        .orderBy("o_orderpriority")
+    )

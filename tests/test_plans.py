@@ -502,3 +502,61 @@ def test_mix_stratified_rate_convergence_and_growth_stability(
         # src = kept(A) + kept(new ids), and new ids kept <= 500
         assert grown.n_kept >= r.n_kept
         assert grown.n_kept - r.n_kept <= 500
+
+
+def test_sessionize_incremental_handoff_is_exact(spark, registry):
+    """The entry's own claim: incremental (state-handoff) session
+    counts equal the full re-scan for EVERY user — n_matched ==
+    n_users in every bucket."""
+    rows = registry["w_sessionize_incremental"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_matched == r.n_users, r
+        assert r.sessions_full == r.sessions_inc, r
+
+
+def test_multitouch_attribution_conserves_revenue(spark, registry, tmp_path):
+    """Largest-remainder basis points must sum to exactly 10000 per
+    buyer, so total credited revenue equals the purchase revenue of
+    every buyer with >= 1 prior touch — including the n-2 remainder
+    cases (n=5 middles split 667/667/666 bp)."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, typ, minute, value):
+        return (i, t0 + dt.timedelta(minutes=minute), user, typ, value, "{}")
+
+    rows = [
+        # user 1: 1 touch then purchase 10.00 -> touch gets 100%
+        ev(1, 1, "view", 0, 1.0), ev(2, 1, "purchase", 5, 10.0),
+        # user 2: 2 touches, purchase 20.00 -> 50/50
+        ev(3, 2, "view", 0, 1.0), ev(4, 2, "click", 1, 1.0),
+        ev(5, 2, "purchase", 9, 20.0),
+        # user 3: 5 touches, purchase 30.00 -> 4000/667/667/666/4000 bp
+        *[ev(6 + i, 3, "view", i, 1.0) for i in range(5)],
+        ev(11, 3, "purchase", 30, 30.0),
+        # user 4: purchase but no prior touch -> unattributed
+        ev(12, 4, "purchase", 0, 99.0),
+        # user 5: touches only, no purchase -> excluded
+        ev(13, 5, "view", 0, 1.0),
+        # user 6: touch AFTER the last purchase -> excluded
+        ev(14, 6, "purchase", 0, 7.0), ev(15, 6, "view", 10, 1.0),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    got = registry["j_multitouch_attribution"](spark, sf_dir).collect()
+    total = round(sum(r.credited_revenue for r in got), 2)
+    assert total == 10.0 + 20.0 + 30.0  # users 1-3 only
+    by_channel = {r.channel: r for r in got}
+    # user 3's middle remainder: 2000 bp over 3 middles -> 667/667/666
+    # all 'view': user1 100% + user2 50% + user3 100% = 10 + 10 + 30
+    assert by_channel["view"].credited_revenue == 50.0
+    assert by_channel["click"].credited_revenue == 10.0

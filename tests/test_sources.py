@@ -609,3 +609,55 @@ def test_replace_commit_is_whole_table_state(spark, tmp_path):
     # incremental delivers the replace's new rows once (removals are
     # unrepresentable in the append-only stream, as documented)
     assert lake.read_incremental(spark, p, 1, 2).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish branches (lake.stage_branch / read_branch /
+# publish_branch / drop_branch)
+# ---------------------------------------------------------------------------
+
+def test_wap_stage_is_invisible_on_main(spark, tmp_path):
+    path = str(tmp_path / "wap")
+    lake.write_snapshot(spark, spark.range(10), path)
+    lake.stage_branch(spark, spark.range(10, 15), path, "b")
+    assert lake.read_snapshot(spark, path).count() == 10  # main unchanged
+    assert lake.read_branch(spark, path, "b").count() == 15  # as-if-published
+    assert lake.list_branches(spark, path) == ["b"]
+
+
+def test_wap_publish_is_metadata_only_fast_forward(spark, tmp_path):
+    path = str(tmp_path / "wap")
+    lake.write_snapshot(spark, spark.range(10), path)
+    doc = lake.stage_branch(spark, spark.range(10, 15), path, "b")
+    v = lake.publish_branch(spark, path, "b")
+    assert v == 2
+    assert lake.read_snapshot(spark, path).count() == 15
+    # metadata-only: the published manifest references the STAGED files
+    assert set(doc["files"]) <= set(lake._read_manifest(spark, path, 2))
+    assert lake.list_branches(spark, path) == []  # pointer consumed
+    # v1 still time-travels to the pre-publish state
+    assert lake.read_snapshot(spark, path, 1).count() == 10
+
+
+def test_wap_publish_detects_concurrent_commit(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "wap")
+    lake.write_snapshot(spark, spark.range(10), path)
+    lake.stage_branch(spark, spark.range(10, 15), path, "b")
+    lake.write_snapshot(spark, spark.range(100, 101), path)  # head moves
+    with _pytest.raises(RuntimeError, match="re-stage"):
+        lake.publish_branch(spark, path, "b")
+
+
+def test_wap_drop_then_gc_reclaims_staged_files_only(spark, tmp_path):
+    path = str(tmp_path / "wap")
+    lake.write_snapshot(spark, spark.range(10), path)
+    lake.stage_branch(spark, spark.range(10, 15), path, "dead")
+    lake.stage_branch(spark, spark.range(20, 25), path, "live")
+    # a LIVE staged branch must survive GC; a dropped one is orphaned
+    lake.drop_branch(spark, path, "dead")
+    removed = lake.gc_orphan_files(spark, path)
+    assert removed > 0  # the dropped branch's files went away
+    assert lake.read_branch(spark, path, "live").count() == 15
+    assert lake.read_snapshot(spark, path).count() == 10
