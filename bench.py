@@ -180,6 +180,10 @@ HEADLINE = [
     "emb_centroid_drift",
     "w_sessionize_incremental",
     "lake_wap_publish",
+    "emb_hard_negatives",
+    "dq_benford",
+    "w_ewma_anomaly",
+    "emb_pca_top_direction",
 ]
 
 

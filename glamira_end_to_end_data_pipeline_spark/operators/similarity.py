@@ -1134,3 +1134,73 @@ def mmr_rerank(
         "query_id long, neighbor_id long, mmr_rank int, relevance double, "
         "max_sim_selected double, mmr_score double",
     )
+
+
+def hard_negatives_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining (the DPR / SimCSE training-data
+    prep step): for each labeled query, the k corpus vectors MOST
+    similar by cosine whose label DIFFERS — exactly the negatives a
+    contrastive loss learns the most from — plus the query's best
+    SAME-label similarity, so margin_micro = (best positive − negative)
+    in 1e-6 units exposes the mining difficulty (small or negative
+    margin = the negative outranks every positive, the pairs a curri-
+    culum schedules last). One broadcast-queries × corpus pass scores
+    all pairs (the exact-recall baseline shape of brute_force_topk —
+    the IVF/LSH candidate generators compose in front of this verbatim
+    at scale); positives reduce by max() and negatives by a per-query
+    top-k window, both over the SAME scored stream, so the corpus is
+    read once. margin_micro is floor(Δ·1e6 + 0.5) of two identically
+    rounded cosines — every op IEEE-exact, hence hashable cross-engine.
+    Queries with no same-label corpus row drop (inner join): no
+    positive ⇒ nothing to contrast against."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "q_label",
+        "neighbor_id",
+        (F.col("c_label") == F.col("q_label")).alias("same_label"),
+        _pair_cosine().alias("sim"),
+    )
+    pos = (
+        scored.filter(F.col("same_label"))
+        .groupBy("query_id")
+        .agg(F.max("sim").alias("pos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    negs = (
+        scored.filter(~F.col("same_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return (
+        negs.join(pos, "query_id")
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("sim").alias("neg_sim"),
+            "pos_sim",
+            F.floor((F.col("pos_sim") - F.col("sim")) * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("margin_micro"),
+        )
+        .orderBy("query_id", "rank")
+    )

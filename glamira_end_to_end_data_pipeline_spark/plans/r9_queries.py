@@ -31,6 +31,25 @@ and state-handoff patterns a production 100 TB pipeline runs daily:
   warehouse load appends unaudited (3.load_to_bigquery/
   load_to_staging.py) — WAP is the safety layer that load needs.
 
+Batch 3 — training-data mining, distribution DQ, and a fixed-point
+linear-algebra capstone:
+
+- ``emb_hard_negatives`` — contrastive hard-negative mining (DPR /
+  SimCSE prep): per labeled query the k most-similar DIFFERENT-label
+  corpus vectors plus the positive margin, one broadcast scored pass.
+- ``dq_benford`` — Benford first-digit conformity over prices in exact
+  integer per-mille (the fraud/DQ screen for money columns), expected
+  shares hardcoded so libm never runs at query time.
+- ``w_ewma_anomaly`` — EWMA trend + spike flags in integer fixed-point
+  (s_t = (x·1e6 + 3s) >> 2): the inherently sequential recursion as an
+  aggregate-HOF fold over the bounded daily rollup, recursive-CTE
+  oracle.
+- ``emb_pca_top_direction`` — top principal direction by integer
+  fixed-point POWER ITERATION: exact BIGINT co-moment matrix (bounded
+  driver metadata), six exact M·v steps with sign-split truncating
+  renormalization, per-label projections — PCA made hash-exact
+  cross-engine.
+
 Registered after r8_queries; every entry lands inside the round-9
 grading window behind the front-loaded changed-code re-grades (see
 plans/__init__.py).
@@ -827,4 +846,480 @@ def lake_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_versions", F.lit(n_versions).cast("bigint"))
         .withColumn("n_branches_left", F.lit(branches_left).cast("bigint"))
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3 — training-data mining, distribution DQ, ops smoothing, and a
+# fixed-point linear-algebra capstone.
+# ---------------------------------------------------------------------------
+
+from glamira_end_to_end_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    hard_negatives_topk,
+)
+from glamira_end_to_end_data_pipeline_spark.plans.northstar_queries import (  # noqa: E402
+    _COS_SQL,
+    _emb,
+)
+
+_HN_K = 5
+_HN_QUERIES = 20
+
+
+@query(
+    "emb_hard_negatives",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label, embedding AS q_vec
+        FROM embeddings WHERE vec_id < {_HN_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, label AS c_label, embedding AS c_vec
+        FROM embeddings WHERE vec_id >= {_HN_QUERIES}
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, (c_label = q_label) AS same_label,
+               {_COS_SQL.format(a="q_vec", b="c_vec")} AS sim
+        FROM c, q
+    ),
+    pos AS (
+        SELECT query_id, max(sim) AS pos_sim
+        FROM scored WHERE same_label GROUP BY query_id
+    ),
+    negs AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored WHERE NOT same_label
+    )
+    SELECT n.query_id, n.rank, n.neighbor_id, n.sim AS neg_sim, p.pos_sim,
+           CAST(floor((p.pos_sim - n.sim) * 1000000.0::DOUBLE + 0.5::DOUBLE)
+               AS BIGINT) AS margin_micro
+    FROM negs n JOIN pos p USING (query_id)
+    WHERE n.rank <= {_HN_K}
+    ORDER BY query_id, rank
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.py::
+    hard_negatives_topk — the DPR/SimCSE training-data prep step): per
+    labeled query, the 5 most-cosine-similar corpus vectors with a
+    DIFFERENT label, plus the best same-label similarity and
+    margin_micro = (positive − negative) in 1e-6 units — small or
+    negative margin marks the pairs a contrastive loss learns the most
+    from (and a curriculum schedules last). One broadcast-queries ×
+    corpus scored stream feeds BOTH the positive max() and the
+    negative top-k window, so the corpus is read once; at 100 TB the
+    IVF/LSH candidate generators (emb_ivf_topk / emb_ann_lsh_topk)
+    compose in front of this verbatim — the exact pass here is the
+    recall baseline those dials are graded against (emb_ann_recall
+    discipline)."""
+    emb = _emb(spark, sf_dir)
+    return hard_negatives_topk(
+        emb.filter(F.col("vec_id") < _HN_QUERIES),
+        emb.filter(F.col("vec_id") >= _HN_QUERIES),
+        k=_HN_K,
+    )
+
+
+# Benford first-digit expectations in integer PER-MILLE — round(1000 ·
+# log10(1 + 1/d)). Hardcoded constants on BOTH engines: the libm log10
+# never executes at query time, so no cross-engine float hazard enters
+# the hash. Nigrini's conformity bands (MAD over the nine digits):
+# < 0.006 close, < 0.012 acceptable, < 0.015 marginal — in the integer
+# per-mille domain here, sum_abs_dev <= 9·15 = 135 ≈ marginal.
+_BENFORD_PERMILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+
+
+@query(
+    "dq_benford",
+    f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM lineitem
+    ),
+    observed AS (SELECT digit, count(*) AS c FROM d GROUP BY digit),
+    counts AS (
+        SELECT t.digit, CAST(coalesce(o.c, 0) AS BIGINT) AS n_obs
+        FROM (SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER)
+                  AS digit) t
+        LEFT JOIN observed o USING (digit)
+    ),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM counts),
+    e AS (
+        SELECT digit, n_obs,
+               CAST((n_obs * 1000) // total AS BIGINT) AS obs_permille,
+               CAST(CASE digit
+                    {" ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PERMILLE.items())}
+                    END AS BIGINT) AS exp_permille
+        FROM counts, tot
+    ),
+    e2 AS (
+        SELECT *, abs(obs_permille - exp_permille) AS dev_permille FROM e
+    ),
+    sad AS (SELECT CAST(sum(dev_permille) AS BIGINT) AS sum_abs_dev FROM e2)
+    SELECT CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+           obs_permille, exp_permille,
+           CAST(dev_permille AS BIGINT) AS dev_permille, sum_abs_dev
+    FROM e2, sad ORDER BY digit
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformity test over line-item prices — the
+    fraud/DQ screen for any naturally multi-magnitude money column
+    (synthetic or truncated feeds flunk it long before totals move):
+    observed first-digit shares in exact integer PER-MILLE against the
+    hardcoded Benford expectations (constants on both engines — libm
+    log10 never runs at query time), per-digit absolute deviation, and
+    the Nigrini-style sum of deviations as the one-number conformity
+    verdict. Exactness: shares are integer DIV of exact counts, so
+    every hashed value is a BIGINT. Scale shape: ONE scan partial-
+    aggregates to 9 digit rows; the two one-row broadcasts (total,
+    sum-of-deviations) re-aggregate the 9-row table — the q11/q15
+    re-aggregate-and-broadcast-back discipline, O(1) work."""
+    li = read_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    observed = (
+        li.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # 9-digit spine: zero-count digits MUST surface (their deviation is
+    # the whole Benford signal on degenerate/synthetic feeds).
+    counts = (
+        spark.range(1, 10)
+        .select(F.col("id").cast("int").alias("digit"))
+        .join(observed, "digit", "left")
+        .select(
+            "digit", F.coalesce("c", F.lit(0)).cast("long").alias("n_obs")
+        )
+    )
+    tot = counts.agg(F.sum("n_obs").cast("long").alias("total"))
+    exp_col = F.lit(None).cast("long")
+    for dd, pp in sorted(_BENFORD_PERMILLE.items(), reverse=True):
+        exp_col = F.when(F.col("digit") == dd, F.lit(pp).cast("long")).otherwise(
+            exp_col
+        )
+    e2 = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "obs_permille",
+            F.expr("CAST((n_obs * 1000) DIV total AS BIGINT)"),
+        )
+        .withColumn("exp_permille", exp_col)
+        .withColumn(
+            "dev_permille", F.abs(F.col("obs_permille") - F.col("exp_permille"))
+        )
+    )
+    sad = e2.agg(F.sum("dev_permille").cast("long").alias("sum_abs_dev"))
+    return (
+        e2.crossJoin(F.broadcast(sad))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            "obs_permille",
+            "exp_permille",
+            F.col("dev_permille").cast("long").alias("dev_permille"),
+            "sum_abs_dev",
+        )
+        .orderBy("digit")
+    )
+
+
+# EWMA in integer fixed-point: s_t = (x_t·1e6 + 3·s_{t-1}) >> 2, i.e.
+# alpha = 1/4 with micro-unit scaling — every step an exact BIGINT op,
+# so the recursion is bit-identical on any engine (a double EWMA hashes
+# differently once the accumulation order or FMA behavior differs).
+_EWMA_SPIKE_BP = 4000  # |x_t - s_{t-1}| / s_{t-1} > 40% flags a spike
+
+
+@query(
+    "w_ewma_anomaly",
+    f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    idx AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS rk
+        FROM daily
+    ),
+    rec(event_type, rk, day, n, s_prev, s) AS (
+        SELECT event_type, rk, day, n, CAST(-1 AS BIGINT), n * 1000000
+        FROM idx WHERE rk = 1
+        UNION ALL
+        SELECT i.event_type, i.rk, i.day, i.n, r.s,
+               (i.n * 1000000 + 3 * r.s) // 4
+        FROM rec r JOIN idx i
+            ON i.event_type = r.event_type AND i.rk = r.rk + 1
+    ),
+    scored AS (
+        SELECT event_type, day, n AS n_events, s AS ewma_micro,
+               CASE WHEN s_prev < 0 THEN CAST(0 AS BIGINT)
+                    ELSE (abs(n * 1000000 - s_prev) * 10000) // s_prev
+               END AS dev_bp
+        FROM rec
+    )
+    SELECT event_type, day, n_events, ewma_micro, dev_bp,
+           dev_bp > {_EWMA_SPIKE_BP} AS is_spike
+    FROM scored ORDER BY event_type, day
+    """,
+)
+def w_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed daily event volume with spike flags — the ops
+    alerting pattern (trend line + "today deviates >40% from trend"):
+    s_t = alpha·x_t + (1-alpha)·s_{t-1} with alpha = 1/4, computed in
+    integer FIXED-POINT micro-units (s_t = (x_t·1e6 + 3·s_{t-1}) >> 2)
+    so the inherently sequential recursion is exact BIGINT arithmetic —
+    bit-identical across engines and re-runs, where a double EWMA's
+    hash depends on FMA/rounding behavior. Deviation is integer basis
+    points against the PRIOR smoothed level (the alert must not let
+    today's spike pull its own baseline). Spark shape: the recursion
+    runs as an aggregate-HOF fold over each event type's day-sorted
+    daily rollup (|days| elements, bounded — the mm_audio_energy
+    discipline), so raw events partial-aggregate map-side and the only
+    exchange is the |types|·|days| rollup; the oracle spells the same
+    recursion as a recursive CTE. At 100 TB the fold input stays
+    |days|-bounded no matter how many raw rows feed each day."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    acc_t = (
+        "struct<s:bigint,"
+        "rows:array<struct<day:date,n:bigint,s_prev:bigint,s:bigint>>>"
+    )
+
+    def step(acc, x):
+        s_prev = acc["s"]
+        s_new = F.when(s_prev < 0, x["n"] * 1000000).otherwise(
+            F.shiftright(x["n"] * 1000000 + 3 * s_prev, 2)
+        )
+        row = F.struct(
+            x["day"].alias("day"),
+            x["n"].alias("n"),
+            s_prev.alias("s_prev"),
+            s_new.alias("s"),
+        )
+        return F.struct(
+            s_new.alias("s"),
+            F.concat(acc["rows"], F.array(row)).alias("rows"),
+        )
+
+    folded = (
+        daily.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "n"))).alias("xs"))
+        .select(
+            "event_type",
+            F.explode(
+                F.aggregate(
+                    "xs",
+                    F.expr(f"CAST(struct(-1L, array()) AS {acc_t})"),
+                    step,
+                )["rows"]
+            ).alias("r"),
+        )
+        .select(
+            "event_type",
+            F.col("r.day").alias("day"),
+            F.col("r.n").alias("n_events"),
+            F.col("r.s").alias("ewma_micro"),
+            F.col("r.s_prev").alias("s_prev"),
+        )
+    )
+    return (
+        folded.withColumn(
+            "dev_bp",
+            F.when(F.col("s_prev") < 0, F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    "CAST((abs(n_events * 1000000 - s_prev) * 10000)"
+                    " DIV s_prev AS BIGINT)"
+                )
+            ),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "ewma_micro",
+            "dev_bp",
+            (F.col("dev_bp") > _EWMA_SPIKE_BP).alias("is_spike"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_PCA_ITERS = 6
+_PCA_SCALE = 1 << 20  # fixed-point magnitude budget per renormalization
+
+
+def _pca_oracle_sql() -> str:
+    """Unrolled integer power iteration: u_k = M·v_{k-1} (exact BIGINT
+    sums — order-independent, unlike a float fold), then renormalize to
+    |v| <= 2^20 by sign-split truncating division (DuckDB's `//` and
+    Spark/Python trunc agree only on non-negatives, so every division
+    here is abs-then-negate). MATERIALIZED stages keep the 6-deep CTE
+    chain linear — DuckDB inlines plain CTEs, which would expand the
+    doubly-referenced u_k subtrees 2^6-fold."""
+    stages = []
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        stages.append(
+            f"""
+    u{k} AS MATERIALIZED (
+        SELECT m.i AS i, CAST(sum(m.m * v.v) AS BIGINT) AS u
+        FROM m JOIN {prev} v ON v.i = m.j GROUP BY m.i
+    ),
+    d{k} AS (
+        SELECT greatest(CAST(1 AS BIGINT),
+                        (max(abs(u)) + {_PCA_SCALE - 1}) // {_PCA_SCALE}) AS d
+        FROM u{k}
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT i, CASE WHEN u >= 0 THEN u // d ELSE -((-u) // d) END AS v
+        FROM u{k}, d{k}
+    )"""
+        )
+        prev = f"v{k}"
+    vlast = prev
+    return f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id, label, i,
+               CAST(floor(embedding[i]::DOUBLE * 1000000.0::DOUBLE
+                          + 0.5::DOUBLE) AS BIGINT) AS qv
+        FROM embeddings, unnest(generate_series(1, 64)) t(i)
+    ),
+    cmat AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS c
+        FROM q a JOIN q b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ),
+    dc AS (
+        SELECT greatest(CAST(1 AS BIGINT),
+                        (max(abs(c)) + {_PCA_SCALE - 1}) // {_PCA_SCALE}) AS d
+        FROM cmat
+    ),
+    m AS MATERIALIZED (
+        SELECT i, j,
+               CASE WHEN c >= 0 THEN c // d ELSE -((-c) // d) END AS m
+        FROM cmat, dc
+    ),
+    v0 AS (
+        SELECT i, CAST({_PCA_SCALE} AS BIGINT) AS v
+        FROM unnest(generate_series(1, 64)) t(i)
+    ),{",".join(stages)},
+    p AS (
+        SELECT q.label, CAST(sum(q.qv * v.v) AS BIGINT) AS p
+        FROM q JOIN {vlast} v ON v.i = q.i
+        GROUP BY q.vec_id, q.label
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(sum(p) AS BIGINT) AS sum_proj,
+           CAST(sum(abs(p)) AS BIGINT) AS sum_abs_proj,
+           (SELECT CAST(i AS BIGINT) FROM {vlast}
+            ORDER BY abs(v) DESC, i LIMIT 1) AS top_dim,
+           (SELECT CASE WHEN v >= 0 THEN CAST(1 AS BIGINT)
+                        ELSE CAST(-1 AS BIGINT) END FROM {vlast}
+            ORDER BY abs(v) DESC, i LIMIT 1) AS top_sign
+    FROM p GROUP BY label ORDER BY label
+    """
+
+
+@query("emb_pca_top_direction", _pca_oracle_sql())
+def emb_pca_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION in integer fixed-point — the PCA/whitening primitive an
+    embedding pipeline runs for drift diagnostics, anisotropy checks
+    (Ethayarajh 2019: contextual embeddings collapse toward a dominant
+    direction), and cheap-projection index tiers — made hash-exact
+    cross-engine by keeping EVERY step in BIGINT:
+
+    1. quantize components to 1e-6 micro-units (the emb_centroid_drift
+       discipline), 2. the 64×64 co-moment matrix C = Σ q qᵀ as exact
+       integer sums — the N·d² explode never shuffles, partial
+       aggregation bounds the exchange at d²·tasks rows, 3. rescale C
+       to |M| <= 2^20 by one integer division, 4. six iterations of
+       u = M·v with sign-split truncating renormalization to |v| <=
+       2^20 — integer sums are ORDER-INDEPENDENT, so no float-fold
+       hazard exists anywhere, 5. project every vector onto the
+       direction and roll up per label (n, Σproj, Σ|proj|, plus the
+       dominant dimension and its sign). C is 4096 bounded rows —
+       driver metadata like the IVF centroids — so the iteration runs
+       in exact Python longs; the oracle replays the identical
+       arithmetic as 6 unrolled MATERIALIZED CTE stages. Convergence
+       subtleties (near-tied top eigenvalues) cannot break grading:
+       both engines define the answer as the same 6 exact steps.
+       At 100 TB only step 2 touches data and it is one map-side
+       partial-aggregated scan; steps 3-4 are driver math; step 5 is a
+       second map-only scan against a broadcast 64-row table."""
+    emb = _emb(spark, sf_dir)
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("val") * 1000000.0 + 0.5).cast("long").alias("qv"),
+    )
+    pairs = emb.select(
+        "embedding", F.posexplode("embedding").alias("pos_i", "vi")
+    ).select(
+        (F.col("pos_i") + 1).alias("i"),
+        F.floor(F.col("vi") * 1000000.0 + 0.5).cast("long").alias("qi"),
+        F.posexplode("embedding").alias("pos_j", "vj"),
+    )
+    cmat = (
+        pairs.select(
+            "i",
+            "qi",
+            (F.col("pos_j") + 1).alias("j"),
+            F.floor(F.col("vj") * 1000000.0 + 0.5).cast("long").alias("qj"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qi") * F.col("qj")).alias("c"))
+    )
+    # 64×64 = 4096 rows of exact integer co-moments — bounded driver
+    # metadata (the IVF-centroid allowance); the power iteration then
+    # runs in exact Python longs, replayed verbatim by the oracle.
+    c = {(r["i"], r["j"]): r["c"] for r in cmat.collect()}
+
+    def tdiv(a: int, d: int) -> int:
+        return a // d if a >= 0 else -((-a) // d)
+
+    dc = max(1, (max(abs(x) for x in c.values()) + _PCA_SCALE - 1) // _PCA_SCALE)
+    m = {ij: tdiv(x, dc) for ij, x in c.items()}
+    v = {i: _PCA_SCALE for i in range(1, 65)}
+    for _ in range(_PCA_ITERS):
+        u = {i: sum(m[(i, j)] * v[j] for j in range(1, 65)) for i in range(1, 65)}
+        du = max(1, (max(abs(x) for x in u.values()) + _PCA_SCALE - 1) // _PCA_SCALE)
+        v = {i: tdiv(u[i], du) for i in range(1, 65)}
+    top_dim = min(range(1, 65), key=lambda i: (-abs(v[i]), i))
+    top_sign = 1 if v[top_dim] >= 0 else -1
+    vdf = spark.createDataFrame(
+        [(i, v[i]) for i in range(1, 65)], "i int, v long"
+    )
+    proj = (
+        q.join(F.broadcast(vdf), "i")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("p"))
+    )
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("p").cast("long").alias("sum_proj"),
+            F.sum(F.abs("p")).cast("long").alias("sum_abs_proj"),
+        )
+        .withColumn("top_dim", F.lit(top_dim).cast("long"))
+        .withColumn("top_sign", F.lit(top_sign).cast("long"))
+        .orderBy("label")
     )

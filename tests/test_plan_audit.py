@@ -95,6 +95,13 @@ BNLJ_OK = {
     # broadcast back onto the k+1 TakeOrderedAndProject survivors —
     # the raw corpus never enters the BNLJ.
     "sample_priority_weighted",
+    # hard-negative mining's scoring pass IS brute_force_topk's shape
+    # (broadcast labeled queries × corpus — the exact-recall baseline;
+    # IVF/LSH candidate generators compose in front of it at scale).
+    "emb_hard_negatives",
+    # Benford's two one-row re-aggregates of the 9-digit rollup (total,
+    # sum-of-deviations) broadcast back onto it — the q11/q15 pattern.
+    "dq_benford",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are

@@ -560,3 +560,154 @@ def test_multitouch_attribution_conserves_revenue(spark, registry, tmp_path):
     # all 'view': user1 100% + user2 50% + user3 100% = 10 + 10 + 30
     assert by_channel["view"].credited_revenue == 50.0
     assert by_channel["click"].credited_revenue == 10.0
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    import os
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    return sf_dir
+
+
+def _axis_vec(dim, sign=1.0, noise_dim=None, noise=0.0):
+    v = [0.0] * 64
+    v[dim] = sign
+    if noise_dim is not None:
+        v[noise_dim] = noise
+    return v
+
+
+def test_hard_negatives_excludes_same_label_and_orders_margin(
+    spark, registry, tmp_path
+):
+    """Negatives never share the query's label; a different-label
+    vector closer than every same-label one yields a NEGATIVE margin;
+    queries with no same-label corpus row are dropped."""
+    rows = [
+        # query 0 (label 1) points along axis 3
+        (0, _axis_vec(3), 1),
+        # query 1 (label 9): NO corpus row shares label 9 -> dropped
+        (1, _axis_vec(7), 9),
+        # corpus: a label-2 vector almost parallel to query 0 (the hard
+        # negative), a label-1 vector further away (the best positive)
+        (20, _axis_vec(3, noise_dim=4, noise=0.1), 2),
+        (21, _axis_vec(3, noise_dim=4, noise=0.8), 1),
+        (22, _axis_vec(5), 2),
+    ]
+    sf_dir = _write_embeddings(spark, tmp_path, rows)
+    got = registry["emb_hard_negatives"](spark, sf_dir).collect()
+    assert {r.query_id for r in got} == {0}
+    by_rank = {r.rank: r for r in got}
+    # rank 1 = the near-parallel label-2 vector; margin negative
+    # (pos_sim vs vec 21 is lower than neg_sim vs vec 20)
+    assert by_rank[1].neighbor_id == 20
+    assert by_rank[1].margin_micro < 0
+    assert by_rank[2].neighbor_id == 22
+    # ranks ordered by descending similarity
+    assert by_rank[1].neg_sim >= by_rank[2].neg_sim
+    # no same-label neighbor leaked into the negatives
+    assert 21 not in {r.neighbor_id for r in got}
+
+
+def test_benford_degenerate_feed_flunks_with_full_spine(
+    spark, registry, tmp_path
+):
+    """A single-magnitude price feed (every price in [1000, 2000)) must
+    emit ALL NINE digit rows — zero-count digits carry their full
+    expected share as deviation — and the conformity total is exactly
+    699 (digit 1) + 699 (digits 2-9) = 1398 per-mille."""
+    import os
+
+    rows = [(i, 1000.0 + (i % 997)) for i in range(5000)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_extendedprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "lineitem.parquet")
+    )
+    got = registry["dq_benford"](spark, sf_dir).collect()
+    assert [r.digit for r in got] == list(range(1, 10))
+    by_digit = {r.digit: r for r in got}
+    assert by_digit[1].n_obs == 5000
+    assert by_digit[1].obs_permille == 1000
+    assert by_digit[1].dev_permille == 699
+    for d in range(2, 10):
+        assert by_digit[d].n_obs == 0
+        assert by_digit[d].dev_permille == by_digit[d].exp_permille
+    assert all(r.sum_abs_dev == 1398 for r in got)
+
+
+def test_ewma_anomaly_flags_spike_not_trend(spark, registry, tmp_path):
+    """Hand-checkable fixed-point recursion: a flat 100/day series
+    keeps s == 100e6 exactly (100e6·4 >> 2); a 1000-event day deviates
+    90000 bp from the PRIOR smoothed level and is the only spike; the
+    smoothed level after the spike is (1000e6 + 3·100e6) >> 2 =
+    325e6."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day in range(6):
+        n = 1000 if day == 5 else 100
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    t0 + dt.timedelta(days=day, seconds=k),
+                    k % 7,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    got = registry["w_ewma_anomaly"](spark, sf_dir).collect()
+    assert len(got) == 6
+    assert [r.is_spike for r in got] == [False] * 5 + [True]
+    assert all(r.ewma_micro == 100_000_000 for r in got[:5])
+    assert got[5].dev_bp == 90_000
+    assert got[5].ewma_micro == 325_000_000
+    assert got[0].dev_bp == 0  # first day has no prior level
+
+
+def test_pca_top_direction_recovers_dominant_axis(
+    spark, registry, tmp_path
+):
+    """A corpus whose variance lives on axis 5 (0-based) must report
+    top_dim == 6 (1-based), and two labels placed at +axis and -axis
+    project with opposite signs and equal magnitude."""
+    rows = []
+    for i in range(40):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        label = 0 if sign > 0 else 1
+        rows.append(
+            (i, _axis_vec(5, sign=sign, noise_dim=i % 3, noise=0.01), label)
+        )
+    sf_dir = _write_embeddings(spark, tmp_path, rows)
+    got = {r.label: r for r in registry["emb_pca_top_direction"](spark, sf_dir).collect()}
+    assert set(got) == {0, 1}
+    r0, r1 = got[0], got[1]
+    assert r0.top_dim == 6 and r1.top_dim == 6
+    assert r0.n_vecs == 20 and r1.n_vecs == 20
+    # opposite-sign projections of equal magnitude (up to the shared
+    # integer quantization — the +axis and -axis labels are mirror
+    # images, and every step of the pipeline is sign-symmetric except
+    # the final truncating division, so allow 1 unit per vector)
+    assert r0.sum_proj * r1.sum_proj < 0
+    assert abs(abs(r0.sum_proj) - abs(r1.sum_proj)) <= 40 * 64
+    assert r0.sum_abs_proj > 0 and r1.sum_abs_proj > 0
