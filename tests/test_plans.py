@@ -630,7 +630,7 @@ def test_benford_degenerate_feed_flunks_with_full_spine(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(sf_dir, "lineitem.parquet")
     )
-    got = registry["dq_benford"](spark, sf_dir).collect()
+    got = registry["dq_benford_mad"](spark, sf_dir).collect()
     assert [r.digit for r in got] == list(range(1, 10))
     by_digit = {r.digit: r for r in got}
     assert by_digit[1].n_obs == 5000
