@@ -1084,7 +1084,13 @@ def w_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines and re-runs, where a double EWMA's
     hash depends on FMA/rounding behavior. Deviation is integer basis
     points against the PRIOR smoothed level (the alert must not let
-    today's spike pull its own baseline). Spark shape: the recursion
+    today's spike pull its own baseline). Complements
+    ``dq_volume_anomaly`` (trailing-window mean/stddev z-score —
+    memoryless beyond its frame, float domain): EWMA weights ALL
+    history geometrically and one-line updates from yesterday's state,
+    the form an incremental daily job persists; the fixed-point
+    integer recursion is what makes that state exactly restatable.
+    Spark shape: the recursion
     runs as an aggregate-HOF fold over each event type's day-sorted
     daily rollup (|days| elements, bounded — the mm_audio_energy
     discipline), so raw events partial-aggregate map-side and the only
