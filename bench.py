@@ -184,6 +184,10 @@ HEADLINE = [
     "dq_benford_mad",
     "w_ewma_anomaly",
     "emb_pca_top_direction",
+    "text_length_buckets",
+    "sample_temperature_mix",
+    "a_bloom_filter_probe",
+    "graph_randwalk_corpus",
 ]
 
 

@@ -52,6 +52,23 @@ linear-algebra capstone:
   renormalization, per-label projections — PCA made hash-exact
   cross-engine.
 
+Batch 4 — serving economics, corpus construction, and two more
+mergeable/deterministic primitives:
+
+- ``text_length_buckets`` — pow-2 pad-to-bucket batching audit: padded
+  vs actual tokens and waste per-mille per bucket, all exact integers
+  (log2 on exact small ints, exhaustively verified engine-stable).
+- ``sample_temperature_mix`` — mT5/XLM-R temperature sampling
+  (p ∝ n^0.5): sqrt is the one correctly-rounded libm op, quantized to
+  integer micro-units before the order-free cross-source sum.
+- ``a_bloom_filter_probe`` — Bloom filter as DataFrame algebra: bit_or
+  word array (bitwise-mergeable like the HLL/KMV family), the whole
+  512-word filter hashed, zero-false-negative proof + measured FP rate
+  in-query.
+- ``graph_randwalk_corpus`` — DeepWalk/node2vec walk-corpus generation
+  with md5-derived (RNG-free, resumable) hops; recursive-CTE oracle
+  replays every pick.
+
 Registered after r8_queries; every entry lands inside the round-9
 grading window behind the front-loaded changed-code re-grades (see
 plans/__init__.py).
@@ -1334,3 +1351,505 @@ def emb_pca_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("top_sign", F.lit(top_sign).cast("long"))
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4 — serving-economics and corpus-construction operators.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_length_buckets",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS BIGINT) AS n_tok
+        FROM documents WHERE trim(text) <> ''
+    ),
+    b AS (
+        SELECT n_tok,
+               CAST(CASE WHEN n_tok = (1::BIGINT << CAST(floor(log2(n_tok))
+                                                         AS INTEGER))
+                         THEN n_tok
+                         ELSE 1::BIGINT << (CAST(floor(log2(n_tok))
+                                                 AS INTEGER) + 1)
+                    END AS BIGINT) AS bucket_size
+        FROM tok
+    )
+    SELECT bucket_size,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * bucket_size AS BIGINT) AS padded_tokens,
+           CAST(((count(*) * bucket_size - sum(n_tok)) * 1000)
+                // (count(*) * bucket_size) AS BIGINT) AS waste_permille
+    FROM b GROUP BY bucket_size ORDER BY bucket_size
+    """,
+)
+def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pow-2 length-bucketed batching audit — the inference/training
+    batch-packing economics read-out: pad-to-bucket batching (the
+    standard serving compromise between per-length batches and
+    pad-to-max) wastes (bucket − len) tokens per doc, and this entry
+    prices that waste per bucket in exact integer PER-MILLE. bucket =
+    smallest power of two >= token count, computed as floor(log2(n))
+    + an exact-power equality test — log2 on exact small integers is
+    engine-stable (verified exhaustively to 2^20 on both engines; the
+    zipf-octave precedent). Everything is one map-side partial-
+    aggregated scan to ~14 bucket rows; the waste ratio is integer
+    DIV of exact BIGINTs. The pair (sum_tokens, padded_tokens) is what
+    a batch scheduler trades against ``text_pack_sequences``-style
+    concat packing (zero pad waste, no doc boundaries)."""
+    docs = _docs(spark, sf_dir).filter(F.trim("text") != "")
+    n_tok = F.size(normalized_tokens("text")).cast("long")
+    bucket = F.expr(
+        "CASE WHEN n_tok = shiftleft(CAST(1 AS BIGINT), octave)"
+        " THEN n_tok"
+        " ELSE shiftleft(CAST(1 AS BIGINT), octave + 1) END"
+    )
+    return (
+        docs.select(n_tok.alias("n_tok"))
+        .withColumn("octave", F.floor(F.log2("n_tok")).cast("int"))
+        .select(bucket.cast("long").alias("bucket_size"), "n_tok")
+        .groupBy("bucket_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket_size",
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("bucket_size"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.expr(
+                "CAST(((n_docs * bucket_size - sum_tokens) * 1000)"
+                " DIV (n_docs * bucket_size) AS BIGINT)"
+            ).alias("waste_permille"),
+        )
+        .orderBy("bucket_size")
+    )
+
+
+# mT5/XLM-R temperature sampling at alpha = 1/2: p_i ∝ n_i^alpha.
+# sqrt is IEEE-754 CORRECTLY ROUNDED (unlike log/exp), so quantizing
+# sqrt(n_i) to exact integer micro-units before the (order-free) sum
+# keeps every downstream value engine-exact.
+_TEMP_TARGET_FRAC = 5  # sample m = total // 5 docs
+
+
+@query(
+    "sample_temperature_mix",
+    f"""
+    WITH per_source AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_total
+        FROM documents GROUP BY source
+    ),
+    s AS (
+        SELECT source, n_total,
+               CAST(floor(sqrt(n_total::DOUBLE) * 1000000.0::DOUBLE
+                          + 0.5::DOUBLE) AS BIGINT) AS s_micro
+        FROM per_source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_total) AS BIGINT) AS total,
+               CAST(sum(s_micro) AS BIGINT) AS s_sum
+        FROM s
+    ),
+    rates AS (
+        SELECT source, n_total, s_micro,
+               CAST(floor(least(1.0::DOUBLE,
+                    (((total // {_TEMP_TARGET_FRAC})::DOUBLE * s_micro::DOUBLE)
+                     / (s_sum::DOUBLE * n_total::DOUBLE)))
+                    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS t_micro
+        FROM s, tot
+    ),
+    kept AS (
+        SELECT d.source, count(*) AS n_kept
+        FROM documents d JOIN rates r USING (source)
+        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':temp'), 1, 15))
+              ::BIGINT % 1000000 < r.t_micro
+        GROUP BY d.source
+    )
+    SELECT r.source, r.n_total, r.s_micro, r.t_micro,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k USING (source)
+    ORDER BY r.source
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (mT5/XLM-R: p_i ∝ n_i^alpha,
+    alpha = 1/2) — the multilingual-corpus rebalancer that up-samples
+    small sources and down-samples head sources, completing the mixing
+    family beside fixed-rate (``sample_mix_stratified``), fixed-size
+    (``sample_reservoir_per_stratum``) and weighted
+    (``sample_priority_weighted``). Exactness discipline: sqrt is the
+    ONE correctly-rounded libm op, so sqrt(n_i) quantizes to exact
+    integer micro-units BEFORE the cross-source sum (order-free BIGINT
+    add — the emb_centroid_drift trick), and each source's keep rate
+    derives from those exact integers through a fixed 4-op double
+    chain (two multiplies, one divide, one floor — each individually
+    IEEE-exact, so t_micro is bit-identical cross-engine). Keep
+    decisions are md5-threshold pure row functions (reproducible,
+    growth-stable per the mix-family contract). Scale shape: the
+    per-source table is bounded; raw docs are touched by exactly one
+    map-side-filtered count — the rates join is a broadcast of
+    |sources| rows."""
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    s = per_source.select(
+        "source",
+        "n_total",
+        F.floor(F.sqrt(F.col("n_total").cast("double")) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("s_micro"),
+    )
+    tot = s.agg(
+        F.sum("n_total").cast("long").alias("total"),
+        F.sum("s_micro").cast("long").alias("s_sum"),
+    )
+    m = (F.col("total") / _TEMP_TARGET_FRAC).cast("long")  # exact: total//5
+    rate = F.least(
+        F.lit(1.0),
+        (m.cast("double") * F.col("s_micro").cast("double"))
+        / (F.col("s_sum").cast("double") * F.col("n_total").cast("double")),
+    )
+    rates = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_total",
+        "s_micro",
+        F.floor(rate * 1000000.0 + 0.5).cast("long").alias("t_micro"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    kept = (
+        docs.select("source", "doc_id")
+        .join(F.broadcast(rates.select("source", "t_micro")), "source")
+        .filter((h % 1000000) < F.col("t_micro"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            "s_micro",
+            "t_micro",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# Bloom geometry: 512 words × 32 bits = 16384 bits, k = 4 md5-derived
+# positions per key. 32-bit words inside BIGINTs keep every shift at
+# bit <= 31 — DuckDB's `<<` RAISES on BIGINT sign-bit overflow (1 <<
+# 63), so 64-bit words would need sign gymnastics on one engine only.
+_BLOOM_WORDS = 512
+_BLOOM_BITS = _BLOOM_WORDS * 32
+_BLOOM_K = 4
+
+
+@query(
+    "a_bloom_filter_probe",
+    f"""
+    WITH keys AS (
+        SELECT c_custkey AS key FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    ),
+    pos AS (
+        SELECT key, j,
+               ('0x' || substr(md5('bloom:' || j::VARCHAR || ':'
+                                   || key::VARCHAR), 1, 15))::BIGINT
+                   % {_BLOOM_BITS} AS p
+        FROM keys, unnest(generate_series(0, {_BLOOM_K - 1})) t(j)
+    ),
+    setbits AS (
+        SELECT p // 32 AS word,
+               CAST(bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS BIGINT)
+                   AS bits
+        FROM pos GROUP BY p // 32
+    ),
+    sketch AS (
+        SELECT t.word, CAST(coalesce(s.bits, 0) AS BIGINT) AS bits
+        FROM (SELECT CAST(unnest(generate_series(0, {_BLOOM_WORDS - 1}))
+                         AS BIGINT) AS word) t
+        LEFT JOIN setbits s USING (word)
+    ),
+    probes AS (
+        SELECT c_custkey AS key, (c_mktsegment = 'BUILDING') AS present
+        FROM customer
+    ),
+    ppos AS (
+        SELECT key, present,
+               ('0x' || substr(md5('bloom:' || j::VARCHAR || ':'
+                                   || key::VARCHAR), 1, 15))::BIGINT
+                   % {_BLOOM_BITS} AS p
+        FROM probes, unnest(generate_series(0, {_BLOOM_K - 1})) t(j)
+    ),
+    hits AS (
+        SELECT pp.key, pp.present,
+               CAST(sum(CASE WHEN (s.bits
+                                   & (1::BIGINT << CAST(pp.p % 32 AS INTEGER)))
+                                  <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM ppos pp JOIN sketch s ON s.word = pp.p // 32
+        GROUP BY pp.key, pp.present
+    ),
+    stats AS (
+        SELECT CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keys,
+               CAST(sum(CASE WHEN present AND n_hit < {_BLOOM_K}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_present_missed,
+               CAST(sum(CASE WHEN NOT present THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_absent_probes,
+               CAST(sum(CASE WHEN NOT present AND n_hit = {_BLOOM_K}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
+        FROM hits
+    )
+    SELECT sk.word, sk.bits, st.n_keys, st.n_present_missed,
+           st.n_absent_probes, st.n_false_positives,
+           CAST((st.n_false_positives * 1000) // st.n_absent_probes
+               AS BIGINT) AS fp_permille
+    FROM sketch sk, stats st
+    ORDER BY sk.word
+    """,
+)
+def a_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter build + membership probe as pure DataFrame algebra —
+    the join-pre-filter / needs-lookup gate every 100 TB pipeline wants
+    before an expensive key fetch (Spark's own runtime row-group Bloom
+    pushdown is this exact structure): k = 4 md5-derived bit positions
+    per key OR-folded into a 512-word × 32-bit array via bit_or — a
+    BITWISE-mergeable sketch (commutative+associative, so map-side
+    partials merge like the HLL/KMV/count-min family, and two shards'
+    filters union by OR). The output hashes the ENTIRE filter (512
+    exact words) plus the executable guarantees: n_present_missed == 0
+    (no false negatives — structural, and proven in-query by probing
+    every inserted key) and the measured false-positive rate over the
+    genuinely-absent probe set in integer per-mille. 32-bit words keep
+    every shift at bit <= 31: DuckDB's `<<` raises on BIGINT sign-bit
+    overflow, so 64-bit words would fork the engines. Scale shape: the
+    build is one map-side k-fan explode partial-aggregated to <= 512
+    rows; probes join the broadcast sketch. Sizing note: m/n here is
+    ~16384/|BUILDING| — at larger SFs the filter saturates and
+    fp_permille read-out shows exactly that (the capacity-planning
+    signal, not a defect)."""
+    cust = read_table(spark, sf_dir, "customer")
+    j = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+
+    def positions(df):
+        return df.select("key", "present", j).withColumn(
+            "p",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bloom:"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("key").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_BITS,
+        )
+
+    probes = cust.select(
+        F.col("c_custkey").alias("key"),
+        (F.col("c_mktsegment") == "BUILDING").alias("present"),
+    )
+    ppos = positions(probes)
+    setbits = (
+        ppos.filter("present")
+        .select(
+            F.expr("p DIV 32").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("CAST(bit_or(mask) AS BIGINT)").alias("bits"))
+    )
+    sketch = (
+        spark.range(0, _BLOOM_WORDS)
+        .select(F.col("id").alias("word"))
+        .join(setbits, "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0)).cast("long").alias("bits"))
+    )
+    hits = (
+        ppos.withColumn("word", F.expr("p DIV 32"))
+        .join(F.broadcast(sketch), "word")
+        .select(
+            "key",
+            "present",
+            F.expr(
+                "CASE WHEN (bits & shiftleft(CAST(1 AS BIGINT),"
+                " CAST(p % 32 AS INT))) <> 0 THEN 1 ELSE 0 END"
+            ).alias("hit"),
+        )
+        .groupBy("key", "present")
+        .agg(F.sum("hit").cast("long").alias("n_hit"))
+    )
+    stats = hits.agg(
+        F.sum(F.when(F.col("present"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keys"),
+        F.sum(
+            F.when(F.col("present") & (F.col("n_hit") < _BLOOM_K), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_present_missed"),
+        F.sum(F.when(~F.col("present"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_absent_probes"),
+        F.sum(
+            F.when(~F.col("present") & (F.col("n_hit") == _BLOOM_K), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_false_positives"),
+    )
+    return (
+        sketch.crossJoin(F.broadcast(stats))
+        .select(
+            "word",
+            "bits",
+            "n_keys",
+            "n_present_missed",
+            "n_absent_probes",
+            "n_false_positives",
+            F.expr(
+                "CAST((n_false_positives * 1000) DIV n_absent_probes"
+                " AS BIGINT)"
+            ).alias("fp_permille"),
+        )
+        .orderBy("word")
+    )
+
+
+_WALK_STARTS = 16
+_WALK_STEPS = 8
+
+
+@query(
+    "graph_randwalk_corpus",
+    f"""
+    WITH RECURSIVE e AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    adj AS MATERIALIZED (
+        SELECT u AS node, v AS nbr,
+               row_number() OVER (PARTITION BY u ORDER BY v) AS rank,
+               count(*) OVER (PARTITION BY u) AS deg
+        FROM und
+    ),
+    starts AS (
+        SELECT node FROM (SELECT DISTINCT node FROM adj)
+        ORDER BY node LIMIT {_WALK_STARTS}
+    ),
+    walk(walk_id, step, node) AS (
+        SELECT node, 0, node FROM starts
+        UNION ALL
+        SELECT w.walk_id, w.step + 1, a.nbr
+        FROM walk w JOIN adj a
+          ON a.node = w.node
+         AND a.rank = 1 + (('0x' || substr(md5('walk:'
+                || w.walk_id::VARCHAR || ':' || (w.step + 1)::VARCHAR
+                || ':' || w.node::VARCHAR), 1, 15))::BIGINT % a.deg)
+        WHERE w.step < {_WALK_STEPS}
+    )
+    SELECT walk_id, CAST(step AS BIGINT) AS step, node
+    FROM walk ORDER BY walk_id, step
+    """,
+)
+def graph_randwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec-style random-walk CORPUS GENERATION over the
+    co-purchase graph — the graph→sequence bridge that turns an edge
+    list into skip-gram training data for graph embeddings (Perozzi et
+    al. 2014): from the {_WALK_STARTS} smallest part nodes, walk
+    {_WALK_STEPS} uniform-random steps. "Random" is md5-derived — next
+    hop = neighbor ranked 1 + (md5(walk:id:step:node) mod degree) in
+    the id-ordered adjacency — so the corpus is a pure function of the
+    graph: reproducible across runs, engines (the oracle replays every
+    pick in a recursive CTE), and resumable mid-walk from (walk_id,
+    step, node) alone, with no RNG state to checkpoint — the property
+    that makes petabyte-scale walk generation restartable. Spark
+    shape: the ranked adjacency (one edge-list window pass) is
+    persisted and re-streamed through {_WALK_STEPS} chained joins with
+    the walk frontier broadcast at every step; step k's frontier is
+    |starts| rows here, |V| rows in production — where the same plan
+    degrades gracefully to |E|-linear Pregel rounds on the node key.
+    Walk rows accumulate by union (no per-step actions — one job)."""
+    from glamira_end_to_end_data_pipeline_spark.plans.extra_queries import (
+        copurchase_edges,
+    )
+
+    e = copurchase_edges(spark, sf_dir)
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    wo = Window.partitionBy("u").orderBy("v")
+    wn = Window.partitionBy("u")
+    adj = und.select(
+        F.col("u").alias("node"),
+        F.col("v").alias("nbr"),
+        F.row_number().over(wo).alias("rank"),
+        F.count(F.lit(1)).over(wn).alias("deg"),
+    ).persist()
+    starts = (
+        adj.select("node").distinct().orderBy("node").limit(_WALK_STARTS)
+    )
+    frontier = starts.select(
+        F.col("node").alias("walk_id"),
+        F.lit(0).cast("long").alias("step"),
+        "node",
+    )
+    out = frontier
+    a = adj.alias("a")
+    for s in range(1, _WALK_STEPS + 1):
+        f = frontier.alias("f")
+        pick = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("walk:"),
+                        F.col("f.walk_id").cast("string"),
+                        F.lit(f":{s}:"),
+                        F.col("f.node").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        nxt = (
+            F.broadcast(f)
+            .join(
+                a,
+                (F.col("a.node") == F.col("f.node"))
+                & (F.col("a.rank") == (pick % F.col("a.deg")) + 1),
+            )
+            .select(
+                F.col("f.walk_id").alias("walk_id"),
+                F.lit(s).cast("long").alias("step"),
+                F.col("a.nbr").alias("node"),
+            )
+        )
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out.orderBy("walk_id", "step")

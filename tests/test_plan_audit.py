@@ -102,6 +102,12 @@ BNLJ_OK = {
     # Benford's two one-row re-aggregates of the 9-digit rollup (total,
     # sum-of-deviations) broadcast back onto it — the q11/q15 pattern.
     "dq_benford_mad",
+    # temperature mixing's two corpus totals (Σn, Σsqrt-micro) are a
+    # ONE-ROW broadcast onto the |sources|-row rate table.
+    "sample_temperature_mix",
+    # the bloom probe stats are a ONE-ROW re-aggregate broadcast onto
+    # the bounded 512-word sketch (the q11/q15 pattern).
+    "a_bloom_filter_probe",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are

@@ -711,3 +711,85 @@ def test_pca_top_direction_recovers_dominant_axis(
     assert r0.sum_proj * r1.sum_proj < 0
     assert abs(abs(r0.sum_proj) - abs(r1.sum_proj)) <= 40 * 64
     assert r0.sum_abs_proj > 0 and r1.sum_abs_proj > 0
+
+
+def test_length_buckets_pow2_and_waste_math(spark, registry, tmp_path):
+    """Docs of 1, 8, and 9 tokens land in buckets 1, 8 (exact power
+    stays), and 16; waste per-mille is exact integer math."""
+    rows = [
+        (1, "a", "en", "s", 1),
+        (2, " ".join(["w"] * 8), "en", "s", 8),
+        (3, " ".join(["w"] * 9), "en", "s", 9),
+        (4, "   ", "en", "s", 3),  # whitespace-only: filtered out
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = {r.bucket_size: r for r in registry["text_length_buckets"](spark, sf_dir).collect()}
+    assert set(got) == {1, 8, 16}
+    assert got[1].waste_permille == 0
+    assert got[8].waste_permille == 0
+    # 9 tokens padded to 16: waste (16-9)*1000 // 16 = 437
+    assert got[16].sum_tokens == 9
+    assert got[16].padded_tokens == 16
+    assert got[16].waste_permille == 437
+
+
+def test_temperature_mix_upsamples_small_sources(spark, registry, tmp_path):
+    """alpha = 1/2 flattens the source distribution: the small source's
+    keep RATE must exceed the big source's, total kept ≈ total/5, and
+    rates derive from the documented sqrt chain."""
+    rows = [(i, f"d{i}", "en", "big", 10) for i in range(9000)]
+    rows += [(100_000 + i, f"s{i}", "en", "small", 10) for i in range(1000)]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = {r.source: r for r in registry["sample_temperature_mix"](spark, sf_dir).collect()}
+    big, small = got["big"], got["small"]
+    assert big.n_total == 9000 and small.n_total == 1000
+    # sqrt weighting: small source keep-rate 3x the big one
+    # (sqrt(1000)/1000 vs sqrt(9000)/9000)
+    assert small.t_micro > 2 * big.t_micro
+    kept = big.n_kept + small.n_kept
+    assert abs(kept - 2000) < 200  # m = 10000 // 5
+    import math
+
+    s_big = math.floor(math.sqrt(9000.0) * 1e6 + 0.5)
+    s_small = math.floor(math.sqrt(1000.0) * 1e6 + 0.5)
+    assert big.s_micro == s_big and small.s_micro == s_small
+    exp_t = math.floor(
+        min(1.0, (2000.0 * s_small) / (float(s_big + s_small) * 1000.0)) * 1e6
+        + 0.5
+    )
+    assert small.t_micro == exp_t
+
+
+def test_bloom_probe_no_false_negatives_and_plausible_fp(spark, registry):
+    """Structural guarantee: every inserted key probes positive
+    (n_present_missed == 0 on every row); the FP rate over absent
+    probes is strictly below saturation (< 1000 per-mille) at the
+    small SF; the sketch is the full 512-word spine."""
+    rows = registry["a_bloom_filter_probe"](spark, SF_SMALL).collect()
+    assert len(rows) == 512
+    assert [r.word for r in rows] == list(range(512))
+    r0 = rows[0]
+    assert r0.n_present_missed == 0
+    assert r0.n_keys > 0 and r0.n_absent_probes > 0
+    assert 0 <= r0.fp_permille < 1000
+
+
+def test_randwalk_corpus_walks_follow_edges(spark, registry):
+    """Every walk has exactly steps 0..8; step-0 node == walk_id; every
+    consecutive (node -> next) transition is a real undirected
+    co-purchase edge."""
+    from glamira_end_to_end_data_pipeline_spark.plans.extra_queries import (
+        copurchase_edges,
+    )
+
+    rows = registry["graph_randwalk_corpus"](spark, SF_SMALL).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r.walk_id, {})[r.step] = r.node
+    assert all(set(w) == set(range(9)) for w in walks.values())
+    assert all(w[0] == wid for wid, w in walks.items())
+    e = copurchase_edges(spark, SF_SMALL).collect()
+    und = {(r.u, r.v) for r in e} | {(r.v, r.u) for r in e}
+    for w in walks.values():
+        for s in range(8):
+            assert (w[s], w[s + 1]) in und
