@@ -188,6 +188,8 @@ HEADLINE = [
     "sample_temperature_mix",
     "a_bloom_filter_probe",
     "graph_randwalk_corpus",
+    "lake_partition_evolution",
+    "emb_srp_sketch_recall",
 ]
 
 

@@ -69,6 +69,19 @@ mergeable/deterministic primitives:
   with md5-derived (RNG-free, resumable) hops; recursive-CTE oracle
   replays every pick.
 
+Batch 5 — the lake's metadata-evolution story and the JL sketch tier:
+
+- ``lake_partition_evolution`` — Iceberg partition-spec evolution:
+  the spec is a property of each COMMIT (old files keep their layout,
+  zero rewrite); an equality probe prunes spec-matching files by path
+  segment and old-spec files by column-stats fallback, composed in one
+  read (sources/lake.py::write_snapshot(partition_by=...) +
+  read_snapshot_spec_pruned).
+- ``emb_srp_sketch_recall`` — signed-random-projection compressed-
+  vector tier (Johnson-Lindenstrauss): ±1-plane projections as
+  order-free exact BIGINT sums, L2² ranking in 16-integer sketch
+  space, recall@5 vs the exact cosine ranking.
+
 Registered after r8_queries; every entry lands inside the round-9
 grading window behind the front-loaded changed-code re-grades (see
 plans/__init__.py).
@@ -1853,3 +1866,286 @@ def graph_randwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(nxt)
         frontier = nxt
     return out.orderBy("walk_id", "step")
+
+
+_PE_MONTH = "1995-06"
+
+
+@query(
+    "lake_partition_evolution",
+    f"""
+    WITH src AS (
+        SELECT o_orderkey, o_orderpriority,
+               strftime(o_orderdate, '%Y-%m') AS month,
+               o_orderkey % 4 AS slot
+        FROM orders WHERE o_orderkey % 4 < 3
+    ),
+    probe AS (SELECT * FROM src WHERE month = '{_PE_MONTH}'),
+    n_total AS (
+        SELECT 4
+               + (SELECT count(DISTINCT month) FROM src WHERE slot = 1)
+               + (SELECT count(DISTINCT month) FROM src WHERE slot = 2)
+               AS n_files_total
+    ),
+    n_spec AS (
+        SELECT (SELECT CASE WHEN count(*) > 0 THEN 1 ELSE 0 END
+                FROM probe WHERE slot = 1)
+               + (SELECT CASE WHEN count(*) > 0 THEN 1 ELSE 0 END
+                  FROM probe WHERE slot = 2) AS n_spec_kept
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST((SELECT n_files_total FROM n_total) AS BIGINT)
+               AS n_files_total,
+           CAST((SELECT n_spec_kept FROM n_spec) AS BIGINT) AS n_spec_kept,
+           CAST(3 AS BIGINT) AS n_versions
+    FROM probe GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION (sources/lake.py::write_snapshot(
+    partition_by=...) + read_snapshot_spec_pruned — Iceberg's flagship
+    metadata capability): v1 lands UNPARTITIONED (with month column
+    stats), the spec then evolves and v2/v3 append hive-partitioned by
+    month — NOTHING is rewritten; the spec is a property of each
+    commit. A month-equality probe then prunes each file by the spec
+    it was written under: spec-matching files by exact path segment
+    (metadata-only), v1's old-layout files by the manifest's column
+    stats fallback. In-query gates raise unless pruning actually
+    bit (files read < files total) and exactly the expected
+    spec-partition files survived. Hashed columns are the
+    layout-independent facts: the probe-month rollup, total file count
+    (4 coalesced v1 files + one file per month per spec'd version —
+    deterministic because partitioned writes repartition on the
+    partition value), spec-kept count, version count. At 100 TB this
+    is the migration story: switch a huge append-only table to a finer
+    spec tomorrow and pay zero rewrite, with old data still pruned by
+    zone maps."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_pe_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    src = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 < 3)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            (F.col("o_orderkey") % 4).alias("slot"),
+        )
+    )
+    lake.write_snapshot(
+        spark,
+        # repartition, not coalesce: coalesce cannot RAISE the partition
+        # count (a one-file source stays one file) and the file count is
+        # a hashed output.
+        src.filter(F.col("slot") == 0).drop("slot").repartition(4),
+        path,
+        stats_cols=["month"],
+    )
+    lake.write_snapshot(
+        spark,
+        src.filter(F.col("slot") == 1).drop("slot"),
+        path,
+        partition_by=["month"],
+    )
+    lake.write_snapshot(
+        spark,
+        src.filter(F.col("slot") == 2).drop("slot"),
+        path,
+        partition_by=["month"],
+    )
+    df, n_read, n_total, n_spec_kept = lake.read_snapshot_spec_pruned(
+        spark, path, "month", _PE_MONTH
+    )
+    if not (0 < n_read < n_total):
+        raise RuntimeError(
+            f"spec/stats pruning did not bite: read {n_read} of {n_total}"
+        )
+    expected_spec = (
+        src.filter((F.col("month") == _PE_MONTH) & F.col("slot").isin(1, 2))
+        .select("slot")
+        .distinct()
+        .count()
+    )
+    if n_spec_kept != expected_spec:
+        raise RuntimeError(
+            f"spec pruning kept {n_spec_kept} files, expected {expected_spec}"
+        )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        )
+        .withColumn("n_files_total", F.lit(n_total).cast("long"))
+        .withColumn("n_spec_kept", F.lit(n_spec_kept).cast("long"))
+        .withColumn(
+            "n_versions",
+            F.lit(lake.latest_snapshot_version(spark, path)).cast("long"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+from glamira_end_to_end_data_pipeline_spark.operators import similarity  # noqa: E402
+
+_SRP_PLANES = 16
+_SRP_K = 5
+
+
+def _srp_oracle_sql() -> str:
+    """Planes as a 1024-row VALUES table (p, d 1-based, w ±1) — the
+    same md5-derived Rademacher weights as similarity.rademacher_planes
+    — so projections are order-free exact BIGINT sums on both engines
+    (vs _bucket_sql's inline float chain, which must pin fold order)."""
+    planes = similarity.rademacher_planes(_SRP_PLANES)
+    vals = ",".join(
+        f"({p},{d + 1},{w})"
+        for p, plane in enumerate(planes)
+        for d, w in enumerate(plane)
+    )
+    return f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id, i,
+               CAST(floor(embedding[i]::DOUBLE * 1000000.0::DOUBLE
+                          + 0.5::DOUBLE) AS BIGINT) AS qv
+        FROM embeddings, unnest(generate_series(1, 64)) t(i)
+    ),
+    planes(p, d, w) AS (VALUES {vals}),
+    sk AS MATERIALIZED (
+        SELECT q.vec_id, pl.p, CAST(sum(pl.w * q.qv) AS BIGINT) AS s
+        FROM q JOIN planes pl ON pl.d = q.i
+        GROUP BY q.vec_id, pl.p
+    ),
+    d2 AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(sum((a.s - b.s) * (a.s - b.s)) AS BIGINT) AS dist2
+        FROM sk a JOIN sk b ON a.p = b.p
+        WHERE a.vec_id < 10 AND b.vec_id >= 10
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    sk_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist2, neighbor_id) AS rk
+            FROM d2
+        ) WHERE rk <= {_SRP_K}
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding AS q_vec
+           FROM embeddings WHERE vec_id < 10),
+    cv AS (SELECT vec_id AS neighbor_id, embedding AS c_vec
+           FROM embeddings WHERE vec_id >= 10),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_COS_SQL.format(a="q_vec", b="c_vec")} DESC,
+                                neighbor_id) AS rk
+            FROM cv, qv
+        ) WHERE rk <= {_SRP_K}
+    ),
+    hits AS (
+        SELECT e.query_id, count(*) AS n
+        FROM exact_top e JOIN sk_top s
+          ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+           CAST({_SRP_PLANES} AS BIGINT) AS n_planes
+    FROM (SELECT DISTINCT query_id FROM exact_top) q
+    LEFT JOIN hits h USING (query_id)
+    ORDER BY q.query_id
+    """
+
+
+@query("emb_srp_sketch_recall", _srp_oracle_sql())
+def emb_srp_sketch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection SKETCH tier recall@5 — the Johnson-
+    Lindenstrauss compressed-vector tier between the LSH bucket index
+    (same Rademacher planes used as SIGN buckets in emb_ann_lsh_topk)
+    and PQ codes: project 64 float dims onto {_SRP_PLANES} ±1
+    hyperplanes and rank by L2² in sketch space — a 16-integer sketch,
+    8× smaller than the vector, whose distances JL-preserve the
+    original geometry. Everything hashes exactly: components quantize
+    to integer micro-units, each projection is an ORDER-FREE exact
+    BIGINT sum (±1 weights make the projection pure integer addition —
+    the reason SRP sketches beat Gaussian ones operationally), and
+    sketch distances are exact integer sums of squares. Recall@5 is
+    measured against the exact cosine ranking (brute_force_topk, the
+    emb_ann_recall discipline — intentionally the BNLJ baseline).
+    Scale shape: sketches build with one (vec, plane) partial-
+    aggregated exchange off a broadcast 1024-row plane table; at
+    100 TB the sketch column is what you'd store and scan, reading
+    1/8th the bytes of the raw vectors for candidate generation."""
+    emb = _emb(spark, sf_dir)
+    planes = similarity.rademacher_planes(_SRP_PLANES)
+    pdf = spark.createDataFrame(
+        [
+            (p, d + 1, w)
+            for p, plane in enumerate(planes)
+            for d, w in enumerate(plane)
+        ],
+        "p int, d int, w long",
+    )
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("d"),
+        F.floor(F.col("val") * 1000000.0 + 0.5).cast("long").alias("qv"),
+    )
+    sk = (
+        q.join(F.broadcast(pdf), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("w") * F.col("qv")).alias("s"))
+    )
+    a = sk.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "p", F.col("s").alias("sa")
+    )
+    b = sk.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "p", F.col("s").alias("sb")
+    )
+    d2 = (
+        a.join(b, "p")
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                (F.col("sa") - F.col("sb")) * (F.col("sa") - F.col("sb"))
+            ).alias("dist2")
+        )
+    )
+    w_sk = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    sk_top = (
+        d2.withColumn("rk", F.row_number().over(w_sk))
+        .filter(F.col("rk") <= _SRP_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact_top = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=_SRP_K,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact_top.join(sk_top, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact_top.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_overlap"),
+            F.lit(_SRP_PLANES).cast("long").alias("n_planes"),
+        )
+        .orderBy("query_id")
+    )

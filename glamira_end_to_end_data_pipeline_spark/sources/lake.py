@@ -435,6 +435,7 @@ def write_snapshot(
     tag: str | None = None,
     stats_cols: list[str] | None = None,
     replace: bool = False,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as an APPEND snapshot (the Iceberg/Delta commit
     shape without the table format): the batch lands in an immutable
@@ -477,9 +478,22 @@ def write_snapshot(
     track removals diffs two snapshots row-level with
     :func:`snapshot_diff` instead.
 
+    ``partition_by`` sets THIS version's partition spec (Iceberg
+    partition-spec evolution: the spec is a property of the commit, not
+    the table — old versions' files keep the layout they were written
+    under, nothing is rewritten). The version's data directory is laid
+    out hive-style on ``__pt_<col>=`` path segments while the data
+    files RETAIN the original columns (Iceberg data files likewise
+    carry partition source columns), so every existing manifest-driven
+    read works unchanged and :func:`read_snapshot_spec_pruned` prunes
+    each file by the spec it was written under — path-exact for
+    spec-matching files, column-stats fallback for older specs.
+
     Returns the committed version number (1-based)."""
     version = latest_snapshot_version(spark, path) + 1
-    new_files = _write_version_data(spark, df, path, version)
+    new_files = _write_version_data(
+        spark, df, path, version, partition_by=partition_by
+    )
     prev_files: list[str] = []
     prev_stats: dict = {}
     if version > 1 and not replace:
@@ -498,6 +512,7 @@ def write_snapshot(
         tag,
         operation="replace" if replace else "append",
         stats=stats or None,
+        spec=partition_by,
     )
     return version
 
@@ -605,19 +620,93 @@ def read_snapshot_pruned(
     return df, len(keep), len(files)
 
 
+def read_snapshot_spec_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int, int]:
+    """Equality-probe snapshot read under PARTITION-SPEC EVOLUTION
+    (Iceberg's flagship metadata trick): each file is pruned by the
+    spec it was written under — files from versions partitioned on
+    ``col`` match exactly on their ``__pt_<col>=<value>`` path segment
+    (metadata-only, zero file opens for non-matching partitions);
+    files from older/other specs fall back to the manifest's per-file
+    column stats when present, else are read conservatively. Nothing
+    was rewritten when the spec changed, and a single probe composes
+    both pruning strategies — the reason spec evolution is a metadata
+    operation, not a migration. The residual predicate still applies
+    row-level.
+
+    Returns ``(df, n_files_read, n_files_total, n_spec_pruned_kept)``
+    — the last counts spec-matching files kept, the observability that
+    tells "new layout pruning works" apart from "stats happened to
+    help"."""
+    if version is None:
+        version = latest_snapshot_version(spark, path)
+    doc = _read_manifest_doc(spark, path, version)
+    files, stats = doc["files"], doc.get("stats", {})
+    sval = str(value)
+    seg_prefix = f"/__pt_{col}="
+    seg_match = f"{seg_prefix}{sval}/"
+
+    def decide(f: str) -> tuple[bool, bool]:
+        # (keep, via_spec)
+        if seg_prefix in f:
+            return seg_match in f, True
+        st = stats.get(f, {}).get(col)
+        if not st or st[0] is None or st[1] is None:
+            return True, False
+        return st[0] <= sval and st[1] >= sval, False
+
+    kept = [(f, via) for f in files for keep, via in [decide(f)] if keep]
+    keep_files = [f for f, _ in kept]
+    n_spec_kept = sum(1 for _, via in kept if via)
+    if not keep_files:
+        empty = spark.read.parquet(*files).limit(0)
+        return empty.filter(F.col(col) == value), 0, len(files), 0
+    df = spark.read.parquet(*keep_files).filter(F.col(col) == value)
+    return df, len(keep_files), len(files), n_spec_kept
+
+
 def _write_version_data(
-    spark: SparkSession, df: DataFrame, path: str, version: int
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    version: int,
+    partition_by: list[str] | None = None,
 ) -> list[str]:
     """Write a version's immutable data directory; return its parquet
-    file paths (sorted — manifest order is deterministic)."""
+    file paths (sorted — manifest order is deterministic).
+
+    With ``partition_by``, the layout is hive-style on ``__pt_<col>=``
+    COPIES of the partition columns: partitionBy drops its columns from
+    file contents, so partitioning on copies keeps every data file
+    self-contained — explicit-file-path reads (all manifest-driven
+    reads) see the full original schema with no partition inference
+    (verified: Spark does not infer partition columns for explicit
+    leaf-file reads), and mixed-spec versions stay schema-uniform."""
     data_dir = f"{path.rstrip('/')}/data/v{version}"
-    df.write.mode("overwrite").parquet(data_dir)
+    if partition_by:
+        pt_cols = [f"__pt_{c}" for c in partition_by]
+        out = df
+        for c, p in zip(partition_by, pt_cols):
+            out = out.withColumn(p, F.col(c).cast("string"))
+        # one file per partition value, not (tasks × values)
+        out.repartition(*pt_cols).write.mode("overwrite").partitionBy(
+            *pt_cols
+        ).parquet(data_dir)
+    else:
+        df.write.mode("overwrite").parquet(data_dir)
     fs, ddir = _hadoop_fs(spark, data_dir)
-    return sorted(
-        status.getPath().toString()
-        for status in fs.listStatus(ddir)
-        if status.getPath().getName().endswith(".parquet")
-    )
+    files = []
+    it = fs.listFiles(ddir, True)  # recursive: partition subdirs
+    while it.hasNext():
+        p = it.next().getPath()
+        if p.getName().endswith(".parquet"):
+            files.append(p.toString())
+    return sorted(files)
 
 
 def _commit_manifest(
@@ -628,6 +717,7 @@ def _commit_manifest(
     tag: str | None = None,
     operation: str = "append",
     stats: dict | None = None,
+    spec: list[str] | None = None,
 ) -> None:
     """Atomically publish a version's manifest (temp write + rename).
 
@@ -666,6 +756,8 @@ def _commit_manifest(
         doc["tag"] = tag
     if stats:
         doc["stats"] = stats
+    if spec:
+        doc["spec"] = spec
     payload = json.dumps(doc).encode("utf-8")
     fs, _ = _hadoop_fs(spark, path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path

@@ -108,6 +108,9 @@ BNLJ_OK = {
     # the bloom probe stats are a ONE-ROW re-aggregate broadcast onto
     # the bounded 512-word sketch (the q11/q15 pattern).
     "a_bloom_filter_probe",
+    # SRP recall's ground truth IS brute_force_topk (broadcast queries
+    # × corpus — exactness is the point of a recall measurement).
+    "emb_srp_sketch_recall",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are

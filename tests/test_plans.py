@@ -793,3 +793,62 @@ def test_randwalk_corpus_walks_follow_edges(spark, registry):
     for w in walks.values():
         for s in range(8):
             assert (w[s], w[s + 1]) in und
+
+
+def test_partition_evolution_spec_and_fallback(spark, tmp_path):
+    """write_snapshot(partition_by=...) evolution contract: v1 files are
+    flat, v2 files carry __pt_ path segments, data files keep the
+    original column (explicit-file reads see a uniform schema), the
+    probe keeps exactly the matching v2 partition file plus stats-kept
+    v1 files, and the residual filter yields exactly the probed rows."""
+    import os
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    path = os.path.join(str(tmp_path), "pe")
+    df1 = spark.createDataFrame(
+        [(i, f"m{i % 3}") for i in range(30)], "k long, month string"
+    )
+    df2 = spark.createDataFrame(
+        [(100 + i, f"m{i % 3}") for i in range(30)], "k long, month string"
+    )
+    lake.write_snapshot(spark, df1.repartition(2), path, stats_cols=["month"])
+    lake.write_snapshot(spark, df2, path, partition_by=["month"])
+    doc = lake._read_manifest_doc(spark, path, 2)
+    assert doc["spec"] == ["month"]
+    v2_files = [f for f in doc["files"] if "/data/v2/" in f]
+    assert v2_files and all("/__pt_month=" in f for f in v2_files)
+    assert len(v2_files) == 3  # one file per partition value
+    # full read: uniform schema, all 60 rows, month column intact
+    full = lake.read_snapshot(spark, path)
+    assert full.columns == ["k", "month"]
+    assert full.count() == 60
+    df, n_read, n_total, n_spec = lake.read_snapshot_spec_pruned(
+        spark, path, "month", "m1"
+    )
+    assert n_spec == 1  # exactly the m1 partition file from v2
+    assert n_read < n_total
+    rows = df.collect()
+    assert len(rows) == 20 and all(r.month == "m1" for r in rows)
+    assert {r.k for r in rows} == {i for i in range(30) if i % 3 == 1} | {
+        100 + i for i in range(30) if i % 3 == 1
+    }
+
+
+def test_srp_sketch_identical_vector_is_recalled(spark, registry, tmp_path):
+    """A corpus vector bit-identical to the query has sketch distance 0
+    and cosine 1, so it must appear in BOTH top-5 lists — n_overlap >=
+    1 for every query, structurally."""
+    base = [0.1 * ((i * 7) % 13 - 6) for i in range(64)]
+
+    def vec(shift):
+        return [base[(i + shift) % 64] for i in range(64)]
+
+    rows = [(q, vec(q), q) for q in range(10)]  # queries
+    rows += [(10 + q, vec(q), q) for q in range(10)]  # identical twins
+    rows += [(100 + j, vec(20 + j), 99) for j in range(30)]  # fillers
+    sf_dir = _write_embeddings(spark, tmp_path, rows)
+    got = registry["emb_srp_sketch_recall"](spark, sf_dir).collect()
+    assert len(got) == 10
+    assert all(r.n_overlap >= 1 for r in got)
+    assert all(r.n_planes == 16 for r in got)
