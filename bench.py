@@ -190,6 +190,8 @@ HEADLINE = [
     "graph_randwalk_corpus",
     "lake_partition_evolution",
     "emb_srp_sketch_recall",
+    "graph_ego_sample",
+    "w_period_over_period",
 ]
 
 

@@ -82,6 +82,16 @@ Batch 5 — the lake's metadata-evolution story and the JL sketch tier:
   order-free exact BIGINT sums, L2² ranking in 16-integer sketch
   space, recall@5 vs the exact cosine ranking.
 
+Batch 6 — GNN minibatch sampling and the dashboard delta surface:
+
+- ``graph_ego_sample`` — GraphSAGE fanout-bounded 2-hop ego networks
+  with md5-deterministic node-wise neighbor sampling and path
+  multiplicities (the GNN training-data op; blow-up bounded at
+  fanout^depth regardless of hub degrees).
+- ``w_period_over_period`` — week-over-week deltas in exact integer
+  basis points over the daily rollup, NULL (not 0) where no comparable
+  period exists.
+
 Registered after r8_queries; every entry lands inside the round-9
 grading window behind the front-loaded changed-code re-grades (see
 plans/__init__.py).
@@ -2149,3 +2159,221 @@ def emb_srp_sketch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6 — GNN minibatch sampling and the dashboard delta surface.
+# ---------------------------------------------------------------------------
+
+_EGO_FANOUT = 3
+_EGO_ROOTS = 8
+
+
+@query(
+    "graph_ego_sample",
+    f"""
+    WITH e AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    sampled AS MATERIALIZED (
+        SELECT node, nbr FROM (
+            SELECT u AS node, v AS nbr,
+                   row_number() OVER (PARTITION BY u ORDER BY
+                       ('0x' || substr(md5('ego:' || u::VARCHAR || ':'
+                                           || v::VARCHAR), 1, 15))::BIGINT,
+                       v) AS rk
+            FROM und
+        ) WHERE rk <= {_EGO_FANOUT}
+    ),
+    roots AS (
+        SELECT node AS root FROM (SELECT DISTINCT node FROM sampled)
+        ORDER BY root LIMIT {_EGO_ROOTS}
+    ),
+    l1 AS (
+        SELECT r.root, s.nbr AS node
+        FROM roots r JOIN sampled s ON s.node = r.root
+    ),
+    l2 AS (
+        SELECT l.root, s.nbr AS node
+        FROM l1 l JOIN sampled s ON s.node = l.node
+    ),
+    fan AS (
+        SELECT root, CAST(0 AS BIGINT) AS layer, root AS node,
+               CAST(1 AS BIGINT) AS n_paths
+        FROM roots
+        UNION ALL
+        SELECT root, 1, node, CAST(count(*) AS BIGINT)
+        FROM l1 GROUP BY root, node
+        UNION ALL
+        SELECT root, 2, node, CAST(count(*) AS BIGINT)
+        FROM l2 GROUP BY root, node
+    )
+    SELECT root, layer, node, n_paths
+    FROM fan ORDER BY root, layer, node
+    """,
+)
+def graph_ego_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style NEIGHBOR-SAMPLED ego networks (Hamilton et al.
+    2017) — the GNN minibatch construction step, completing the
+    graph→training-data bridge beside ``graph_randwalk_corpus``
+    (walks feed skip-gram; fanout-bounded ego nets feed message
+    passing): each node's adjacency is cut to a fixed fanout of
+    {_EGO_FANOUT} by md5-ranked deterministic sampling (node-wise
+    sampling — every edge touching a node reuses its one sample, the
+    FastGCN/cluster-sampling discipline, which at 100 TB means the
+    sampled adjacency is materialized ONCE and every minibatch epoch
+    reuses it instead of resampling per batch), then 2-hop ego sets
+    fan out from {_EGO_ROOTS} roots with path multiplicities kept
+    (the aggregation weights message passing needs). Fanout bounds the
+    blow-up at fanout^depth regardless of hub degrees — the property
+    that makes GNN training on power-law graphs possible at all.
+    Everything is exact: the sample is a pure md5 function of the
+    edge, multiplicities are integer counts. Scale shape: one ranked
+    window over the edge list, then per-layer joins whose left side is
+    minibatch-bounded."""
+    from glamira_end_to_end_data_pipeline_spark.plans.extra_queries import (
+        copurchase_edges,
+    )
+
+    e = copurchase_edges(spark, sf_dir)
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ego:"),
+                    F.col("u").cast("string"),
+                    F.lit(":"),
+                    F.col("v").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("u").orderBy(h, "v")
+    sampled = (
+        und.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _EGO_FANOUT)
+        .select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .persist()
+    )
+    roots = (
+        sampled.select("node").distinct().orderBy("node").limit(_EGO_ROOTS)
+    ).select(F.col("node").alias("root"))
+    l1 = (
+        F.broadcast(roots)
+        .join(sampled, sampled["node"] == roots["root"])
+        .select("root", F.col("nbr").alias("node"))
+    )
+    l2 = (
+        F.broadcast(l1.alias("l"))
+        .join(sampled.alias("s"), F.col("s.node") == F.col("l.node"))
+        .select("root", F.col("s.nbr").alias("node"))
+    )
+    fan = (
+        roots.select(
+            "root",
+            F.lit(0).cast("long").alias("layer"),
+            F.col("root").alias("node"),
+            F.lit(1).cast("long").alias("n_paths"),
+        )
+        .unionByName(
+            l1.groupBy("root", "node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+            .select("root", F.lit(1).cast("long").alias("layer"), "node", "n_paths")
+        )
+        .unionByName(
+            l2.groupBy("root", "node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+            .select("root", F.lit(2).cast("long").alias("layer"), "node", "n_paths")
+        )
+    )
+    return fan.orderBy("root", "layer", "node")
+
+
+@query(
+    "w_period_over_period",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) AS n_events,
+               CAST(sum(cast(round(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    lagged AS (
+        SELECT day, n_events, rev_cents,
+               lag(n_events, 7) OVER (ORDER BY day) AS n_prev,
+               lag(rev_cents, 7) OVER (ORDER BY day) AS rev_prev
+        FROM daily
+    )
+    SELECT day, n_events, rev_cents,
+           CAST(coalesce(n_events - n_prev, 0) AS BIGINT) AS n_delta_wow,
+           CAST(CASE WHEN n_prev IS NULL OR n_prev = 0 THEN NULL
+                ELSE ((n_events - n_prev) * 10000) // n_prev
+                END AS BIGINT) AS n_wow_bp,
+           CAST(CASE WHEN rev_prev IS NULL OR rev_prev = 0 THEN NULL
+                ELSE CASE WHEN rev_cents >= rev_prev
+                     THEN ((rev_cents - rev_prev) * 10000) // rev_prev
+                     ELSE -(((rev_prev - rev_cents) * 10000) // rev_prev)
+                     END
+                END AS BIGINT) AS rev_wow_bp
+    FROM lagged ORDER BY day
+    """,
+)
+def w_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week deltas — the dashboard comparison surface (WoW /
+    MoM percent change) in exact integer BASIS POINTS: lag(7) over the
+    daily rollup, deltas as BIGINTs, percent change as integer DIV of
+    exact cents with SIGN-SPLIT division (Spark's DIV and DuckDB's //
+    both truncate toward zero, but only the abs-then-negate form makes
+    that explicit and engine-agnostic — the r9 fixed-point house
+    rule). First-week rows surface with NULL change (no comparable
+    period — a dashboard must show "n/a", not 0). The unpartitioned
+    lag window runs over the |days|-row daily pre-aggregate, never raw
+    events (a8/w7 allow-list discipline); raw events partial-aggregate
+    map-side in one pass shared by both metrics."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "n_events",
+        "rev_cents",
+        F.lag("n_events", 7).over(w).alias("n_prev"),
+        F.lag("rev_cents", 7).over(w).alias("rev_prev"),
+    )
+    return lagged.select(
+        "day",
+        "n_events",
+        "rev_cents",
+        F.coalesce(F.col("n_events") - F.col("n_prev"), F.lit(0))
+        .cast("long")
+        .alias("n_delta_wow"),
+        F.expr(
+            "CAST(CASE WHEN n_prev IS NULL OR n_prev = 0 THEN NULL"
+            " ELSE ((n_events - n_prev) * 10000) DIV n_prev END AS BIGINT)"
+        ).alias("n_wow_bp"),
+        F.expr(
+            "CAST(CASE WHEN rev_prev IS NULL OR rev_prev = 0 THEN NULL"
+            " ELSE CASE WHEN rev_cents >= rev_prev"
+            " THEN ((rev_cents - rev_prev) * 10000) DIV rev_prev"
+            " ELSE -(((rev_prev - rev_cents) * 10000) DIV rev_prev) END"
+            " END AS BIGINT)"
+        ).alias("rev_wow_bp"),
+    ).orderBy("day")

@@ -119,6 +119,8 @@ BNLJ_OK = {
 UNPARTITIONED_WINDOW_OK = {
     # cumulative-users running sum over the DAILY rollup — |days| rows.
     "w7_new_vs_returning",
+    # lag(7) week-over-week deltas over the DAILY rollup — |days| rows.
+    "w_period_over_period",
     # trailing mean/stddev z-score over the DAILY rollup — |days| rows.
     "dq_volume_anomaly",
     # running counters over the per-1000-event batch rollup — the

@@ -852,3 +852,67 @@ def test_srp_sketch_identical_vector_is_recalled(spark, registry, tmp_path):
     assert len(got) == 10
     assert all(r.n_overlap >= 1 for r in got)
     assert all(r.n_planes == 16 for r in got)
+
+
+def test_ego_sample_fanout_bound_and_edge_validity(spark, registry):
+    """Layer-1 sets have at most FANOUT nodes per root with root's own
+    sampled neighbors exactly; layer-2 multiset size is bounded by
+    fanout^2; every sampled transition is a real undirected edge; the
+    md5 sample is reused node-wise (same node -> same neighbor set
+    wherever it appears)."""
+    from glamira_end_to_end_data_pipeline_spark.plans.extra_queries import (
+        copurchase_edges,
+    )
+
+    rows = registry["graph_ego_sample"](spark, SF_SMALL).collect()
+    e = copurchase_edges(spark, SF_SMALL).collect()
+    und = {(r.u, r.v) for r in e} | {(r.v, r.u) for r in e}
+    by_root = {}
+    for r in rows:
+        by_root.setdefault(r.root, {}).setdefault(r.layer, {})[r.node] = r.n_paths
+    for root, layers in by_root.items():
+        assert set(layers) <= {0, 1, 2}
+        assert layers[0] == {root: 1}
+        l1 = layers.get(1, {})
+        assert 1 <= len(l1) <= 3
+        assert all((root, n) in und for n in l1)
+        assert all(c == 1 for c in l1.values())  # fanout sample is a set
+        l2 = layers.get(2, {})
+        assert sum(l2.values()) <= 3 * sum(l1.values())
+        # every layer-2 node is reachable from some layer-1 node
+        assert all(any((m, n) in und for m in l1) for n in l2)
+
+
+def test_period_over_period_exact_deltas(spark, registry, tmp_path):
+    """Hand-checkable WoW math: 14 days of known counts; day 8 compares
+    against day 1 (+50% = 5000 bp), day 9 against day 2 (-50% =
+    -5000 bp); the first 7 days have NULL change and zero delta."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    counts = [4, 4, 4, 4, 4, 4, 4, 6, 2, 4, 4, 4, 4, 4]
+    for day, n in enumerate(counts):
+        for k in range(n):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day, seconds=k), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    got = registry["w_period_over_period"](spark, sf_dir).collect()
+    assert len(got) == 14
+    for r in got[:7]:
+        assert r.n_wow_bp is None and r.rev_wow_bp is None
+        assert r.n_delta_wow == 0
+    assert got[7].n_delta_wow == 2 and got[7].n_wow_bp == 5000
+    assert got[8].n_delta_wow == -2 and got[8].n_wow_bp == -5000
+    assert got[7].rev_wow_bp == 5000 and got[8].rev_wow_bp == -5000
