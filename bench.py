@@ -192,6 +192,8 @@ HEADLINE = [
     "emb_srp_sketch_recall",
     "graph_ego_sample",
     "w_period_over_period",
+    "j_bloom_prefilter_join",
+    "dq_checksum_reconcile",
 ]
 
 

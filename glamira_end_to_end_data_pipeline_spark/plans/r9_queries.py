@@ -92,6 +92,17 @@ Batch 6 — GNN minibatch sampling and the dashboard delta surface:
   basis points over the daily rollup, NULL (not 0) where no comparable
   period exists.
 
+Batch 7 — the Bloom sketch put to work, and replica reconciliation:
+
+- ``j_bloom_prefilter_join`` — runtime Bloom join pruning (Spark's
+  runtime row-level filter spelled out as algebra): the dim-side
+  filter collects to a 4 KB literal and the fact side drops
+  non-members MAP-SIDE before any shuffle; no-false-negative gate
+  against the direct join.
+- ``dq_checksum_reconcile`` — pt-table-checksum: per-bucket count +
+  XOR-of-row-hash digests prove the lake round trip lossless and
+  isolate an injected one-cent corruption to exactly one bucket.
+
 Registered after r8_queries; every entry lands inside the round-9
 grading window behind the front-loaded changed-code re-grades (see
 plans/__init__.py).
@@ -2383,3 +2394,310 @@ def w_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("rev_wow_bp"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Batch 7 — the Bloom sketch put to work, and cross-system reconciliation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j_bloom_prefilter_join",
+    f"""
+    WITH dim AS (
+        SELECT c_custkey AS key FROM customer
+        WHERE c_mktsegment = 'AUTOMOBILE'
+    ),
+    pos AS (
+        SELECT key, ('0x' || substr(md5('bloom:' || j::VARCHAR || ':'
+                                        || key::VARCHAR), 1, 15))::BIGINT
+                        % {_BLOOM_BITS} AS p
+        FROM dim, unnest(generate_series(0, {_BLOOM_K - 1})) t(j)
+    ),
+    sketch AS MATERIALIZED (
+        SELECT p // 32 AS word,
+               CAST(bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS BIGINT)
+                   AS bits
+        FROM pos GROUP BY p // 32
+    ),
+    keys AS (SELECT DISTINCT o_custkey FROM orders),
+    kpos AS (
+        SELECT o_custkey,
+               ('0x' || substr(md5('bloom:' || j::VARCHAR || ':'
+                                   || o_custkey::VARCHAR), 1, 15))::BIGINT
+                   % 16384 AS p
+        FROM keys, unnest(generate_series(0, 3)) t(j)
+    ),
+    passed_keys AS (
+        SELECT o_custkey
+        FROM kpos f JOIN sketch s ON s.word = f.p // 32
+        GROUP BY o_custkey
+        HAVING CAST(sum(CASE WHEN (s.bits & (1::BIGINT
+                             << CAST(f.p % 32 AS INTEGER))) <> 0
+                        THEN 1 ELSE 0 END) AS BIGINT) = 4
+    ),
+    fact AS (SELECT o_orderkey, o_custkey, o_orderpriority FROM orders),
+    passed AS (
+        SELECT f.o_orderkey, f.o_custkey, f.o_orderpriority
+        FROM fact f JOIN passed_keys USING (o_custkey)
+    ),
+    counts AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM fact) AS n_fact,
+               (SELECT CAST(count(*) AS BIGINT) FROM passed) AS n_passed
+    )
+    SELECT p.o_orderpriority,
+           count(*) AS n_orders,
+           count(DISTINCT p.o_custkey) AS n_customers,
+           c.n_fact, c.n_passed
+    FROM passed p JOIN dim d ON d.key = p.o_custkey
+    CROSS JOIN counts c
+    GROUP BY p.o_orderpriority, c.n_fact, c.n_passed
+    ORDER BY p.o_orderpriority
+    """,
+)
+def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM JOIN PRUNING — the 100 TB shuffle killer (Spark's
+    own runtime row-level Bloom filter, spelled out as algebra): the
+    dim side's key set folds into the 512-word bit_or filter, the
+    filter COLLECTS to a 4 KB literal array (bounded driver metadata —
+    Spark injects its runtime Bloom exactly this way), and the fact
+    side drops non-members MAP-SIDE with four md5 probes against the
+    broadcast bitmask BEFORE any join shuffle — at scale that is the
+    difference between shuffling 100 TB of fact rows and shuffling
+    only the ~|dim-matching| fraction (plus the deterministic FP
+    tail). No false negatives (structural), so the post-filter join
+    equals the unfiltered join — gate-checked in-query by comparing
+    against the direct broadcast join count. The prefilter pass-count
+    is hashed: the filter is a pure md5 function of the dim keys, so
+    even the FP tail is engine-exact. The oracle replays the identical
+    bloom and probes in SQL (per-row HAVING over the k positions)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("key")
+    )
+    dpos = dim.select(
+        "key", F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+    ).select(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bloom:"),
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("key").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("p")
+    ).select((F.col("p") % _BLOOM_BITS).alias("p"))
+    words = (
+        dpos.select(
+            F.expr("p DIV 32").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("CAST(bit_or(mask) AS BIGINT)").alias("bits"))
+        .collect()
+    )
+    # 512 longs = 4 KB of driver metadata (the IVF-centroid allowance):
+    # embedding the filter as a LITERAL array makes the fact-side probe
+    # a pure map-side expression — zero extra shuffle, which is the
+    # entire point of a runtime Bloom.
+    arr = [0] * _BLOOM_WORDS
+    for r in words:
+        arr[r["word"]] = r["bits"]
+    fact = orders.select("o_custkey", "o_orderpriority").withColumn(
+        "bloom_bits", F.array(*[F.lit(x).cast("long") for x in arr])
+    )
+    for j in range(_BLOOM_K):
+        fact = fact.withColumn(
+            f"p{j}",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"bloom:{j}:"),
+                            F.col("o_custkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_BITS,
+        )
+    member = " AND ".join(
+        f"(element_at(bloom_bits, CAST(p{j} DIV 32 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(p{j} % 32 AS INT))) <> 0"
+        for j in range(_BLOOM_K)
+    )
+    n_fact = orders.count()
+    passed = fact.filter(F.expr(member)).select("o_custkey", "o_orderpriority")
+    n_passed = passed.count()
+    # gate: no false negatives — the prefiltered join must equal the
+    # direct join row-for-row (counted here; values hash-graded).
+    direct_n = (
+        orders.select("o_custkey", "o_orderpriority")
+        .join(F.broadcast(dim), orders["o_custkey"] == dim["key"])
+        .count()
+    )
+    joined = passed.join(F.broadcast(dim), passed["o_custkey"] == dim["key"])
+    if joined.count() != direct_n:
+        raise RuntimeError("bloom prefilter dropped true matches")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .withColumn("n_fact", F.lit(n_fact).cast("long"))
+        .withColumn("n_passed", F.lit(n_passed).cast("long"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_RECON_BUCKETS = 16
+
+
+@query(
+    "dq_checksum_reconcile",
+    f"""
+    WITH src AS (
+        SELECT o_orderkey, o_orderkey % {_RECON_BUCKETS} AS bucket,
+               ('0x' || substr(md5(o_orderkey::VARCHAR || ':'
+                    || cast(round(o_totalprice * 100.0) AS BIGINT)::VARCHAR
+                    || ':' || o_orderpriority), 1, 15))::BIGINT AS h
+        FROM orders
+    ),
+    agg AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS checksum
+        FROM src GROUP BY bucket
+    ),
+    bad_bucket AS (
+        SELECT min(o_orderkey) % {_RECON_BUCKETS} AS bb FROM orders
+    )
+    SELECT a.bucket, a.n_rows, a.checksum,
+           TRUE AS replica_match,
+           a.bucket <> b.bb AS bad_replica_match
+    FROM agg a, bad_bucket b
+    ORDER BY a.bucket
+    """,
+)
+def dq_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system CHECKSUM RECONCILIATION (pt-table-checksum / the
+    data-migration validator): prove a replica equals its source
+    WITHOUT moving either — per key-bucket, compare row counts and an
+    XOR fold of per-row content hashes (md5 over a canonical
+    key:cents:priority rendering). XOR is the right fold: order-free
+    and overflow-free at ANY scale (an integer SUM of 60-bit hashes
+    overflows BIGINT around 10^4 rows/bucket), and since keys are
+    unique no cancelling-pair blind spot exists — plus counts are
+    compared alongside. The "replica" here is real: the source written
+    through the manifest lake (write_snapshot) and read back — the
+    round trip every lake promises is lossless, now gate-PROVEN
+    per-bucket; a third, corrupted replica (one row's price off by one
+    cent) demonstrates detection — exactly one bucket flags false, and
+    in-query gates raise if the clean replica mismatches anywhere or
+    the corruption goes unseen. Scale shape: each side reduces to
+    {_RECON_BUCKETS} (bucket, count, checksum) rows map-side — the
+    only thing that ever crosses systems is the digest table."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+    def digest(df):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.round(F.col("o_totalprice") * 100.0)
+                        .cast("long")
+                        .cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderpriority"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            df.select(
+                (F.col("o_orderkey") % _RECON_BUCKETS).alias("bucket"),
+                h.alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("CAST(bit_xor(h) AS BIGINT)").alias("checksum"),
+            )
+        )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_recon_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    lake.write_snapshot(spark, orders, path)
+    replica = lake.read_snapshot(spark, path).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    bad_key = orders.agg(F.min("o_orderkey").alias("k"))
+    bad_replica = replica.crossJoin(F.broadcast(bad_key)).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") == F.col("k"),
+            F.col("o_totalprice") + 0.01,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    a = digest(orders).alias("a")
+    b = digest(replica).alias("b")
+    c = digest(bad_replica).alias("c")
+    out = (
+        a.join(b, "bucket")
+        .join(c, "bucket")
+        .select(
+            "bucket",
+            F.col("a.n_rows").alias("n_rows"),
+            F.col("a.checksum").alias("checksum"),
+            (
+                (F.col("a.n_rows") == F.col("b.n_rows"))
+                & (F.col("a.checksum") == F.col("b.checksum"))
+            ).alias("replica_match"),
+            (
+                (F.col("a.n_rows") == F.col("c.n_rows"))
+                & (F.col("a.checksum") == F.col("c.checksum"))
+            ).alias("bad_replica_match"),
+        )
+        .orderBy("bucket")
+    )
+    rows = out.collect()
+    if not all(r.replica_match for r in rows):
+        raise RuntimeError("lake round trip corrupted data")
+    if sum(1 for r in rows if not r.bad_replica_match) != 1:
+        raise RuntimeError("checksum failed to isolate the corrupted bucket")
+    return out

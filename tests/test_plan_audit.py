@@ -111,6 +111,9 @@ BNLJ_OK = {
     # SRP recall's ground truth IS brute_force_topk (broadcast queries
     # × corpus — exactness is the point of a recall measurement).
     "emb_srp_sketch_recall",
+    # reconciliation's corrupted-replica fixture perturbs ONE row keyed
+    # by a one-row broadcast min() — the q22 scalar-cutoff pattern.
+    "dq_checksum_reconcile",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are

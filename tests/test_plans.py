@@ -916,3 +916,47 @@ def test_period_over_period_exact_deltas(spark, registry, tmp_path):
     assert got[7].n_delta_wow == 2 and got[7].n_wow_bp == 5000
     assert got[8].n_delta_wow == -2 and got[8].n_wow_bp == -5000
     assert got[7].rev_wow_bp == 5000 and got[8].rev_wow_bp == -5000
+
+
+def test_bloom_prefilter_join_equals_direct_join(spark, registry):
+    """The in-query no-false-negative gate ran if this returns at all;
+    additionally: pass-count bounded by the fact count and at least the
+    true-match count, and the rollup matches a direct-join recompute."""
+    from glamira_end_to_end_data_pipeline_spark.sources import read_table
+    from pyspark.sql import functions as F
+
+    rows = registry["j_bloom_prefilter_join"](spark, SF_SMALL).collect()
+    assert rows
+    r0 = rows[0]
+    assert 0 < r0.n_passed <= r0.n_fact
+    cust = read_table(spark, SF_SMALL, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    direct = (
+        read_table(spark, SF_SMALL, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {r.o_orderpriority: r.n for r in direct}
+    assert {r.o_orderpriority: r.n_orders for r in rows} == want
+    assert r0.n_passed >= sum(want.values())  # FP tail only adds rows
+
+
+def test_checksum_reconcile_isolates_corruption(spark, registry):
+    """Every bucket's clean-replica digest matches; the one-cent
+    corruption flips exactly one bucket — the bucket of the minimum
+    order key."""
+    from glamira_end_to_end_data_pipeline_spark.sources import read_table
+    from pyspark.sql import functions as F
+
+    rows = registry["dq_checksum_reconcile"](spark, SF_SMALL).collect()
+    assert all(r.replica_match for r in rows)
+    bad = [r.bucket for r in rows if not r.bad_replica_match]
+    min_key = (
+        read_table(spark, SF_SMALL, "orders")
+        .agg(F.min("o_orderkey"))
+        .collect()[0][0]
+    )
+    assert bad == [min_key % 16]
