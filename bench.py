@@ -194,6 +194,7 @@ HEADLINE = [
     "w_period_over_period",
     "j_bloom_prefilter_join",
     "dq_checksum_reconcile",
+    "stream_wap_microbatch",
 ]
 
 

@@ -960,3 +960,16 @@ def test_checksum_reconcile_isolates_corruption(spark, registry):
         .collect()[0][0]
     )
     assert bad == [min_key % 16]
+
+
+def test_stream_wap_microbatch_gates(spark, registry):
+    """The entry's own in-query gates raise on any leak; here assert the
+    published-state invariants from the returned frame: versions ==
+    file count, zero branches left, bad rows counted and excluded."""
+    rows = registry["stream_wap_microbatch"](spark, SF_SMALL).collect()
+    assert rows
+    r0 = rows[0]
+    assert r0.n_versions == 4
+    assert r0.n_branches_left == 0
+    assert r0.n_bad_total > 0
+    assert all(r.n_rows > 0 for r in rows)
