@@ -424,3 +424,59 @@ def test_cdc_chunks_partition_tokens_exactly(spark, token_lists):
     for i, toks in enumerate(token_lists):
         if toks and " ".join(toks) in dupes:
             assert got[i].dup_token_frac == 1.0
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=1, max_value=50_000), min_size=1, max_size=20),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_ewma_fold_matches_python_recursion(spark, tmp_path_factory, series):
+    """w_ewma_anomaly's aggregate-HOF fold == the plain-Python recursion
+    s_t = (x_t·1e6 + 3·s_{t-1}) >> 2 for arbitrary positive daily
+    counts (one synthetic event per count unit, one event_type per
+    generated series)."""
+    import datetime as dt
+    import os
+
+    from glamira_end_to_end_data_pipeline_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 7, 1)
+    rows, eid = [], 0
+    for si, xs in enumerate(series):
+        for day, n in enumerate(xs):
+            for k in range(n % 40 + 1):  # cap rows: counts mod 40 keep jobs small
+                rows.append(
+                    (
+                        eid,
+                        t0 + dt.timedelta(days=day, seconds=k),
+                        1,
+                        f"t{si}",
+                        1.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+    sf_dir = str(tmp_path_factory.mktemp("ewma"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    got = QUERIES["w_ewma_anomaly"](spark, sf_dir).collect()
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r.event_type, []).append(r)
+    for si, xs in enumerate(series):
+        counts = [x % 40 + 1 for x in xs]
+        out = sorted(by_type[f"t{si}"], key=lambda r: r.day)
+        assert [r.n_events for r in out] == counts
+        s = None
+        for r, x in zip(out, counts):
+            s = x * 1_000_000 if s is None else (x * 1_000_000 + 3 * s) >> 2
+            assert r.ewma_micro == s
