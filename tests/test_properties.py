@@ -480,3 +480,47 @@ def test_ewma_fold_matches_python_recursion(spark, tmp_path_factory, series):
         for r, x in zip(out, counts):
             s = x * 1_000_000 if s is None else (x * 1_000_000 + 3 * s) >> 2
             assert r.ewma_micro == s
+
+
+@SETTLE
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=12)
+)
+def test_multitouch_bp_conserve_revenue_any_touch_count(
+    spark, tmp_path_factory, touch_counts
+):
+    """Largest-remainder 40/20/40 allocation sums to exactly 10000 bp
+    for EVERY touch count n >= 1, so credited revenue equals purchase
+    revenue to the cent — the billing-grade claim, checked for
+    arbitrary n (the unit test pins n = 1, 2, 5 by hand)."""
+    import datetime as dt
+    import os
+
+    from glamira_end_to_end_data_pipeline_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 9, 1)
+    rows, eid = [], 0
+    expected_cents = 0
+    for u, n in enumerate(touch_counts):
+        for k in range(n):
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=k), u, "view", 1.0, "{}")
+            )
+            eid += 1
+        price = 10.0 + u * 0.37  # varied, cents-exact after round
+        rows.append(
+            (eid, t0 + dt.timedelta(minutes=n + 1), u, "purchase", price, "{}")
+        )
+        eid += 1
+        expected_cents += round(price * 100)
+    sf_dir = str(tmp_path_factory.mktemp("mt"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    got = QUERIES["j_multitouch_attribution"](spark, sf_dir).collect()
+    total_cents = round(sum(r.credited_revenue for r in got) * 100)
+    assert total_cents == expected_cents
