@@ -195,6 +195,7 @@ HEADLINE = [
     "j_bloom_prefilter_join",
     "dq_checksum_reconcile",
     "stream_wap_microbatch",
+    "emb_binary_quant_recall",
 ]
 
 

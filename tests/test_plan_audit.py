@@ -114,6 +114,10 @@ BNLJ_OK = {
     # reconciliation's corrupted-replica fixture perturbs ONE row keyed
     # by a one-row broadcast min() — the q22 scalar-cutoff pattern.
     "dq_checksum_reconcile",
+    # BQ recall: the Hamming candidate pass crosses broadcast 2-word
+    # query codes × corpus codes (the recall-baseline shape), and the
+    # ground truth IS brute_force_topk.
+    "emb_binary_quant_recall",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are

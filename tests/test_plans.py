@@ -973,3 +973,22 @@ def test_stream_wap_microbatch_gates(spark, registry):
     assert r0.n_branches_left == 0
     assert r0.n_bad_total > 0
     assert all(r.n_rows > 0 for r in rows)
+
+
+def test_binary_quant_identical_vector_recalled(spark, registry, tmp_path):
+    """A corpus vector bit-identical to the query has Hamming 0 and
+    cosine 1 — it must survive candidate selection AND rerank, so
+    n_overlap >= 1 for every query."""
+    base = [0.1 * ((i * 11) % 17 - 8) for i in range(64)]
+
+    def vec(shift):
+        return [base[(i + shift) % 64] for i in range(64)]
+
+    rows = [(q, vec(q), q) for q in range(10)]
+    rows += [(10 + q, vec(q), q) for q in range(10)]
+    rows += [(100 + j, vec(25 + j), 99) for j in range(30)]
+    sf_dir = _write_embeddings(spark, tmp_path, rows)
+    got = registry["emb_binary_quant_recall"](spark, sf_dir).collect()
+    assert len(got) == 10
+    assert all(r.n_overlap >= 1 for r in got)
+    assert all(r.n_reranked == 20 for r in got)
