@@ -942,9 +942,11 @@ def scc_exact(
         # direction in the remaining subgraph are singleton SCCs.
         # Node sets only shrink, so a probe showing no shrink over a
         # batch proves the fixed point — doubling schedule applies.
-        # Skipped when the previous round's trim removed 0 nodes (the
-        # subgraph it would re-prove is the one it already proved,
-        # minus whole SCCs — see docstring for why that is safe).
+        # Skipped only while the subgraph is one trim already proved
+        # trim-stable: a zero-removal trim disarms the pre-pass, and
+        # any backward pass that peels nodes re-arms it (reset at the
+        # bottom of the loop) because peeled SCCs can expose new
+        # trivial-node cascades.
         if last_trim_removed != 0:
             trim_start = remaining
             n_before = n_rem
@@ -1048,6 +1050,14 @@ def scc_exact(
             .localCheckpoint(eager=False)
         )
         n_rem -= n_flagged
+        # Peeling whole SCCs can expose fresh trivial-node cascades, so
+        # a backward pass that removed nodes RE-ARMS the trim pre-pass
+        # even if the previous trim removed 0 (without this reset,
+        # last_trim_removed == 0 would disable trimming for every
+        # remaining outer round — the resumption the docstring
+        # promises could never trigger).
+        if n_flagged > 0:
+            last_trim_removed = None
     else:
         if n_rem > 0:
             raise RuntimeError(

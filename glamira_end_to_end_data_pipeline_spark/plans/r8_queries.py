@@ -734,6 +734,77 @@ _PRI_K = 200
 _PRI_SCALE = 2147483648.0  # 2^31: w * 2^31 exact in a double for w <= ~4e6
 
 
+def priority_sample(docs: DataFrame, k: int) -> DataFrame:
+    """Deterministic Duffield–Lund–Thorup priority sample of exactly
+    ``min(n, k)`` rows from a (doc_id, source, n_chars) frame — the
+    engine half of ``sample_priority_weighted`` (see its docstring for
+    the estimator and scale arguments), extracted so properties can
+    drive it with adversarial frames.
+
+    Tie-at-tau discipline: classic DLT keeps ``priority > tau`` and
+    silently under-fills the sample when the k-th and (k+1)-th
+    priorities are EQUAL — impossible with real uniforms, but our u is
+    a 31-bit hash, so equal (weight, hash) pairs collide exactly. The
+    cut is therefore the full ORDER KEY (priority DESC, doc_id ASC):
+    a row is sampled iff it sorts strictly before the (k+1)-th row,
+    which keeps exactly min(n, k) rows under any tie pattern while
+    leaving the no-tie behavior bit-identical (tau = the (k+1)-th
+    priority either way)."""
+    pri = (
+        F.col("n_chars").cast("double")
+        * F.lit(_PRI_SCALE)
+        / (_hash_mod(F.col("doc_id"), 2147483647) + 1).cast("double")
+    ).alias("priority")
+    # k+1 rows via per-partition heaps (TakeOrderedAndProject — never
+    # a global sort; pinned by the plan test). The bounded frame is
+    # recomputed by the cut aggregates and the final filter — three
+    # heap passes beat materializing state for a k-row result.
+    top = (
+        docs.select("doc_id", "source", "n_chars", pri)
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(k + 1)
+    )
+    # DLT n<=k regime: fewer than k+1 rows means the whole corpus is
+    # the sample and there is no discard row — tau = 0, w_hat = w
+    # (the estimator is exact). Detected from the bounded frame's own
+    # count, no extra corpus-wide action.
+    stats = top.agg(
+        F.count(F.lit(1)).alias("n"), F.min("priority").alias("cut_p")
+    )
+    cut = (
+        top.crossJoin(F.broadcast(stats))
+        .groupBy("n", "cut_p")
+        .agg(
+            # the (k+1)-th row under (priority DESC, doc_id ASC) is the
+            # max doc_id among the min-priority rows of the top-(k+1)
+            F.max(
+                F.when(F.col("priority") == F.col("cut_p"), F.col("doc_id"))
+            ).alias("cut_d")
+        )
+    )
+    keep = (
+        (F.col("n") <= k)
+        | (F.col("priority") > F.col("cut_p"))
+        | (
+            (F.col("priority") == F.col("cut_p"))
+            & (F.col("doc_id") < F.col("cut_d"))
+        )
+    )
+    tau = F.when(F.col("n") == k + 1, F.col("cut_p")).otherwise(F.lit(0.0))
+    return (
+        top.crossJoin(F.broadcast(cut))
+        .filter(keep)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "priority",
+            F.greatest(F.col("n_chars").cast("double"), tau).alias("w_hat"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+    )
+
+
 @query(
     "sample_priority_weighted",
     f"""
@@ -747,14 +818,17 @@ _PRI_SCALE = 2147483648.0  # 2^31: w * 2^31 exact in a double for w <= ~4e6
     top AS (
         SELECT * FROM pr ORDER BY priority DESC, doc_id LIMIT {_PRI_K + 1}
     ),
-    tau AS (
-        SELECT CASE WHEN count(*) = {_PRI_K + 1} THEN min(priority)
-                    ELSE 0 END AS tau
-        FROM top
+    cut AS (
+        SELECT priority AS cut_p, doc_id AS cut_d,
+               (SELECT count(*) FROM top) AS n
+        FROM top ORDER BY priority ASC, doc_id DESC LIMIT 1
     )
     SELECT doc_id, source, n_chars, priority,
-           greatest(n_chars::DOUBLE, tau) AS w_hat
-    FROM top, tau WHERE priority > tau
+           greatest(n_chars::DOUBLE,
+                    CASE WHEN n = {_PRI_K + 1} THEN cut_p ELSE 0 END) AS w_hat
+    FROM top, cut
+    WHERE n <= {_PRI_K} OR priority > cut_p
+       OR (priority = cut_p AND doc_id < cut_d)
     ORDER BY priority DESC, doc_id
     """,
 )
@@ -774,44 +848,14 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: priorities are map-only; the top-(k+1) is
     TakeOrderedAndProject (per-partition heaps, k+1 rows to the
-    driver-side merge — never a global sort); tau is a ONE-ROW
+    driver-side merge — never a global sort); the cut row is a ONE-ROW
     broadcast back onto the k+1 survivors. At 100 TB nothing but
-    (k+1) rows ever leaves the scan stage."""
+    (k+1) rows ever leaves the scan stage. Exact priority ties at tau
+    break on doc_id so the sample is always exactly min(n, k) rows —
+    see :func:`priority_sample` (Hypothesis-pinned in
+    tests/test_properties.py on all-tied inputs)."""
     docs = read_table(spark, sf_dir, "documents")
-    pri = (
-        F.col("n_chars").cast("double")
-        * F.lit(_PRI_SCALE)
-        / (_hash_mod(F.col("doc_id"), 2147483647) + 1).cast("double")
-    ).alias("priority")
-    top = (
-        docs.select("doc_id", "source", "n_chars", pri)
-        .orderBy(F.desc("priority"), "doc_id")
-        .limit(_PRI_K + 1)
-    )
-    # DLT n<=k regime: when the corpus has <= k rows the top-(k+1)
-    # window is the WHOLE corpus and there is no (k+1)-th discard row
-    # — tau = 0 keeps every row with w_hat = w (the estimator is then
-    # exact). Detected from the BOUNDED top frame's own count (k+1
-    # rows present <=> n > k), so no extra corpus-wide action.
-    tau = top.agg(
-        F.when(F.count(F.lit(1)) == _PRI_K + 1, F.min("priority"))
-        .otherwise(F.lit(0.0))
-        .alias("tau")
-    )
-    return (
-        top.crossJoin(F.broadcast(tau))
-        .filter(F.col("priority") > F.col("tau"))
-        .select(
-            "doc_id",
-            "source",
-            "n_chars",
-            "priority",
-            F.greatest(F.col("n_chars").cast("double"), F.col("tau")).alias(
-                "w_hat"
-            ),
-        )
-        .orderBy(F.desc("priority"), "doc_id")
-    )
+    return priority_sample(docs, _PRI_K)
 
 
 # Poisson(1) CDF at 0..8, as decimal literals both engines parse to the

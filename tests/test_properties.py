@@ -524,3 +524,42 @@ def test_multitouch_bp_conserve_revenue_any_touch_count(
     got = QUERIES["j_multitouch_attribution"](spark, sf_dir).collect()
     total_cents = round(sum(r.credited_revenue for r in got) * 100)
     assert total_cents == expected_cents
+
+
+@SETTLE
+@given(
+    st.integers(min_value=1, max_value=40),  # corpus size n
+    st.integers(min_value=1, max_value=25),  # sample cap k
+    st.booleans(),  # all-tied priorities vs arbitrary weights
+)
+def test_priority_sample_is_exactly_min_n_k_under_ties(
+    spark, n, k, force_ties
+):
+    """priority_sample returns EXACTLY min(n, k) rows for any corpus —
+    including the adversarial all-tied case classic DLT under-fills
+    (priority > tau discards every row tied at tau). Ties are forced
+    exactly by setting w_i = h(doc_id)+1, which makes every priority
+    the same IEEE-exact 2^31; the expected membership is then the k
+    lexicographically smallest doc_ids (the deterministic tie-break)."""
+    import hashlib
+
+    from glamira_end_to_end_data_pipeline_spark.plans.r8_queries import (
+        priority_sample,
+    )
+
+    def h(doc_id: str) -> int:
+        return int(hashlib.md5(doc_id.encode()).hexdigest()[:15], 16) % 2147483647
+
+    ids = [f"d{i:03d}" for i in range(n)]
+    rows = [
+        (d, "src", h(d) + 1 if force_ties else (i % 7) * 1000 + 50)
+        for i, d in enumerate(ids)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_chars long")
+    got = priority_sample(df, k).collect()
+    assert len(got) == min(n, k)
+    assert len({r.doc_id for r in got}) == min(n, k)
+    if force_ties:
+        assert sorted(r.doc_id for r in got) == sorted(ids)[: min(n, k)]
+        # all-tied regime: every priority is exactly 2^31
+        assert all(r.priority == 2147483648.0 for r in got)
