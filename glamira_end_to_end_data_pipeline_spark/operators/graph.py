@@ -818,6 +818,7 @@ def scc_exact(
     fwd_batch0: int = 2,
     bwd_batch0: int = 2,
     local_threshold: int = _LOCAL_THRESHOLD,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph, run to the
     fixed point — the coloring / forward-backward algorithm (Orzan;
@@ -884,7 +885,15 @@ def scc_exact(
     Raises ``RuntimeError`` if ``max_rounds`` outer rounds exhaust
     with nodes still unassigned (a silent partial result would look
     like a valid labelling); an empty edge set returns an empty
-    (node, scc_id) frame."""
+    (node, scc_id) frame.
+
+    ``stats``, when given, is filled in place with execution-path
+    evidence: ``initial_edges``, ``bsp_rounds`` (completed distributed
+    outer rounds), and ``local_finish`` (whether a driver-local Tarjan
+    pass closed the computation — True both for the whole-graph fast
+    path, with bsp_rounds == 0, and for the hybrid tail). Graded
+    entries gate on it so a green driver grade PROVES which paths
+    ran."""
     spark = edges.sparkSession
     e_all = (
         edges.select(
@@ -894,6 +903,10 @@ def scc_exact(
         .localCheckpoint()
     )
     n_edges = e_all.count()
+    if stats is not None:
+        stats.update(
+            {"initial_edges": n_edges, "bsp_rounds": 0, "local_finish": False}
+        )
     if n_edges == 0:
         return spark.createDataFrame([], "node long, scc_id long")
     if n_edges <= local_threshold:
@@ -901,6 +914,8 @@ def scc_exact(
         # the whole graph is driver-bounded — Tarjan lands on the same
         # unique component set with scc_id = min member id.
         comp = _tarjan_scc([(r.u, r.v) for r in e_all.collect()])
+        if stats is not None:
+            stats["local_finish"] = True
         return spark.createDataFrame(
             sorted(comp.items()), "node long, scc_id long"
         )
@@ -936,6 +951,8 @@ def scc_exact(
                         sorted(comp.items()), "node long, scc_id long"
                     )
                 )
+                if stats is not None:
+                    stats["local_finish"] = True
                 n_rem = 0
                 break
         # 0. TRIM to a fixed point: nodes missing either edge
@@ -1050,6 +1067,8 @@ def scc_exact(
             .localCheckpoint(eager=False)
         )
         n_rem -= n_flagged
+        if stats is not None:
+            stats["bsp_rounds"] += 1
         # Peeling whole SCCs can expose fresh trivial-node cascades, so
         # a backward pass that removed nodes RE-ARMS the trim pre-pass
         # even if the previous trim removed 0 (without this reset,

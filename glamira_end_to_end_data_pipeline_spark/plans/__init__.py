@@ -55,6 +55,10 @@ from glamira_end_to_end_data_pipeline_spark.plans import r8_queries  # noqa: E40
 # rotate-first block, inside the round-9 window.
 from glamira_end_to_end_data_pipeline_spark.plans import r9_queries  # noqa: E402,F401
 
+# round-10 fresh entries — never graded; land behind the round-10
+# rotate-first block, inside the round-10 window.
+from glamira_end_to_end_data_pipeline_spark.plans import r10_queries  # noqa: E402,F401
+
 # Round-8 front-loads: entries whose code changed in round 8, re-graded
 # the round their implementation moves. graph_scc_exact: TRIM pre-pass
 # + trivial-chain fixture + doubling probes; dedup_minhash_lsh /
@@ -104,6 +108,85 @@ _ROTATE_FIRST_R9 = (
     "graph_kcore_exact",
     "graph_lpa_exact",
     "lake_rollback_commit",
+)
+
+# Driver-green in CORRECTNESS_r09.json (round-9 window, 50/50 green:
+# the 9 rotate-first re-grades + 24 fresh r9 entries + the stalest
+# r4-era re-grades).
+_R9_GREEN = frozenset(
+    {
+        "sample_mix_stratified",
+        "text_seq_pack_split",
+        "sample_priority_weighted",
+        "a_poisson_bootstrap_ci",
+        "graph_scc_exact",
+        "graph_bfs_distances",
+        "graph_kcore_exact",
+        "graph_lpa_exact",
+        "lake_rollback_commit",
+        "w_cumulative_distinct",
+        "a_ttest_ab",
+        "sample_reservoir_per_stratum",
+        "text_zipf_octaves",
+        "j_multitouch_attribution",
+        "emb_centroid_drift",
+        "w_sessionize_incremental",
+        "lake_wap_publish",
+        "emb_hard_negatives",
+        "dq_benford_mad",
+        "w_ewma_anomaly",
+        "emb_pca_top_direction",
+        "text_length_buckets",
+        "sample_temperature_mix",
+        "a_bloom_filter_probe",
+        "graph_randwalk_corpus",
+        "lake_partition_evolution",
+        "emb_srp_sketch_recall",
+        "graph_ego_sample",
+        "w_period_over_period",
+        "j_bloom_prefilter_join",
+        "dq_checksum_reconcile",
+        "stream_wap_microbatch",
+        "emb_binary_quant_recall",
+        "q7_volume_shipping",
+        "q10_returned_items",
+        "q14_promo_effect",
+        "q20_excess_shippers",
+        "q19_disjunctive_revenue",
+        "q22_dormant_balances",
+        "q8_market_share",
+        "q13_customer_distribution",
+        "q9_product_profit",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q17_small_quantity_revenue",
+        "dq_volume_anomaly",
+        "a_histogram",
+        "lake_zorder_codes",
+        "a_grouping_sets",
+    }
+)
+
+
+# Round-10 front-loads: entries whose implementation moved this round —
+# sample_priority_weighted (tie-at-tau break on doc_id, engine+oracle),
+# graph_scc_exact (trim re-arm after peeling rounds + stats out-param),
+# every lake/WAP entry whose metadata path changed (fs.open manifest
+# reads replacing per-read Spark jobs; stage dirs keyed by
+# (branch, base_version); spec-pruned reads probe-typed + Hive-escaped),
+# and the three entries the r9 VERDICT flagged for a quiet-host
+# re-measure (dq_psi_drift, lake_merge_delete, j_fuzzy_name_match).
+_ROTATE_FIRST_R10 = (
+    "sample_priority_weighted",
+    "graph_scc_exact",
+    "lake_wap_publish",
+    "stream_wap_microbatch",
+    "lake_partition_evolution",
+    "lake_merge_delete",
+    "lake_rollback_commit",
+    "dq_psi_drift",
+    "j_fuzzy_name_match",
 )
 
 # Driver-green in CORRECTNESS_r02.json (round-2 window).
@@ -508,6 +591,7 @@ def _last_graded(name: str) -> int:
     never graded — fresh this round). Later rounds win: r5 re-graded
     19 entries first greened in r2/r3."""
     for rnd, green in (
+        (9, _R9_GREEN),
         (8, _R8_GREEN),
         (7, _R7_GREEN),
         (6, _R6_GREEN),
@@ -523,7 +607,7 @@ def _last_graded(name: str) -> int:
 
 def _window_order() -> list[str]:
     registered = list(QUERIES)
-    front = [n for n in _ROTATE_FIRST_R9 if n in QUERIES]
+    front = [n for n in _ROTATE_FIRST_R10 if n in QUERIES]
     fresh = [
         n for n in registered if _last_graded(n) == 0 and n not in front
     ]

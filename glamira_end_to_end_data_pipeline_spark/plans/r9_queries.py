@@ -28,8 +28,8 @@ and state-handoff patterns a production 100 TB pipeline runs daily:
   (sources/lake.py::stage_branch/read_branch/publish_branch): a bad
   batch is staged, audited, dropped; the clean batch publishes as a
   metadata-only atomic commit. Reference parity: the reference's
-  warehouse load appends unaudited (3.load_to_bigquery/
-  load_to_staging.py) — WAP is the safety layer that load needs.
+  warehouse load appends unaudited (6.dps/
+  trigger_bigquery_load.py:18, unaudited WRITE_APPEND) — WAP is the safety layer that load needs.
 
 Batch 3 — training-data mining, distribution DQ, and a fixed-point
 linear-algebra capstone:
@@ -844,8 +844,8 @@ def lake_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     In-query gates raise if the audit misses the bad rows, if main's
     head moves while a branch is staged, or if a stale branch pointer
     survives the publish. Reference parity: the reference's warehouse
-    load appends unaudited (3.load_to_bigquery/load_to_staging.py:
-    job_config WRITE_APPEND straight into the serving table); WAP is
+    load appends unaudited (6.dps/trigger_bigquery_load.py:18:
+    WRITE_DISPOSITION=WRITE_APPEND straight into the serving table); WAP is
     the safety layer that load shape needs at 100 TB, where a bad
     batch is petabytes of rewrites if it reaches main. The oracle
     derives the same post-publish head + audit count from the source
@@ -2770,8 +2770,8 @@ def stream_wap_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     row at ANY instant (gated in-query: the final table has zero
     negatives, no stale branch survives, and version count == batch
     count). This is the safety layer the reference's streaming
-    warehouse load lacks (3.load_to_bigquery/load_to_staging.py
-    appends unaudited) and the production shape of Iceberg WAP under
+    warehouse load lacks (6.dps/trigger_bigquery_load.py:18
+    appends unaudited WRITE_APPEND) and the production shape of Iceberg WAP under
     a streaming writer. Exactly-once redelivery is the separately
     graded stream_snapshot_commits contract; this entry grades the
     audit gate."""

@@ -1123,7 +1123,7 @@ def gc_orphan_files(spark: SparkSession, path: str) -> int:
 # crash-safety: a torn stage leaves an orphaned data dir (GC-able; GC
 # reads branch pointers so a LIVE staged batch is never swept), never a
 # corrupt pointer. Reference parity: the reference's load step appends
-# unaudited (3.load_to_bigquery/load_to_staging.py) — WAP is the
+# unaudited (6.dps/trigger_bigquery_load.py:18) — WAP is the
 # missing safety layer a warehouse load of this shape needs at scale.
 
 

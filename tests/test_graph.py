@@ -454,3 +454,40 @@ def test_bfs_hybrid_paths_identical(spark):
         map(tuple, bfs_distances(df, [0, 20], local_threshold=0).collect())
     )
     assert local == dist
+
+
+def test_scc_exact_stats_records_hybrid_paths(spark):
+    """The stats out-param is the execution-path evidence the graded
+    graph_scc_hybrid_live entry gates on: whole-graph-local runs report
+    (0 BSP rounds, local finish); runs over the threshold report >=1
+    BSP round, and a hybrid fixture also reports the local finish."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import scc_exact
+    from glamira_end_to_end_data_pipeline_spark.plans.r10_queries import (
+        _SCC_LIVE_BLOCKS,
+        _SCC_LIVE_L,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 3), (3, 2)], "u long, v long"
+    )
+    st: dict = {}
+    scc_exact(edges, stats=st).collect()
+    assert st == {"initial_edges": 4, "bsp_rounds": 0, "local_finish": True}
+
+    # the graded fixture: both paths must run
+    n = _SCC_LIVE_BLOCKS * _SCC_LIVE_L
+    base = spark.range(n)
+    cyc = base.selectExpr(
+        "id as u",
+        f"cast(id / {_SCC_LIVE_L} as long) * {_SCC_LIVE_L}"
+        f" + (id % {_SCC_LIVE_L} + 1) % {_SCC_LIVE_L} as v",
+    ).unionAll(spark.createDataFrame([(0, _SCC_LIVE_L)], "u long, v long"))
+    st2: dict = {}
+    out = scc_exact(
+        cyc, trim_batch0=1, fwd_batch0=2, bwd_batch0=1,
+        local_threshold=200, stats=st2,
+    ).collect()
+    assert st2["bsp_rounds"] >= 1 and st2["local_finish"]
+    assert st2["initial_edges"] == n + 1
+    assert all(r.scc_id == (r.node // _SCC_LIVE_L) * _SCC_LIVE_L for r in out)
+    assert len(out) == n
