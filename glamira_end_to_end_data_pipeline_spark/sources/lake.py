@@ -262,29 +262,38 @@ def apply_cdc_partitioned(
     the write overwrites directories the plan reads from
     (self-overwrite); on a cluster, a reliable checkpoint or a staging
     dir serves the same purpose."""
-    bad = changes.agg(
-        F.sum(
-            (
-                F.col(op_col).isNull() | ~F.col(op_col).isin("U", "D")
-            ).cast("long")
-        ).alias("bad_op"),
-        F.sum(F.col(partition_col).isNull().cast("long")).alias("null_part"),
-    ).collect()[0]
-    if bad["bad_op"]:
+    # ONE bounded job yields validation AND the touched-partition list:
+    # grouping by the partition column surfaces NULL partition values
+    # as a null group key, and the per-group bad-op sums fold client-
+    # side — the change batch is scanned once, not twice (each action
+    # over `changes` re-runs its whole lineage).
+    groups = (
+        changes.groupBy(partition_col)
+        .agg(
+            F.sum(
+                (
+                    F.col(op_col).isNull() | ~F.col(op_col).isin("U", "D")
+                ).cast("long")
+            ).alias("bad_op"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )  # bounded: one row per touched partition
+    bad_op = sum(r["bad_op"] for r in groups)
+    null_part = sum(r["n"] for r in groups if r[0] is None)
+    if bad_op:
         raise ValueError(
-            f"{bad['bad_op']} change row(s) carry a NULL/unknown {op_col!r} "
+            f"{bad_op} change row(s) carry a NULL/unknown {op_col!r} "
             "(expected 'U' or 'D') — refusing: a NULL op would silently "
             "delete its key"
         )
-    if bad["null_part"]:
+    if null_part:
         raise ValueError(
-            f"{bad['null_part']} change row(s) carry a NULL {partition_col!r} "
+            f"{null_part} change row(s) carry a NULL {partition_col!r} "
             "— refusing: dynamic overwrite would clobber the "
             "null-partition directory"
         )
-    parts = [
-        r[0] for r in changes.select(partition_col).distinct().collect()
-    ]  # bounded: one row per touched partition
+    parts = [r[0] for r in groups]
     base = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
     survivors = base.join(
         changes.select(*key_cols).distinct(), list(key_cols), "left_anti"
