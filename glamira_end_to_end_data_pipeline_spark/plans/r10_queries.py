@@ -101,3 +101,206 @@ def graph_scc_hybrid_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exercises both paths"
         )
     return out.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: merge-on-read deletes, tag refs, schema-drift audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_mor_equality_deletes",
+    """
+    WITH base AS (
+        SELECT cast(c_custkey AS BIGINT) AS k, c_mktsegment, c_acctbal
+        FROM customer
+    ),
+    era1 AS (SELECT * FROM base WHERE k % 3 = 0),
+    era2 AS (SELECT * FROM base WHERE k % 3 = 1),
+    survivors AS (
+        SELECT * FROM era1 WHERE k % 10 NOT IN (0, 1)
+        UNION ALL
+        SELECT * FROM era2 WHERE k % 10 NOT IN (0, 1)
+    ),
+    reinserted AS (
+        SELECT k, c_mktsegment, 777.0 AS c_acctbal
+        FROM base WHERE k % 30 = 0
+    ),
+    final AS (
+        SELECT * FROM survivors UNION ALL SELECT * FROM reinserted
+    )
+    SELECT c_mktsegment, count(*) AS n_rows,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_mor_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row-level deletes (sources/lake.py:
+    delete_snapshot / read_snapshot_mor — Iceberg v2 equality deletes):
+    two append eras, ONE delete commit that writes only the delete
+    KEYS (zero data rewritten — the GDPR/erasure shape copy-on-write
+    can't afford daily at 100 TB), then a post-delete re-insert of a
+    deleted key subset. The MoR read applies deletes by the sequence
+    rule — a delete hits only data files committed strictly BEFORE it,
+    so the era-4 re-inserts survive while both earlier eras' deleted
+    keys vanish — with one broadcast join against the max-version-per-
+    key delete set; eras come from a map-side regexp on
+    ``input_file_name`` (the immutable version dir). The oracle
+    derives the same final state from the source table directly."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_mor_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    k = F.col("k")
+    lake.write_snapshot(spark, base.filter(k % 3 == 0), path)
+    lake.write_snapshot(spark, base.filter(k % 3 == 1), path)
+    lake.delete_snapshot(
+        spark, base.filter((k % 10).isin(0, 1)).select("k"), path, ["k"]
+    )
+    lake.write_snapshot(
+        spark,
+        base.filter(k % 30 == 0).select(
+            "k", "c_mktsegment", F.lit(777.0).alias("c_acctbal")
+        ),
+        path,
+    )
+    served = lake.read_snapshot_mor(spark, path)
+    return (
+        served.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "lake_read_by_tag",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_read_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-addressed time travel (sources/lake.py:read_snapshot_by_tag
+    — Iceberg tag refs): three commits land ('pre_migration' = the F
+    orders, 'post_migration' = +O orders, then an UNTAGGED P append),
+    and the audit query reads the table AS OF the 'post_migration'
+    tag by NAME — the human-addressable pin a compliance re-run or a
+    model-training reproduction uses instead of memorizing version
+    numbers. Resolution is metadata-only (one fs.open-priced JSON per
+    version, newest-wins on tag reuse) and an unknown tag RAISES
+    rather than silently serving the head. The oracle derives the
+    tagged state (F+O, no P) from the source table."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_tagref_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    st = F.col("o_orderstatus")
+    lake.write_snapshot(spark, orders.filter(st == "F"), path, tag="pre_migration")
+    lake.write_snapshot(spark, orders.filter(st == "O"), path, tag="post_migration")
+    lake.write_snapshot(spark, orders.filter(st == "P"), path)
+    served = lake.read_snapshot_by_tag(spark, path, "post_migration")
+    return (
+        served.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "dq_schema_drift_detect",
+    """
+    SELECT * FROM (VALUES
+        (2, 'added',   'loyalty_tier', 'string'),
+        (2, 'added',   'signup_ts',    'timestamp'),
+        (3, 'added',   'churn_score',  'double'),
+        (3, 'removed', 'signup_ts',    'timestamp')
+    ) t(version, change_type, column_name, data_type)
+    ORDER BY version, change_type, column_name
+    """,
+)
+def dq_schema_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit across snapshot versions — the DQ check that
+    catches an upstream producer silently reshaping a feed (the
+    reference's frozen master-schema rule, ``6.dps/export_to_GCS.py``'s
+    fixed column list, turned into a DETECTOR): for each committed
+    version, the columns its NEW data files carry are read from
+    parquet FOOTERS only (driver metadata — no row is scanned), and
+    consecutive versions diff into (added, removed) column events.
+    Three versions commit with a tier column arriving at v2, a
+    timestamp arriving at v2 and vanishing at v3, and a score arriving
+    at v3; the detector must emit exactly those four drift events.
+    The result frame is bounded driver metadata (schema-cardinality,
+    like the PCA co-moments) — the 100 TB cost is V footer reads."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_drift_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"), "c_mktsegment"
+    )
+    k = F.col("k")
+    lake.write_snapshot(spark, cust.filter(k % 3 == 0), path)
+    lake.write_snapshot(
+        spark,
+        cust.filter(k % 3 == 1)
+        .withColumn("loyalty_tier", F.lit("gold"))
+        .withColumn("signup_ts", F.lit("2024-01-01 00:00:00").cast("timestamp")),
+        path,
+    )
+    lake.write_snapshot(
+        spark,
+        cust.filter(k % 3 == 2)
+        .withColumn("loyalty_tier", F.lit("silver"))
+        .withColumn("churn_score", F.lit(0.5)),
+        path,
+    )
+    head = lake.latest_snapshot_version(spark, path)
+    per_version: list[dict] = []
+    for v in range(1, head + 1):
+        files = lake._read_manifest(spark, path, v)
+        new = [f for f in files if f"/data/v{v}/" in f]
+        schema = spark.read.parquet(*new).schema
+        per_version.append({f.name: f.dataType.simpleString() for f in schema})
+    events = []
+    for v in range(1, head):
+        prev, cur = per_version[v - 1], per_version[v]
+        for c in sorted(set(cur) - set(prev)):
+            events.append((v + 1, "added", c, cur[c]))
+        for c in sorted(set(prev) - set(cur)):
+            events.append((v + 1, "removed", c, prev[c]))
+    return spark.createDataFrame(
+        events, "version int, change_type string, column_name string, "
+        "data_type string"
+    ).orderBy("version", "change_type", "column_name")

@@ -785,6 +785,7 @@ def _commit_manifest(
     operation: str = "append",
     stats: dict | None = None,
     spec: list[str] | None = None,
+    delete_files: list[str] | None = None,
 ) -> None:
     """Atomically publish a version's manifest (temp write + rename).
 
@@ -825,6 +826,12 @@ def _commit_manifest(
         doc["stats"] = stats
     if spec:
         doc["spec"] = spec
+    if delete_files:
+        # equality-delete files (read_snapshot_mor) — kept out of
+        # ``files`` so every data-file walker (read_snapshot,
+        # compaction, incremental, diff) keeps its contract; GC treats
+        # them as referenced via this field.
+        doc["delete_files"] = delete_files
     payload = json.dumps(doc).encode("utf-8")
     fs, _ = _hadoop_fs(spark, path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
@@ -1082,7 +1089,9 @@ def gc_orphan_files(spark: SparkSession, path: str) -> int:
     noted here because this sandbox has no concurrent writers."""
     referenced: set[str] = set()
     for v in range(1, latest_snapshot_version(spark, path) + 1):
-        referenced.update(_read_manifest(spark, path, v))
+        doc = _read_manifest_doc(spark, path, v)
+        referenced.update(doc["files"])
+        referenced.update(doc.get("delete_files", ()))
     # staged (not-yet-published) WAP branches hold live data too — a GC
     # that ignored branch pointers would sweep a batch mid-audit
     for b in list_branches(spark, path):
@@ -1115,6 +1124,119 @@ def gc_orphan_files(spark: SparkSession, path: str) -> int:
                     fs.delete(p, False)
                     removed += 1
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read equality deletes (Iceberg v2 row-level deletes)
+# ---------------------------------------------------------------------------
+# Copy-on-write (apply_cdc_partitioned / the merge entries) pays a
+# partition rewrite per delete batch; at 100 TB a daily GDPR/erasure
+# feed against a slowly-changing table wants the Iceberg v2 shape
+# instead: a DELETE COMMIT writes only the delete KEYS as small
+# parquet "delete files" plus a metadata entry — zero data rewritten —
+# and READERS apply the deletes (one broadcast anti-semijoin against
+# the bounded key set). Sequencing follows Iceberg's sequence-number
+# rule: an equality delete applies to rows whose data file was
+# committed STRICTLY BEFORE the delete, so a key re-inserted after the
+# delete survives. Here the data file's commit version (parsed from
+# its immutable /data/v<N>/ path) is the sequence number. Compaction
+# back to copy-on-write is a normal `rewrite` commit of the MoR read.
+
+
+def delete_snapshot(
+    spark: SparkSession,
+    keys_df: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+) -> int:
+    """Commit an equality-DELETE snapshot: ``keys_df``'s distinct
+    ``key_cols`` rows land as delete files in this version's data dir;
+    the manifest keeps the parent's data-file list untouched and
+    records ``operation="delete"`` + ``delete_files``. Readers that
+    apply deletes use :func:`read_snapshot_mor`; the plain
+    :func:`read_snapshot` remains the raw data-file view (what a
+    compaction or audit reads). Returns the committed version."""
+    version = latest_snapshot_version(spark, path) + 1
+    if version == 1:
+        raise FileNotFoundError(f"no snapshots under {path} to delete from")
+    del_files = _write_version_data(
+        spark, keys_df.select(*key_cols).distinct(), path, version
+    )
+    prev_doc = _read_manifest_doc(spark, path, version - 1)
+    _commit_manifest(
+        spark,
+        path,
+        version,
+        prev_doc["files"],
+        operation="delete",
+        stats=prev_doc.get("stats"),
+        delete_files=del_files,
+    )
+    return version
+
+
+def read_snapshot_mor(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """MERGE-ON-READ time-travel read: the data files of ``version``
+    with every equality delete at versions ≤ ``version`` applied by
+    Iceberg's sequence rule (a delete hits only rows whose data file
+    committed strictly before it — later re-inserts of the same key
+    survive). Plan shape: ONE scan of the listed files tagged with
+    their commit version via ``input_file_name`` (a pure map-side
+    regexp on file paths — the version dir is immutable), the delete
+    keys reduced to ``max(delete_version)`` per key (bounded: delete
+    files hold keys, not rows) and BROADCAST into a left join; rows
+    survive unless a delete outranks their file's version. Zero data
+    rewritten at delete time, one broadcast exchange at read time —
+    the Iceberg v2 trade."""
+    if version is None:
+        version = latest_snapshot_version(spark, path)
+    doc = _read_manifest_doc(spark, path, version)
+    files = doc["files"]
+    dels: list[tuple[int, list[str]]] = []
+    for v in range(1, version + 1):
+        d = doc if v == version else _read_manifest_doc(spark, path, v)
+        if d.get("delete_files"):
+            dels.append((v, d["delete_files"]))
+    base = spark.read.parquet(*files).withColumn(
+        "__era",
+        F.regexp_extract(F.input_file_name(), r"/data/v(\d+)/", 1).cast("long"),
+    )
+    if not dels:
+        return base.drop("__era")
+    key_cols = None
+    parts = []
+    for dv, dfiles in dels:
+        kd = spark.read.parquet(*dfiles)
+        key_cols = kd.columns
+        parts.append(kd.withColumn("__dv", F.lit(dv).cast("long")))
+    keys = parts[0]
+    for p in parts[1:]:
+        keys = keys.unionByName(p)
+    ranked = keys.groupBy(*key_cols).agg(F.max("__dv").alias("__dv"))
+    joined = base.join(F.broadcast(ranked), key_cols, "left")
+    # applies iff the strongest delete outranks the row's data file
+    survivors = joined.filter(
+        F.col("__dv").isNull() | (F.col("__dv") <= F.col("__era"))
+    )
+    # data files never share a version with a delete commit (delete
+    # commits add no data files), so <= vs < cannot mis-keep a row
+    return survivors.drop("__dv", "__era")
+
+
+def read_snapshot_by_tag(spark: SparkSession, path: str, tag: str) -> DataFrame:
+    """Tag-addressed time travel (Iceberg tag refs / Delta named
+    commits): resolve ``tag`` to its committed version — newest wins
+    if a tag was reused, matching ref-update semantics — and read that
+    snapshot. Metadata-only resolution (one small JSON per version,
+    fs.open-priced); raises KeyError for an unknown tag so a typo'd
+    audit read cannot silently serve the head."""
+    head = latest_snapshot_version(spark, path)
+    for v in range(head, 0, -1):
+        if _get_json(spark, f"{_manifest_dir(path)}/v{v}.json").get("tag") == tag:
+            return read_snapshot(spark, path, v)
+    raise KeyError(f"tag {tag!r} not found in any snapshot under {path}")
 
 
 # ---------------------------------------------------------------------------

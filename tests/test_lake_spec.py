@@ -114,3 +114,54 @@ def test_escape_partition_value_matches_spark_layout(spark, tmp_path):
     dirs = {d for d in os.listdir(out_dir) if d.startswith("p=")}
     for v in values:
         assert f"p={lake._escape_partition_value(v)}" in dirs, v
+
+
+def test_mor_equality_deletes_respect_sequence(spark, tmp_path):
+    # Iceberg v2 sequencing: a delete applies only to data files
+    # committed strictly before it; re-inserts after the delete
+    # survive, and plain read_snapshot stays the raw data view.
+    path = str(tmp_path / "mor")
+    lake.write_snapshot(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"),
+        path,
+    )
+    lake.write_snapshot(
+        spark, spark.createDataFrame([(4, "d"), (2, "b2")], "k int, v string"), path
+    )
+    v3 = lake.delete_snapshot(
+        spark, spark.createDataFrame([(2,), (3,)], "k int"), path, ["k"]
+    )
+    assert v3 == 3
+    lake.write_snapshot(
+        spark, spark.createDataFrame([(2, "reborn")], "k int, v string"), path
+    )
+    got = sorted(
+        (r.k, r.v) for r in lake.read_snapshot_mor(spark, path).collect()
+    )
+    # both era-1/2 rows for k=2 and the k=3 row are gone; the v4
+    # re-insert of k=2 survives (era 4 > delete version 3)
+    assert got == [(1, "a"), (2, "reborn"), (4, "d")]
+    # time travel: MoR at v3 applies the delete with no re-insert yet
+    got3 = sorted((r.k, r.v) for r in lake.read_snapshot_mor(spark, path, 3).collect())
+    assert got3 == [(1, "a"), (4, "d")]
+    # raw view still carries every data row (compaction/audit input)
+    assert lake.read_snapshot(spark, path).count() == 6
+    # GC must treat delete files as referenced
+    assert lake.gc_orphan_files(spark, path) == 0
+    assert sorted(
+        (r.k, r.v) for r in lake.read_snapshot_mor(spark, path).collect()
+    ) == got
+
+
+def test_read_snapshot_by_tag_resolves_newest(spark, tmp_path):
+    path = str(tmp_path / "tags")
+    lake.write_snapshot(spark, spark.range(3), path, tag="baseline")
+    lake.write_snapshot(spark, spark.range(3, 8), path, tag="audited")
+    lake.write_snapshot(spark, spark.range(8, 9), path)
+    assert lake.read_snapshot_by_tag(spark, path, "baseline").count() == 3
+    assert lake.read_snapshot_by_tag(spark, path, "audited").count() == 8
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        lake.read_snapshot_by_tag(spark, path, "nope")
