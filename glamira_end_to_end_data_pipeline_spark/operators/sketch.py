@@ -80,3 +80,49 @@ def countmin_query(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_estimate"))
     )
+
+
+def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra–Gries heavy-hitter CANDIDATES: each task
+    folds its rows through the classic (k-1)-counter summary (increment
+    a held key; admit while slots remain; otherwise decrement ALL — one
+    shared "charge" against every held key) and emits only its
+    surviving keys. The MG guarantee composes across partitions: any
+    key with GLOBAL frequency > n/k has per-partition frequency
+    > n_p/k in at least one partition (averaging), and MG never evicts
+    a key whose local count exceeds local_n/k — so the union of
+    per-partition survivors is a SUPERSET of the true global heavy
+    hitters no matter how rows are distributed or ordered. Output size
+    is bounded by (k-1) × partitions (driver/broadcast-scale metadata),
+    which is what makes exact heavy hitters affordable over a
+    high-cardinality column at 100 TB: a full groupBy shuffles every
+    distinct key; MG + an exact recount of the bounded candidate set
+    shuffles almost nothing (Misra & Gries 1982; the phase-1/phase-2
+    recount pattern of MAD-lib / Algebird TopK).
+
+    Arrow-batched ``mapInPandas`` (one Python fold per partition, never
+    per-row UDF rows); candidate ``mg_count`` values are local lower
+    bounds for diagnostics only — the exact recount is the contract."""
+    import pandas as pd  # noqa: PLC0415
+
+    def fold(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k - 1:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {col: list(counters.keys()), "mg_count": list(counters.values())}
+        )
+
+    return df.select(col).mapInPandas(fold, f"{col} string, mg_count long")

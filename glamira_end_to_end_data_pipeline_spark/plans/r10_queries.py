@@ -304,3 +304,304 @@ def dq_schema_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "version int, change_type string, column_name string, "
         "data_type string"
     ).orderBy("version", "change_type", "column_name")
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: heavy hitters, two-sample KS, Neyman allocation
+# ---------------------------------------------------------------------------
+
+_HH_K = 8
+
+
+@query(
+    "a_heavy_hitters_mg",
+    f"""
+    WITH keyed AS (
+        SELECT CASE WHEN l_orderkey % 3 = 0
+                    THEN 'hot_' || (l_orderkey % 2)
+                    ELSE l_partkey::VARCHAR END AS k
+        FROM lineitem
+    ),
+    tot AS (SELECT count(*) AS n FROM keyed)
+    SELECT k AS hot_key, cast(count(*) AS BIGINT) AS n_rows
+    FROM keyed, tot
+    GROUP BY k, n
+    HAVING count(*) > n / {_HH_K}.0
+    ORDER BY hot_key
+    """,
+)
+def a_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters over a high-cardinality key via the
+    two-phase Misra–Gries pattern (operators/sketch.py:mg_candidates):
+    phase 1 folds each partition through a (k-1)-counter MG summary in
+    one Arrow batch pass — the union of survivors is a PROVEN superset
+    of every key with global frequency > n/k, bounded by (k-1)×
+    partitions rows — and phase 2 recounts ONLY the candidate set
+    exactly (candidates broadcast into a left join; every non-candidate
+    key collapses into one '__other' group before the shuffle, so the
+    exchange moves ≤ candidates+1 groups instead of one group per
+    distinct key — the reason this beats a full groupBy at 100 TB).
+    The key mixes ~20k uniform part keys with two synthesized hot keys
+    at ~16.7% each (> the n/8 threshold); the result is deterministic
+    regardless of partition count or row order because the FINAL
+    filter is the exact recount, never the order-sensitive MG counts.
+    Oracle: the definitional exact groupBy + HAVING."""
+    from glamira_end_to_end_data_pipeline_spark.operators.sketch import (
+        mg_candidates,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.when(
+            F.col("l_orderkey") % 3 == 0,
+            F.concat(F.lit("hot_"), (F.col("l_orderkey") % 2).cast("string")),
+        )
+        .otherwise(F.col("l_partkey").cast("string"))
+        .alias("hot_key")
+    )
+    cands = (
+        mg_candidates(keyed, "hot_key", _HH_K)
+        .select("hot_key")
+        .distinct()
+        .withColumn("__cand", F.lit(True))
+    )
+    grouped = (
+        keyed.join(F.broadcast(cands), "hot_key", "left")
+        .groupBy(
+            F.when(F.col("__cand"), F.col("hot_key"))
+            .otherwise(F.lit("__other"))
+            .alias("hot_key")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = grouped.agg(F.sum("n_rows").alias("n"))
+    return (
+        grouped.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("hot_key") != "__other")
+            & (F.col("n_rows") > F.col("n") / _HH_K)
+        )
+        .select("hot_key", F.col("n_rows").cast("bigint").alias("n_rows"))
+        .orderBy("hot_key")
+    )
+
+
+@query(
+    "dq_ks_two_sample",
+    """
+    WITH v AS (
+        SELECT value,
+               ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 2 AS s
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT value,
+               sum((s = 0)::INT) AS ca, sum((s = 1)::INT) AS cb
+        FROM v GROUP BY value
+    ),
+    c AS (
+        SELECT sum(ca) OVER (ORDER BY value) AS fa_n,
+               sum(cb) OVER (ORDER BY value) AS fb_n
+        FROM g
+    ),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g)
+    SELECT cast(na AS BIGINT) AS n_a, cast(nb AS BIGINT) AS n_b,
+           round(max(abs(fa_n / na - fb_n / nb)), 6) AS ks_stat,
+           max(abs(fa_n / na - fb_n / nb)) >
+               1.3581 * sqrt((na + nb) / (1.0 * na * nb)) AS reject_05
+    FROM c, t GROUP BY na, nb
+    """,
+)
+def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two
+    hash-assigned halves of the event-value feed — the distribution-
+    shift test that reads the WHOLE CDF where PSI (dq_psi_drift) reads
+    10 coarse buckets: KS = sup |F_A(x) − F_B(x)|, with the α=0.05
+    rejection c(α)·√((n+m)/(nm)), c = 1.3581. A sound split audit
+    should NOT reject — the split is an md5 coin flip.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a global sort: one
+    groupBy collapses raw rows to per-distinct-value (cntA, cntB);
+    within-bucket cumulative counts run under a window PARTITIONED on
+    a coarse value bucket; bucket-level offsets come from a second
+    window over the ≤|buckets| bucket-total rollup (bounded, never
+    data-sized — allow-listed); the exclusive bucket prefix broadcasts
+    back onto the per-value rows. Every division is int/int on exact
+    cumulative counts, so the statistic is bit-identical cross-engine;
+    max() is order-free. The oracle computes the same CDFs with one
+    naive full window (result-equal, plan-irrelevant)."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    from glamira_end_to_end_data_pipeline_spark.plans.r8_queries import _hash_mod
+
+    s = _hash_mod(F.col("event_id"), 2)
+    g = ev.select("value", s.alias("s")).groupBy("value").agg(
+        F.sum((F.col("s") == 0).cast("long")).alias("ca"),
+        F.sum((F.col("s") == 1).cast("long")).alias("cb"),
+    )
+    g = g.withColumn("bucket", F.floor(F.col("value") / 50.0))
+    win_in = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "bucket",
+        "value",
+        F.sum("ca").over(win_in).alias("ia"),
+        F.sum("cb").over(win_in).alias("ib"),
+    )
+    btot = g.groupBy("bucket").agg(
+        F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
+    )
+    win_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = btot.select(
+        "bucket",
+        F.coalesce(F.sum("ba").over(win_b), F.lit(0)).alias("pa"),
+        F.coalesce(F.sum("bb").over(win_b), F.lit(0)).alias("pb"),
+    )
+    tot = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    cdf = (
+        cum.join(F.broadcast(boff), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "na",
+            "nb",
+            (
+                F.abs(
+                    (F.col("pa") + F.col("ia")) / F.col("na")
+                    - (F.col("pb") + F.col("ib")) / F.col("nb")
+                )
+            ).alias("d"),
+        )
+    )
+    crit = 1.3581 * F.sqrt(
+        (F.col("na") + F.col("nb")) / (1.0 * F.col("na") * F.col("nb"))
+    )
+    return cdf.groupBy("na", "nb").agg(
+        F.round(F.max("d"), 6).alias("ks_stat"),
+        (F.max("d") > crit).alias("reject_05"),
+    ).select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        "ks_stat",
+        "reject_05",
+    )
+
+
+_NEY_K = 300
+
+
+@query(
+    "sample_neyman_allocation",
+    f"""
+    WITH s AS (
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_chars) AS sx,
+               sum(n_chars * n_chars) AS sxx
+        FROM documents GROUP BY source
+    ),
+    sig AS (
+        SELECT source, n_docs,
+               sqrt((sxx - (1.0 * sx * sx) / n_docs) / n_docs) AS sigma
+        FROM s
+    ),
+    w AS (
+        SELECT source, n_docs, sigma,
+               {_NEY_K} * (n_docs * sigma) /
+                   (SELECT sum(n_docs * sigma) FROM sig) AS quota
+        FROM sig
+    ),
+    fl AS (
+        SELECT source, n_docs, sigma, quota,
+               cast(floor(quota) AS BIGINT) AS base,
+               quota - floor(quota) AS frac
+        FROM w
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY frac DESC, source) AS rk,
+               {_NEY_K} - (SELECT sum(base) FROM fl) AS leftover
+        FROM fl
+    )
+    SELECT source, cast(n_docs AS BIGINT) AS n_docs,
+           round(sigma, 4) AS sigma,
+           cast(base + (rk <= leftover)::INT AS BIGINT) AS n_alloc
+    FROM ranked ORDER BY source
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman OPTIMAL stratified-sample allocation — the
+    variance-minimizing split of a fixed labeling/eval budget K across
+    strata, n_h ∝ N_h·σ_h (Neyman 1934): big AND internally-varied
+    sources get proportionally more of the budget than uniform ones,
+    which is what proportional allocation (sample_mix_stratified's
+    rate mixing) gets wrong when stratum variances differ. σ_h is
+    computed from EXACT integer moments (n, Σx, Σx² — never the
+    engine's stddev, whose Welford vs two-pass internals differ across
+    engines) so the allocation doubles are bit-identical; fractional
+    quotas resolve by LARGEST REMAINDER with a deterministic source
+    tiebreak, so Σ n_alloc == K exactly (the multitouch-attribution
+    rounding discipline). Plan: one partial-aggregated scan to
+    |sources| rows; the ranking window runs over that bounded stratum
+    table (allow-listed), and the two scalar totals broadcast back —
+    nothing data-sized moves after the scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("long")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    sig = s.select(
+        "source",
+        "n_docs",
+        F.sqrt(
+            (
+                F.col("sxx")
+                - (1.0 * F.col("sx") * F.col("sx")) / F.col("n_docs")
+            )
+            / F.col("n_docs")
+        ).alias("sigma"),
+    )
+    wsum = sig.agg(F.sum(F.col("n_docs") * F.col("sigma")).alias("wsum"))
+    fl = (
+        sig.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            "n_docs",
+            "sigma",
+            (
+                _NEY_K * (F.col("n_docs") * F.col("sigma")) / F.col("wsum")
+            ).alias("quota"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sigma",
+            F.floor("quota").cast("long").alias("base"),
+            (F.col("quota") - F.floor("quota")).alias("frac"),
+        )
+    )
+    bsum = fl.agg(F.sum("base").alias("base_sum"))
+    ranked = fl.crossJoin(F.broadcast(bsum)).select(
+        "source",
+        "n_docs",
+        "sigma",
+        "base",
+        (F.lit(_NEY_K) - F.col("base_sum")).alias("leftover"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("frac"), "source"))
+        .alias("rk"),
+    )
+    return ranked.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round("sigma", 4).alias("sigma"),
+        (F.col("base") + (F.col("rk") <= F.col("leftover")).cast("int"))
+        .cast("bigint")
+        .alias("n_alloc"),
+    ).orderBy("source")

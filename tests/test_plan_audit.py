@@ -118,6 +118,17 @@ BNLJ_OK = {
     # query codes × corpus codes (the recall-baseline shape), and the
     # ground truth IS brute_force_topk.
     "emb_binary_quant_recall",
+    # heavy hitters: the ONE-ROW total broadcasts onto the bounded
+    # candidate-count rollup (≤ (k-1)×partitions + 1 groups); the raw
+    # scan enters only the candidate semi-annotation equi-join.
+    "a_heavy_hitters_mg",
+    # KS: the ONE-ROW (n_a, n_b) total broadcasts onto the per-value
+    # CDF rows (the q11/q15 scalar pattern); CDF prefixes come from
+    # bucket-partitioned windows, never a cross join of data.
+    "dq_ks_two_sample",
+    # Neyman: the ONE-ROW Σ(N_h·σ_h) and Σfloor(quota) totals
+    # broadcast onto the |sources|-row stratum table.
+    "sample_neyman_allocation",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are
@@ -147,6 +158,13 @@ UNPARTITIONED_WINDOW_OK = {
     # rank derivation over the BOUNDED top-512 token list (post-
     # TakeOrderedAndProject); raw tokens never enter the window.
     "text_zipf_octaves",
+    # KS bucket-offset prefix sum over the ≤|value-range/50| bucket
+    # rollup (~10 rows here, bounded by the value domain, never by the
+    # row count); per-value cumulatives are bucket-partitioned.
+    "dq_ks_two_sample",
+    # largest-remainder ranking over the |sources|-row stratum table
+    # (bounded by stratum cardinality — the multitouch discipline).
+    "sample_neyman_allocation",
 }
 
 
