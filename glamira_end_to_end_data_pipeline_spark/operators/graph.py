@@ -1151,3 +1151,81 @@ def bfs_distances(
         prev = cur
         batch = min(batch * 2, 16)
     return dist
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed_pred,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank — random walk WITH RESTART to a seed set
+    (Jeh & Widom 2003; the similarity-to-these-nodes ranking behind
+    related-item and who-to-follow surfaces, where global PageRank
+    answers the wrong question): ``r ← (1−d)·s + d·Aᵀ(r/outdeg)``,
+    seeded at ``r₀ = s`` with ``s`` uniform over the seeds and zero
+    elsewhere. Nodes unreachable from the seeds within ``iters`` hops
+    stay at EXACTLY 0.0 (their teleport is the 0.0 literal and they
+    receive only empty contribution sums), so a ``rank > 0`` filter is
+    deterministic, never a float tolerance.
+
+    ``seed_pred`` maps the node Column to a boolean — the seed set is
+    declared, not enumerated, so nothing is collected; its size (the
+    teleport normalizer) is ONE bounded aggregate broadcast back. Loop
+    shape is :func:`pagerank`'s exactly: edge list persisted once,
+    per-round map-side rank join + one destination-keyed partial-
+    aggregated sum, lineage cut by lazy localCheckpoint."""
+    e = tracked_persist(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    nodes_base = (
+        e.select(F.col("u").alias("node"), F.lit(1).alias("t"))
+        .unionAll(e.select(F.col("v").alias("node"), F.lit(0).alias("t")))
+        .groupBy("node")
+        .agg(F.sum("t").alias("outdeg"))
+    )
+    k = nodes_base.agg(
+        F.sum(seed_pred(F.col("node")).cast("long")).alias("n_seeds")
+    )
+    nodes = tracked_persist(
+        nodes_base.crossJoin(F.broadcast(k)).select(
+            "node",
+            "outdeg",
+            F.when(
+                seed_pred(F.col("node")), 1.0 / F.col("n_seeds")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("tp"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    ranks = nodes.withColumn("rank", F.col("tp"))
+    base, d = F.lit(1.0 - damping), F.lit(damping)
+    for _ in range(iters):
+        contribs = (
+            e.join(F.broadcast(ranks), e["u"] == ranks["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(contribs), "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                "tp",
+                (
+                    base * F.col("tp")
+                    + d * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    ranks = ranks.localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    return ranks.select("node", "outdeg", "rank")

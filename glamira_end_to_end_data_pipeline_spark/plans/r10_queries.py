@@ -605,3 +605,280 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_alloc"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: personalized pagerank, grid neighbor join, late-data side output
+# ---------------------------------------------------------------------------
+
+_PPR_ORACLE_EDGES = """
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)"""
+
+
+@query(
+    "graph_pagerank_personalized",
+    f"""
+    WITH {_PPR_ORACLE_EDGES.strip()},
+    nodes AS (SELECT u AS node FROM und GROUP BY u),
+    deg AS (SELECT u, count(*) AS outdeg FROM und GROUP BY u),
+    ns AS (SELECT count(*) AS k FROM nodes WHERE node % 97 = 0),
+    s AS (
+        SELECT node,
+               CASE WHEN node % 97 = 0 THEN 1.0e0 / k ELSE 0.0e0 END AS tp
+        FROM nodes, ns
+    ),
+    r0 AS (SELECT node, tp, tp AS rank FROM s),
+    r1 AS (
+        SELECT s.node, s.tp,
+               0.15e0 * s.tp
+                   + 0.85e0 * coalesce(sum(r.rank / d.outdeg), 0.0e0) AS rank
+        FROM s LEFT JOIN und ON und.v = s.node
+               LEFT JOIN r0 r ON r.node = und.u
+               LEFT JOIN deg d ON d.u = und.u
+        GROUP BY s.node, s.tp
+    ),
+    r2 AS (
+        SELECT s.node, s.tp,
+               0.15e0 * s.tp
+                   + 0.85e0 * coalesce(sum(r.rank / d.outdeg), 0.0e0) AS rank
+        FROM s LEFT JOIN und ON und.v = s.node
+               LEFT JOIN r1 r ON r.node = und.u
+               LEFT JOIN deg d ON d.u = und.u
+        GROUP BY s.node, s.tp
+    ),
+    r3 AS (
+        SELECT s.node, s.tp,
+               0.15e0 * s.tp
+                   + 0.85e0 * coalesce(sum(r.rank / d.outdeg), 0.0e0) AS rank
+        FROM s LEFT JOIN und ON und.v = s.node
+               LEFT JOIN r2 r ON r.node = und.u
+               LEFT JOIN deg d ON d.u = und.u
+        GROUP BY s.node, s.tp
+    )
+    SELECT r3.node AS part_id, cast(deg.outdeg AS BIGINT) AS outdeg,
+           round(r3.rank, 6) AS ppr
+    FROM r3 JOIN deg ON deg.u = r3.node
+    WHERE r3.rank > 0
+    ORDER BY part_id
+    """,
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py:personalized_pagerank
+    — random walk with restart to a declared seed set, Jeh & Widom
+    2003) over the shared co-purchase part graph: the
+    similar-to-THESE-parts ranking behind related-item surfaces, which
+    global PageRank (graph_pagerank) cannot answer. Seeds are declared
+    as a PREDICATE (partkey % 97 == 0) — nothing is collected; the
+    teleport normalizer is one bounded aggregate broadcast back — and
+    nodes outside the seeds' 3-hop neighborhood hold rank EXACTLY 0.0
+    (teleport is a literal zero, contributions are empty sums), so the
+    rank > 0 output filter is deterministic, never a float tolerance.
+    Per round: one map-side join of the persisted edge cache against
+    the broadcast rank vector + one destination-keyed partial sum —
+    graph_pagerank's loop with a restart vector. The oracle unrolls
+    the same three rounds as chained CTEs."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+    from glamira_end_to_end_data_pipeline_spark.plans.extra_queries import (
+        copurchase_edges,
+    )
+
+    half = copurchase_edges(spark, sf_dir)  # u < v ordered pairs
+    edges = half.unionAll(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    ranks = personalized_pagerank(
+        edges, lambda node: node % 97 == 0, src="u", dst="v", iters=3
+    )
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .select(
+            F.col("node").alias("part_id"),
+            F.col("outdeg").cast("bigint").alias("outdeg"),
+            F.round("rank", 6).alias("ppr"),
+        )
+        .orderBy("part_id")
+    )
+
+
+_GRID_EPS = 0.02
+
+
+@query(
+    "j_grid_neighbor_join",
+    f"""
+    WITH pts AS (
+        SELECT vec_id AS id,
+               embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+        FROM embeddings
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {_GRID_EPS} * {_GRID_EPS}
+    ORDER BY id_a, id_b
+    """,
+)
+def j_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-neighbor SPATIAL join via grid bucketing — all point pairs
+    within L2 distance ε in the first two embedding dimensions,
+    found WITHOUT an all-pairs pass: each point lands in one ε-sized
+    grid cell; ONE side explodes to its 3×3 neighboring cells (a
+    bounded 9× literal fan-out, map-side) and an EQUI-join on the cell
+    key yields every candidate pair exactly once (cells within one
+    step are the only ones that can hold a ≤ε neighbor, and the 9
+    exploded cells are distinct so no dedup pass is needed); the exact
+    distance predicate then filters residually. This is the
+    DBSCAN/geo-join bucketing pattern — candidate volume scales with
+    local density × 9, never n², and the plan is a plain shuffled-hash
+    equi-join a 1000-executor cluster partitions cleanly. Floats cast
+    to double BEFORE arithmetic (exact widening) keep the distances
+    bit-identical cross-engine; the oracle is the definitional
+    all-pairs filter."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    eps = F.lit(float(_GRID_EPS))
+    cx = F.floor(F.col("x") / eps).cast("long")
+    cy = F.floor(F.col("y") / eps).cast("long")
+    right = pts.select("id", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    left = (
+        pts.select("id", "x", "y", cx.alias("bx"), cy.alias("by"))
+        .withColumn("o", F.explode(offsets))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("bx") + F.col("o.dx")).alias("cx"),
+            (F.col("by") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x")) + (
+        F.col("ya") - F.col("y")
+    ) * (F.col("ya") - F.col("y"))
+    return (
+        left.join(right, ["cx", "cy"])
+        .filter((F.col("id_a") < F.col("id")) & (d2 <= eps * eps))
+        .select(
+            "id_a",
+            F.col("id").alias("id_b"),
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "stream_late_sideoutput",
+    """
+    WITH ev AS (
+        SELECT event_type, ts,
+               CASE WHEN ts < TIMESTAMP '2024-01-03' THEN 'late'
+                    ELSE 'main' END AS destination
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-03'
+           OR (ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-09')
+    )
+    SELECT destination, event_type,
+           count(*) AS n_events,
+           count(DISTINCT cast(ts AS DATE)) AS n_days
+    FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_late_sideoutput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data SIDE OUTPUT (dead-letter queue) under a streaming
+    drain — the Flink side-output / Beam late-pane pattern Spark
+    expresses in ``foreachBatch``: each micro-batch splits against a
+    cross-batch HIGH-WATER MARK (max event time seen in PRIOR batches
+    minus a 24 h lateness allowance); on-time rows land in the main
+    table, too-late rows are ROUTED — never dropped — to a dead-letter
+    table for reconciliation/backfill, which is the operational
+    contract a watermark alone cannot give (Spark's watermark may
+    silently drop or silently aggregate late rows; a pipeline feeding
+    billing needs them QUARANTINED). Micro-batch order is pinned via
+    file mtimes + maxFilesPerTrigger=1, so the hwm trajectory is
+    deterministic: batch 1 (days 5–8) seeds the hwm with no prior mark
+    (all on-time); batch 2 replays days 1–2, far below hwm−24h → all
+    dead-lettered. The hwm lives in driver state here (a metadata-store
+    row in production — same slot the WAP branch pointer uses); both
+    sinks are plain appends, so the split is idempotent per batch id.
+    Oracle: the destination assignment stated directly on the source
+    rows."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_dlq_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    main_dir = os.path.join(base, "main")
+    late_dir = os.path.join(base, "late")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    b1 = ev.filter((F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-09"))
+    b2 = ev.filter(F.col("ts") < "2024-01-03")
+    for i, batch in enumerate((b1, b2), start=1):
+        batch.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+        f = [x for x in os.listdir(f"{src}/b{i}") if x.endswith(".parquet")][0]
+        os.rename(os.path.join(src, f"b{i}", f), os.path.join(src, f"{i:04d}.parquet"))
+        shutil.rmtree(os.path.join(src, f"b{i}"))
+        t = _time.time() - 120 + i * 60
+        os.utime(os.path.join(src, f"{i:04d}.parquet"), (t, t))
+
+    hwm = {"max_ts": None}  # driver state; a metadata-store row at scale
+
+    def route(batch_df, batch_id):
+        threshold = hwm["max_ts"]
+        if threshold is None:
+            on_time = batch_df
+            late = batch_df.limit(0)
+        else:
+            cut = F.lit(threshold).cast("timestamp") - F.expr("INTERVAL 24 HOURS")
+            on_time = batch_df.filter(F.col("ts") >= cut)
+            late = batch_df.filter(F.col("ts") < cut)
+        on_time.write.mode("append").parquet(main_dir)
+        late.write.mode("append").parquet(late_dir)
+        mx = batch_df.agg(F.max("ts")).collect()[0][0]
+        if mx is not None and (threshold is None or mx > threshold):
+            hwm["max_ts"] = mx
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(route).trigger(availableNow=True).start()
+    q.awaitTermination()
+    main = spark.read.parquet(main_dir).withColumn("destination", F.lit("main"))
+    late = spark.read.parquet(late_dir).withColumn("destination", F.lit("late"))
+    return (
+        main.unionByName(late)
+        .groupBy("destination", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.to_date("ts")).alias("n_days"),
+        )
+        .orderBy("destination", "event_type")
+    )
