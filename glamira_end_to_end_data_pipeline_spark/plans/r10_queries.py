@@ -882,3 +882,113 @@ def stream_late_sideoutput(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("destination", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: Holt level+trend smoothing (the EWMA family's second member)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_holt_linear_trend",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    idx AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS rk
+        FROM daily
+    ),
+    rec(event_type, rk, day, n, l_prev, l, b) AS (
+        SELECT event_type, rk, day, n, CAST(-1 AS BIGINT),
+               n * 1000000, CAST(0 AS BIGINT)
+        FROM idx WHERE rk = 1
+        UNION ALL
+        SELECT i.event_type, i.rk, i.day, i.n, r.l,
+               (i.n * 1000000 + 3 * (r.l + r.b)) >> 2,
+               ((((i.n * 1000000 + 3 * (r.l + r.b)) >> 2) - r.l)
+                   + 3 * r.b) >> 2
+        FROM rec r JOIN idx i
+            ON i.event_type = r.event_type AND i.rk = r.rk + 1
+    )
+    SELECT event_type, day, n AS n_events,
+           l AS level_micro, b AS trend_micro,
+           l + b AS forecast_next_micro
+    FROM rec ORDER BY event_type, day
+    """,
+)
+def w_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's LINEAR-TREND double exponential smoothing over daily
+    event volume — the capacity-forecasting companion of
+    ``w_ewma_anomaly``'s single EWMA, which lags persistently on any
+    trending series because it has no slope state: level
+    l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}) and trend
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} (α=β=1/4), emitting the
+    one-step-ahead forecast l+b a scaling controller acts on. Both
+    recursions run in integer FIXED-POINT micro-units with ARITHMETIC
+    SHIFTS for the /4 — the trend can go NEGATIVE, where truncating
+    division (DuckDB ``//``) and flooring shifts disagree, so both
+    engines use ``>> 2`` (floor) and the whole state stays exact
+    BIGINT, bit-identical across engines, re-runs, and restarts from
+    persisted (l, b) state. Spark shape: the inherently sequential
+    coupled recursion folds over each type's day-sorted daily rollup
+    via the aggregate HOF (|days|-bounded input — the w_ewma_anomaly
+    discipline); raw events partial-aggregate map-side and only the
+    |types|×|days| rollup shuffles. The oracle spells the same
+    recursion as a recursive CTE."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    acc_t = (
+        "struct<l:bigint,b:bigint,"
+        "rows:array<struct<day:date,n:bigint,l:bigint,b:bigint>>>"
+    )
+
+    def step(acc, x):
+        first = acc["l"] < 0
+        l_new = F.when(first, x["n"] * 1000000).otherwise(
+            F.shiftright(
+                x["n"] * 1000000 + 3 * (acc["l"] + acc["b"]), 2
+            )
+        )
+        b_new = F.when(first, F.lit(0).cast("bigint")).otherwise(
+            F.shiftright((l_new - acc["l"]) + 3 * acc["b"], 2)
+        )
+        row = F.struct(
+            x["day"].alias("day"),
+            x["n"].alias("n"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(acc["rows"], F.array(row)).alias("rows"),
+        )
+
+    folded = (
+        daily.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "n"))).alias("xs"))
+        .select(
+            "event_type",
+            F.aggregate(
+                "xs",
+                F.expr(f"CAST(struct(-1L, 0L, array()) AS {acc_t})"),
+                step,
+            ).alias("acc"),
+        )
+        .select("event_type", F.explode("acc.rows").alias("r"))
+    )
+    return folded.select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.n").alias("n_events"),
+        F.col("r.l").alias("level_micro"),
+        F.col("r.b").alias("trend_micro"),
+        (F.col("r.l") + F.col("r.b")).alias("forecast_next_micro"),
+    ).orderBy("event_type", "day")

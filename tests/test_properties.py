@@ -563,3 +563,59 @@ def test_priority_sample_is_exactly_min_n_k_under_ties(
         assert sorted(r.doc_id for r in got) == sorted(ids)[: min(n, k)]
         # all-tied regime: every priority is exactly 2^31
         assert all(r.priority == 2147483648.0 for r in got)
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=1, max_value=50_000), min_size=1, max_size=20),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_holt_fold_matches_python_recursion(spark, tmp_path_factory, series):
+    """w_holt_linear_trend's aggregate-HOF fold == the plain-Python
+    coupled recursion l_t = (x·1e6 + 3(l+b)) >> 2,
+    b_t = ((l_t - l_prev) + 3b) >> 2 — including NEGATIVE trend states,
+    where flooring shifts and truncating division diverge."""
+    import datetime as dt
+    import os
+
+    from glamira_end_to_end_data_pipeline_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 7, 1)
+    rows, eid = [], 0
+    for si, xs in enumerate(series):
+        for day, n in enumerate(xs):
+            for k in range(n % 40 + 1):
+                rows.append(
+                    (eid, t0 + dt.timedelta(days=day, seconds=k), 1,
+                     f"t{si}", 1.0, "{}")
+                )
+                eid += 1
+    sf_dir = str(tmp_path_factory.mktemp("holt"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    got = QUERIES["w_holt_linear_trend"](spark, sf_dir).collect()
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r.event_type, []).append(r)
+    for si, xs in enumerate(series):
+        counts = [x % 40 + 1 for x in xs]
+        out = sorted(by_type[f"t{si}"], key=lambda r: r.day)
+        assert [r.n_events for r in out] == counts
+        lv, b = None, 0
+        for r, x in zip(out, counts):
+            if lv is None:
+                lv = x * 1_000_000
+            else:
+                l_new = (x * 1_000_000 + 3 * (lv + b)) >> 2
+                b = ((l_new - lv) + 3 * b) >> 2
+                lv = l_new
+            assert (r.level_micro, r.trend_micro) == (lv, b)
+            assert r.forecast_next_micro == lv + b
