@@ -196,6 +196,18 @@ HEADLINE = [
     "dq_checksum_reconcile",
     "stream_wap_microbatch",
     "emb_binary_quant_recall",
+    # round-10 additions
+    "graph_scc_hybrid_live",
+    "lake_mor_equality_deletes",
+    "lake_read_by_tag",
+    "dq_schema_drift_detect",
+    "a_heavy_hitters_mg",
+    "dq_ks_two_sample",
+    "sample_neyman_allocation",
+    "graph_pagerank_personalized",
+    "j_grid_neighbor_join",
+    "stream_late_sideoutput",
+    "w_holt_linear_trend",
 ]
 
 

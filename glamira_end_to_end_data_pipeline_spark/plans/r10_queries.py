@@ -1,5 +1,5 @@
 """Round-10 additions — execution-path evidence for the graph hybrid,
-plus new analytics/lake/sampling surfaces:
+plus new lake, analytics, sampling, spatial, and streaming surfaces:
 
 - ``graph_scc_hybrid_live`` — an SCC fixture sized so the driver grade
   EXERCISES both hybrid paths: ≥1 live distributed FW-BW round AND the
@@ -7,6 +7,27 @@ plus new analytics/lake/sampling surfaces:
   (the r9 VERDICT's ask: at sf0.01 the other graph fixtures resolve
   entirely in the sequential finish, so their green no longer proves
   the BSP machinery runs under the driver).
+- ``lake_mor_equality_deletes`` — Iceberg-v2-style merge-on-read: a
+  delete commit writes only key files; the reader applies them with
+  sequence-rule semantics in one broadcast join.
+- ``lake_read_by_tag`` — tag-addressed time travel (Iceberg tag refs).
+- ``dq_schema_drift_detect`` — per-version footer-only schema diff
+  emitting added/removed column events.
+- ``a_heavy_hitters_mg`` — EXACT heavy hitters over a high-cardinality
+  key via two-phase Misra–Gries (per-partition Arrow fold → bounded
+  candidate superset → exact recount).
+- ``dq_ks_two_sample`` — exact Kolmogorov–Smirnov between md5-split
+  halves via a distributed prefix sum (no global sort, no full window).
+- ``sample_neyman_allocation`` — variance-optimal stratified budget
+  split from exact integer moments, largest-remainder rounding.
+- ``graph_pagerank_personalized`` — random walk with restart to a
+  predicate-declared seed set over the co-purchase graph.
+- ``j_grid_neighbor_join`` — ε-neighbor spatial join via grid cells +
+  3×3 neighbor explode into a plain equi-join (never n²).
+- ``stream_late_sideoutput`` — foreachBatch dead-letter routing of
+  too-late rows against a cross-batch high-water mark.
+- ``w_holt_linear_trend`` — Holt level+trend smoothing in exact
+  fixed-point BIGINT with flooring shifts on both engines.
 
 Design note (whole file): every entry keeps the registry's scale
 discipline — map-only or single-exchange plans, bounded driver
@@ -691,7 +712,11 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         copurchase_edges,
     )
 
-    half = copurchase_edges(spark, sf_dir)  # u < v ordered pairs
+    # u < v ordered pairs, materialized ONCE: the symmetrizing union
+    # has two branches, and without the checkpoint each branch would
+    # re-run the whole co-purchase build (collect_list + pair HOF +
+    # count shuffle) independently — measured 19 s → ~10 s at sf0.1.
+    half = copurchase_edges(spark, sf_dir).localCheckpoint()
     edges = half.unionAll(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

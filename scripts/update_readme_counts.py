@@ -26,8 +26,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def bench_rows() -> list[str]:
     rows = []
-    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
-        rnd = re.search(r"BENCH_r(\d+)\.json", path).group(1)
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    # the builder's own full record for the round IN PROGRESS — the
+    # driver's BENCH_r<N>.json lands only after the round closes
+    local = os.path.join(REPO, "BENCH_local.json")
+    if os.path.exists(local):
+        paths.append(local)
+    for path in paths:
+        m_r = re.search(r"BENCH_r(\d+)\.json", path)
+        rnd = m_r.group(1) if m_r else None
         with open(path) as fh:
             raw = fh.read()
         try:
@@ -60,8 +67,9 @@ def bench_rows() -> list[str]:
         norm = doc.get("value_normalized_32c")
         if norm is None and eff:
             norm = round(doc["value"] * eff / 32, 1)
+        label = f"r{int(rnd)}" if rnd else "local (this round)"
         rows.append(
-            f"| r{int(rnd)} | {doc['value']} | {n_q} | "
+            f"| {label} | {doc['value']} | {n_q} | "
             f"{eff if eff is not None else '—'} | "
             f"{norm if norm is not None else '—'} |"
         )
