@@ -1017,3 +1017,204 @@ def w_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.b").alias("trend_micro"),
         (F.col("r.l") + F.col("r.b")).alias("forecast_next_micro"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: MoR compaction lifecycle + categorical chi-squared drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_compact_mor",
+    """
+    WITH base AS (
+        SELECT cast(c_custkey AS BIGINT) AS k, c_mktsegment, c_acctbal
+        FROM customer
+    ),
+    eras AS (
+        SELECT * FROM base WHERE k % 3 IN (0, 1)
+    ),
+    after_first_delete AS (
+        SELECT * FROM eras WHERE k % 10 NOT IN (0, 1)
+    ),
+    final AS (
+        SELECT * FROM after_first_delete WHERE k % 7 <> 2
+    )
+    SELECT c_mktsegment, count(*) AS n_rows,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_compact_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ COMPACTION lifecycle (sources/lake.py:
+    compact_snapshot reading through read_snapshot_mor): two append
+    eras + an equality-delete commit accumulate read-time debt, the
+    rewrite commit MATERIALIZES the deletes (the Iceberg invariant —
+    compacted files outrank every prior delete under the sequence
+    rule, so a raw-view rewrite would resurrect the deleted rows the
+    instant it committed; pinned by tests/test_lake_spec.py), and a
+    SECOND delete landing after the compaction still applies at read
+    time — the full accumulate → materialize → accumulate maintenance
+    loop a 100 TB MoR table lives by. In-query gate: the raw file
+    view of the compacted version must already exclude the first
+    delete's keys (materialization happened in the files, not the
+    reader). The oracle derives the final state from the source."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_morc_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    k = F.col("k")
+    lake.write_snapshot(spark, base.filter(k % 3 == 0), path)
+    lake.write_snapshot(spark, base.filter(k % 3 == 1), path)
+    lake.delete_snapshot(
+        spark, base.filter((k % 10).isin(0, 1)).select("k"), path, ["k"]
+    )
+    v, _n = lake.compact_snapshot(spark, path, n_files=2)
+    # gate: materialization is IN THE FILES — the raw view of the
+    # compacted version carries none of the deleted keys
+    resurrected = (
+        lake.read_snapshot(spark, path, v)
+        .filter((k % 10).isin(0, 1))
+        .limit(1)
+        .count()
+    )
+    if resurrected:
+        raise RuntimeError(
+            "lake_compact_mor: compaction resurrected deleted rows — the "
+            "rewrite read the raw file view instead of the MoR view"
+        )
+    lake.delete_snapshot(
+        spark, base.filter(k % 7 == 2).select("k"), path, ["k"]
+    )
+    served = lake.read_snapshot_mor(spark, path)
+    return (
+        served.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# chi-squared 0.05 critical values for dof 1..12 — literals shared by
+# both engines (decimal strings parse to identical doubles)
+_CHI2_CRIT = (
+    "3.841458820694124", "5.991464547107979", "7.814727903251179",
+    "9.487729036781154", "11.070497693516351", "12.591587243743977",
+    "14.067140449340169", "15.507313055865453", "16.918977604620448",
+    "18.307038053275146", "19.67513757268249", "21.02606981748307",
+)
+
+
+def _chi2_crit_sql(dof_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {i + 1} THEN {v}" for i, v in enumerate(_CHI2_CRIT)
+    )
+    return f"CASE {dof_expr} {cases} END"
+
+
+@query(
+    "dq_chi2_categorical_drift",
+    f"""
+    WITH counts AS (
+        SELECT event_type,
+               sum((ts <  TIMESTAMP '2024-01-08')::INT) AS n_ref,
+               sum((ts >= TIMESTAMP '2024-01-08')::INT) AS n_cur
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT sum(n_ref) AS tr, sum(n_cur) AS tc,
+               count(*) AS k
+        FROM counts
+    ),
+    terms AS (
+        SELECT event_type, n_ref, n_cur,
+               (n_ref - (1.0 * (n_ref + n_cur) * tr) / (tr + tc))
+                   * (n_ref - (1.0 * (n_ref + n_cur) * tr) / (tr + tc))
+                   / ((1.0 * (n_ref + n_cur) * tr) / (tr + tc))
+               + (n_cur - (1.0 * (n_ref + n_cur) * tc) / (tr + tc))
+                   * (n_cur - (1.0 * (n_ref + n_cur) * tc) / (tr + tc))
+                   / ((1.0 * (n_ref + n_cur) * tc) / (tr + tc)) AS term,
+               k
+        FROM counts, tot
+    )
+    SELECT event_type,
+           cast(n_ref AS BIGINT) AS n_ref, cast(n_cur AS BIGINT) AS n_cur,
+           round(term, 6) AS chi2_term,
+           round(sum(term) OVER (), 6) AS chi2_total,
+           cast(k - 1 AS BIGINT) AS dof,
+           sum(term) OVER () > {_chi2_crit_sql("(k - 1)")} AS reject_05
+    FROM terms ORDER BY event_type
+    """,
+)
+def dq_chi2_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared homogeneity test of the event-type MIX, week 1 vs
+    the rest — the CATEGORICAL member of the drift family (PSI reads
+    coarse value buckets, KS reads a numeric CDF; a shifted event-type
+    mix evades both): the 2×k contingency table's
+    χ² = Σ (observed − expected)²/expected with expected counts from
+    the margins, judged against the 0.05 critical value for k−1
+    degrees of freedom (a literal table both engines parse to the
+    same doubles — dof is data-dependent, so the lookup travels with
+    the query). ONE scan: both windows come from a single
+    conditional-count rollup per type (never two filtered passes);
+    the margins are a one-row broadcast back onto the k-row rollup
+    and the χ² total is a window over those k rows (bounded by type
+    cardinality — allow-listed). All inputs are exact integer counts,
+    so the doubles are bit-identical cross-engine."""
+    ev = read_table(spark, sf_dir, "events")
+    is_ref = F.col("ts") < "2024-01-08"
+    counts = ev.groupBy("event_type").agg(
+        F.sum(is_ref.cast("long")).alias("n_ref"),
+        F.sum((~is_ref).cast("long")).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"),
+        F.sum("n_cur").alias("tc"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    row_tot = F.col("n_ref") + F.col("n_cur")
+    grand = F.col("tr") + F.col("tc")
+    e_ref = (1.0 * row_tot * F.col("tr")) / grand
+    e_cur = (1.0 * row_tot * F.col("tc")) / grand
+    term = (
+        (F.col("n_ref") - e_ref) * (F.col("n_ref") - e_ref) / e_ref
+        + (F.col("n_cur") - e_cur) * (F.col("n_cur") - e_cur) / e_cur
+    )
+    crit = F.element_at(
+        F.array(*[F.lit(float(v)) for v in _CHI2_CRIT]),
+        (F.col("k") - 1).cast("int"),
+    )
+    w = Window.partitionBy()
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            term.alias("term"),
+            (F.col("k") - 1).cast("bigint").alias("dof"),
+            crit.alias("crit"),
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.round("term", 6).alias("chi2_term"),
+            F.round(F.sum("term").over(w), 6).alias("chi2_total"),
+            "dof",
+            (F.sum("term").over(w) > F.col("crit")).alias("reject_05"),
+        )
+        .orderBy("event_type")
+    )

@@ -866,13 +866,22 @@ def compact_snapshot(
     unlike :func:`compact_small_files`' in-place directory swap, which
     needs a maintenance window on stores without atomic rename.
 
+    On a table carrying MERGE-ON-READ equality deletes the rewrite
+    reads through :func:`read_snapshot_mor` (identical to the raw read
+    when no deletes exist): compaction MATERIALIZES the deletes and
+    the new version carries none. This is forced, not optional — the
+    compacted files commit at a NEW version, which outranks every
+    prior delete under the sequence rule, so a raw-view rewrite would
+    RESURRECT every deleted row the moment it committed (the Iceberg
+    invariant: rewrites must apply the deletes they compact away).
+
     Returns (new_version, n_parquet_files_written)."""
     latest = latest_snapshot_version(spark, path)
     if latest == 0:
         raise FileNotFoundError(f"no snapshots under {path}")
     prev_doc = _read_manifest_doc(spark, path, latest)
     version = latest + 1
-    compacted = read_snapshot(spark, path, latest).repartition(n_files)
+    compacted = read_snapshot_mor(spark, path, latest).repartition(n_files)
     files = _write_version_data(spark, compacted, path, version)
     # Column metrics must survive compaction: the old per-file stats
     # describe files this rewrite replaces, so RE-stat the compacted

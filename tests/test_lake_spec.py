@@ -165,3 +165,24 @@ def test_read_snapshot_by_tag_resolves_newest(spark, tmp_path):
 
     with _pytest.raises(KeyError):
         lake.read_snapshot_by_tag(spark, path, "nope")
+
+
+def test_compact_materializes_mor_deletes(spark, tmp_path):
+    # Compaction must read THROUGH the deletes: the compacted files
+    # commit at a new version, which outranks every prior delete under
+    # the sequence rule — a raw-view rewrite would resurrect deleted
+    # rows the moment it committed.
+    path = str(tmp_path / "mor_compact")
+    lake.write_snapshot(spark, spark.createDataFrame([(1,), (2,), (3,)], "k int"), path)
+    lake.write_snapshot(spark, spark.createDataFrame([(4,), (5,)], "k int"), path)
+    lake.delete_snapshot(spark, spark.createDataFrame([(2,), (4,)], "k int"), path, ["k"])
+    v, n = lake.compact_snapshot(spark, path, n_files=1)
+    assert v == 4
+    # raw view of the compacted version == MoR view (deletes materialized)
+    assert sorted(r.k for r in lake.read_snapshot(spark, path, v).collect()) == [1, 3, 5]
+    assert sorted(r.k for r in lake.read_snapshot_mor(spark, path, v).collect()) == [1, 3, 5]
+    # deletes AFTER compaction still apply via MoR
+    lake.delete_snapshot(spark, spark.createDataFrame([(5,)], "k int"), path, ["k"])
+    assert sorted(r.k for r in lake.read_snapshot_mor(spark, path).collect()) == [1, 3]
+    # time travel to the pre-compaction MoR view still works
+    assert sorted(r.k for r in lake.read_snapshot_mor(spark, path, 3).collect()) == [1, 3, 5]

@@ -129,6 +129,9 @@ BNLJ_OK = {
     # Neyman: the ONE-ROW Σ(N_h·σ_h) and Σfloor(quota) totals
     # broadcast onto the |sources|-row stratum table.
     "sample_neyman_allocation",
+    # chi2: the ONE-ROW margins broadcast onto the |event-types|-row
+    # contingency rollup (the q11/q15 scalar pattern).
+    "dq_chi2_categorical_drift",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are
@@ -158,6 +161,9 @@ UNPARTITIONED_WINDOW_OK = {
     # rank derivation over the BOUNDED top-512 token list (post-
     # TakeOrderedAndProject); raw tokens never enter the window.
     "text_zipf_octaves",
+    # chi2 total over the |event-types|-row contingency rollup —
+    # bounded by type cardinality, the dq_psi_drift spine shape.
+    "dq_chi2_categorical_drift",
     # KS bucket-offset prefix sum over the ≤|value-range/50| bucket
     # rollup (~10 rows here, bounded by the value domain, never by the
     # row count); per-value cumulatives are bucket-partitioned.
