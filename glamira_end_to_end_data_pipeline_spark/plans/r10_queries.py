@@ -1218,3 +1218,205 @@ def dq_chi2_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "w_cusum_changepoint",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    mu AS (
+        SELECT event_type,
+               (sum(n) * 1000000) // count(*) AS mu_micro
+        FROM daily GROUP BY event_type
+    ),
+    idx AS (
+        SELECT d.*, m.mu_micro,
+               row_number() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.day) AS rk
+        FROM daily d JOIN mu m USING (event_type)
+    ),
+    rec(event_type, rk, day, n, mu_micro, s) AS (
+        SELECT event_type, rk, day, n, mu_micro,
+               greatest(CAST(0 AS BIGINT),
+                        n * 1000000 - (mu_micro + mu_micro // 10))
+        FROM idx WHERE rk = 1
+        UNION ALL
+        SELECT i.event_type, i.rk, i.day, i.n, i.mu_micro,
+               greatest(CAST(0 AS BIGINT),
+                        r.s + i.n * 1000000
+                            - (i.mu_micro + i.mu_micro // 10))
+        FROM rec r JOIN idx i
+            ON i.event_type = r.event_type AND i.rk = r.rk + 1
+    )
+    SELECT event_type, day, n AS n_events, mu_micro,
+           s AS cusum_micro,
+           s > 4 * mu_micro AS is_alarm
+    FROM rec ORDER BY event_type, day
+    """,
+)
+def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection over daily event volume
+    — the drift family's SEQUENTIAL member (Page 1954): PSI/KS/χ²
+    compare two fixed windows, but an upward LEVEL SHIFT mid-stream is
+    caught earliest by the cumulative sum of exceedances
+    S_t = max(0, S_{t-1} + x_t − (μ + k)) with allowance k = μ/10 and
+    alarm at S_t > 4μ — small persistent drifts accumulate where any
+    per-day z-score stays under threshold. All state is exact BIGINT
+    micro-units (μ is an integer-division mean; both engines truncate
+    identically on these positive values), so alarms are bit-stable
+    across engines and restarts — the recursion restarts from one
+    persisted (type, S) row exactly like the EWMA/Holt family. Spark
+    shape: μ and the day-sorted series come from ONE aggregation per
+    type; the fold runs under the aggregate HOF over the
+    |days|-bounded rollup; the oracle spells the same recursion as a
+    recursive CTE."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("xs"),
+        F.expr("(sum(n) * 1000000) div count(*)").alias("mu_micro"),
+    )
+    acc_t = (
+        "struct<s:bigint,"
+        "rows:array<struct<day:date,n:bigint,s:bigint>>>"
+    )
+
+    def step(acc, x):
+        s_new = F.greatest(
+            F.lit(0).cast("bigint"),
+            acc["s"]
+            + x["n"] * 1000000
+            - (F.col("mu_micro") + F.expr("mu_micro div 10")),
+        )
+        row = F.struct(
+            x["day"].alias("day"), x["n"].alias("n"), s_new.alias("s")
+        )
+        return F.struct(
+            s_new.alias("s"),
+            F.concat(acc["rows"], F.array(row)).alias("rows"),
+        )
+
+    folded = (
+        g.select(
+            "event_type",
+            "mu_micro",
+            F.aggregate(
+                "xs",
+                F.expr(f"CAST(struct(0L, array()) AS {acc_t})"),
+                step,
+            ).alias("acc"),
+        )
+        .select("event_type", "mu_micro", F.explode("acc.rows").alias("r"))
+    )
+    return folded.select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.n").alias("n_events"),
+        "mu_micro",
+        F.col("r.s").alias("cusum_micro"),
+        (F.col("r.s") > 4 * F.col("mu_micro")).alias("is_alarm"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "lake_expire_versions",
+    """
+    WITH base AS (
+        SELECT cast(c_custkey AS BIGINT) AS k, c_mktsegment, c_acctbal
+        FROM customer
+    ),
+    kept_old AS (
+        SELECT * FROM base
+        WHERE k % 3 IN (0, 1) AND k % 10 NOT IN (0, 1)
+    ),
+    era4 AS (SELECT * FROM base WHERE k % 3 = 2),
+    reinserted AS (
+        SELECT k, c_mktsegment, 555.0 AS c_acctbal
+        FROM base WHERE k % 30 = 0
+    ),
+    final AS (
+        SELECT * FROM kept_old
+        UNION ALL SELECT * FROM era4
+        UNION ALL SELECT * FROM reinserted
+    )
+    SELECT c_mktsegment, count(*) AS n_rows,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_expire_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot EXPIRY (sources/lake.py:expire_snapshots — Iceberg's
+    expire_snapshots / Delta retention): five commits accumulate (two
+    eras, an equality-delete, a third era, a re-insert), then all but
+    the newest two versions expire — manifests dropped, their
+    exclusively-referenced files physically removed — while every
+    retained-version contract survives the amputated history: the
+    oldest retained manifest is rewritten with a full ``ever``
+    checkpoint (incremental readers never walk past the horizon) and
+    the expired delete commit is CARRIED FORWARD with its original
+    sequence version, so the head's merge-on-read view is unchanged
+    (deletes still hit only pre-delete eras; the later re-insert still
+    survives). In-query gates: time travel below the horizon RAISES,
+    and post-expiry GC finds zero orphans (carried delete files are
+    referenced). The oracle derives the head state from the source —
+    if expiry dropped or resurrected anything, the rollup moves."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_expire_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    k = F.col("k")
+    lake.write_snapshot(spark, base.filter(k % 3 == 0), path)
+    lake.write_snapshot(spark, base.filter(k % 3 == 1), path)
+    lake.delete_snapshot(
+        spark, base.filter((k % 10).isin(0, 1)).select("k"), path, ["k"]
+    )
+    lake.write_snapshot(spark, base.filter(k % 3 == 2), path)
+    lake.write_snapshot(
+        spark,
+        base.filter(k % 30 == 0).select(
+            "k", "c_mktsegment", F.lit(555.0).alias("c_acctbal")
+        ),
+        path,
+    )
+    out = lake.expire_snapshots(spark, path, keep_last=2)
+    if out["expired_versions"] != 3:
+        raise RuntimeError(f"lake_expire_versions: expected 3 expired, got {out}")
+    try:
+        lake.read_snapshot(spark, path, 2)
+        raise RuntimeError(
+            "lake_expire_versions: time travel below the expiry horizon "
+            "must raise"
+        )
+    except FileNotFoundError:
+        pass
+    if lake.gc_orphan_files(spark, path) != 0:
+        raise RuntimeError(
+            "lake_expire_versions: GC swept files expiry should have "
+            "retained (carried delete files must stay referenced)"
+        )
+    served = lake.read_snapshot_mor(spark, path)
+    return (
+        served.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

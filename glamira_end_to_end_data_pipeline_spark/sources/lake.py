@@ -439,7 +439,10 @@ def snapshot_tags(spark: SparkSession, path: str) -> set:
     version's tag set forward so this is one read, not V."""
     tags = set()
     for v in range(1, latest_snapshot_version(spark, path) + 1):
-        t = _get_json(spark, f"{_manifest_dir(path)}/v{v}.json").get("tag")
+        try:
+            t = _read_manifest_doc(spark, path, v).get("tag")
+        except FileNotFoundError:
+            continue  # expired version
         if t is not None:
             tags.add(t)
     return tags
@@ -1098,9 +1101,14 @@ def gc_orphan_files(spark: SparkSession, path: str) -> int:
     noted here because this sandbox has no concurrent writers."""
     referenced: set[str] = set()
     for v in range(1, latest_snapshot_version(spark, path) + 1):
-        doc = _read_manifest_doc(spark, path, v)
+        try:
+            doc = _read_manifest_doc(spark, path, v)
+        except FileNotFoundError:
+            continue  # expired version
         referenced.update(doc["files"])
         referenced.update(doc.get("delete_files", ()))
+        for cd in doc.get("carried_deletes", ()):
+            referenced.update(cd["files"])
     # staged (not-yet-published) WAP branches hold live data too — a GC
     # that ignored branch pointers would sweep a batch mid-audit
     for b in list_branches(spark, path):
@@ -1133,6 +1141,88 @@ def gc_orphan_files(spark: SparkSession, path: str) -> int:
                     fs.delete(p, False)
                     removed += 1
     return removed
+
+
+def expire_snapshots(
+    spark: SparkSession, path: str, keep_last: int
+) -> dict:
+    """Version EXPIRY (Iceberg's ``expire_snapshots`` / Delta's log +
+    data retention) — the lifecycle step every long-lived table needs
+    once history outgrows its audit window: drop all but the newest
+    ``keep_last`` versions' manifests and physically remove the data
+    files ONLY they referenced. Readers of retained versions are
+    unaffected; time travel below the horizon raises (the files are
+    gone — better loudly than wrongly).
+
+    Metadata is FOLDED FORWARD before anything is removed, so every
+    retained-version contract survives the amputated history:
+
+    - the oldest retained manifest gets a full ``ever`` checkpoint
+      (reconstructed from the expiring chain) so incremental readers'
+      bounded seeding walk never descends past the horizon;
+    - expiring EQUALITY-DELETE commits move into the oldest retained
+      manifest's ``carried_deletes`` (each with its original version —
+      the sequence rule needs it), because a merge-on-read table's
+      head still applies them; their delete files are retained.
+
+    Order is crash-safe: fold-forward rewrite first (idempotent),
+    physical file deletes second (orphan-equivalent if interrupted),
+    manifest deletes last (a survivor manifest is re-expired next
+    run). Returns ``{"expired_versions": n, "removed_files": m}``."""
+    head = latest_snapshot_version(spark, path)
+    cutoff = head - keep_last + 1  # oldest retained version
+    if cutoff <= 1:
+        return {"expired_versions": 0, "removed_files": 0}
+    fs, _ = _hadoop_fs(spark, path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+
+    doc = _read_manifest_doc(spark, path, cutoff)
+    changed = False
+    if "ever" not in doc:
+        doc["ever"] = _cumulative_ever(spark, path, cutoff)
+        doc.pop("ever_delta", None)
+        changed = True
+    carried = list(doc.get("carried_deletes", []))
+    expiring: list[dict] = []
+    for v in range(1, cutoff):
+        try:
+            expiring.append(_read_manifest_doc(spark, path, v))
+        except FileNotFoundError:
+            continue  # expired by a previous run
+    for d in expiring:
+        for cd in d.get("carried_deletes", []):
+            carried.append(cd)
+        if d.get("delete_files"):
+            carried.append(
+                {"version": d["version"], "files": d["delete_files"]}
+            )
+    carried = sorted(
+        {(c["version"], tuple(c["files"])) for c in carried}
+    )
+    carried = [{"version": v, "files": list(f)} for v, f in carried]
+    if carried != doc.get("carried_deletes", []):
+        doc["carried_deletes"] = carried
+        changed = True
+    if changed:
+        _put_json(spark, f"{_manifest_dir(path)}/v{cutoff}.json", doc)
+
+    retained: set[str] = set()
+    for v in range(cutoff, head + 1):
+        d = doc if v == cutoff else _read_manifest_doc(spark, path, v)
+        retained.update(d["files"])
+        retained.update(d.get("delete_files", ()))
+        for cd in d.get("carried_deletes", ()):
+            retained.update(cd["files"])
+    removed = 0
+    for d in expiring:
+        doomed = set(d["files"]) | set(d.get("delete_files", ()))
+        for f in doomed - retained:
+            p = jvm_path(f)
+            if fs.exists(p) and fs.delete(p, False):
+                removed += 1
+    for d in expiring:
+        fs.delete(jvm_path(f"{_manifest_dir(path)}/v{d['version']}.json"), False)
+    return {"expired_versions": len(expiring), "removed_files": removed}
 
 
 # ---------------------------------------------------------------------------
@@ -1205,9 +1295,19 @@ def read_snapshot_mor(
     files = doc["files"]
     dels: list[tuple[int, list[str]]] = []
     for v in range(1, version + 1):
-        d = doc if v == version else _read_manifest_doc(spark, path, v)
+        if v == version:
+            d = doc
+        else:
+            try:
+                d = _read_manifest_doc(spark, path, v)
+            except FileNotFoundError:
+                continue  # expired — its deletes were carried forward
         if d.get("delete_files"):
             dels.append((v, d["delete_files"]))
+        # equality deletes folded forward from expired versions keep
+        # their ORIGINAL version (the sequence rule needs it)
+        for cd in d.get("carried_deletes", ()):
+            dels.append((cd["version"], cd["files"]))
     base = spark.read.parquet(*files).withColumn(
         "__era",
         F.regexp_extract(F.input_file_name(), r"/data/v(\d+)/", 1).cast("long"),
@@ -1243,7 +1343,11 @@ def read_snapshot_by_tag(spark: SparkSession, path: str, tag: str) -> DataFrame:
     audit read cannot silently serve the head."""
     head = latest_snapshot_version(spark, path)
     for v in range(head, 0, -1):
-        if _get_json(spark, f"{_manifest_dir(path)}/v{v}.json").get("tag") == tag:
+        try:
+            doc = _read_manifest_doc(spark, path, v)
+        except FileNotFoundError:
+            continue  # expired version
+        if doc.get("tag") == tag:
             return read_snapshot(spark, path, v)
     raise KeyError(f"tag {tag!r} not found in any snapshot under {path}")
 

@@ -186,3 +186,51 @@ def test_compact_materializes_mor_deletes(spark, tmp_path):
     assert sorted(r.k for r in lake.read_snapshot_mor(spark, path).collect()) == [1, 3]
     # time travel to the pre-compaction MoR view still works
     assert sorted(r.k for r in lake.read_snapshot_mor(spark, path, 3).collect()) == [1, 3, 5]
+
+
+def test_expire_snapshots_folds_state_forward(spark, tmp_path):
+    path = str(tmp_path / "expire")
+    # v1..v2 appends, v3 equality delete, v4..v5 appends
+    lake.write_snapshot(spark, spark.createDataFrame([(1,), (2,)], "k int"), path, tag="genesis")
+    lake.write_snapshot(spark, spark.createDataFrame([(3,), (4,)], "k int"), path)
+    lake.delete_snapshot(spark, spark.createDataFrame([(2,), (3,)], "k int"), path, ["k"])
+    lake.write_snapshot(spark, spark.createDataFrame([(5,)], "k int"), path, tag="recent")
+    lake.write_snapshot(spark, spark.createDataFrame([(2,)], "k int"), path)  # re-insert
+    before = sorted(r.k for r in lake.read_snapshot_mor(spark, path).collect())
+    assert before == [1, 2, 4, 5]
+
+    out = lake.expire_snapshots(spark, path, keep_last=2)
+    assert out["expired_versions"] == 3
+    # head MoR view is unchanged — the expired delete commit was
+    # carried forward with its original sequence version
+    assert sorted(r.k for r in lake.read_snapshot_mor(spark, path).collect()) == before
+    # retained versions still read; expired ones raise
+    assert lake.read_snapshot(spark, path, 4).count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        lake.read_snapshot(spark, path, 2)
+    # tags: expired tag gone, retained tag resolvable
+    assert lake.snapshot_tags(spark, path) == {"recent"}
+    assert lake.read_snapshot_by_tag(spark, path, "recent").count() == 5
+    # incremental read across the fold boundary still composes
+    got = sorted(r.k for r in lake.read_incremental(spark, path, 4, 5).collect())
+    assert got == [2]
+    # GC finds nothing to sweep (carried delete files are referenced)
+    assert lake.gc_orphan_files(spark, path) == 0
+    # expiry is idempotent
+    assert lake.expire_snapshots(spark, path, keep_last=2) == {
+        "expired_versions": 0, "removed_files": 0,
+    }
+
+
+def test_expire_snapshots_removes_only_unreferenced_files(spark, tmp_path):
+    path = str(tmp_path / "expire2")
+    lake.write_snapshot(spark, spark.range(5).coalesce(1), path)
+    lake.write_snapshot(spark, spark.range(5, 8).coalesce(1), path)
+    # v3 = replace: only its own files referenced going forward
+    lake.write_snapshot(spark, spark.range(100, 103).coalesce(1), path, replace=True)
+    out = lake.expire_snapshots(spark, path, keep_last=1)
+    assert out["expired_versions"] == 2
+    assert out["removed_files"] == 2  # v1 + v2 data files now unreferenced
+    assert sorted(r.id for r in lake.read_snapshot(spark, path).collect()) == [100, 101, 102]
