@@ -1230,7 +1230,7 @@ def dq_chi2_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mu AS (
         SELECT event_type,
-               (sum(n) * 1000000) // count(*) AS mu_micro
+               CAST((sum(n) * 1000000) // count(*) AS BIGINT) AS mu_micro
         FROM daily GROUP BY event_type
     ),
     idx AS (

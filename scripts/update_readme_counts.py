@@ -52,9 +52,11 @@ def bench_rows() -> list[str]:
                 m = re.search(rf'"{key}": ([0-9.]+)', tail)
                 if m:
                     doc[key] = float(m.group(1))
-            m = re.search(r'"host_probe": (\{[^{}]*\})', tail)
-            if m:
-                doc["host_probe"] = json.loads(m.group(1))
+            # r10+ probes are nested (pre/post); the OUTER mean is the
+            # LAST "effective_cores" occurrence in the line
+            effs = re.findall(r'"effective_cores": ([0-9.]+)', tail)
+            if effs:
+                doc["host_probe"] = {"effective_cores": float(effs[-1])}
             # the tail preserves only the last ~2000 chars, so the
             # per-query count is a LOWER bound for wrapped records
             n_tail = len(re.findall(r'"[a-z0-9_]+": [0-9.]+,', tail))
