@@ -619,3 +619,194 @@ def test_holt_fold_matches_python_recursion(spark, tmp_path_factory, series):
                 lv = l_new
             assert (r.level_micro, r.trend_micro) == (lv, b)
             assert r.forecast_next_micro == lv + b
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-300, max_value=300),
+            st.integers(min_value=-300, max_value=300),
+        ),
+        min_size=2,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_grid_neighbor_join_equals_brute_force(spark, pts):
+    """j_grid_neighbor_join's grid+3x3-explode candidate generation is
+    EXACT: for arbitrary integer/1000-grid points (tie- and boundary-
+    heavy: many points land exactly on cell edges, where a wrong
+    floor/offset would lose pairs), the pair set equals the O(n^2)
+    brute-force filter."""
+    import itertools
+    import math
+
+    eps = 0.02
+    coords = [(i, x / 1000.0, y / 1000.0) for i, (x, y) in enumerate(pts)]
+    expected = set()
+    for (ia, xa, ya), (ib, xb, yb) in itertools.combinations(coords, 2):
+        if (xa - xb) ** 2 + (ya - yb) ** 2 <= eps * eps:
+            expected.add((min(ia, ib), max(ia, ib)))
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(coords, "id long, x double, y double")
+    cx = F.floor(F.col("x") / eps).cast("long")
+    cy = F.floor(F.col("y") / eps).cast("long")
+    right = df.select("id", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    left = (
+        df.select("id", "x", "y", cx.alias("bx"), cy.alias("by"))
+        .withColumn("o", F.explode(offsets))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("bx") + F.col("o.dx")).alias("cx"),
+            (F.col("by") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x")) + (
+        F.col("ya") - F.col("y")
+    ) * (F.col("ya") - F.col("y"))
+    got = {
+        (r.id_a, r.id_b)
+        for r in left.join(right, ["cx", "cy"])
+        .filter((F.col("id_a") < F.col("id")) & (d2 <= eps * eps))
+        .select("id_a", F.col("id").alias("id_b"))
+        .collect()
+    }
+    assert got == expected
+    assert math.isfinite(eps)
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=12), min_size=10, max_size=300
+    ),
+    st.integers(min_value=2, max_value=6),  # MG k
+    st.integers(min_value=1, max_value=8),  # partitions
+)
+def test_mg_two_phase_heavy_hitters_exact(spark, keys, k, nparts):
+    """The two-phase Misra-Gries pipeline returns EXACTLY the keys with
+    frequency > n/k, for any key skew, any k, and any partitioning —
+    the MG candidate union must be a superset of the truth no matter
+    how rows land in partitions."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from glamira_end_to_end_data_pipeline_spark.operators.sketch import (
+        mg_candidates,
+    )
+
+    n = len(keys)
+    truth = {
+        str(key) for key, c in Counter(keys).items() if c > n / k
+    }
+    df = spark.createDataFrame(
+        [(str(key),) for key in keys], "hot_key string"
+    ).repartition(nparts)
+    cands = (
+        mg_candidates(df, "hot_key", k)
+        .select("hot_key")
+        .distinct()
+        .withColumn("__cand", F.lit(True))
+    )
+    grouped = (
+        df.join(F.broadcast(cands), "hot_key", "left")
+        .groupBy(
+            F.when(F.col("__cand"), F.col("hot_key"))
+            .otherwise(F.lit("__other"))
+            .alias("hot_key")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    got = {
+        r.hot_key
+        for r in grouped.collect()
+        if r.hot_key != "__other" and r.n_rows > n / k
+    }
+    assert got == truth
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # value (quantized)
+            st.booleans(),  # split
+        ),
+        min_size=4,
+        max_size=200,
+    )
+)
+def test_ks_prefix_sum_matches_naive(spark, rows):
+    """The distributed two-level prefix-sum KS statistic equals the
+    naive single-pass computation for arbitrary value/split mixes
+    (duplicate values, empty-ish splits guarded)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # ensure both splits are non-empty
+    rows = rows + [(0, True), (0, False)]
+    na = sum(1 for _, s in rows if not s)
+    nb = sum(1 for _, s in rows if s)
+    # naive python CDF diff over sorted distinct values
+    from collections import Counter
+
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for v, s in rows:
+        (cb if s else ca)[v / 4.0] += 1
+    vals = sorted(set(ca) | set(cb))
+    best, ia, ib = 0.0, 0, 0
+    for v in vals:
+        ia += ca.get(v, 0)
+        ib += cb.get(v, 0)
+        best = max(best, abs(ia / na - ib / nb))
+
+    df = spark.createDataFrame(
+        [(v / 4.0, 1 if s else 0) for v, s in rows], "value double, s int"
+    )
+    g = df.groupBy("value").agg(
+        F.sum((F.col("s") == 0).cast("long")).alias("ca"),
+        F.sum((F.col("s") == 1).cast("long")).alias("cb"),
+    ).withColumn("bucket", F.floor(F.col("value") / 2.0))
+    win_in = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "bucket", "value",
+        F.sum("ca").over(win_in).alias("ia"),
+        F.sum("cb").over(win_in).alias("ib"),
+    )
+    btot = g.groupBy("bucket").agg(F.sum("ca").alias("ba"), F.sum("cb").alias("bb"))
+    win_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bucket",
+        F.coalesce(F.sum("ba").over(win_b), F.lit(0)).alias("pa"),
+        F.coalesce(F.sum("bb").over(win_b), F.lit(0)).alias("pb"),
+    )
+    d = (
+        cum.join(boff, "bucket")
+        .select(
+            F.abs(
+                (F.col("pa") + F.col("ia")) / F.lit(float(na))
+                - (F.col("pb") + F.col("ib")) / F.lit(float(nb))
+            ).alias("d")
+        )
+        .agg(F.max("d"))
+        .collect()[0][0]
+    )
+    assert abs(d - best) < 1e-12
