@@ -1476,7 +1476,14 @@ def stage_branch(
 def read_branch(spark: SparkSession, path: str, branch: str) -> DataFrame:
     """WAP step 2 (audit): the table AS IF the branch were published —
     the base version's files plus the staged batch. Audit queries run
-    against this frame; main readers see none of it."""
+    against this frame; main readers see none of it.
+
+    This is the RAW file view: on a table carrying merge-on-read
+    equality deletes, audit the two halves separately —
+    ``read_snapshot_mor(path, base_version)`` for the published state
+    plus the staged frame — because staged files live outside the
+    version-dir sequence and cannot be era-ranked against deletes
+    until publish assigns them a version."""
     doc = _read_branch_doc(spark, path, branch)
     base_files = (
         _read_manifest(spark, path, doc["base_version"])

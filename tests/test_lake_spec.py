@@ -234,3 +234,24 @@ def test_expire_snapshots_removes_only_unreferenced_files(spark, tmp_path):
     assert out["expired_versions"] == 2
     assert out["removed_files"] == 2  # v1 + v2 data files now unreferenced
     assert sorted(r.id for r in lake.read_snapshot(spark, path).collect()) == [100, 101, 102]
+
+
+def test_stage_branch_refuses_committed_dir_collision(spark, tmp_path):
+    # Defensive guard: if a committed manifest somehow references files
+    # under the prospective staged dir (monotone versions make this
+    # unreachable in normal flows), the stage must refuse rather than
+    # overwrite committed data.
+    import json
+    import os
+
+    path = str(tmp_path / "wap_guard")
+    lake.write_snapshot(spark, spark.range(3), path)
+    doc = lake._read_manifest_doc(spark, path, 1)
+    doc["files"] = doc["files"] + [
+        f"file:{path}/data/vb_evil_1/part-00000.parquet"
+    ]
+    doc["ever"] = sorted(set(doc.get("ever", [])) | set(doc["files"]))
+    lake._put_json(spark, f"{path}/_manifests/v1.json", doc)
+    with pytest.raises(RuntimeError, match="would corrupt"):
+        lake.stage_branch(spark, spark.range(5), path, "evil")
+    assert os.path.exists(path)  # and nothing was written over
