@@ -105,8 +105,12 @@ def graph_scc_hybrid_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         cycle.unionAll(bridge),
         # fixture-known depths: coloring crosses the bridge then one
         # cycle (2 steps), the flag wave one hop — seed the doubling
-        # schedules to land in 2 probes each.
-        trim_batch0=1,
+        # schedules to land in 2 probes each. trim_batch0=0: every
+        # node sits on a cycle (no trivial SCCs by construction), so
+        # the trim pre-pass would only re-prove that at ~5 shuffle
+        # stages; a zero-step batch probes once and moves on (trim is
+        # a pure optimization — skipping it never changes the result).
+        trim_batch0=0,
         fwd_batch0=2,
         bwd_batch0=1,
         local_threshold=200,
