@@ -255,3 +255,35 @@ def test_stage_branch_refuses_committed_dir_collision(spark, tmp_path):
     with pytest.raises(RuntimeError, match="would corrupt"):
         lake.stage_branch(spark, spark.range(5), path, "evil")
     assert os.path.exists(path)  # and nothing was written over
+
+
+def test_expire_twice_folds_carried_deletes_again(spark, tmp_path):
+    # Second expiry must fold the previous fold's carried_deletes
+    # forward into the new oldest-retained manifest.
+    path = str(tmp_path / "expire3")
+    lake.write_snapshot(spark, spark.createDataFrame([(1,), (2,)], "k int"), path)
+    lake.delete_snapshot(spark, spark.createDataFrame([(2,)], "k int"), path, ["k"])
+    lake.write_snapshot(spark, spark.createDataFrame([(3,)], "k int"), path)
+    lake.write_snapshot(spark, spark.createDataFrame([(4,)], "k int"), path)
+    lake.write_snapshot(spark, spark.createDataFrame([(5,)], "k int"), path)
+    lake.expire_snapshots(spark, path, keep_last=3)  # drop v1, v2
+    assert sorted(r.k for r in lake.read_snapshot_mor(spark, path).collect()) == [1, 3, 4, 5]
+    lake.expire_snapshots(spark, path, keep_last=1)  # drop v3, v4
+    assert sorted(r.k for r in lake.read_snapshot_mor(spark, path).collect()) == [1, 3, 4, 5]
+    doc = lake._read_manifest_doc(spark, path, 5)
+    assert doc.get("carried_deletes") == [{"version": 2, "files": doc["carried_deletes"][0]["files"]}]
+
+
+def test_expire_then_gc_on_partitioned_versions(spark, tmp_path):
+    # expiry removes files; a following GC clears the emptied version
+    # dirs (including hive partition subdirs and _SUCCESS markers).
+    path = str(tmp_path / "expire4")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "p string, x int")
+    lake.write_snapshot(spark, df, path, partition_by=["p"])
+    lake.write_snapshot(spark, df, path, replace=True, partition_by=["p"])
+    out = lake.expire_snapshots(spark, path, keep_last=1)
+    assert out["expired_versions"] == 1 and out["removed_files"] == 2
+    lake.gc_orphan_files(spark, path)
+    fs, d1 = lake._hadoop_fs(spark, path + "/data/v1")
+    assert not fs.exists(d1)
+    assert lake.read_snapshot(spark, path).count() == 2
