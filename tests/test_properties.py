@@ -810,3 +810,77 @@ def test_ks_prefix_sum_matches_naive(spark, rows):
         .collect()[0][0]
     )
     assert abs(d - best) < 1e-12
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+            st.tuples(st.just("delete"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+            st.tuples(st.just("compact"), st.just([])),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_mor_lake_matches_reference_model(spark, tmp_path_factory, ops):
+    """Model-based check of the merge-on-read lake: ANY interleaving of
+    append / equality-delete / compact commits must read (via
+    read_snapshot_mor) exactly what a sequential in-memory model holds
+    — sequence rule, re-inserts, multiset semantics (duplicate keys in
+    different appends both survive until deleted), and compaction
+    materialization all at once. Each committed version is also
+    time-travel-checked against the model's state AT that version."""
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    path = str(tmp_path_factory.mktemp("mor_model") / "t")
+    # model: list of (key, era) live rows; deletes remove rows with
+    # era < delete version; compact rewrites all live rows at era v
+    live: list = []
+    states = {}
+    rid = 0
+    version = 0
+    first = ops[0][0] == "append"
+    if not first:
+        ops = [("append", [0, 1])] + ops
+    for op, payload in ops:
+        if op == "append":
+            version += 1
+            rows = [(key, rid + i) for i, key in enumerate(payload)]
+            rid += len(payload)
+            lake.write_snapshot(
+                spark,
+                spark.createDataFrame(rows, "k int, rid long"),
+                path,
+            )
+            live.extend((key, version, r) for key, r in rows)
+        elif op == "delete":
+            if version == 0:
+                continue
+            version += 1
+            lake.delete_snapshot(
+                spark,
+                spark.createDataFrame([(key,) for key in payload], "k int"),
+                path,
+                ["k"],
+            )
+            doomed = set(payload)
+            live = [
+                (key, era, r)
+                for key, era, r in live
+                if not (key in doomed and era < version)
+            ]
+        else:  # compact
+            if version == 0:
+                continue
+            version += 1
+            lake.compact_snapshot(spark, path)
+            live = [(key, version, r) for key, _, r in live]
+        states[version] = sorted((key, r) for key, _, r in live)
+    for v, expected in states.items():
+        got = sorted(
+            (r.k, r.rid)
+            for r in lake.read_snapshot_mor(spark, path, v).collect()
+        )
+        assert got == expected, (v, got, expected)
