@@ -884,3 +884,48 @@ def test_mor_lake_matches_reference_model(spark, tmp_path_factory, ops):
             for r in lake.read_snapshot_mor(spark, path, v).collect()
         )
         assert got == expected, (v, got, expected)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=-5, max_value=15),
+            st.sampled_from(["a:b", "a=b", "x y", "", "plain", "a%b"]),
+            st.none(),
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    st.booleans(),  # partition v2 on the probe column?
+)
+def test_spec_pruned_read_equals_unpruned_filter(spark, tmp_path_factory, vals, spec_v2):
+    """read_snapshot_spec_pruned is a pure OPTIMIZATION: for any mix of
+    numeric / Hive-special-character / empty / NULL values — written
+    under both an unpartitioned spec (stats fallback) and a partitioned
+    one (path matching) — the pruned read returns exactly the rows the
+    unpruned filter does, for every distinct probe value."""
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    path = str(tmp_path_factory.mktemp("specp") / "t")
+    typed = [(str(v) if v is not None else None, i) for i, v in enumerate(vals)]
+    half = len(typed) // 2
+    v1 = spark.createDataFrame(typed[:half] or [("seed", -1)], "k string, x int")
+    v2 = spark.createDataFrame(typed[half:] or [("seed2", -2)], "k string, x int")
+    lake.write_snapshot(spark, v1.coalesce(1), path, stats_cols=["k"])
+    lake.write_snapshot(
+        spark, v2, path, partition_by=["k"] if spec_v2 else None,
+        stats_cols=None if spec_v2 else ["k"],
+    )
+    table = lake.read_snapshot(spark, path)
+    probes = {v if v is None else str(v) for v in vals}
+    for probe in probes:
+        got, n_read, n_total, _ = lake.read_snapshot_spec_pruned(
+            spark, path, "k", probe
+        )
+        got_rows = sorted(r.x for r in got.collect())
+        if probe is None:
+            want = sorted(r.x for r in table.filter(table.k.isNull()).collect())
+        else:
+            want = sorted(r.x for r in table.filter(table.k == probe).collect())
+        assert got_rows == want, (probe, got_rows, want, n_read, n_total)
