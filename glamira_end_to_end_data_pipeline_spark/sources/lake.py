@@ -369,6 +369,18 @@ def _read_manifest_doc(spark: SparkSession, path: str, version: int) -> dict:
     target = f"{_manifest_dir(path)}/v{version}.json"
     fs, mpath = _hadoop_fs(spark, target)
     if not fs.exists(mpath):
+        # Crash recovery for the one legal manifest REWRITE (expiry's
+        # cutoff fold-forward, _rewrite_json_atomic): the final doc can
+        # be momentarily absent mid-swap, but whenever it is, a COMPLETE
+        # .tmp (the new doc — written and closed before the old doc was
+        # swung aside) or .old (the pre-rewrite doc) exists. Reading
+        # .tmp first is correct because the fold-forward is idempotent
+        # metadata enrichment, never a semantic change.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        for suffix in (".tmp", ".old"):
+            cand = jvm_path(target + suffix)
+            if fs.exists(cand):
+                return _get_json(spark, target + suffix)
         raise FileNotFoundError(f"snapshot v{version} not found under {path}")
     return _get_json(spark, target)
 
@@ -537,13 +549,48 @@ def write_snapshot(
     return version
 
 
+def _norm_uri(uri: str) -> str:
+    """Scheme-insensitive file identity: ``input_file_name`` gives
+    ``file:///p``; Hadoop ``Path.toString`` gives ``file:/p`` — strip
+    the scheme so both compare as plain paths. Shared by the stats
+    matcher and the MoR era matcher (same contract on both sides)."""
+    if "://" in uri:
+        uri = uri.split("://", 1)[1]
+    elif ":" in uri.split("/", 1)[0]:
+        uri = uri.split(":", 1)[1]
+    return "/" + uri.lstrip("/")
+
+
+def _path_era(f: str) -> int | None:
+    """Commit version inferred from a data file's immutable directory:
+    ``/data/v<N>/`` files committed at N; ``/data/vb_<branch>_<base>/``
+    files were STAGED against base and published as base+1 (enforced —
+    publish_branch refuses any other head). None for unrecognized
+    layouts (callers must treat that as era-unknown, never as 0)."""
+    import re
+
+    m = re.search(r"/data/v(\d+)/", f)
+    if m:
+        return int(m.group(1))
+    m = re.search(r"/data/vb_.+_(\d+)/", f)
+    if m:
+        return int(m.group(1)) + 1
+    return None
+
+
 def _file_stats(
     spark: SparkSession, files: list[str], cols: list[str]
 ) -> dict:
     """Per-file min/max for ``cols`` over exactly ``files`` — one
     aggregation grouped on ``input_file_name`` (a single job however
     many files), values JSON-serialized as strings so the manifest
-    stays engine-neutral."""
+    stays engine-neutral.
+
+    Driver memory is bounded by the FILE count, not the row count (one
+    result row per file), and rows stream back partition-at-a-time via
+    ``toLocalIterator`` rather than one monolithic collect buffer —
+    manifests are driver metadata by design, but a 100k-file table
+    should not also pay a single 100k-row action allocation."""
     if not files:
         return {}
     df = spark.read.parquet(*files)
@@ -552,22 +599,15 @@ def _file_stats(
         aggs.append(F.min(c).cast("string").alias(f"__mn_{c}"))
         aggs.append(F.max(c).cast("string").alias(f"__mx_{c}"))
     rows = (
-        df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+        df.groupBy(F.input_file_name().alias("__f"))
+        .agg(*aggs)
+        .toLocalIterator()
     )
 
-    def _norm(uri: str) -> str:
-        # input_file_name gives file:///p; Hadoop Path.toString gives
-        # file:/p — strip the scheme so both compare as plain paths.
-        if "://" in uri:
-            uri = uri.split("://", 1)[1]
-        elif ":" in uri.split("/", 1)[0]:
-            uri = uri.split(":", 1)[1]
-        return "/" + uri.lstrip("/")
-
-    by_norm = {_norm(f): f for f in files}
+    by_norm = {_norm_uri(f): f for f in files}
     out: dict = {}
     for r in rows:
-        key = by_norm.get(_norm(r["__f"]))
+        key = by_norm.get(_norm_uri(r["__f"]))
         if key is None:
             continue
         out[key] = {
@@ -604,7 +644,16 @@ def read_snapshot_pruned(
         version = latest_snapshot_version(spark, path)
     doc = _read_manifest_doc(spark, path, version)
     files, stats = doc["files"], doc.get("stats", {})
-    numeric_probe = isinstance(lo, (int, float)) and isinstance(hi, (int, float))
+    # bool is an int subclass but must take the STRING compare path in
+    # Spark's cast form ('true'/'false' via _probe_str) — float(True)
+    # would compare 1.0 against unparseable 'true' stats and always
+    # degrade to a conservative full read
+    numeric_probe = (
+        isinstance(lo, (int, float))
+        and isinstance(hi, (int, float))
+        and not isinstance(lo, bool)
+        and not isinstance(hi, bool)
+    )
 
     def may_match(f: str) -> bool:
         st = stats.get(f, {}).get(col)
@@ -624,7 +673,7 @@ def read_snapshot_pruned(
             if math.isnan(mn) or math.isnan(mx):
                 return True
             return mn <= float(hi) and mx >= float(lo)
-        return st[0] <= str(hi) and st[1] >= str(lo)
+        return st[0] <= _probe_str(hi) and st[1] >= _probe_str(lo)
 
     keep = [f for f in files if may_match(f)]
     reader = spark.read
@@ -651,6 +700,18 @@ _HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 _HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^') | {
     chr(c) for c in range(0x20)
 } | {chr(0x7F)}
+
+
+def _probe_str(value) -> str:
+    """Render a probe value AS SPARK'S cast('string') WOULD — the form
+    both the ``__pt_`` directory segments and the manifest stats carry.
+    The one divergence from Python's str() is booleans: Spark writes
+    'true'/'false', Python says 'True'/'False', and an unnormalized
+    bool probe wrongly prunes every matching file (pruning here is
+    result-affecting)."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
 
 
 def _escape_partition_value(value: str) -> str:
@@ -695,11 +756,11 @@ def read_snapshot_spec_pruned(
     # NULL/empty values land in __HIVE_DEFAULT_PARTITION__ — matching
     # the raw value string would wrongly prune every file holding such
     # values, and pruning here is result-affecting.
-    if value is None or str(value) == "":
+    if value is None or _probe_str(value) == "":
         seg_match = f"{seg_prefix}{_HIVE_DEFAULT_PARTITION}/"
     else:
-        seg_match = f"{seg_prefix}{_escape_partition_value(str(value))}/"
-    sval = str(value)
+        seg_match = f"{seg_prefix}{_escape_partition_value(_probe_str(value))}/"
+    sval = _probe_str(value)
     numeric_probe = isinstance(value, (int, float)) and not isinstance(
         value, bool
     )
@@ -814,9 +875,33 @@ def _commit_manifest(
     prev_ever: set[str] = (
         set(_cumulative_ever(spark, path, version - 1)) if version > 1 else set()
     )
+    # Per-file commit ERAS (Iceberg's data sequence numbers), recorded
+    # at commit time as a list parallel to ``files``: retained files
+    # inherit the previous manifest's era, new files get their path's
+    # version (covers both /data/v<N>/ appends and published WAP-branch
+    # dirs, whose files live at /data/vb_<branch>_<base>/ FOREVER —
+    # path-only parsing gave those a NULL era, which made the MoR
+    # survivor filter drop every re-inserted row whose key had any
+    # older delete). read_snapshot_mor consults this map first and
+    # falls back to path parsing only for legacy manifests.
+    prev_eras: dict[str, int] = {}
+    if version > 1:
+        try:
+            pd = _read_manifest_doc(spark, path, version - 1)
+            prev_eras = dict(zip(pd.get("files", []), pd.get("eras", [])))
+        except FileNotFoundError:
+            pass
+    eras: list[int] = []
+    for f in files:
+        if f in prev_eras:
+            eras.append(int(prev_eras[f]))
+        else:
+            pe = _path_era(f)
+            eras.append(pe if pe is not None else version)
     doc = {
         "version": version,
         "files": files,
+        "eras": eras,
         "operation": operation,
     }
     if version == 1 or version % EVER_CHECKPOINT_EVERY == 0:
@@ -1204,7 +1289,13 @@ def expire_snapshots(
         doc["carried_deletes"] = carried
         changed = True
     if changed:
-        _put_json(spark, f"{_manifest_dir(path)}/v{cutoff}.json", doc)
+        # NOT _put_json: that path deletes the live manifest before
+        # renaming the replacement in, and a crash in the gap would
+        # leave NO v{cutoff}.json — time travel at the cutoff breaks
+        # and _cumulative_ever/_commit_manifest raise, wedging the
+        # table. The rewrite protocol keeps a readable doc at every
+        # instant (.tmp/.old recovery in _read_manifest_doc).
+        _rewrite_json_atomic(spark, f"{_manifest_dir(path)}/v{cutoff}.json", doc)
 
     retained: set[str] = set()
     for v in range(cutoff, head + 1):
@@ -1221,7 +1312,15 @@ def expire_snapshots(
             if fs.exists(p) and fs.delete(p, False):
                 removed += 1
     for d in expiring:
-        fs.delete(jvm_path(f"{_manifest_dir(path)}/v{d['version']}.json"), False)
+        base_name = f"{_manifest_dir(path)}/v{d['version']}.json"
+        # also sweep rewrite-protocol leftovers (.tmp/.old from a
+        # crashed fold-forward when this version was a past cutoff) —
+        # a stale sibling left behind would resurrect the expired
+        # version through _read_manifest_doc's recovery fallback
+        for name in (base_name, base_name + ".tmp", base_name + ".old"):
+            p = jvm_path(name)
+            if fs.exists(p):
+                fs.delete(p, False)
     return {"expired_versions": len(expiring), "removed_files": removed}
 
 
@@ -1237,9 +1336,11 @@ def expire_snapshots(
 # the bounded key set). Sequencing follows Iceberg's sequence-number
 # rule: an equality delete applies to rows whose data file was
 # committed STRICTLY BEFORE the delete, so a key re-inserted after the
-# delete survives. Here the data file's commit version (parsed from
-# its immutable /data/v<N>/ path) is the sequence number. Compaction
-# back to copy-on-write is a normal `rewrite` commit of the MoR read.
+# delete survives. The data file's commit version (its ERA — recorded
+# per file in the manifest at commit time, with the immutable
+# /data/v<N>/ or /data/vb_<branch>_<base>/ path as legacy fallback) is
+# the sequence number. Compaction back to copy-on-write is a normal
+# `rewrite` commit of the MoR read.
 
 
 def delete_snapshot(
@@ -1282,8 +1383,9 @@ def read_snapshot_mor(
     Iceberg's sequence rule (a delete hits only rows whose data file
     committed strictly before it — later re-inserts of the same key
     survive). Plan shape: ONE scan of the listed files tagged with
-    their commit version via ``input_file_name`` (a pure map-side
-    regexp on file paths — the version dir is immutable), the delete
+    their commit version (a bounded broadcast of the manifest's
+    per-file era map keyed on ``input_file_name``, with a map-side
+    path-regexp fallback for legacy manifests), the delete
     keys reduced to ``max(delete_version)`` per key (bounded: delete
     files hold keys, not rows) and BROADCAST into a left join; rows
     survive unless a delete outranks their file's version. Zero data
@@ -1308,10 +1410,40 @@ def read_snapshot_mor(
         # their ORIGINAL version (the sequence rule needs it)
         for cd in d.get("carried_deletes", ()):
             dels.append((cd["version"], cd["files"]))
-    base = spark.read.parquet(*files).withColumn(
-        "__era",
-        F.regexp_extract(F.input_file_name(), r"/data/v(\d+)/", 1).cast("long"),
+    # Era per row = era of its data FILE. Primary source: the manifest's
+    # recorded eras (parallel to ``files``; see _commit_manifest), keyed
+    # through the scheme-normalized file name — the only source that is
+    # correct for WAP-published files, which live under
+    # /data/vb_<branch>_<base>/ forever (publish is metadata-only).
+    # Fallback for legacy manifests and normalization misses: parse the
+    # immutable directory name, INCLUDING the vb_ rule (base+1 — the
+    # version publish_branch is guaranteed to commit as). The old
+    # vN-only regexp left branch files with a NULL era, and
+    # ``__dv <= NULL`` silently dropped every re-inserted row whose key
+    # carried any older delete.
+    num = F.regexp_extract(F.input_file_name(), r"/data/v(\d+)/", 1)
+    vb = F.regexp_extract(F.input_file_name(), r"/data/vb_.+_(\d+)/", 1)
+    path_era = F.when(num != "", num.cast("long")).otherwise(
+        F.when(vb != "", vb.cast("long") + F.lit(1))
     )
+    eras_list = doc.get("eras")
+    base = spark.read.parquet(*files)
+    if eras_list and len(eras_list) == len(files):
+        era_df = spark.createDataFrame(
+            [(_norm_uri(f), int(e)) for f, e in zip(files, eras_list)],
+            "__fn string, __mf_era long",
+        )
+        norm_col = F.regexp_replace(
+            F.input_file_name(), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/"
+        )
+        base = (
+            base.withColumn("__fn", norm_col)
+            .join(F.broadcast(era_df), "__fn", "left")
+            .withColumn("__era", F.coalesce(F.col("__mf_era"), path_era))
+            .drop("__fn", "__mf_era")
+        )
+    else:
+        base = base.withColumn("__era", path_era)
     if not dels:
         return base.drop("__era")
     key_cols = None
@@ -1402,6 +1534,39 @@ def _put_json(spark: SparkSession, target: str, doc: dict) -> None:
         fs.delete(final, False)
     if not fs.rename(tmp, final):
         raise IOError(f"could not commit {target}")
+
+
+def _rewrite_json_atomic(spark: SparkSession, target: str, doc: dict) -> None:
+    """Crash-safe REWRITE of an existing write-once JSON doc — the one
+    legal manifest rewrite is expiry's cutoff fold-forward. Protocol:
+    write the new doc to ``.tmp`` in full, swing the old doc aside to
+    ``.old``, rename ``.tmp`` in, then drop ``.old``. Every crash gap
+    leaves either the old doc still at ``target`` or a COMPLETE ``.tmp``
+    that :func:`_read_manifest_doc` recovers from — there is no window
+    where no readable doc exists (the gap ``_put_json`` has between its
+    delete and rename, which is why version manifests must not take
+    that path)."""
+    import json
+
+    payload = json.dumps(doc).encode("utf-8")
+    fs, _ = _hadoop_fs(spark, target)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = jvm_path(target + ".tmp")
+    old = jvm_path(target + ".old")
+    final = jvm_path(target)
+    out = fs.create(tmp, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    if fs.exists(old):
+        fs.delete(old, False)
+    if fs.exists(final) and not fs.rename(final, old):
+        raise IOError(f"could not move {target} aside for rewrite")
+    if not fs.rename(tmp, final):
+        raise IOError(f"could not commit rewritten {target}")
+    if fs.exists(old):
+        fs.delete(old, False)
 
 
 def _read_branch_doc(spark: SparkSession, path: str, branch: str) -> dict:

@@ -287,3 +287,177 @@ def test_expire_then_gc_on_partitioned_versions(spark, tmp_path):
     fs, d1 = lake._hadoop_fs(spark, path + "/data/v1")
     assert not fs.exists(d1)
     assert lake.read_snapshot(spark, path).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Round-11 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def test_mor_wap_reinsert_survives_earlier_delete(spark, tmp_path):
+    # ADVICE r10 (high): WAP-published files live under
+    # /data/vb_<branch>_<base>/ forever; the old vN-only path regexp
+    # gave them a NULL era, so any OLDER delete on the same key dropped
+    # the re-inserted row — and compaction made the loss permanent.
+    path = str(tmp_path / "morwap")
+    lake.write_snapshot(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )
+    lake.delete_snapshot(spark, spark.createDataFrame([(2,)], "k int"), path, ["k"])
+    lake.stage_branch(
+        spark, spark.createDataFrame([(2, "reborn")], "k int, v string"), path, "incoming"
+    )
+    v3 = lake.publish_branch(spark, path, "incoming")
+    assert v3 == 3
+    got = sorted((r.k, r.v) for r in lake.read_snapshot_mor(spark, path).collect())
+    assert got == [(1, "a"), (2, "reborn")]
+    # the manifest records an era for every file, branch files included
+    doc = lake._read_manifest_doc(spark, path, 3)
+    eras = dict(zip(doc["files"], doc["eras"]))
+    assert all(
+        eras[f] == 3 for f in doc["files"] if "/data/vb_incoming_2/" in f
+    )
+    # compaction reads through the MoR view — must not re-lose the row
+    lake.compact_snapshot(spark, path)
+    got2 = sorted((r.k, r.v) for r in lake.read_snapshot_mor(spark, path).collect())
+    assert got2 == [(1, "a"), (2, "reborn")]
+
+
+def test_mor_wap_reinsert_legacy_manifest_path_fallback(spark, tmp_path):
+    # Tables committed before eras were recorded rely on the path
+    # fallback — which must understand the vb_<branch>_<base> layout
+    # (era = base + 1, the version publish is guaranteed to commit as).
+    path = str(tmp_path / "morlegacy")
+    lake.write_snapshot(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )
+    lake.delete_snapshot(spark, spark.createDataFrame([(2,)], "k int"), path, ["k"])
+    lake.stage_branch(
+        spark, spark.createDataFrame([(2, "reborn")], "k int, v string"), path, "inc"
+    )
+    lake.publish_branch(spark, path, "inc")
+    # strip the recorded eras to simulate a legacy manifest
+    for v in (1, 2, 3):
+        doc = lake._read_manifest_doc(spark, path, v)
+        doc.pop("eras", None)
+        lake._rewrite_json_atomic(spark, f"{path}/_manifests/v{v}.json", doc)
+    got = sorted((r.k, r.v) for r in lake.read_snapshot_mor(spark, path).collect())
+    assert got == [(1, "a"), (2, "reborn")]
+
+
+def test_mor_wap_reinsert_survives_expiry_between_deletes(spark, tmp_path):
+    # Interleaved delete / WAP re-insert / second delete / expiry:
+    # carried-forward deletes keep their original eras and the branch
+    # file keeps its recorded one, so the fold-forward changes nothing.
+    path = str(tmp_path / "morwapexp")
+    lake.write_snapshot(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"),
+        path,
+    )
+    lake.delete_snapshot(spark, spark.createDataFrame([(2,)], "k int"), path, ["k"])
+    lake.stage_branch(
+        spark, spark.createDataFrame([(2, "reborn")], "k int, v string"), path, "b"
+    )
+    lake.publish_branch(spark, path, "b")  # v3
+    lake.delete_snapshot(spark, spark.createDataFrame([(3,)], "k int"), path, ["k"])  # v4
+    lake.write_snapshot(
+        spark, spark.createDataFrame([(5, "e")], "k int, v string"), path
+    )  # v5
+    lake.expire_snapshots(spark, path, keep_last=2)  # drop v1-v3
+    got = sorted((r.k, r.v) for r in lake.read_snapshot_mor(spark, path).collect())
+    assert got == [(1, "a"), (2, "reborn"), (5, "e")]
+
+
+def test_expire_cutoff_rewrite_recovers_from_crash(spark, tmp_path):
+    # ADVICE r10 (medium): the cutoff fold-forward used _put_json, whose
+    # delete->rename gap could leave NO v{cutoff}.json. The rewrite
+    # protocol never has such a window; _read_manifest_doc recovers
+    # from the .tmp/.old siblings it can leave mid-swap.
+    path = str(tmp_path / "expirecrash")
+    for i in range(4):
+        lake.write_snapshot(spark, spark.createDataFrame([(i,)], "k int"), path)
+    lake.expire_snapshots(spark, path, keep_last=2)  # cutoff = v3 rewritten
+    doc = lake._read_manifest_doc(spark, path, 3)
+    assert "ever" in doc
+    fs, _ = lake._hadoop_fs(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    target = f"{path}/_manifests/v3.json"
+    # simulate a crash between "old doc moved aside" and "tmp renamed
+    # in": final absent, complete .tmp + .old present
+    import json
+
+    payload = json.dumps(doc).encode("utf-8")
+    out = fs.create(jp(target + ".tmp"), True)
+    out.write(payload)
+    out.close()
+    assert fs.rename(jp(target), jp(target + ".old"))
+    recovered = lake._read_manifest_doc(spark, path, 3)
+    assert recovered["version"] == 3 and "ever" in recovered
+    # the table is still readable and committable mid-crash
+    assert lake.read_snapshot(spark, path, 3).count() == 3
+    lake.write_snapshot(spark, spark.createDataFrame([(9,)], "k int"), path)
+    # a re-run of the rewrite completes and cleans the siblings
+    lake._rewrite_json_atomic(spark, target, recovered)
+    assert fs.exists(jp(target))
+    assert not fs.exists(jp(target + ".tmp"))
+    assert not fs.exists(jp(target + ".old"))
+
+
+def test_expire_sweeps_rewrite_siblings_of_expired_versions(spark, tmp_path):
+    # A stale .old left by a crashed past fold-forward must not
+    # resurrect a version after its manifest is expired.
+    path = str(tmp_path / "expiresweep")
+    for i in range(5):
+        lake.write_snapshot(spark, spark.createDataFrame([(i,)], "k int"), path)
+    lake.expire_snapshots(spark, path, keep_last=3)  # cutoff v3
+    fs, _ = lake._hadoop_fs(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    # plant a stale .old beside v3 (as a crashed rewrite would)
+    doc = lake._read_manifest_doc(spark, path, 3)
+    import json
+
+    out = fs.create(jp(f"{path}/_manifests/v3.json.old"), True)
+    out.write(json.dumps(doc).encode("utf-8"))
+    out.close()
+    lake.expire_snapshots(spark, path, keep_last=1)  # expires v3, v4
+    assert not fs.exists(jp(f"{path}/_manifests/v3.json.old"))
+    with pytest.raises(FileNotFoundError):
+        lake._read_manifest_doc(spark, path, 3)
+
+
+def test_spec_pruned_bool_probe_matches_spark_cast_form(spark, tmp_path):
+    # ADVICE r10 (low): str(True) = 'True' but Spark writes 'true' in
+    # both the __pt_ path segment and the cast-to-string stats, so a
+    # bool probe wrongly pruned every matching file.
+    path = str(tmp_path / "boolspec")
+    df = spark.createDataFrame(
+        [(True, 1), (True, 2), (False, 3)], "flag boolean, x int"
+    )
+    lake.write_snapshot(spark, df.repartition("flag"), path, partition_by=["flag"])
+    out, n_read, n_total, n_spec = lake.read_snapshot_spec_pruned(
+        spark, path, "flag", True
+    )
+    assert sorted(r.x for r in out.collect()) == [1, 2]
+    assert n_spec >= 1 and n_read < n_total
+    out_f, _, _, _ = lake.read_snapshot_spec_pruned(spark, path, "flag", False)
+    assert sorted(r.x for r in out_f.collect()) == [3]
+
+
+def test_stats_pruned_bool_probe(spark, tmp_path):
+    path = str(tmp_path / "boolstats")
+    lake.write_snapshot(
+        spark,
+        spark.createDataFrame([(False, 1), (False, 2)], "flag boolean, x int"),
+        path,
+        stats_cols=["flag"],
+    )
+    lake.write_snapshot(
+        spark,
+        spark.createDataFrame([(True, 3)], "flag boolean, x int"),
+        path,
+        stats_cols=["flag"],
+    )
+    out, n_read, n_total = lake.read_snapshot_pruned(spark, path, "flag", True, True)
+    assert sorted(r.x for r in out.collect()) == [3]
+    assert n_read < n_total
