@@ -112,7 +112,10 @@ def pagerank(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "u", dst: str = "v"
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    broadcast_degrees: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected edge list (given as
     distinct ``u < v`` pairs), by the degree-ordered orientation: every
@@ -124,10 +127,16 @@ def triangle_count(
     3-way self-join (the standard distributed formulation: Cohen 2009,
     'Graph Twiddling in a MapReduce World').
 
-    Three joins total: two to attach endpoint degrees (degree table is
-    node-sized — broadcast), then wedge ⋈ closing-edge, both keyed on
-    endpoints. Returns (node, n_triangles) for every node in ≥1
-    triangle."""
+    Three joins total: two to attach endpoint degrees, then wedge ⋈
+    closing-edge, both keyed on endpoints. Returns (node, n_triangles)
+    for every node in ≥1 triangle.
+
+    ``broadcast_degrees`` (default True) ships the |V|-sized degree
+    table to the executors for the two attach joins — right whenever
+    nodes ≪ edges. The table IS node-count-sized, so for web-scale
+    vertex sets pass False and the attach joins hash-partition on the
+    endpoint instead (identical results, equality-tested) — the same
+    escape hatch :func:`pagerank` exposes as ``broadcast_ranks``."""
     # Persist the caller's edge plan once: the adjacency union reads it
     # twice and the degree-keyed orientation a third time.
     e = tracked_persist(
@@ -140,7 +149,8 @@ def triangle_count(
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    keyed = e.join(F.broadcast(da), "u").join(F.broadcast(db), "v")
+    ship = F.broadcast if broadcast_degrees else (lambda df: df)
+    keyed = e.join(ship(da), "u").join(ship(db), "v")
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -178,6 +188,7 @@ def jaccard_link_prediction(
     src: str = "u",
     dst: str = "v",
     max_mid_degree: int | None = None,
+    broadcast_degrees: bool = True,
 ) -> DataFrame:
     """Common-neighbor Jaccard link prediction over an undirected edge
     list (distinct ``u < v`` pairs): for node pairs NOT currently linked
@@ -207,12 +218,20 @@ def jaccard_link_prediction(
     CAP: scores count only sub-hub common neighbors while denominators
     keep the full degrees, so capped scores are a LOWER BOUND on true
     Jaccard — which is why the cap is opt-in, never a silent default
-    (skew-prone callers at scale should pass one deliberately)."""
-    e, deg, inter = _capped_wedge_pairs(edges, src, dst, max_mid_degree)
+    (skew-prone callers at scale should pass one deliberately).
+
+    ``broadcast_degrees`` (default True): the degree lookups are
+    |V|-sized — pass False on web-scale vertex sets to hash-partition
+    those joins instead of building a node-count broadcast (identical
+    results, equality-tested; :func:`pagerank`'s escape hatch)."""
+    e, deg, inter = _capped_wedge_pairs(
+        edges, src, dst, max_mid_degree, broadcast_degrees
+    )
+    ship = F.broadcast if broadcast_degrees else (lambda df: df)
     cand = inter.join(e, (inter["a"] == e["u"]) & (inter["b"] == e["v"]), "left_anti")
     scored = (
-        cand.join(F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))), "a")
-        .join(F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db"))), "b")
+        cand.join(ship(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))), "a")
+        .join(ship(deg.select(F.col("node").alias("b"), F.col("d").alias("db"))), "b")
         .select(
             "a",
             "b",
@@ -230,7 +249,11 @@ def jaccard_link_prediction(
 
 
 def _capped_wedge_pairs(
-    edges: DataFrame, src: str, dst: str, max_mid_degree: int | None
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_mid_degree: int | None,
+    broadcast_degrees: bool = True,
 ):
     """Shared candidate machinery for the neighborhood-overlap scorers
     (:func:`jaccard_link_prediction`, :func:`adamic_adar_link_prediction`):
@@ -282,8 +305,9 @@ def _capped_wedge_pairs(
         mids = deg
     else:
         mids = deg.filter(F.col("d") <= max_mid_degree)
+    ship = F.broadcast if broadcast_degrees else (lambda df: df)
     sub_hub = und.join(
-        F.broadcast(
+        ship(
             mids.select(F.col("node").alias("v"), F.col("d").alias("d_mid"))
         ),
         "v",
@@ -310,6 +334,7 @@ def adamic_adar_link_prediction(
     src: str = "u",
     dst: str = "v",
     max_mid_degree: int | None = None,
+    broadcast_degrees: bool = True,
 ) -> DataFrame:
     """Adamic-Adar link prediction over an undirected edge list: for
     unlinked 2-hop pairs, score = Σ_{m ∈ N(a)∩N(b)} 1/ln(deg(m)) — the
@@ -326,8 +351,13 @@ def adamic_adar_link_prediction(
 
     Same plan shape as :func:`jaccard_link_prediction` (one wedge
     shuffle keyed on the pair, anti-join, TakeOrderedAndProject top-k);
-    the weight rides the wedge rows, so scoring adds no extra pass."""
-    e, _deg, inter = _capped_wedge_pairs(edges, src, dst, max_mid_degree)
+    the weight rides the wedge rows, so scoring adds no extra pass.
+    ``broadcast_degrees=False`` de-broadcasts the |V|-sized midpoint
+    lookup for web-scale vertex sets (see
+    :func:`jaccard_link_prediction`)."""
+    e, _deg, inter = _capped_wedge_pairs(
+        edges, src, dst, max_mid_degree, broadcast_degrees
+    )
     cand = inter.join(e, (inter["a"] == e["u"]) & (inter["b"] == e["v"]), "left_anti")
     scored = cand.select(
         "a", "b", "n_common", F.round(F.col("aa_score"), 6).alias("aa_score")
@@ -1160,6 +1190,7 @@ def personalized_pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Personalized PageRank — random walk WITH RESTART to a seed set
     (Jeh & Widom 2003; the similarity-to-these-nodes ranking behind
@@ -1176,7 +1207,14 @@ def personalized_pagerank(
     teleport normalizer) is ONE bounded aggregate broadcast back. Loop
     shape is :func:`pagerank`'s exactly: edge list persisted once,
     per-round map-side rank join + one destination-keyed partial-
-    aggregated sum, lineage cut by lazy localCheckpoint."""
+    aggregated sum, lineage cut by lazy localCheckpoint.
+
+    ``broadcast_ranks`` — :func:`pagerank`'s escape hatch, same
+    semantics: True (default) ships the |V|-sized rank vector to the
+    executors each round (right when nodes ≪ edges); for web-scale
+    node counts that outgrow a broadcast pass False and both loop
+    joins hash-partition on the node id instead. Results are
+    identical either way (equality-tested)."""
     e = tracked_persist(
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -1206,14 +1244,15 @@ def personalized_pagerank(
     )
     ranks = nodes.withColumn("rank", F.col("tp"))
     base, d = F.lit(1.0 - damping), F.lit(damping)
+    ship = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(iters):
         contribs = (
-            e.join(F.broadcast(ranks), e["u"] == ranks["node"])
+            e.join(ship(ranks), e["u"] == ranks["node"])
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
         ranks = (
-            nodes.join(F.broadcast(contribs), "node", "left")
+            nodes.join(ship(contribs), "node", "left")
             .select(
                 "node",
                 "outdeg",

@@ -491,3 +491,79 @@ def test_scc_exact_stats_records_hybrid_paths(spark):
     assert st2["initial_edges"] == n + 1
     assert all(r.scc_id == (r.node // _SCC_LIVE_L) * _SCC_LIVE_L for r in out)
     assert len(out) == n
+
+
+# ---------------------------------------------------------------------------
+# Round-11: broadcast escape hatches produce identical results when OFF
+# (the |V|-sized broadcasts are parameterized for web-scale vertex sets;
+# the shuffled path must be semantics-identical, not just plausible).
+# ---------------------------------------------------------------------------
+
+_HATCH_EDGES = [
+    (1, 2), (2, 3), (3, 1),   # triangle
+    (3, 4), (4, 5), (5, 6),   # tail
+    (6, 4),                   # second triangle
+    (2, 7), (7, 8),           # branch
+]
+
+
+def test_personalized_pagerank_broadcast_paths_identical(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame(_HATCH_EDGES, ["src", "dst"])
+    seed = lambda c: c <= F.lit(2)  # noqa: E731
+    on = {
+        r["node"]: (r["outdeg"], round(r["rank"], 12))
+        for r in personalized_pagerank(df, seed, iters=4).collect()
+    }
+    off = {
+        r["node"]: (r["outdeg"], round(r["rank"], 12))
+        for r in personalized_pagerank(
+            df, seed, iters=4, broadcast_ranks=False
+        ).collect()
+    }
+    assert on == off and len(on) == 8
+
+
+def test_triangle_count_broadcast_paths_identical(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in _HATCH_EDGES})
+    df = spark.createDataFrame(und, ["u", "v"])
+    on = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    off = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(df, broadcast_degrees=False).collect()
+    }
+    assert on == off
+    assert on[1] == 1 and on[4] == 1
+
+
+def test_link_prediction_broadcast_paths_identical(spark):
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        adamic_adar_link_prediction,
+        jaccard_link_prediction,
+    )
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in _HATCH_EDGES})
+    df = spark.createDataFrame(und, ["u", "v"])
+    jac_on = [tuple(r) for r in jaccard_link_prediction(df, k_top=50).collect()]
+    jac_off = [
+        tuple(r)
+        for r in jaccard_link_prediction(
+            df, k_top=50, broadcast_degrees=False
+        ).collect()
+    ]
+    assert jac_on == jac_off and len(jac_on) > 0
+    aa_on = [tuple(r) for r in adamic_adar_link_prediction(df, k_top=50).collect()]
+    aa_off = [
+        tuple(r)
+        for r in adamic_adar_link_prediction(
+            df, k_top=50, broadcast_degrees=False
+        ).collect()
+    ]
+    assert aa_on == aa_off and len(aa_on) > 0
