@@ -59,6 +59,10 @@ from glamira_end_to_end_data_pipeline_spark.plans import r9_queries  # noqa: E40
 # rotate-first block, inside the round-10 window.
 from glamira_end_to_end_data_pipeline_spark.plans import r10_queries  # noqa: E402,F401
 
+# round-11 fresh entries — never graded; land behind the round-11
+# rotate-first block, inside the round-11 window.
+from glamira_end_to_end_data_pipeline_spark.plans import r11_queries  # noqa: E402,F401
+
 # Round-8 front-loads: entries whose code changed in round 8, re-graded
 # the round their implementation moves. graph_scc_exact: TRIM pre-pass
 # + trivial-chain fixture + doubling probes; dedup_minhash_lsh /
@@ -187,6 +191,57 @@ _ROTATE_FIRST_R10 = (
     "lake_rollback_commit",
     "dq_psi_drift",
     "j_fuzzy_name_match",
+)
+
+# Round-11 front-loads: entries whose implementation moved this round.
+# The lake block sits on the r10-ADVICE fixes — per-file eras recorded
+# in every manifest + the manifest-map era source in read_snapshot_mor
+# (lake_mor_equality_deletes, lake_compact_mor), the crash-safe
+# _rewrite_json_atomic cutoff rewrite (lake_expire_versions), the WAP
+# path whose published files now carry a real era
+# (lake_wap_publish, stream_wap_microbatch), and the bool-probe /
+# probe-typed pruning normalization (lake_partition_evolution,
+# lake_stats_pruned_read — the latter also drains an r5-stale slot).
+# The graph pair re-grades the broadcast-hatch parameterization
+# (personalized PPR per the r10 VERDICT task 1; graph_triangles is the
+# r5-stale member of the degree-broadcast family — jaccard/adamic were
+# oracle-checked locally this round and rotate on staleness).
+_ROTATE_FIRST_R11 = (
+    "lake_mor_equality_deletes",
+    "lake_compact_mor",
+    "lake_expire_versions",
+    "lake_wap_publish",
+    "stream_wap_microbatch",
+    "lake_partition_evolution",
+    "lake_stats_pruned_read",
+    "graph_pagerank_personalized",
+    "graph_triangles",
+)
+
+# Driver-green in CORRECTNESS_r10.json (round-10 window, 50/50 green).
+_R10_GREEN = frozenset(
+    {
+        "sample_priority_weighted", "graph_scc_exact", "lake_wap_publish",
+        "stream_wap_microbatch", "lake_partition_evolution",
+        "lake_merge_delete", "lake_rollback_commit", "dq_psi_drift",
+        "j_fuzzy_name_match", "graph_scc_hybrid_live",
+        "lake_mor_equality_deletes", "lake_read_by_tag",
+        "dq_schema_drift_detect", "a_heavy_hitters_mg", "dq_ks_two_sample",
+        "sample_neyman_allocation", "graph_pagerank_personalized",
+        "j_grid_neighbor_join", "stream_late_sideoutput",
+        "w_holt_linear_trend", "lake_compact_mor",
+        "dq_chi2_categorical_drift", "w_cusum_changepoint",
+        "lake_expire_versions", "a_corr_stats", "w_sessionize_batch",
+        "dedup_retain_corpus", "emb_pq_codes", "emb_pq_adc_topk",
+        "emb_ivfpq_topk", "text_chunk_documents", "text_char_entropy",
+        "text_sample_stratified", "text_mix_epochs", "text_lm_score",
+        "text_bm25_topk", "dedup_segment_boilerplate", "text_bpe_merges",
+        "dedup_semantic_retain", "text_hybrid_rrf", "text_dsir_select",
+        "emb_ann_recall", "text_bpe_encode", "text_ppl_buckets",
+        "emb_indexing_pipeline", "text_classifier_score",
+        "text_domain_cap", "emb_mmr_rerank", "s_orc_round_trip",
+        "lake_gc_orphans",
+    }
 )
 
 # Driver-green in CORRECTNESS_r02.json (round-2 window).
@@ -591,6 +646,7 @@ def _last_graded(name: str) -> int:
     never graded — fresh this round). Later rounds win: r5 re-graded
     19 entries first greened in r2/r3."""
     for rnd, green in (
+        (10, _R10_GREEN),
         (9, _R9_GREEN),
         (8, _R8_GREEN),
         (7, _R7_GREEN),
@@ -607,7 +663,7 @@ def _last_graded(name: str) -> int:
 
 def _window_order() -> list[str]:
     registered = list(QUERIES)
-    front = [n for n in _ROTATE_FIRST_R10 if n in QUERIES]
+    front = [n for n in _ROTATE_FIRST_R11 if n in QUERIES]
     fresh = [
         n for n in registered if _last_graded(n) == 0 and n not in front
     ]
