@@ -212,7 +212,46 @@ HEADLINE = [
     "dq_chi2_categorical_drift",
     "w_cusum_changepoint",
     "lake_expire_versions",
+    # round-11 additions
+    "lake_mor_dense_deletes",
+    "w_theil_sen_trend",
+    "dq_benford_first_digit",
 ]
+
+
+def _prev_round_queries() -> tuple[str | None, dict[str, float]]:
+    """Per-query timings from the LATEST driver bench record
+    (BENCH_r<N>.json), for the cross-round MEDIAN per-query ratio —
+    the honest comparison metric (the r10 analysis showed raw totals
+    track the host's machine share and the linear normalized model
+    over-corrects on this latency-bound suite). Driver records keep
+    only a ~2000-char stdout tail, so the pairs are regex-recovered
+    from it; ~55 common entries is plenty for a median."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_path = -1, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json", path)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), path
+    if best_path is None:
+        return None, {}
+    try:
+        with open(best_path) as fh:
+            doc = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None, {}
+    qmap = doc.get("queries") or (doc.get("parsed") or {}).get("queries")
+    if not qmap:
+        tail = doc.get("tail") or ""
+        qmap = {
+            k: float(v)
+            for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+),', tail)
+            if k not in ("value", "sf", "first_run_total")
+        }
+    return f"r{best_n}", {k: float(v) for k, v in (qmap or {}).items()}
 
 
 def _busy(n: int) -> int:
@@ -332,11 +371,36 @@ def main() -> None:
         "post": probe_post,
         "effective_cores": eff,
     }
+    # Cross-round headline: MEDIAN per-query ratio vs the latest driver
+    # record (r10 VERDICT task: publish this as the primary metric —
+    # per-entry medians are robust to both host-share swings and the
+    # probe's own noise, unlike raw or linearly-normalized totals).
+    prev_label, prev_q = _prev_round_queries()
+    ratios = sorted(
+        timings[n] / prev_q[n]
+        for n in timings
+        if n in prev_q and prev_q[n] > 0
+    )
+    median_ratio = (
+        round(
+            (
+                ratios[len(ratios) // 2]
+                if len(ratios) % 2
+                else (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
+            ),
+            3,
+        )
+        if ratios
+        else None
+    )
     doc = {
         "queries": timings,
         "methodology": f"min of {runs} runs/query (steady-state)",
         "first_run_total": round(sum(cold.values()), 3),
         "host_probe": probe,
+        "median_ratio_vs_prev": median_ratio,
+        "ratio_baseline": prev_label,
+        "ratio_n_common": len(ratios),
         # Host-normalized total: what this run would cost on a host
         # actually delivering the nominal 32 cores (total × eff/32,
         # the linear model the round-8/9 cross-round analysis used).
@@ -350,28 +414,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # Round-10 investigation of the r9 above-envelope entries
-        # (VERDICT r9 "what's wrong" #1-2), measured warm+solo on a
-        # quiet host (single-probe 0.15 s): dq_psi_drift 0.77-1.0 s
-        # steady (its plan is ONE scan + ONE shuffle — the r9 1.88 s
-        # was neighbor contention, not code); lake_merge_delete 2.4 s
-        # steady — the entry is JOB-FLOOR-bound (~7 driver jobs: two
-        # partitioned writes, a checkpoint, bounded collects), touches
-        # NO manifest/branch code, and its change-batch validation +
-        # touched-partition listing now fuse into one job;
-        # j_fuzzy_name_match 0.56-0.60 s (back at its r8 level — the
-        # r9 0.87 s was the same contention window as dq_psi_drift,
-        # its rotation neighbor).
         "notes": (
-            "r10: dq_psi_drift/j_fuzzy_name_match/lake_merge_delete r9 "
-            "spikes resolved (0.32x/0.54x/0.49x of r9 this run); median "
-            "per-query ratio vs r9 over 58 common entries = 1.12 (host "
-            "noise band). CAUTION on value_normalized_32c: three r10 "
-            "runs measured raw totals 270/301/321 s at probe shares "
-            "6.2/10.1/13.7 cores — raw did NOT scale with the probe, "
-            "so the linear raw*eff/32 model over-corrects on this "
-            "latency-bound suite; compare MEDIAN per-query ratios "
-            "across rounds first, normalized totals second"
+            "median_ratio_vs_prev is the PRIMARY cross-round metric "
+            "(r10 finding: three back-to-back runs measured raw totals "
+            "270/301/321 s at probe shares 6.2/10.1/13.7 cores — raw "
+            "did NOT scale with the probe, so the linear raw*eff/32 "
+            "model over-corrects on this latency-bound suite; per-query "
+            "medians are robust to both host swings and probe noise). "
+            "The baseline map is regex-recovered from the driver "
+            "record's bounded stdout tail, so ratio_n_common < the full "
+            "suite; warm single-query swings up to ~1.5x are noise."
         ),
     }
     # The driver keeps only a bounded TAIL of stdout (~2000 chars), which

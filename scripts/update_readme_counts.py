@@ -48,10 +48,13 @@ def bench_rows() -> list[str]:
         if "value" not in doc and isinstance(doc.get("tail"), str):
             tail = doc["tail"]
             doc = {}
-            for key in ("value", "value_normalized_32c", "sf"):
+            for key in ("value", "value_normalized_32c", "sf", "median_ratio_vs_prev", "ratio_n_common"):
                 m = re.search(rf'"{key}": ([0-9.]+)', tail)
                 if m:
                     doc[key] = float(m.group(1))
+            m = re.search(r'"ratio_baseline": "(r\d+)"', tail)
+            if m:
+                doc["ratio_baseline"] = m.group(1)
             # r10+ probes are nested (pre/post); the OUTER mean is the
             # LAST "effective_cores" occurrence in the line
             effs = re.findall(r'"effective_cores": ([0-9.]+)', tail)
@@ -70,10 +73,19 @@ def bench_rows() -> list[str]:
         if norm is None and eff:
             norm = round(doc["value"] * eff / 32, 1)
         label = f"r{int(rnd)}" if rnd else "local (this round)"
+        ratio = doc.get("median_ratio_vs_prev")
+        base = doc.get("ratio_baseline")
+        n_common = doc.get("ratio_n_common")
+        if ratio is not None:
+            ratio_cell = f"{ratio}× vs {base or '?'}"
+            if n_common:
+                ratio_cell += f" (n={int(n_common)})"
+        else:
+            ratio_cell = "—"
         rows.append(
             f"| {label} | {doc['value']} | {n_q} | "
             f"{eff if eff is not None else '—'} | "
-            f"{norm if norm is not None else '—'} |"
+            f"{norm if norm is not None else '—'} | {ratio_cell} |"
         )
     return rows
 
@@ -92,8 +104,9 @@ def main() -> None:
 
     table = "\n".join(
         [
-            "| round | raw total (s) | queries | effective cores | normalized 32c (s) |",
-            "|---|---|---|---|---|",
+            "| round | raw total (s) | queries | effective cores | "
+            "normalized 32c (s) | median per-query ratio |",
+            "|---|---|---|---|---|---|",
             *bench_rows(),
         ]
     )
