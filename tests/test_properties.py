@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -819,6 +820,8 @@ def test_ks_prefix_sum_matches_naive(spark, rows):
             st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
             st.tuples(st.just("delete"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
             st.tuples(st.just("compact"), st.just([])),
+            st.tuples(st.just("wap"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+            st.tuples(st.just("expire"), st.just([])),
         ),
         min_size=2,
         max_size=6,
@@ -826,21 +829,27 @@ def test_ks_prefix_sum_matches_naive(spark, rows):
 )
 def test_mor_lake_matches_reference_model(spark, tmp_path_factory, ops):
     """Model-based check of the merge-on-read lake: ANY interleaving of
-    append / equality-delete / compact commits must read (via
-    read_snapshot_mor) exactly what a sequential in-memory model holds
-    — sequence rule, re-inserts, multiset semantics (duplicate keys in
-    different appends both survive until deleted), and compaction
-    materialization all at once. Each committed version is also
-    time-travel-checked against the model's state AT that version."""
+    append / equality-delete / compact / WAP-publish / expiry commits
+    must read (via read_snapshot_mor) exactly what a sequential
+    in-memory model holds — sequence rule, re-inserts, multiset
+    semantics (duplicate keys in different appends both survive until
+    deleted), compaction materialization, BRANCH-PUBLISHED files (whose
+    era comes from the manifest map, not the /data/v<N>/ path — the r10
+    ADVICE corruption bug), and delete fold-forward across expiry, all
+    at once. Each retained version is time-travel-checked against the
+    model's state AT that version; expired versions must RAISE."""
     from glamira_end_to_end_data_pipeline_spark.sources import lake
 
     path = str(tmp_path_factory.mktemp("mor_model") / "t")
     # model: list of (key, era) live rows; deletes remove rows with
-    # era < delete version; compact rewrites all live rows at era v
+    # era < delete version; compact rewrites all live rows at era v;
+    # wap appends via stage+publish (same model as append — that
+    # equivalence IS the property); expire drops versions < cutoff
     live: list = []
     states = {}
     rid = 0
     version = 0
+    horizon = 1  # oldest still-readable version
     first = ops[0][0] == "append"
     if not first:
         ops = [("append", [0, 1])] + ops
@@ -871,6 +880,27 @@ def test_mor_lake_matches_reference_model(spark, tmp_path_factory, ops):
                 for key, era, r in live
                 if not (key in doomed and era < version)
             ]
+        elif op == "wap":
+            if version == 0:
+                continue  # publish_branch needs an existing table
+            version += 1
+            rows = [(key, rid + i) for i, key in enumerate(payload)]
+            rid += len(payload)
+            lake.stage_branch(
+                spark,
+                spark.createDataFrame(rows, "k int, rid long"),
+                path,
+                "wb",
+            )
+            got_v = lake.publish_branch(spark, path, "wb")
+            assert got_v == version
+            live.extend((key, version, r) for key, r in rows)
+        elif op == "expire":
+            if version < 3:
+                continue  # keep_last=2 would be a no-op
+            lake.expire_snapshots(spark, path, keep_last=2)
+            horizon = max(horizon, version - 1)
+            continue  # no new version, state unchanged
         else:  # compact
             if version == 0:
                 continue
@@ -879,6 +909,10 @@ def test_mor_lake_matches_reference_model(spark, tmp_path_factory, ops):
             live = [(key, version, r) for key, _, r in live]
         states[version] = sorted((key, r) for key, _, r in live)
     for v, expected in states.items():
+        if v < horizon:
+            with pytest.raises(FileNotFoundError):
+                lake.read_snapshot_mor(spark, path, v).collect()
+            continue
         got = sorted(
             (r.k, r.rid)
             for r in lake.read_snapshot_mor(spark, path, v).collect()
