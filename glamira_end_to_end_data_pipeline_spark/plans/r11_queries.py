@@ -213,8 +213,12 @@ def w_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = monthly.alias("a")
     b = monthly.alias("b")
+    # the (nation × month) series is dimension-sized (~25 × 84 rows
+    # at ANY SF — it only grows with the calendar), so the pairwise
+    # side rides a broadcast and the self-join never shuffles the
+    # series twice
     slopes = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.n_name") == F.col("b.n_name")) & (F.col("b.t") > F.col("a.t")),
     ).select(
         F.col("a.n_name").alias("n_name"),

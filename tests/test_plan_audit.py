@@ -30,6 +30,10 @@ from tests.test_plans import plan_of
 # BroadcastNestedLoopJoin is the intended plan here: a tiny broadcast
 # side against a streamed big side, with a non-equi predicate.
 BNLJ_OK = {
+    # Benford expectation join: the population total is a ONE-ROW
+    # broadcast cross-joined onto the ≤9-row digit rollup (q11/q15
+    # scalar pattern) — O(9) work.
+    "dq_benford_first_digit",
     "emb_cosine_topk",      # exact baseline: broadcast queries x corpus
     "mm_feature_ann_topk",  # same shape over media features
     "j6_value_range_join",  # broadcast 50-row band table, range predicate
