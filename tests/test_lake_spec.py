@@ -461,3 +461,40 @@ def test_stats_pruned_bool_probe(spark, tmp_path):
     out, n_read, n_total = lake.read_snapshot_pruned(spark, path, "flag", True, True)
     assert sorted(r.x for r in out.collect()) == [3]
     assert n_read < n_total
+
+
+def test_rollback_preserves_original_eras_under_mor(spark, tmp_path):
+    # Rollback reinstates the TARGET's files at a new head, but each
+    # file keeps its ORIGINAL era (inherited from the manifest map, or
+    # path-parsed identically) — so equality deletes committed between
+    # the target and the rollback still apply to the reinstated rows.
+    # History is preserved, not rewritten: Iceberg-style rollback here
+    # is a new commit, and the delete remains part of the lineage.
+    path = str(tmp_path / "rbera")
+    lake.write_snapshot(
+        spark, spark.createDataFrame([(1,), (2,), (3,)], "k int"), path
+    )  # v1
+    lake.delete_snapshot(spark, spark.createDataFrame([(2,)], "k int"), path, ["k"])  # v2
+    lake.write_snapshot(spark, spark.createDataFrame([(9,)], "k int"), path)  # v3
+    v4 = lake.rollback_snapshot(spark, path, 1)
+    assert v4 == 4
+    doc = lake._read_manifest_doc(spark, path, 4)
+    assert doc["eras"] == [1] * len(doc["files"])
+    got = sorted(r.k for r in lake.read_snapshot_mor(spark, path).collect())
+    assert got == [1, 3]
+
+
+def test_mor_era_fallback_when_eras_malformed(spark, tmp_path):
+    # A manifest whose eras list doesn't align with files (hand-edited,
+    # partial migration) must degrade to path parsing, never misalign.
+    path = str(tmp_path / "badera")
+    lake.write_snapshot(
+        spark, spark.createDataFrame([(1,), (2,)], "k int"), path
+    )
+    lake.delete_snapshot(spark, spark.createDataFrame([(1,)], "k int"), path, ["k"])
+    lake.write_snapshot(spark, spark.createDataFrame([(1,)], "k int"), path)  # re-insert
+    doc = lake._read_manifest_doc(spark, path, 3)
+    doc["eras"] = doc["eras"][:-1]  # misaligned on purpose
+    lake._rewrite_json_atomic(spark, f"{path}/_manifests/v3.json", doc)
+    got = sorted(r.k for r in lake.read_snapshot_mor(spark, path).collect())
+    assert got == [1, 2]
