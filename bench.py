@@ -216,6 +216,11 @@ HEADLINE = [
     "lake_mor_dense_deletes",
     "w_theil_sen_trend",
     "dq_benford_first_digit",
+    "w_seasonal_decompose",
+    "w_autocorrelation",
+    "graph_hits_scores",
+    "a_ols_sufficient_stats",
+    "lake_rewrite_manifests",
 ]
 
 

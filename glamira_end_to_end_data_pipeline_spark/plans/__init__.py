@@ -661,18 +661,44 @@ def _last_graded(name: str) -> int:
     return 0
 
 
+# Fresh entries added AFTER the round-11 rotation plan was locked: the
+# r11 window exactly drains the 40-entry r5-stale cohort (r10 VERDICT
+# task 2 — 9 code-touched + 3 fresh + 38 stale = 50), so putting these
+# in the fresh-first block would push stale entries back out. They
+# DEFER to the back of the ordering (graded r12, when _last_graded==0
+# pulls them forward again) and are oracle-checked locally this round.
+_DEFER_FRESH_R11 = (
+    "w_seasonal_decompose",
+    "w_autocorrelation",
+    "graph_hits_scores",
+    "a_ols_sufficient_stats",
+    "lake_rewrite_manifests",
+)
+
+
 def _window_order() -> list[str]:
     registered = list(QUERIES)
     front = [n for n in _ROTATE_FIRST_R11 if n in QUERIES]
+    defer = [
+        n
+        for n in _DEFER_FRESH_R11
+        if n in QUERIES and _last_graded(n) == 0
+    ]
     fresh = [
-        n for n in registered if _last_graded(n) == 0 and n not in front
+        n
+        for n in registered
+        if _last_graded(n) == 0 and n not in front and n not in defer
     ]
     pos = {n: i for i, n in enumerate(registered)}
     graded = sorted(
-        (n for n in registered if _last_graded(n) > 0 and n not in front),
+        (
+            n
+            for n in registered
+            if _last_graded(n) > 0 and n not in front
+        ),
         key=lambda n: (_last_graded(n), pos[n]),
     )
-    return front + fresh + graded
+    return front + fresh + graded + defer
 
 
 def _apply_order() -> None:

@@ -850,6 +850,8 @@ def _commit_manifest(
     stats: dict | None = None,
     spec: list[str] | None = None,
     delete_files: list[str] | None = None,
+    carried_deletes: list[dict] | None = None,
+    delete_checkpoint: bool = False,
 ) -> None:
     """Atomically publish a version's manifest (temp write + rename).
 
@@ -920,6 +922,17 @@ def _commit_manifest(
         # compaction, incremental, diff) keeps its contract; GC treats
         # them as referenced via this field.
         doc["delete_files"] = delete_files
+    if carried_deletes:
+        # deletes folded forward from OLDER versions, each with its
+        # ORIGINAL commit version (the MoR sequence rule needs it) —
+        # written by expiry's fold-forward and by rewrite_manifests'
+        # delete-checkpoint consolidation.
+        doc["carried_deletes"] = carried_deletes
+    if delete_checkpoint:
+        # this manifest's own delete_files + carried_deletes cover
+        # EVERY equality delete visible at this version, so the MoR
+        # reader's history walk may STOP here (see _collect_deletes).
+        doc["delete_checkpoint"] = True
     payload = json.dumps(doc).encode("utf-8")
     fs, _ = _hadoop_fs(spark, path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
@@ -1343,6 +1356,104 @@ def expire_snapshots(
 # `rewrite` commit of the MoR read.
 
 
+def _collect_deletes(
+    spark: SparkSession, path: str, version: int, head_doc: dict | None = None
+) -> tuple[list[tuple[int, list[str]]], int]:
+    """Every equality delete visible at ``version`` as deduplicated
+    ``(original_version, delete_files)`` pairs, plus the number of
+    manifests actually read.
+
+    Walks DOWNWARD from ``version`` and STOPS at the newest manifest
+    flagged ``delete_checkpoint`` (its own ``delete_files`` +
+    ``carried_deletes`` already cover everything below — see
+    :func:`rewrite_manifests`), so on a checkpointed table the walk is
+    O(commits since the last checkpoint), not O(table age). Expired
+    versions are skipped (their deletes were folded forward into the
+    oldest retained manifest by :func:`expire_snapshots`). Pairs are
+    deduplicated because the same delete can legally be visible twice
+    — e.g. in its own manifest below a cutoff and again as a
+    fold-forward carry — and double-reading delete keys, while
+    harmless under the per-key ``max(version)`` reduction, wastes a
+    scan."""
+    seen: set[tuple[int, tuple[str, ...]]] = set()
+    dels: list[tuple[int, list[str]]] = []
+    walked = 0
+    for v in range(version, 0, -1):
+        if v == version and head_doc is not None:
+            d = head_doc
+        else:
+            try:
+                d = _read_manifest_doc(spark, path, v)
+            except FileNotFoundError:
+                continue  # expired — its deletes were carried forward
+        walked += 1
+        if d.get("delete_files"):
+            pair = (v, tuple(d["delete_files"]))
+            if pair not in seen:
+                seen.add(pair)
+                dels.append((v, d["delete_files"]))
+        # deletes folded forward from expired versions (and checkpoint
+        # consolidations) keep their ORIGINAL version — the sequence
+        # rule needs it
+        for cd in d.get("carried_deletes", ()):
+            pair = (int(cd["version"]), tuple(cd["files"]))
+            if pair not in seen:
+                seen.add(pair)
+                dels.append((int(cd["version"]), cd["files"]))
+        if d.get("delete_checkpoint"):
+            break
+    return dels, walked
+
+
+def rewrite_manifests(spark: SparkSession, path: str) -> dict:
+    """METADATA compaction (Iceberg's ``rewrite_manifests``): commit a
+    new version that references exactly the head's data files but
+    consolidates the table's entire equality-delete history into its
+    own manifest as ``carried_deletes`` (each with its original commit
+    version) and flags itself ``delete_checkpoint``.
+
+    Zero data moves — the commit is one small JSON write — but every
+    subsequent merge-on-read reader stops its manifest walk HERE
+    instead of descending to v1 (:func:`_collect_deletes`), so a
+    long-lived table with years of delete commits reads its head with
+    O(commits since last checkpoint) metadata reads. This is the
+    metadata half of the maintenance loop: :func:`compact_snapshot`
+    bounds the FILE count (and materializes deletes into data),
+    ``rewrite_manifests`` bounds the METADATA walk without touching a
+    byte of data — the cheap option when the delete set is small but
+    the commit history is long. Time travel, incremental reads
+    (same files ⇒ empty delta), GC (carried delete files stay
+    referenced), and expiry (fold-forward reads ``carried_deletes``)
+    all compose with it.
+
+    Returns ``{"version", "consolidated_deletes", "manifests_walked"}``.
+    """
+    head = latest_snapshot_version(spark, path)
+    if head == 0:
+        raise FileNotFoundError(f"no snapshots under {path}")
+    doc = _read_manifest_doc(spark, path, head)
+    dels, walked = _collect_deletes(spark, path, head, head_doc=doc)
+    carried = sorted({(v, tuple(fs)) for v, fs in dels})
+    carried_docs = [{"version": v, "files": list(fs)} for v, fs in carried]
+    version = head + 1
+    _commit_manifest(
+        spark,
+        path,
+        version,
+        doc["files"],
+        operation="rewrite-manifests",
+        stats=doc.get("stats"),
+        spec=doc.get("spec"),
+        carried_deletes=carried_docs,
+        delete_checkpoint=True,
+    )
+    return {
+        "version": version,
+        "consolidated_deletes": len(carried_docs),
+        "manifests_walked": walked,
+    }
+
+
 def delete_snapshot(
     spark: SparkSession,
     keys_df: DataFrame,
@@ -1395,21 +1506,7 @@ def read_snapshot_mor(
         version = latest_snapshot_version(spark, path)
     doc = _read_manifest_doc(spark, path, version)
     files = doc["files"]
-    dels: list[tuple[int, list[str]]] = []
-    for v in range(1, version + 1):
-        if v == version:
-            d = doc
-        else:
-            try:
-                d = _read_manifest_doc(spark, path, v)
-            except FileNotFoundError:
-                continue  # expired — its deletes were carried forward
-        if d.get("delete_files"):
-            dels.append((v, d["delete_files"]))
-        # equality deletes folded forward from expired versions keep
-        # their ORIGINAL version (the sequence rule needs it)
-        for cd in d.get("carried_deletes", ()):
-            dels.append((cd["version"], cd["files"]))
+    dels, _walked = _collect_deletes(spark, path, version, head_doc=doc)
     # Era per row = era of its data FILE. Primary source: the manifest's
     # recorded eras (parallel to ``files``; see _commit_manifest), keyed
     # through the scheme-normalized file name — the only source that is

@@ -498,3 +498,93 @@ def test_mor_era_fallback_when_eras_malformed(spark, tmp_path):
     lake._rewrite_json_atomic(spark, f"{path}/_manifests/v3.json", doc)
     got = sorted(r.k for r in lake.read_snapshot_mor(spark, path).collect())
     assert got == [1, 2]
+
+
+def _mor_keys(spark, path, version=None):
+    return sorted(r.k for r in lake.read_snapshot_mor(spark, path, version).collect())
+
+
+def test_rewrite_manifests_checkpoint_bounds_walk(spark, tmp_path):
+    # The delete-checkpoint commit must (a) leave the MoR view
+    # row-identical, (b) stop _collect_deletes' history walk at itself,
+    # (c) keep the sequence rule: a later re-insert of a checkpointed
+    # delete's key survives.
+    path = str(tmp_path / "rwm")
+    df = spark.createDataFrame([(k, k * 10) for k in range(8)], "k int, v int")
+    lake.write_snapshot(spark, df, path)                                    # v1
+    lake.delete_snapshot(spark, spark.createDataFrame([(1,), (2,)], "k int"), path, ["k"])  # v2
+    lake.delete_snapshot(spark, spark.createDataFrame([(3,)], "k int"), path, ["k"])        # v3
+    pre = _mor_keys(spark, path)
+    out = lake.rewrite_manifests(spark, path)                               # v4
+    assert out == {"version": 4, "consolidated_deletes": 2, "manifests_walked": 3}
+    assert _mor_keys(spark, path) == pre == [0, 4, 5, 6, 7]
+    doc = lake._read_manifest_doc(spark, path, 4)
+    assert doc["delete_checkpoint"] is True
+    assert doc["operation"] == "rewrite-manifests"
+    assert [cd["version"] for cd in doc["carried_deletes"]] == [2, 3]
+    # walk from the head reads ONLY the head (which is the checkpoint)
+    _dels, walked = lake._collect_deletes(spark, path, 4)
+    assert walked == 1
+    # re-insert after the checkpoint outranks the carried deletes
+    lake.write_snapshot(spark, spark.createDataFrame([(1, 999)], "k int, v int"), path)  # v5
+    _dels, walked = lake._collect_deletes(spark, path, 5)
+    assert walked == 2  # v5 + checkpoint v4
+    assert _mor_keys(spark, path) == [0, 1, 4, 5, 6, 7]
+    # time travel BELOW the checkpoint still applies the original walk
+    assert _mor_keys(spark, path, 2) == [0, 3, 4, 5, 6, 7]
+    # incremental across the metadata commit delivers nothing
+    assert lake.read_incremental(spark, path, 3, 4).count() == 0
+
+
+def test_rewrite_manifests_composes_with_expiry(spark, tmp_path):
+    # Checkpoint BELOW the expiry cutoff: the fold-forward reads the
+    # checkpoint's carried_deletes; an expired checkpoint's
+    # consolidation must survive in the oldest retained manifest.
+    path = str(tmp_path / "rwmexp")
+    df = spark.createDataFrame([(k, k) for k in range(6)], "k int, v int")
+    lake.write_snapshot(spark, df, path)                                    # v1
+    lake.delete_snapshot(spark, spark.createDataFrame([(0,)], "k int"), path, ["k"])  # v2
+    lake.rewrite_manifests(spark, path)                                     # v3 (checkpoint)
+    lake.write_snapshot(spark, spark.createDataFrame([(0, 77)], "k int, v int"), path)  # v4
+    lake.delete_snapshot(spark, spark.createDataFrame([(5,)], "k int"), path, ["k"])  # v5
+    lake.expire_snapshots(spark, path, keep_last=2)  # expires v1-v3, checkpoint included
+    # deletes from the expired checkpoint still apply with original eras
+    assert _mor_keys(spark, path) == [0, 1, 2, 3, 4]  # 0@v4 survives, 5 deleted
+    rows = {r.k: r.v for r in lake.read_snapshot_mor(spark, path).collect()}
+    assert rows[0] == 77  # the re-insert, not the v1 original
+    # GC never sweeps delete files a carried consolidation references
+    assert lake.gc_orphan_files(spark, path) == 0
+    assert _mor_keys(spark, path) == [0, 1, 2, 3, 4]
+
+
+def test_rewrite_manifests_twice_and_compact_interplay(spark, tmp_path):
+    # A second checkpoint re-consolidates (dedup keeps one pair per
+    # delete), and compaction AFTER a checkpoint materializes exactly
+    # the checkpointed view.
+    path = str(tmp_path / "rwm2")
+    df = spark.createDataFrame([(k, k) for k in range(5)], "k int, v int")
+    lake.write_snapshot(spark, df, path)                                    # v1
+    lake.delete_snapshot(spark, spark.createDataFrame([(1,)], "k int"), path, ["k"])  # v2
+    lake.rewrite_manifests(spark, path)                                     # v3
+    lake.delete_snapshot(spark, spark.createDataFrame([(2,)], "k int"), path, ["k"])  # v4
+    out = lake.rewrite_manifests(spark, path)                               # v5
+    # walk: v4 (its own delete) then v3 (the prior checkpoint) — stop
+    assert out["consolidated_deletes"] == 2 and out["manifests_walked"] == 2
+    assert _mor_keys(spark, path) == [0, 3, 4]
+    v, _n = lake.compact_snapshot(spark, path)                              # v6
+    assert v == 6
+    assert _mor_keys(spark, path) == [0, 3, 4]
+    assert sorted(r.k for r in lake.read_snapshot(spark, path).collect()) == [0, 3, 4]
+
+
+def test_rewrite_manifests_on_deleteless_table(spark, tmp_path):
+    # No deletes: the checkpoint is an empty consolidation and the MoR
+    # fast path (no delete join) still serves every row.
+    path = str(tmp_path / "rwm0")
+    lake.write_snapshot(spark, spark.range(0, 4).selectExpr("id as k"), path)  # v1
+    out = lake.rewrite_manifests(spark, path)                                  # v2
+    assert out["consolidated_deletes"] == 0
+    assert _mor_keys(spark, path) == [0, 1, 2, 3]
+    doc = lake._read_manifest_doc(spark, path, 2)
+    assert doc.get("carried_deletes") is None or doc.get("carried_deletes") == []
+    assert doc["delete_checkpoint"] is True

@@ -136,6 +136,11 @@ BNLJ_OK = {
     # chi2: the ONE-ROW margins broadcast onto the |event-types|-row
     # contingency rollup (the q11/q15 scalar pattern).
     "dq_chi2_categorical_drift",
+    # dense monthly spine: the ONE-ROW (min,max) month bounds broadcast
+    # onto the 25-row nation dim to explode the calendar — O(nations ×
+    # months), dimension-sized at any SF (q11/q15 scalar pattern).
+    "w_seasonal_decompose",
+    "w_autocorrelation",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are

@@ -822,6 +822,7 @@ def test_ks_prefix_sum_matches_naive(spark, rows):
             st.tuples(st.just("compact"), st.just([])),
             st.tuples(st.just("wap"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
             st.tuples(st.just("expire"), st.just([])),
+            st.tuples(st.just("rwm"), st.just([])),
         ),
         min_size=2,
         max_size=6,
@@ -829,7 +830,8 @@ def test_ks_prefix_sum_matches_naive(spark, rows):
 )
 def test_mor_lake_matches_reference_model(spark, tmp_path_factory, ops):
     """Model-based check of the merge-on-read lake: ANY interleaving of
-    append / equality-delete / compact / WAP-publish / expiry commits
+    append / equality-delete / compact / WAP-publish / expiry /
+    rewrite-manifests (delete-checkpoint) commits
     must read (via read_snapshot_mor) exactly what a sequential
     in-memory model holds — sequence rule, re-inserts, multiset
     semantics (duplicate keys in different appends both survive until
@@ -901,6 +903,15 @@ def test_mor_lake_matches_reference_model(spark, tmp_path_factory, ops):
             lake.expire_snapshots(spark, path, keep_last=2)
             horizon = max(horizon, version - 1)
             continue  # no new version, state unchanged
+        elif op == "rwm":
+            if version == 0:
+                continue
+            version += 1
+            out = lake.rewrite_manifests(spark, path)
+            assert out["version"] == version
+            # metadata-only: live state unchanged; later MoR reads stop
+            # their walk at this checkpoint — the equivalence IS the
+            # property
         else:  # compact
             if version == 0:
                 continue
