@@ -221,6 +221,10 @@ HEADLINE = [
     "graph_hits_scores",
     "a_ols_sufficient_stats",
     "lake_rewrite_manifests",
+    "a_weighted_quantiles_exact",
+    "stream_delta_join_view",
+    "graph_closeness_landmarks",
+    "dq_l_diversity",
 ]
 
 

@@ -1268,3 +1268,71 @@ def personalized_pagerank(
     e.unpersist()
     nodes.unpersist()
     return ranks.select("node", "outdeg", "rank")
+
+
+def bfs_distances_per_source(
+    edges: DataFrame,
+    sources: Sequence[int],
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 50,
+    batch0: int = 1,
+    local_threshold: int = _LOCAL_THRESHOLD,
+) -> DataFrame:
+    """Per-landmark BFS: :func:`bfs_distances` keeps the MIN over
+    sources; this keeps each source's hop distance separately —
+    ``(src, node, dist)`` for every (landmark, reachable node) pair —
+    which is what landmark-based centrality (closeness/harmonic),
+    graph sketches (Das Sarma et al. 2010), and distance-oracle
+    seeding need. State is keyed on (src, node): the same monotone
+    min-propagation loop as bfs_distances, |S|× the frontier rows, one
+    edge⋈state join + one (src,node)-keyed min per step — at 100 TB
+    the landmark set is small (tens), so the state stays a bounded
+    multiple of the reachable set and partitions by the same key the
+    join shuffles on. Convergence uses the identical adaptive-doubling
+    (count, Σdist) probe; the hybrid local fast path runs the
+    sequential BFS once per source (the fixed point is unique, so the
+    two paths are equal — the graph family's standing test pattern)."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    if e.count() <= local_threshold:
+        rows = [(r.u, r.v) for r in e.collect()]
+        out: list[tuple[int, int, int]] = []
+        for s in sources:
+            out.extend(
+                (int(s), int(n), int(d)) for n, d in _local_bfs(rows, [s])
+            )
+        return spark.createDataFrame(out, "src long, node long, dist long")
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sources], "src long, node long, dist long"
+    ).localCheckpoint()
+
+    def _step(d: DataFrame) -> DataFrame:
+        msgs = e.join(d, e["u"] == d["node"]).select(
+            d["src"], e["v"].alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        return (
+            d.unionAll(msgs)
+            .groupBy("src", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+
+    probe = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
+    prev = (probe[0], probe[1])
+    batch = batch0
+    for _ in range(max_rounds):
+        for _ in range(batch):
+            dist = _step(dist).localCheckpoint(eager=False)
+        probe = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
+        cur = (probe[0], probe[1])
+        if cur == prev:
+            break
+        prev = cur
+        batch = min(batch * 2, 16)
+    return dist

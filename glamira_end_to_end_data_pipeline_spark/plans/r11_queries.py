@@ -887,3 +887,306 @@ def lake_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed weighted quantiles — two-phase bucket + recount
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_weighted_quantiles_exact",
+    """
+    WITH rows_ AS (
+        SELECT l_returnflag AS g, l_extendedprice AS x,
+               cast(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    vx AS (SELECT g, x, sum(wt) AS wt FROM rows_ GROUP BY 1, 2),
+    tot AS (SELECT g, sum(wt) AS w FROM vx GROUP BY 1),
+    c AS (
+        SELECT g, x, sum(wt) OVER (PARTITION BY g ORDER BY x) AS cw
+        FROM vx
+    )
+    SELECT c.g AS l_returnflag,
+           cast(t.w AS BIGINT) AS total_weight,
+           round(min(CASE WHEN 2 * cw >= t.w THEN x END), 2) AS w_p50,
+           round(min(CASE WHEN 10 * cw >= 9 * t.w THEN x END), 2) AS w_p90
+    FROM c JOIN tot t ON t.g = c.g
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def a_weighted_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted quantiles (lower weighted median / p90 of price,
+    weighted by quantity) per return flag WITHOUT a global sort — the
+    two-phase bucket-locate-recount pattern (the same family as the
+    Misra–Gries recount and the KS prefix sum): (1) collapse ties to
+    (group, value) weights, (2) roll up to coarse value BUCKETS and
+    run the cumulative-weight window over the BOUNDED bucket table to
+    locate, per quantile, the one bucket containing the threshold
+    T_q = smallest x with cumweight ≥ q·W, (3) recount ONLY inside
+    the located buckets, seeding each in-bucket cumulative window with
+    the bucket's carried-in prior weight. Every window is partitioned
+    ((group) over buckets; (group, quantile) over one bucket's
+    values), thresholds compare as INTEGERS (2·cw ≥ W, 10·cw ≥ 9·W) —
+    no float rank math — and the answer is exact at any scale while a
+    naive solution sorts the whole group. Weighted quantiles are the
+    data-mixing primitive (token-budget cutoffs over quality scores
+    weighted by document length). The oracle computes the same
+    definition with one flat cumulative window — affordable at oracle
+    scale, the thing the two-phase plan avoids at 100 TB."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    vx = li.groupBy("g", "x").agg(F.sum("wt").alias("wt"))
+    vx = vx.withColumn("bkt", F.floor(F.col("x") / 1000).cast("long"))
+    from pyspark.sql import Window
+
+    bw = vx.groupBy("g", "bkt").agg(F.sum("wt").alias("bw"))
+    wb = Window.partitionBy("g").orderBy("bkt")
+    cum = bw.select(
+        "g",
+        "bkt",
+        "bw",
+        (F.sum("bw").over(wb) - F.col("bw")).alias("prior"),
+    )
+    tot = bw.groupBy("g").agg(F.sum("bw").alias("w"))
+    qdf = spark.createDataFrame(
+        [("w_p50", 1, 2), ("w_p90", 9, 10)], "q string, qn long, qd long"
+    )
+    # locate: per (group, quantile) exactly ONE bucket satisfies
+    # prior < qn/qd·W ≤ prior+bw (strict left edge: if the threshold
+    # lands exactly on a bucket boundary the answering value is in an
+    # EARLIER bucket, whose own row already satisfies the window test)
+    targets = (
+        cum.join(tot, "g")
+        .crossJoin(F.broadcast(qdf))
+        .filter(
+            (F.col("qd") * F.col("prior") < F.col("qn") * F.col("w"))
+            & (F.col("qd") * (F.col("prior") + F.col("bw")) >= F.col("qn") * F.col("w"))
+        )
+        .select("g", "q", "qn", "qd", "bkt", "prior", "w")
+    )
+    inb = vx.join(F.broadcast(targets), ["g", "bkt"])
+    wq = Window.partitionBy("g", "q").orderBy("x")
+    picked = (
+        inb.withColumn("cw", F.col("prior") + F.sum("wt").over(wq))
+        .filter(F.col("qd") * F.col("cw") >= F.col("qn") * F.col("w"))
+        .groupBy("g", "q")
+        .agg(F.min("x").alias("xq"), F.max("w").alias("w"))
+    )
+    return (
+        picked.groupBy("g")
+        .agg(
+            F.max("w").cast("long").alias("total_weight"),
+            F.round(F.min(F.when(F.col("q") == "w_p50", F.col("xq"))), 2).alias("w_p50"),
+            F.round(F.min(F.when(F.col("q") == "w_p90", F.col("xq"))), 2).alias("w_p90"),
+        )
+        .select(
+            F.col("g").alias("l_returnflag"), "total_weight", "w_p50", "w_p90"
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance (the first-order delta rule)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_delta_join_view",
+    """
+    SELECT c.c_mktsegment,
+           cast(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_rev
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_delta_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-VIEW maintenance — the first-order delta rule
+    every IVM engine (DBSP/Materialize, Delta Live Tables) applies:
+    with both sides split into an initial batch and a delta
+    (R = R₁∪ΔR, S = S₁∪ΔS), the maintained view advances by
+    V₂ = V₁ ∪ (ΔR⋈S₁) ∪ (R₁⋈ΔS) ∪ (ΔR⋈ΔS) — three joins whose inputs
+    are churn-sized (|Δ|·|S| keyed lookups), never a recompute of
+    R⋈S. An in-query gate RAISES unless the incrementally-maintained
+    view is row-count-identical to the full recompute, so the green
+    grade certifies the delta algebra, and the oracle grades the full
+    join the increments must reconstitute. At 100 TB this is the
+    pattern that turns a daily 3-hour join rebuild into minutes of
+    delta work; all three delta joins broadcast the dimension side
+    and shuffle only the churn."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    r1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    dr = orders.filter(F.col("o_orderkey") % 2 == 1)
+    s1 = cust.filter(F.col("c_custkey") % 2 == 0)
+    ds = cust.filter(F.col("c_custkey") % 2 == 1)
+
+    def j(r, s):
+        return r.join(F.broadcast(s), r["o_custkey"] == s["c_custkey"])
+
+    v1 = j(r1, s1)
+    v2 = (
+        v1.unionByName(j(dr, s1))
+        .unionByName(j(r1, ds))
+        .unionByName(j(dr, ds))
+    )
+    # equivalence gate: the maintained view must equal the recompute
+    n_inc = v2.count()
+    n_full = j(orders, cust).count()
+    if n_inc != n_full:
+        raise AssertionError(
+            f"delta-join maintenance diverged: incremental {n_inc} rows, "
+            f"full recompute {n_full}"
+        )
+    return (
+        v2.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_rev"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Landmark harmonic closeness via per-source BFS
+# ---------------------------------------------------------------------------
+
+_CLOSE_N = 300
+_CLOSE_SOURCES = (0, 97, 151, 202)
+# LCM(1..12): every 27720/d is an exact integer for hop counts ≤ 12,
+# so the harmonic sum stays integer-exact on both engines.
+_HARMONIC_SCALE = 27720
+
+
+@query(
+    "graph_closeness_landmarks",
+    f"""
+    WITH RECURSIVE edges AS (
+        SELECT i AS u, (2 * i) % {_CLOSE_N} AS v FROM range({_CLOSE_N}) t(i)
+        UNION ALL
+        SELECT i, (2 * i + 1) % {_CLOSE_N} FROM range({_CLOSE_N}) t(i)
+    ),
+    walk(src, node, d) AS (
+        SELECT * FROM (VALUES (0, 0, 0), (97, 97, 0), (151, 151, 0),
+                              (202, 202, 0)) s(src, node, d)
+        UNION
+        SELECT w.src, e.v, w.d + 1 FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.d < 12
+    ),
+    md AS (SELECT src, node, min(d) AS d FROM walk GROUP BY 1, 2)
+    SELECT cast(node AS BIGINT) AS node,
+           cast(count(CASE WHEN d > 0 THEN 1 END) AS BIGINT) AS n_landmarks,
+           cast(sum(CASE WHEN d > 0 THEN {_HARMONIC_SCALE} / d END) AS BIGINT)
+               AS harmonic_scaled
+    FROM md GROUP BY 1
+    ORDER BY harmonic_scaled DESC, node ASC LIMIT 25
+    """,
+)
+def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-based harmonic closeness (operators/graph.py:
+    bfs_distances_per_source): exact hop distances from each of 4
+    landmarks kept SEPARATELY — the (src, node)-keyed Pregel loop —
+    then harmonic centrality c(v) = Σ_landmarks 1/d(s,v) over reached
+    pairs (Boldi–Vigna's axiom-clean centrality; landmarks make it
+    O(|S|·|E|) instead of all-pairs). The harmonic sum is computed at
+    the LCM(1..12)=27720 scale so every term is an exact integer —
+    no float summation order to diverge between engines — and an
+    in-query gate RAISES if any distance exceeds 12 (the oracle's
+    recursive-CTE depth cap). Fixture: the doubling graph
+    i → {{2i, 2i+1}} mod 300; ``local_threshold=0`` forces the live
+    distributed loop under the grade (the graph family's standing
+    proof pattern). Top-25 rides a total-order TakeOrderedAndProject."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        bfs_distances_per_source,
+    )
+
+    ids = spark.range(_CLOSE_N)
+    edges = ids.select(
+        F.col("id").alias("u"), (F.col("id") * 2 % _CLOSE_N).alias("v")
+    ).unionAll(
+        ids.select(
+            F.col("id").alias("u"),
+            ((F.col("id") * 2 + 1) % _CLOSE_N).alias("v"),
+        )
+    )
+    d = bfs_distances_per_source(
+        edges, _CLOSE_SOURCES, batch0=8, local_threshold=0
+    )
+    dmax = d.agg(F.max("dist")).collect()[0][0]
+    if dmax is None or dmax > 12:
+        raise AssertionError(
+            f"fixture drift: max hop distance {dmax} exceeds the exact-"
+            f"integer harmonic bound (LCM scale covers d ≤ 12)"
+        )
+    pos = d.filter(F.col("dist") > 0)
+    return (
+        pos.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_landmarks"),
+            F.sum(F.lit(_HARMONIC_SCALE) / F.col("dist"))
+            .cast("long")
+            .alias("harmonic_scaled"),
+        )
+        .orderBy(F.desc("harmonic_scaled"), F.asc("node"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity privacy audit (beside the k-anonymity entry)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_l_diversity",
+    """
+    WITH s AS (
+        SELECT c_nationkey, c_mktsegment,
+               cast(floor(c_acctbal / 1000.0) AS BIGINT) AS sens
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           cast(count(*) AS BIGINT) AS group_size,
+           cast(count(DISTINCT sens) AS BIGINT) AS l_distinct
+    FROM s
+    GROUP BY 1, 2
+    HAVING count(DISTINCT sens) < 5
+    ORDER BY 1, 2
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit (Machanavajjhala et al. 2007) — the privacy
+    check k-anonymity (the sibling ``dq_k_anonymity`` entry) cannot
+    express: a quasi-identifier group can be large (k-anonymous) yet
+    still leak if every member shares the SAME sensitive value, so the
+    release gate is the number of DISTINCT sensitive values per QI
+    group. Sensitive attribute: the account-balance band; QI =
+    (nation, market segment). Emits every group below l = 5 with its
+    size — the worklist an anonymization pass must generalize or
+    suppress before the table ships to a training corpus. One
+    distinct-aggregate exchange, the same shape Spark plans for A2."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("sens"),
+    )
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.countDistinct("sens").cast("long").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 5)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -567,3 +567,45 @@ def test_link_prediction_broadcast_paths_identical(spark):
         ).collect()
     ]
     assert aa_on == aa_off and len(aa_on) > 0
+
+
+def test_bfs_per_source_paths_equal_and_match_min_variant(spark):
+    # The per-source BFS must (a) agree between the hybrid local fast
+    # path and the forced distributed Pregel loop (unique fixed point),
+    # (b) reduce to bfs_distances under min-over-sources, (c) keep each
+    # landmark's distance separately.
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        bfs_distances,
+        bfs_distances_per_source,
+    )
+    from pyspark.sql import functions as F
+
+    n = 64
+    ids = spark.range(n)
+    edges = ids.select(
+        F.col("id").alias("u"), (F.col("id") * 2 % n).alias("v")
+    ).unionAll(
+        ids.select(F.col("id").alias("u"), ((F.col("id") * 2 + 1) % n).alias("v"))
+    )
+    sources = (0, 17)
+    local = sorted(
+        tuple(r) for r in bfs_distances_per_source(edges, sources).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in bfs_distances_per_source(
+            edges, sources, local_threshold=0, batch0=4
+        ).collect()
+    )
+    assert local == dist and len(local) > 0
+    # min over sources == the multi-source variant
+    per_src = {}
+    for s, node, d in local:
+        per_src[node] = min(per_src.get(node, 1 << 30), d)
+    min_variant = {
+        r.node: r.dist for r in bfs_distances(edges, sources).collect()
+    }
+    assert per_src == min_variant
+    # each source's own distance to itself is 0 and rows are per-pair
+    assert (0, 0, 0) in local and (17, 17, 0) in local
+    assert len({s for s, _, _ in local}) == 2

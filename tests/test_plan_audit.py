@@ -141,6 +141,10 @@ BNLJ_OK = {
     # months), dimension-sized at any SF (q11/q15 scalar pattern).
     "w_seasonal_decompose",
     "w_autocorrelation",
+    # the TWO-ROW quantile-spec table (p50, p90) cross-joined onto the
+    # bounded (group × bucket) rollup to locate target buckets —
+    # O(2 × buckets), never data-sized.
+    "a_weighted_quantiles_exact",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are
