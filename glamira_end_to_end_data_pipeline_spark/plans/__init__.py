@@ -677,6 +677,9 @@ _DEFER_FRESH_R11 = (
     "stream_delta_join_view",
     "graph_closeness_landmarks",
     "dq_l_diversity",
+    "graph_shortest_path_counts",
+    "scd2_type6_hybrid",
+    "a_gini_index_exact",
 )
 
 

@@ -1190,3 +1190,253 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_distinct") < 5)
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shortest-path counts (the sigma half of Brandes' betweenness)
+# ---------------------------------------------------------------------------
+
+_SPC_N = 300
+_SPC_SRC = 0
+_SPC_CAP = 12
+
+
+@query(
+    "graph_shortest_path_counts",
+    f"""
+    WITH RECURSIVE edges AS (
+        SELECT i AS u, (2 * i) % {_SPC_N} AS v FROM range({_SPC_N}) t(i)
+        UNION ALL
+        SELECT i, (2 * i + 1) % {_SPC_N} FROM range({_SPC_N}) t(i)
+    ),
+    walk(node, d) AS (
+        SELECT {_SPC_SRC}, 0
+        UNION ALL
+        SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.d < {_SPC_CAP}
+    ),
+    md AS (SELECT node, min(d) AS dist FROM walk GROUP BY 1)
+    SELECT cast(m.node AS BIGINT) AS node,
+           cast(m.dist AS BIGINT) AS dist,
+           cast(count(*) AS BIGINT) AS npaths
+    FROM walk w JOIN md m ON w.node = m.node AND w.d = m.dist
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def graph_shortest_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shortest-path counts σ(s,v) from a single source
+    (operators/graph.py:bfs_path_counts) — the forward pass of
+    Brandes' betweenness algorithm, distributed as a layered BFS whose
+    per-layer join SUMS path counts across the layer boundary and
+    anti-joins the settled set. The oracle counts the same quantity a
+    completely different way: a depth-capped UNION ALL recursive walk
+    enumerates EVERY walk from the source (bounded here: out-degree 2,
+    cap 12 → ≤ 2¹³ rows) and counts walks whose length equals the
+    node's min distance — walk enumeration is the oracle-scale luxury
+    the distributed layer-sum avoids. An in-query gate RAISES if any
+    distance reaches the oracle's depth cap. Fixture: the doubling
+    graph i → {2i, 2i+1} mod 300 from source 0."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import bfs_path_counts
+
+    ids = spark.range(_SPC_N)
+    edges = ids.select(
+        F.col("id").alias("u"), (F.col("id") * 2 % _SPC_N).alias("v")
+    ).unionAll(
+        ids.select(
+            F.col("id").alias("u"),
+            ((F.col("id") * 2 + 1) % _SPC_N).alias("v"),
+        )
+    )
+    out = bfs_path_counts(edges, _SPC_SRC)
+    dmax = out.agg(F.max("dist")).collect()[0][0]
+    if dmax is None or dmax >= _SPC_CAP:
+        raise AssertionError(
+            f"fixture drift: max distance {dmax} reaches the oracle walk "
+            f"cap {_SPC_CAP} — counts would diverge"
+        )
+    return out.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-6 hybrid dimension (Type 2 history + Type 1 current overlay
+# + Type 3 previous column)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_type6_hybrid",
+    """
+    WITH ordered AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS segment,
+               o_orderdate AS ts, o_orderkey AS tb,
+               lag(o_orderpriority) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_seg
+        FROM orders
+    ),
+    changed AS (
+        SELECT custkey, segment, ts AS valid_from, tb
+        FROM ordered WHERE prev_seg IS NULL OR prev_seg <> segment
+    ),
+    starts AS (
+        SELECT custkey, segment, valid_from
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY custkey, valid_from ORDER BY tb DESC
+                   ) AS rn
+            FROM changed
+        ) WHERE rn = 1
+    ),
+    v AS (
+        SELECT custkey, segment, valid_from,
+               lead(valid_from) OVER w AS valid_to,
+               cast(row_number() OVER w AS int) AS version_no,
+               (lead(valid_from) OVER w IS NULL) AS is_current,
+               lag(segment) OVER w AS prev_segment
+        FROM starts
+        WINDOW w AS (PARTITION BY custkey ORDER BY valid_from)
+    ),
+    cur AS (SELECT custkey, segment AS current_segment FROM v WHERE is_current)
+    SELECT v.custkey, v.version_no, v.segment, v.prev_segment,
+           c.current_segment, v.valid_from, v.valid_to, v.is_current
+    FROM v JOIN cur c ON c.custkey = v.custkey
+    ORDER BY v.custkey, v.version_no
+    """,
+)
+def scd2_type6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-6 hybrid dimension (Kimball's 1+2+3): the Type-2
+    version history (operators/scd.py:scd2_versions over the
+    order-priority change feed), PLUS the Type-1 overlay — every
+    historical row carries the key's CURRENT value, so "as was vs as
+    is" reporting is one predicate, no self-join at query time — PLUS
+    the Type-3 ``prev_segment`` column (the immediately preceding
+    version's value). This is the dimension shape BI teams actually
+    ship when analysts ask both "what was true then" and "group
+    history by today's segment."
+
+    Scale shape: scd2_versions' lag/dedup/lead windows share one
+    custkey exchange; the current overlay is a second key-partitioned
+    window family (is_current row joined back on the same key), output
+    is |version rows|, never |orders|. Reference parity: the dbt star
+    models snapshot Type-2 only (7.dtv); Type 6 is the engine-side
+    extension."""
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import scd2_versions
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+    )
+    v = scd2_versions(
+        orders, "custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("custkey").orderBy("valid_from")
+    v = v.withColumn("prev_segment", F.lag("segment").over(w))
+    cur = v.filter(F.col("is_current")).select(
+        "custkey", F.col("segment").alias("current_segment")
+    )
+    return (
+        v.join(cur, "custkey")
+        .select(
+            "custkey",
+            "version_no",
+            "segment",
+            "prev_segment",
+            "current_segment",
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+        .orderBy("custkey", "version_no")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed Gini index — two-phase bucket rank reconstruction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_gini_index_exact",
+    """
+    WITH obs AS (
+        SELECT l_returnflag AS g,
+               cast(round(l_extendedprice, 0) AS BIGINT) AS xi
+        FROM lineitem
+    ),
+    r AS (
+        SELECT g, xi,
+               row_number() OVER (PARTITION BY g ORDER BY xi) AS rn
+        FROM obs
+    ),
+    s AS (
+        SELECT g, cast(count(*) AS BIGINT) AS n, sum(xi) AS sx,
+               sum(rn * xi) AS srx
+        FROM r GROUP BY 1
+    )
+    SELECT g AS l_returnflag, n AS n_obs, cast(sx AS BIGINT) AS total_amt,
+           round((2.0 * srx) / (cast(n AS DOUBLE) * sx)
+                 - (n + 1) / cast(n AS DOUBLE), 6) AS gini
+    FROM s ORDER BY 1
+    """,
+)
+def a_gini_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini concentration index per return flag WITHOUT a global
+    sort: G = 2·Σᵢ rᵢxᵢ / (n·Σx) − (n+1)/n needs every value's exact
+    RANK, which the two-phase bucket trick reconstructs distributively
+    — bucket counts give each bucket's carried-in rank offset (a
+    cumulative window over the BOUNDED bucket rollup), ranks inside a
+    bucket come from (group, bucket)-PARTITIONED row_number windows,
+    and Σ rᵢxᵢ decomposes exactly as Σ_b offset_b·(Σx in b) +
+    Σ in-bucket rn·x. Every sum is a BIGINT over integer dollars
+    (order-independent; bounds hold through SF 1), the final expression
+    is one identical float formula on both engines, and tied values
+    are safe because a tie group's rank-sum is fixed regardless of
+    internal order. Gini-by-slice is the inequality/concentration
+    screen data-mixing pipelines run on token budgets per domain. The
+    oracle ranks with one flat window — the oracle-scale luxury."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round("l_extendedprice", 0).cast("long").alias("xi"),
+    )
+    obs = li.withColumn("bkt", F.floor(F.col("xi") / 1000).cast("long"))
+    bc = obs.groupBy("g", "bkt").agg(
+        F.count(F.lit(1)).alias("n_b"), F.sum("xi").alias("sx_b")
+    )
+    wb = Window.partitionBy("g").orderBy("bkt")
+    off = bc.select(
+        "g",
+        "bkt",
+        "sx_b",
+        "n_b",
+        (F.sum("n_b").over(wb) - F.col("n_b")).alias("offset"),
+    )
+    part1 = off.groupBy("g").agg(
+        F.sum(F.col("offset") * F.col("sx_b")).alias("p1"),
+        F.sum("n_b").alias("n"),
+        F.sum("sx_b").alias("sx"),
+    )
+    wi = Window.partitionBy("g", "bkt").orderBy("xi")
+    part2 = (
+        obs.withColumn("rn", F.row_number().over(wi))
+        .groupBy("g")
+        .agg(F.sum(F.col("rn").cast("long") * F.col("xi")).alias("p2"))
+    )
+    s = part1.join(part2, "g").select(
+        "g", "n", "sx", (F.col("p1") + F.col("p2")).alias("srx")
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("sx").cast("long").alias("total_amt"),
+        F.round(
+            (F.lit(2.0) * F.col("srx")) / (nd * F.col("sx"))
+            - (F.col("n") + 1) / nd,
+            6,
+        ).alias("gini"),
+    ).orderBy("l_returnflag")

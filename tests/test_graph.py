@@ -609,3 +609,45 @@ def test_bfs_per_source_paths_equal_and_match_min_variant(spark):
     # each source's own distance to itself is 0 and rows are per-pair
     assert (0, 0, 0) in local and (17, 17, 0) in local
     assert len({s for s, _, _ in local}) == 2
+
+
+def test_bfs_path_counts_exact_on_diamond_and_doubling(spark):
+    # sigma(s,v) must count EVERY distinct shortest path: the diamond
+    # a->{b,c}->d gives sigma(d)=2; a longer alternative a->e->f->d must
+    # NOT count. Then cross-check the doubling graph against a Python
+    # BFS+count reference.
+    from collections import deque
+
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import bfs_path_counts
+    from pyspark.sql import functions as F
+
+    diamond = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (0, 4), (4, 5), (5, 3)], ["u", "v"]
+    )
+    got = {r.node: (r.dist, r.npaths) for r in bfs_path_counts(diamond, 0).collect()}
+    assert got == {0: (0, 1), 1: (1, 1), 2: (1, 1), 4: (1, 1), 3: (2, 2), 5: (2, 1)}
+
+    n = 120
+    edge_list = [(i, (2 * i) % n) for i in range(n)] + [
+        (i, (2 * i + 1) % n) for i in range(n)
+    ]
+    edges = spark.createDataFrame(sorted(set(edge_list)), ["u", "v"])
+
+    adj = {}
+    for u, v in set(edge_list):
+        adj.setdefault(u, []).append(v)
+    dist = {0: 0}
+    cnt = {0: 1}
+    q = deque([0])
+    while q:
+        x = q.popleft()
+        for y in adj.get(x, ()):
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                cnt[y] = cnt[x]
+                q.append(y)
+            elif dist[y] == dist[x] + 1:
+                cnt[y] += cnt[x]
+    expected = {k: (dist[k], cnt[k]) for k in dist}
+    got2 = {r.node: (r.dist, r.npaths) for r in bfs_path_counts(edges, 0).collect()}
+    assert got2 == expected
