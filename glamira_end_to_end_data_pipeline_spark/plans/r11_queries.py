@@ -935,47 +935,19 @@ def a_weighted_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted by document length). The oracle computes the same
     definition with one flat cumulative window — affordable at oracle
     scale, the thing the two-phase plan avoids at 100 TB."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("g"),
-        F.col("l_extendedprice").alias("x"),
-        F.col("l_quantity").cast("long").alias("wt"),
+    from glamira_end_to_end_data_pipeline_spark.operators.exact_stats import (
+        weighted_quantiles_two_phase,
     )
-    vx = li.groupBy("g", "x").agg(F.sum("wt").alias("wt"))
-    vx = vx.withColumn("bkt", F.floor(F.col("x") / 1000).cast("long"))
-    from pyspark.sql import Window
 
-    bw = vx.groupBy("g", "bkt").agg(F.sum("wt").alias("bw"))
-    wb = Window.partitionBy("g").orderBy("bkt")
-    cum = bw.select(
-        "g",
-        "bkt",
-        "bw",
-        (F.sum("bw").over(wb) - F.col("bw")).alias("prior"),
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
     )
-    tot = bw.groupBy("g").agg(F.sum("bw").alias("w"))
-    qdf = spark.createDataFrame(
-        [("w_p50", 1, 2), ("w_p90", 9, 10)], "q string, qn long, qd long"
-    )
-    # locate: per (group, quantile) exactly ONE bucket satisfies
-    # prior < qn/qd·W ≤ prior+bw (strict left edge: if the threshold
-    # lands exactly on a bucket boundary the answering value is in an
-    # EARLIER bucket, whose own row already satisfies the window test)
-    targets = (
-        cum.join(tot, "g")
-        .crossJoin(F.broadcast(qdf))
-        .filter(
-            (F.col("qd") * F.col("prior") < F.col("qn") * F.col("w"))
-            & (F.col("qd") * (F.col("prior") + F.col("bw")) >= F.col("qn") * F.col("w"))
-        )
-        .select("g", "q", "qn", "qd", "bkt", "prior", "w")
-    )
-    inb = vx.join(F.broadcast(targets), ["g", "bkt"])
-    wq = Window.partitionBy("g", "q").orderBy("x")
-    picked = (
-        inb.withColumn("cw", F.col("prior") + F.sum("wt").over(wq))
-        .filter(F.col("qd") * F.col("cw") >= F.col("qn") * F.col("w"))
-        .groupBy("g", "q")
-        .agg(F.min("x").alias("xq"), F.max("w").alias("w"))
+    picked = weighted_quantiles_two_phase(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        [("w_p50", 1, 2), ("w_p90", 9, 10)],
     )
     return (
         picked.groupBy("g")
@@ -1397,46 +1369,18 @@ def a_gini_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     internal order. Gini-by-slice is the inequality/concentration
     screen data-mixing pipelines run on token budgets per domain. The
     oracle ranks with one flat window — the oracle-scale luxury."""
-    from pyspark.sql import Window
+    from glamira_end_to_end_data_pipeline_spark.operators.exact_stats import (
+        gini_index_exact,
+    )
 
     li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("g"),
-        F.round("l_extendedprice", 0).cast("long").alias("xi"),
+        "l_returnflag",
+        F.round("l_extendedprice", 0).cast("long").alias("amt"),
     )
-    obs = li.withColumn("bkt", F.floor(F.col("xi") / 1000).cast("long"))
-    bc = obs.groupBy("g", "bkt").agg(
-        F.count(F.lit(1)).alias("n_b"), F.sum("xi").alias("sx_b")
-    )
-    wb = Window.partitionBy("g").orderBy("bkt")
-    off = bc.select(
-        "g",
-        "bkt",
-        "sx_b",
-        "n_b",
-        (F.sum("n_b").over(wb) - F.col("n_b")).alias("offset"),
-    )
-    part1 = off.groupBy("g").agg(
-        F.sum(F.col("offset") * F.col("sx_b")).alias("p1"),
-        F.sum("n_b").alias("n"),
-        F.sum("sx_b").alias("sx"),
-    )
-    wi = Window.partitionBy("g", "bkt").orderBy("xi")
-    part2 = (
-        obs.withColumn("rn", F.row_number().over(wi))
-        .groupBy("g")
-        .agg(F.sum(F.col("rn").cast("long") * F.col("xi")).alias("p2"))
-    )
-    s = part1.join(part2, "g").select(
-        "g", "n", "sx", (F.col("p1") + F.col("p2")).alias("srx")
-    )
-    nd = F.col("n").cast("double")
-    return s.select(
+    out = gini_index_exact(li, "l_returnflag", "amt")
+    return out.select(
         F.col("g").alias("l_returnflag"),
-        F.col("n").cast("long").alias("n_obs"),
-        F.col("sx").cast("long").alias("total_amt"),
-        F.round(
-            (F.lit(2.0) * F.col("srx")) / (nd * F.col("sx"))
-            - (F.col("n") + 1) / nd,
-            6,
-        ).alias("gini"),
+        F.col("n").alias("n_obs"),
+        F.col("sx").alias("total_amt"),
+        F.round("gini", 6).alias("gini"),
     ).orderBy("l_returnflag")

@@ -974,3 +974,138 @@ def test_spec_pruned_read_equals_unpruned_filter(spark, tmp_path_factory, vals, 
         else:
             want = sorted(r.x for r in table.filter(table.k == probe).collect())
         assert got_rows == want, (probe, got_rows, want, n_read, n_total)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(min_value=0.0, max_value=5000.0, allow_nan=False, width=32),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_quantiles_two_phase_matches_flat_reference(spark, rows):
+    """The two-phase bucket-locate-recount weighted quantile equals the
+    flat definition (smallest x with den*cumweight >= num*W over the
+    value-sorted tie-collapsed series) for ANY weighted multiset —
+    including ties, single-bucket groups, and thresholds landing
+    exactly on bucket boundaries."""
+    from glamira_end_to_end_data_pipeline_spark.operators.exact_stats import (
+        weighted_quantiles_two_phase,
+    )
+
+    specs = [("q25", 1, 4), ("q50", 1, 2), ("q90", 9, 10)]
+    df = spark.createDataFrame(
+        [(g, float(x), w) for g, x, w in rows], "g string, x double, w int"
+    )
+    got = {
+        (r.g, r.q): (r.xq, r.w)
+        for r in weighted_quantiles_two_phase(
+            df, "g", "x", "w", specs, bucket_width=500.0
+        ).collect()
+    }
+    # flat reference
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: defaultdict(int))
+    for g, x, w in rows:
+        agg[g][float(x)] += w
+    expected = {}
+    for g, vals in agg.items():
+        total = sum(vals.values())
+        cw = 0
+        series = sorted(vals.items())
+        for label, qn, qd in specs:
+            cw = 0
+            for x, w in series:
+                cw += w
+                if qd * cw >= qn * total:
+                    expected[(g, label)] = (x, total)
+                    break
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=5000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_gini_bucket_decomposition_matches_direct_ranks(spark, rows):
+    """The bucket rank-reconstruction Gini equals the direct
+    sorted-rank formula G = 2*sum(r_i x_i)/(n*sum x) - (n+1)/n for any
+    non-negative integer multiset (ties included), computed in exact
+    integer arithmetic on both sides."""
+    from glamira_end_to_end_data_pipeline_spark.operators.exact_stats import (
+        gini_index_exact,
+    )
+
+    df = spark.createDataFrame(list(rows), "g string, xi long")
+    got = {
+        r.g: (r.n, r.sx, r.gini) for r in gini_index_exact(df, "g", "xi").collect()
+    }
+    from collections import defaultdict
+
+    byg = defaultdict(list)
+    for g, x in rows:
+        byg[g].append(x)
+    for g, xs in byg.items():
+        xs.sort()
+        n = len(xs)
+        sx = sum(xs)
+        srx = sum((i + 1) * x for i, x in enumerate(xs))
+        n_got, sx_got, gini_got = got[g]
+        assert (n_got, sx_got) == (n, sx)
+        if sx == 0:
+            continue  # 0/0 — both sides NaN/None; ordering undefined
+        expected = (2.0 * srx) / (float(n) * sx) - (n + 1) / float(n)
+        assert abs(gini_got - expected) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.integers(0, 6)), max_size=25),
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3)), max_size=10),
+    st.integers(min_value=0, max_value=7),  # split salt
+)
+def test_delta_join_rule_reconstitutes_full_join(spark, r_rows, s_rows, salt):
+    """First-order delta rule: for ANY split of both sides into
+    (initial, delta), V1 u dR><S1 u R1><dS u dR><dS is multiset-equal
+    to the full join R><S."""
+    from collections import Counter
+
+    r = spark.createDataFrame(
+        [(i, k) for i, (_, k) in enumerate(r_rows)] or [(0, -1)],
+        "rid int, k int",
+    )
+    s = spark.createDataFrame(
+        [(j, k) for j, (k, _) in enumerate(s_rows)] or [(0, -2)],
+        "sid int, k int",
+    )
+    r1 = r.filter((F.col("rid") + salt) % 2 == 0)
+    dr = r.filter((F.col("rid") + salt) % 2 == 1)
+    s1 = s.filter((F.col("sid") + salt) % 3 == 0)
+    ds = s.filter((F.col("sid") + salt) % 3 != 0)
+
+    def j(a, b):
+        return a.join(b, "k").select("k", "rid", "sid")
+
+    inc = (
+        j(r1, s1)
+        .unionByName(j(dr, s1))
+        .unionByName(j(r1, ds))
+        .unionByName(j(dr, ds))
+    )
+    full = j(r, s)
+    assert Counter(map(tuple, inc.collect())) == Counter(
+        map(tuple, full.collect())
+    )
