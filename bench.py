@@ -228,6 +228,7 @@ HEADLINE = [
     "graph_shortest_path_counts",
     "scd2_type6_hybrid",
     "a_gini_index_exact",
+    "a_mutual_information_terms",
 ]
 
 

@@ -680,6 +680,7 @@ _DEFER_FRESH_R11 = (
     "graph_shortest_path_counts",
     "scd2_type6_hybrid",
     "a_gini_index_exact",
+    "a_mutual_information_terms",
 )
 
 

@@ -1384,3 +1384,76 @@ def a_gini_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").alias("total_amt"),
         F.round("gini", 6).alias("gini"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns — per-cell terms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_mutual_information_terms",
+    """
+    WITH joint AS (
+        SELECT c_nationkey AS x, c_mktsegment AS y,
+               cast(count(*) AS BIGINT) AS n_xy
+        FROM customer GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, sum(n_xy) AS n_x FROM joint GROUP BY 1),
+    my AS (SELECT y, sum(n_xy) AS n_y FROM joint GROUP BY 1),
+    tot AS (SELECT sum(n_xy) AS n FROM joint)
+    SELECT j.x AS c_nationkey, j.y AS c_mktsegment, j.n_xy,
+           round(
+               (j.n_xy / cast(t.n AS DOUBLE))
+               * ln((j.n_xy * t.n) / (cast(m1.n_x AS DOUBLE) * m2.n_y)),
+               8
+           ) AS mi_term
+    FROM joint j
+    JOIN mx m1 ON m1.x = j.x
+    JOIN my m2 ON m2.y = j.y
+    CROSS JOIN tot t
+    ORDER BY 1, 2
+    """,
+)
+def a_mutual_information_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual-information decomposition between two
+    categorical columns (nation × market segment): each contingency
+    cell's exact contribution (p̂_xy)·ln(p̂_xy/(p̂_x·p̂_y)) to the
+    mutual information I(X;Y) — the dependence screen feature
+    selection and leakage audits run before training (a near-zero
+    column pair is safe to treat independently; a fat term is a
+    leaking join key). Emitting PER-CELL terms keeps every float
+    computed by ONE identical expression from exact integer counts on
+    both engines — a single summed MI total would accumulate in
+    engine-specific order (the dq_chi2 family's established design);
+    the consumer's final Σ is over the bounded cell table.
+
+    Scale shape: one (x,y) count exchange (map-side combined), margins
+    re-aggregated from the BOUNDED cell table (never the raw rows),
+    scalar total via one-row broadcast. Everything after the first
+    exchange is O(|X|·|Y|)."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("x"), F.col("c_mktsegment").alias("y")
+    )
+    joint = cust.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    mx = joint.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n"))
+    term = (F.col("n_xy") / F.col("n").cast("double")) * F.log(
+        (F.col("n_xy") * F.col("n"))
+        / (F.col("n_x").cast("double") * F.col("n_y"))
+    )
+    return (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("x").alias("c_nationkey"),
+            F.col("y").alias("c_mktsegment"),
+            "n_xy",
+            F.round(term, 8).alias("mi_term"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

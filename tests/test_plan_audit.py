@@ -145,6 +145,9 @@ BNLJ_OK = {
     # bounded (group × bucket) rollup to locate target buckets —
     # O(2 × buckets), never data-sized.
     "a_weighted_quantiles_exact",
+    # MI: the ONE-ROW population total broadcast onto the bounded
+    # |X|·|Y| contingency-cell table (q11/q15 scalar pattern).
+    "a_mutual_information_terms",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are
