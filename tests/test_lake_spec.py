@@ -588,3 +588,24 @@ def test_rewrite_manifests_on_deleteless_table(spark, tmp_path):
     doc = lake._read_manifest_doc(spark, path, 2)
     assert doc.get("carried_deletes") is None or doc.get("carried_deletes") == []
     assert doc["delete_checkpoint"] is True
+
+
+def test_expiry_cutoff_lands_on_checkpoint_manifest(spark, tmp_path):
+    # keep_last such that the oldest RETAINED version IS the checkpoint:
+    # fold-forward must dedup against the checkpoint's own consolidation
+    # and the walk must still stop there.
+    path = str(tmp_path / "rwmcut")
+    df = spark.createDataFrame([(k, k) for k in range(6)], "k int, v int")
+    lake.write_snapshot(spark, df, path)                                    # v1
+    lake.delete_snapshot(spark, spark.createDataFrame([(2,)], "k int"), path, ["k"])  # v2
+    lake.rewrite_manifests(spark, path)                                     # v3 checkpoint
+    lake.write_snapshot(spark, spark.createDataFrame([(9, 9)], "k int, v int"), path)  # v4
+    lake.expire_snapshots(spark, path, keep_last=2)  # cutoff = v3 (the checkpoint)
+    doc = lake._read_manifest_doc(spark, path, 3)
+    assert doc["delete_checkpoint"] is True
+    assert [cd["version"] for cd in doc["carried_deletes"]] == [2]  # deduped
+    _dels, walked = lake._collect_deletes(spark, path, 4)
+    assert walked == 2  # v4 + the checkpoint cutoff
+    assert _mor_keys(spark, path) == [0, 1, 3, 4, 5, 9]
+    with pytest.raises(FileNotFoundError):
+        lake.read_snapshot_mor(spark, path, 2).collect()
