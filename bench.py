@@ -229,21 +229,54 @@ HEADLINE = [
     "scd2_type6_hybrid",
     "a_gini_index_exact",
     "a_mutual_information_terms",
+    "lake_conditional_commit",
 ]
 
 
 def _prev_round_queries() -> tuple[str | None, dict[str, float]]:
-    """Per-query timings from the LATEST driver bench record
-    (BENCH_r<N>.json), for the cross-round MEDIAN per-query ratio —
-    the honest comparison metric (the r10 analysis showed raw totals
-    track the host's machine share and the linear normalized model
-    over-corrects on this latency-bound suite). Driver records keep
-    only a ~2000-char stdout tail, so the pairs are regex-recovered
-    from it; ~55 common entries is plenty for a median."""
+    """Per-query timings from the previous ROUND, for the cross-round
+    MEDIAN per-query ratio — the honest comparison metric (the r10
+    analysis showed raw totals track the host's machine share and the
+    linear normalized model over-corrects on this latency-bound
+    suite). Preferred source: the round-close full snapshot
+    ``BENCH_local_r<N>.json`` (complete per-query map — written by the
+    closing bench run each round since r11, so ratio_n_common covers
+    the whole suite). Fallback: the latest driver record
+    ``BENCH_r<N>.json``, whose ~2000-char stdout tail yields ~55
+    regex-recovered pairs — still plenty for a median."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # the round in progress = newest graded round + 1; a snapshot from
+    # the round IN PROGRESS must not serve as its own baseline (it
+    # would compare a run against itself instead of against the
+    # previous round)
+    cur_round = 1 + max(
+        (
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json", p))
+        ),
+        default=0,
+    )
+    best_n, best_path = -1, None
+    for path in glob.glob(os.path.join(here, "BENCH_local_r*.json")):
+        m = re.search(r"BENCH_local_r(\d+)\.json", path)
+        if m and best_n < int(m.group(1)) < cur_round:
+            best_n, best_path = int(m.group(1)), path
+    if best_path is not None:
+        try:
+            with open(best_path) as fh:
+                doc = json.load(fh)
+            qmap = doc.get("queries") or {}
+            if qmap:
+                return (
+                    f"r{best_n} (full local snapshot)",
+                    {k: float(v) for k, v in qmap.items()},
+                )
+        except (OSError, json.JSONDecodeError):
+            pass
     best_n, best_path = -1, None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json", path)
@@ -434,9 +467,11 @@ def main() -> None:
             "did NOT scale with the probe, so the linear raw*eff/32 "
             "model over-corrects on this latency-bound suite; per-query "
             "medians are robust to both host swings and probe noise). "
-            "The baseline map is regex-recovered from the driver "
-            "record's bounded stdout tail, so ratio_n_common < the full "
-            "suite; warm single-query swings up to ~1.5x are noise."
+            "Baseline map: the previous round's full BENCH_local_r<N> "
+            "snapshot when present (ratio_n_common ~= the whole suite), "
+            "else regex-recovered from the driver record's bounded "
+            "stdout tail (~55 pairs); warm single-query swings up to "
+            "~1.5x are noise."
         ),
     }
     # The driver keeps only a bounded TAIL of stdout (~2000 chars), which
@@ -446,11 +481,29 @@ def main() -> None:
     # committed copy is the durable per-query record each round's
     # regression comparison reads.
     try:
-        out_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
-        )
+        here = os.path.dirname(os.path.abspath(__file__))
+        out_path = os.path.join(here, "BENCH_local.json")
         with open(out_path, "w") as fh:
             json.dump({**doc, "first_runs": cold}, fh, indent=1, sort_keys=False)
+            fh.write("\n")
+        # Round-stamped full snapshot: the NEXT round's ratio baseline
+        # (see _prev_round_queries — the driver record keeps only a
+        # truncated tail, this file keeps the complete per-query map).
+        # Idempotent per round; the last run before round close wins.
+        import glob as _glob
+        import re as _re
+
+        cur_round = 1 + max(
+            (
+                int(m.group(1))
+                for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+                if (m := _re.search(r"CORRECTNESS_r(\d+)\.json", p))
+            ),
+            default=0,
+        )
+        snap_path = os.path.join(here, f"BENCH_local_r{cur_round}.json")
+        with open(snap_path, "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=False)
             fh.write("\n")
     except OSError:
         pass  # a read-only checkout must not fail the bench

@@ -681,6 +681,7 @@ _DEFER_FRESH_R11 = (
     "scd2_type6_hybrid",
     "a_gini_index_exact",
     "a_mutual_information_terms",
+    "lake_conditional_commit",
 )
 
 

@@ -1457,3 +1457,97 @@ def a_mutual_information_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Optimistic-concurrency conditional commit (CAS on the table head)
+# ---------------------------------------------------------------------------
+# Timeline (k = c_custkey):
+#   v1 append  k%3==0              (the base table)
+#   -- writer A prepares an append of k%3==1 against expected head v1 --
+#   v2 append  k%3==2              (an interleaved writer commits first)
+#   -- A's CAS commit RAISES CommitConflictError; A retries against v2 --
+#   v3 append  k%3==1              (A's retry lands)
+# Final state: the whole customer table, every row exactly once; A's
+# failed first attempt left orphan data files that GC must reclaim.
+
+
+@query(
+    "lake_conditional_commit",
+    """
+    SELECT c_mktsegment,
+           cast(count(*) AS BIGINT) AS n_rows,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_conditional_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency COMMIT LOOP (sources/lake.py:
+    write_snapshot_cas / CommitConflictError): a writer prepares its
+    data files against head v1, an interleaved commit moves the head
+    to v2, and the writer's conditional commit must RAISE — then its
+    RETRY against the new head lands as v3 with no duplicated and no
+    lost rows, and the failed attempt's orphaned data files are
+    reclaimed by GC without touching a committed byte. This is the
+    Iceberg/Delta multi-writer protocol (CommitFailedException →
+    refresh → reapply) expressed on the manifest lake.
+
+    FOUR in-query gates RAISE on drift: the conflict must fire, the
+    retry must land at v3, GC must reclaim ≥1 orphan file from the
+    failed attempt, and the post-GC table must equal the pre-GC table
+    row-for-row. The oracle is the full customer rollup — exactly-once
+    across the conflict is the graded property."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_cas_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    k = F.col("k")
+    lake.write_snapshot(spark, base.filter(k % 3 == 0), path)  # v1
+    # interleaved writer wins the race to v2
+    lake.write_snapshot(spark, base.filter(k % 3 == 2), path)  # v2
+    conflicted = False
+    try:
+        lake.write_snapshot_cas(
+            spark, base.filter(k % 3 == 1), path, expected_version=1
+        )
+    except lake.CommitConflictError:
+        conflicted = True
+    if not conflicted:
+        raise AssertionError(
+            "CAS commit against a moved head did not raise"
+        )
+    v3 = lake.write_snapshot_cas(
+        spark, base.filter(k % 3 == 1), path, expected_version=2
+    )
+    if v3 != 3:
+        raise AssertionError(f"retry landed at v{v3}, expected v3")
+    pre = lake.read_snapshot(spark, path).count()
+    removed = lake.gc_orphan_files(spark, path)
+    if removed < 1:
+        raise AssertionError(
+            "the failed attempt left no orphans for GC to reclaim"
+        )
+    post = lake.read_snapshot(spark, path).count()
+    if pre != post:
+        raise AssertionError(
+            f"GC changed the committed table: {pre} -> {post}"
+        )
+    return (
+        lake.read_snapshot(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -609,3 +609,39 @@ def test_expiry_cutoff_lands_on_checkpoint_manifest(spark, tmp_path):
     assert _mor_keys(spark, path) == [0, 1, 3, 4, 5, 9]
     with pytest.raises(FileNotFoundError):
         lake.read_snapshot_mor(spark, path, 2).collect()
+
+
+def test_write_snapshot_cas_conflict_retry_and_isolation(spark, tmp_path):
+    # The CAS loser must raise, must NOT touch the winner's files
+    # (each attempt writes its own uniquely-named dir), the retry must
+    # land cleanly, GC must reclaim exactly the failed attempt's
+    # orphans, and MoR semantics must hold across CAS commits (manifest
+    # eras cover the vcas_ dirs).
+    path = str(tmp_path / "cas")
+    lake.write_snapshot(spark, spark.createDataFrame([(1,), (2,)], "k int"), path)  # v1
+    lake.write_snapshot(spark, spark.createDataFrame([(3,)], "k int"), path)        # v2 (interloper)
+    with pytest.raises(lake.CommitConflictError):
+        lake.write_snapshot_cas(
+            spark, spark.createDataFrame([(4,)], "k int"), path, expected_version=1
+        )
+    # winner's table is intact after the failed attempt
+    assert sorted(r.k for r in lake.read_snapshot(spark, path).collect()) == [1, 2, 3]
+    v3 = lake.write_snapshot_cas(
+        spark, spark.createDataFrame([(4,)], "k int"), path, expected_version=2
+    )
+    assert v3 == 3
+    assert sorted(r.k for r in lake.read_snapshot(spark, path).collect()) == [1, 2, 3, 4]
+    assert lake.gc_orphan_files(spark, path) >= 1  # the failed attempt's files
+    assert sorted(r.k for r in lake.read_snapshot(spark, path).collect()) == [1, 2, 3, 4]
+    # a CAS commit against the true head with no interloper: no conflict
+    v4 = lake.write_snapshot_cas(
+        spark, spark.createDataFrame([(5,)], "k int"), path, expected_version=3
+    )
+    assert v4 == 4
+    # sequence rule across CAS dirs: delete then CAS re-insert survives
+    lake.delete_snapshot(spark, spark.createDataFrame([(4,)], "k int"), path, ["k"])  # v5
+    lake.write_snapshot_cas(
+        spark, spark.createDataFrame([(4,)], "k int"), path, expected_version=5
+    )  # v6 re-insert via the vcas_ dir — era must come from the manifest
+    got = sorted(r.k for r in lake.read_snapshot_mor(spark, path).collect())
+    assert got == [1, 2, 3, 4, 5]

@@ -823,6 +823,7 @@ def test_ks_prefix_sum_matches_naive(spark, rows):
             st.tuples(st.just("wap"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
             st.tuples(st.just("expire"), st.just([])),
             st.tuples(st.just("rwm"), st.just([])),
+            st.tuples(st.just("cas"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
         ),
         min_size=2,
         max_size=6,
@@ -909,6 +910,23 @@ def test_mor_lake_matches_reference_model(spark, tmp_path_factory, ops):
             version += 1
             out = lake.rewrite_manifests(spark, path)
             assert out["version"] == version
+        elif op == "cas":
+            if version == 0:
+                continue  # CAS needs an existing head manifest
+            rows = [(key, rid + i) for i, key in enumerate(payload)]
+            rid += len(payload)
+            got_v = lake.write_snapshot_cas(
+                spark,
+                spark.createDataFrame(rows, "k int, rid long"),
+                path,
+                expected_version=version,
+            )
+            version += 1
+            assert got_v == version
+            # a CAS commit at the true head IS an append — that
+            # equivalence (incl. manifest eras for the vcas_ dir) is
+            # the property
+            live.extend((key, version, r) for key, r in rows)
             # metadata-only: live state unchanged; later MoR reads stop
             # their walk at this checkpoint — the equivalence IS the
             # property
