@@ -146,3 +146,85 @@ def gini_index_exact(
             - (F.col("n") + 1) / nd
         ).alias("gini"),
     )
+
+
+def values_at_ranks(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ranks: DataFrame,
+    bucket_width: float = 1000.0,
+) -> DataFrame:
+    """Exact value at the k-th ascending position per group (1-indexed
+    order statistic), plus the strictly-below prefix aggregates, for an
+    ARBITRARY per-group rank table — the generalization the fixed-
+    rational ``weighted_quantiles_two_phase`` specs can't express
+    (trimmed means need k = floor(p·n), a rank that varies with each
+    group's own n).
+
+    ``ranks`` is a bounded DataFrame ``(g, label, rk)`` with rk ≥ 1;
+    values must be pre-cast integers (the caller owns units, e.g.
+    cents). Returns one row per (g, label): ``(g, label, rk, x_at,
+    cnt_lt, sum_lt)`` where ``x_at`` is the rk-th smallest value in g
+    and cnt_lt / sum_lt count and sum the rows STRICTLY below it —
+    exactly the boundary-tie bookkeeping an exact trimmed sum needs.
+
+    Scale shape, same as the rest of this module: one data-sized
+    exchange collapses rows to (g, value) tie groups with counts and
+    value sums; bucket rollups and the rank-locate run on the BOUNDED
+    (g, bucket) table under g-partitioned windows; the in-bucket
+    recount touches only located buckets under (g, bucket)-partitioned
+    windows. The located row is unique because the in-bucket exclusive
+    prefix brackets each rank once: prior < rk ≤ prior + cnt."""
+    pv = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("x"),
+        )
+        .groupBy("g", "x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bkt", F.floor(F.col("x") / bucket_width).cast("long"))
+        .withColumn("sx", F.col("x") * F.col("cnt"))
+    )
+    bc = pv.groupBy("g", "bkt").agg(
+        F.sum("cnt").alias("bn"), F.sum("sx").alias("bs")
+    )
+    wb = Window.partitionBy("g").orderBy("bkt")
+    off = bc.select(
+        "g",
+        "bkt",
+        "bn",
+        (F.sum("bn").over(wb) - F.col("bn")).alias("bprior_c"),
+        (F.sum("bs").over(wb) - F.col("bs")).alias("bprior_s"),
+    )
+    r = ranks.select(
+        F.col("g"), F.col("label"), F.col("rk").cast("long").alias("rk")
+    )
+    located = off.join(r, "g").filter(
+        (F.col("bprior_c") < F.col("rk"))
+        & (F.col("rk") <= F.col("bprior_c") + F.col("bn"))
+    )
+    wi = Window.partitionBy("g", "bkt").orderBy("x")
+    inb = pv.select(
+        "g",
+        "bkt",
+        "x",
+        "cnt",
+        (F.sum("cnt").over(wi) - F.col("cnt")).alias("iprior_c"),
+        (F.sum("sx").over(wi) - F.col("sx")).alias("iprior_s"),
+    )
+    hit = located.join(inb, ["g", "bkt"]).filter(
+        (F.col("bprior_c") + F.col("iprior_c") < F.col("rk"))
+        & (
+            F.col("rk")
+            <= F.col("bprior_c") + F.col("iprior_c") + F.col("cnt")
+        )
+    )
+    return hit.select(
+        "g",
+        "label",
+        "rk",
+        F.col("x").alias("x_at"),
+        (F.col("bprior_c") + F.col("iprior_c")).alias("cnt_lt"),
+        (F.col("bprior_s") + F.col("iprior_s")).alias("sum_lt"),
+    )

@@ -63,6 +63,12 @@ from glamira_end_to_end_data_pipeline_spark.plans import r10_queries  # noqa: E4
 # rotate-first block, inside the round-11 window.
 from glamira_end_to_end_data_pipeline_spark.plans import r11_queries  # noqa: E402,F401
 
+# round-12 fresh entries — added while the round-11 window was already
+# locked; they join the defer block (``_DEFER_FRESH_R12``) so the r11
+# staleness-drain cohort keeps its window slots, and the
+# ``_last_graded() == 0`` rule pulls them forward for round 12.
+from glamira_end_to_end_data_pipeline_spark.plans import r12_queries  # noqa: E402,F401
+
 # Round-8 front-loads: entries whose code changed in round 8, re-graded
 # the round their implementation moves. graph_scc_exact: TRIM pre-pass
 # + trivial-chain fixture + doubling probes; dedup_minhash_lsh /
@@ -684,13 +690,30 @@ _DEFER_FRESH_R11 = (
     "lake_conditional_commit",
 )
 
+# Round-12 fresh entries (registered by plans.r12_queries) — same
+# deferral contract as _DEFER_FRESH_R11: oracle-checked locally this
+# round, graded next round when _last_graded()==0 pulls them forward.
+_DEFER_FRESH_R12 = (
+    "dq_mann_whitney_u",
+    "a_spearman_corr",
+    "dq_t_closeness",
+    "dq_bh_fdr_proportions",
+    "a_trimmed_winsorized_mean",
+    "sample_consistent_hash_keys",
+    "a_event_sequence_match",
+    "w_lagged_cross_correlation",
+    "lake_position_deletes",
+    "graph_betweenness_source",
+    "lake_bucket_partition_prune",
+)
+
 
 def _window_order() -> list[str]:
     registered = list(QUERIES)
     front = [n for n in _ROTATE_FIRST_R11 if n in QUERIES]
     defer = [
         n
-        for n in _DEFER_FRESH_R11
+        for n in (*_DEFER_FRESH_R11, *_DEFER_FRESH_R12)
         if n in QUERIES and _last_graded(n) == 0
     ]
     fresh = [

@@ -1,0 +1,946 @@
+"""Round-12 additions — the nonparametric/exact-rank statistics family,
+the privacy-trio completion, FDR-controlled multiple testing, and two
+lake-format parity entries (positional deletes, bucket-transform
+pruning):
+
+- ``dq_mann_whitney_u`` — exact tie-corrected Mann–Whitney U between two
+  md5-assigned halves of the event-value feed: the rank-sum sibling of
+  ``dq_ks_two_sample`` (same distributed prefix-sum shape, different
+  statistic — MW reads mean rank shift where KS reads sup CDF gap).
+- ``a_spearman_corr`` — exact Spearman rank correlation (midranks under
+  ties) between quantity and price: both rank assignments run as
+  bucket-partitioned prefix sums over per-distinct-value rollups, then
+  Pearson over integer 2×midranks via one sufficient-stats aggregate.
+- ``dq_t_closeness`` — the third leg of the privacy trio (k-anonymity,
+  l-diversity already graded): ordered-EMD distance between each
+  quasi-identifier group's sensitive-attribute distribution and the
+  global one, over a bounded (group × bucket) grid.
+- ``dq_bh_fdr_proportions`` — Benjamini–Hochberg FDR control over 25
+  per-nation return-rate z-tests; normal CDF via the Abramowitz–Stegun
+  7.1.26 erf polynomial written identically in both engines.
+- ``a_trimmed_winsorized_mean`` — EXACT 10%-trimmed and winsorized means
+  per segment without a per-group sort: four order statistics located
+  by the two-phase bucket recount (operators/exact_stats.py) with
+  boundary-tie corrections in integer cents.
+- ``sample_consistent_hash_keys`` — join-consistent sampling: customer
+  and orders sampled INDEPENDENTLY by the same md5 key bucket remain
+  referentially consistent with zero coordination — the cross-table
+  sampling discipline a 100 TB star needs (no sampled-key broadcast,
+  no join at sample time).
+- ``a_event_sequence_match`` — funnel-pattern matching over each user's
+  time-ordered event string (ClickHouse ``sequenceMatch`` semantics):
+  one groupBy + sort_array, pattern applied as a regex, no window.
+- ``w_lagged_cross_correlation`` — lead–lag Pearson between two
+  segments' daily-revenue series at lags 0..7, lags materialized by an
+  explode (no cross join), correlation from per-lag sufficient stats.
+- ``lake_position_deletes`` — Iceberg-v2 POSITIONAL delete files
+  (sources/posdelete.py): deletes address (file, row-ordinal), so a
+  later re-insert of the same key is untouched by construction — the
+  complementary flavor to ``lake_mor_equality_deletes``, no sequence
+  rule needed because file identity scopes the tombstone.
+- ``graph_betweenness_source`` — Brandes single-source dependency
+  accumulation (the backward pass over ``bfs_path_counts``'s forward
+  σ/levels); oracle enumerates every shortest path with an explicit
+  path string and charges interior nodes 1/σ(t).
+- ``lake_bucket_partition_prune`` — Iceberg ``bucket(N, col)`` partition
+  transform expressed as a stored computed column: an equality probe on
+  the natural key prunes to 1/N of the files by metadata alone, with an
+  in-query gate on the pruning counters.
+
+Design note: every entry keeps the registry's scale discipline —
+map-only or single/double-exchange plans, bounded driver metadata, no
+RNG state, Arrow-only Python, unpartitioned windows only over bounded
+rollups (allow-listed with justification in tests/test_plan_audit.py).
+No reference parity for the statistics (the reference aggregates in
+BigQuery and never runs hypothesis tests); the lake entries extend the
+SURVEY §2.9 snapshot-table family toward Iceberg-v2 parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from glamira_end_to_end_data_pipeline_spark.plans.queries import query
+from glamira_end_to_end_data_pipeline_spark.plans.r8_queries import _hash_mod
+from glamira_end_to_end_data_pipeline_spark.sources import read_table
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U — exact, tie-corrected, via distributed prefix sums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_mann_whitney_u",
+    """
+    WITH v AS (
+        SELECT value,
+               ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 2 AS s
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT value,
+               sum((s = 0)::INT) AS ca, sum((s = 1)::INT) AS cb
+        FROM v GROUP BY value
+    ),
+    c AS (
+        SELECT ca, cb,
+               coalesce(sum(ca + cb) OVER (
+                   ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prior
+        FROM g
+    ),
+    t AS (
+        SELECT cast(sum(ca) AS BIGINT) AS na,
+               cast(sum(cb) AS BIGINT) AS nb,
+               cast(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                    AS BIGINT) AS tie
+        FROM g
+    ),
+    r AS (
+        SELECT cast(sum(ca * (2 * prior + ca + cb + 1)) AS BIGINT) AS r2
+        FROM c
+    )
+    SELECT na AS n_a, nb AS n_b,
+           (r2 - na * (na + 1)) / 2.0 AS u_stat,
+           round(((r2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0
+                        * ((na + nb + 1)
+                           - tie / (1.0 * (na + nb) * (na + nb - 1)))),
+                 6) AS z_score,
+           abs(((r2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
+               / sqrt(na * nb / 12.0
+                      * ((na + nb + 1)
+                         - tie / (1.0 * (na + nb) * (na + nb - 1)))))
+               > 1.96 AS reject_05
+    FROM r, t
+    """,
+)
+def dq_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Mann–Whitney U (Wilcoxon rank-sum) between two
+    md5-assigned halves of the event-value feed, with midranks and the
+    tie-corrected normal approximation — the location-shift audit that
+    complements ``dq_ks_two_sample``'s shape test. A sound hash split
+    should NOT reject.
+
+    Scale shape — the SAME distributed prefix sum as the KS entry, no
+    global sort: one groupBy collapses rows to per-distinct-value
+    (cntA, cntB); the EXCLUSIVE cumulative count (rows strictly below
+    each value) runs as a window PARTITIONED on a coarse value bucket
+    plus a bounded ≤|buckets| offset rollup (allow-listed). Ranks stay
+    INTEGER throughout by carrying 2×midrank = 2·prior + cnt + 1, so
+    2·R_A = Σ cntA·(2·prior + cnt + 1) is an exact BIGINT and the
+    statistic is bit-identical cross-engine; the only floating math is
+    the final z normalization, mirrored expression-for-expression in
+    the oracle."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = _hash_mod(F.col("event_id"), 2)
+    g = (
+        ev.select("value", s.alias("s"))
+        .groupBy("value")
+        .agg(
+            F.sum((F.col("s") == 0).cast("long")).alias("ca"),
+            F.sum((F.col("s") == 1).cast("long")).alias("cb"),
+        )
+        .withColumn("cnt", F.col("ca") + F.col("cb"))
+        .withColumn("bucket", F.floor(F.col("value") / 50.0))
+    )
+    win_in = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.select(
+        "bucket",
+        "ca",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(win_in), F.lit(0)).alias("iprior"),
+    )
+    btot = g.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
+    win_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bc").over(win_b), F.lit(0)).alias("bprior"),
+    )
+    ranked = cum.join(F.broadcast(boff), "bucket").select(
+        "ca",
+        "cnt",
+        (F.col("bprior") + F.col("iprior")).alias("prior"),
+    )
+    stats = ranked.agg(
+        F.sum(F.col("ca") * (2 * F.col("prior") + F.col("cnt") + 1)).alias("r2"),
+    )
+    tots = g.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie"),
+    )
+    na, nb, tie = F.col("na"), F.col("nb"), F.col("tie")
+    u = (F.col("r2") - na * (na + 1)) / 2.0
+    z = (u - na * nb / 2.0) / F.sqrt(
+        na * nb / 12.0
+        * ((na + nb + 1) - tie / (1.0 * (na + nb) * (na + nb - 1)))
+    )
+    return (
+        stats.crossJoin(F.broadcast(tots))
+        .select(
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            u.alias("u_stat"),
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) > 1.96).alias("reject_05"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — exact midranks, integer sufficient stats
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_spearman_corr",
+    """
+    WITH rows_in AS (
+        SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+    ),
+    rx AS (
+        SELECT x,
+               2 * coalesce(sum(cnt) OVER (
+                   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + cnt + 1 AS r2x
+        FROM (SELECT x, count(*) AS cnt FROM rows_in GROUP BY x)
+    ),
+    ry AS (
+        SELECT y,
+               2 * coalesce(sum(cnt) OVER (
+                   ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + cnt + 1 AS r2y
+        FROM (SELECT y, count(*) AS cnt FROM rows_in GROUP BY y)
+    ),
+    j AS (
+        SELECT r2x, r2y FROM rows_in
+        JOIN rx USING (x) JOIN ry USING (y)
+    ),
+    s AS (
+        SELECT cast(count(*) AS DOUBLE) AS n,
+               cast(sum(r2x) AS DOUBLE) AS sx,
+               cast(sum(r2y) AS DOUBLE) AS sy,
+               cast(sum(r2x * r2x) AS DOUBLE) AS sxx,
+               cast(sum(r2y * r2y) AS DOUBLE) AS syy,
+               cast(sum(r2x * r2y) AS DOUBLE) AS sxy
+        FROM j
+    )
+    SELECT cast(n AS BIGINT) AS n_rows,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS spearman_rho
+    FROM s
+    """,
+)
+def a_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation (midranks under ties) between
+    line-item quantity and extended price — the monotone-association
+    measure Pearson (a_corr_stats) misses on nonlinear-but-monotone
+    relations.
+
+    Scale shape: NO global sort. Each column's midranks come from a
+    per-distinct-value rollup (one groupBy) with the exclusive prefix
+    count computed under a bucket-partitioned window plus a bounded
+    bucket-offset rollup; rows then re-acquire their two ranks through
+    two key-partitioned joins. Ranks are carried as integer 2×midrank
+    (Pearson is scale-invariant, so the factor 2 cancels) and the six
+    sufficient statistics are exact BIGINTs cast to double only for
+    the final closed form — mirrored exactly in the oracle. The
+    quantity side has ~50 distinct values so its rank table broadcasts;
+    the price side stays a shuffle join on the value key."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+
+    def midranks(df: DataFrame, col: str, width: float, out: str) -> DataFrame:
+        g = (
+            df.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("bucket", F.floor(F.col(col) / width))
+        )
+        win_in = (
+            Window.partitionBy("bucket")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = g.select(
+            "bucket",
+            col,
+            "cnt",
+            F.coalesce(F.sum("cnt").over(win_in), F.lit(0)).alias("iprior"),
+        )
+        btot = g.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
+        win_b = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        boff = btot.select(
+            "bucket",
+            F.coalesce(F.sum("bc").over(win_b), F.lit(0)).alias("bprior"),
+        )
+        return (
+            cum.join(F.broadcast(boff), "bucket")
+            .select(
+                col,
+                (
+                    2 * (F.col("bprior") + F.col("iprior"))
+                    + F.col("cnt")
+                    + 1
+                ).alias(out),
+            )
+        )
+
+    rx = midranks(li, "x", 5.0, "r2x")
+    ry = midranks(li, "y", 1000.0, "r2y")
+    j = li.join(F.broadcast(rx), "x").join(ry, "y")
+    s = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("r2x").cast("double").alias("sx"),
+        F.sum("r2y").cast("double").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).cast("double").alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).cast("double").alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select(
+        n.cast("bigint").alias("n_rows"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness — ordered EMD between group and global sensitive
+# distributions (completes the k-anonymity / l-diversity privacy trio)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_t_closeness",
+    """
+    WITH src AS (
+        SELECT c_nationkey AS g,
+               cast(floor(c_acctbal / 1000.0) AS BIGINT) AS b
+        FROM customer
+    ),
+    cells AS (SELECT g, b, count(*) AS c FROM src GROUP BY g, b),
+    groups AS (SELECT g, sum(c) AS ng FROM cells GROUP BY g),
+    buckets AS (SELECT b, sum(c) AS cb FROM cells GROUP BY b),
+    m AS (SELECT count(*) AS m, sum(cb) AS n FROM buckets),
+    grid AS (
+        SELECT groups.g, groups.ng, buckets.b, buckets.cb,
+               coalesce(cells.c, 0) AS c
+        FROM groups CROSS JOIN buckets
+        LEFT JOIN cells ON cells.g = groups.g AND cells.b = buckets.b
+    ),
+    cum AS (
+        SELECT g, ng,
+               sum(c) OVER (PARTITION BY g ORDER BY b) AS cp,
+               sum(cb) OVER (PARTITION BY g ORDER BY b) AS cq
+        FROM grid
+    )
+    SELECT cast(g AS BIGINT) AS nationkey,
+           round(sum(abs(cp / (1.0 * ng) - cq / (1.0 * (SELECT n FROM m))))
+                 / ((SELECT m FROM m) - 1), 6) AS emd,
+           sum(abs(cp / (1.0 * ng) - cq / (1.0 * (SELECT n FROM m))))
+               / ((SELECT m FROM m) - 1) > 0.15 AS violates_t
+    FROM cum GROUP BY g ORDER BY 1
+    """,
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian 2007) over the customer
+    table: nationkey is the quasi-identifier, the account balance
+    (1000-wide ordered buckets) is the sensitive attribute, and the
+    distance is the ORDERED Earth-Mover's Distance — for a 1-D ordered
+    domain EMD has the closed form Σ|cumP − cumQ|/(m−1) over bucket
+    prefix sums. Completes the privacy trio next to ``dq_k_anonymity``
+    and ``dq_l_diversity``.
+
+    Scale shape: rows collapse to a (group × bucket) cell rollup in one
+    exchange; everything after runs on the BOUNDED dense grid
+    (|nations| × |buckets| ≈ 275 rows — the broadcast cross join is
+    allow-listed with that bound). Cumulative windows are partitioned
+    by group; the global distribution rides along as a per-bucket
+    column of the grid, so no second pass over data."""
+    src = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("g"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("b"),
+    )
+    cells = src.groupBy("g", "b").agg(F.count(F.lit(1)).alias("c"))
+    groups = cells.groupBy("g").agg(F.sum("c").alias("ng"))
+    buckets = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    mrow = buckets.agg(
+        F.count(F.lit(1)).alias("m"), F.sum("cb").alias("n")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(buckets))
+        .join(cells, ["g", "b"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    win = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "g",
+        "ng",
+        F.sum("c").over(win).alias("cp"),
+        F.sum("cb").over(win).alias("cq"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(mrow))
+        .groupBy("g", "ng", "m", "n")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cp") / (1.0 * F.col("ng"))
+                    - F.col("cq") / (1.0 * F.col("n"))
+                )
+            ).alias("d")
+        )
+        .select(
+            F.col("g").cast("bigint").alias("nationkey"),
+            F.round(F.col("d") / (F.col("m") - 1), 6).alias("emd"),
+            (F.col("d") / (F.col("m") - 1) > 0.15).alias("violates_t"),
+        )
+    )
+    return emd.orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR over per-nation return-rate z-tests
+# ---------------------------------------------------------------------------
+
+# Abramowitz & Stegun 7.1.26 erf polynomial (|err| ≤ 1.5e-7), written
+# once here and once, term-for-term, in the oracle SQL so both engines
+# evaluate the IDENTICAL double expression.
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _pvalue_two_sided(zabs):
+    """2·(1 − Φ(|z|)) via the A&S erf approximation, |z| ≥ 0."""
+    x = zabs / F.lit(2.0**0.5)
+    t = 1.0 / (1.0 + _AS_P * x)
+    poly = (
+        _AS_A[0] * t
+        + _AS_A[1] * t * t
+        + _AS_A[2] * t * t * t
+        + _AS_A[3] * t * t * t * t
+        + _AS_A[4] * t * t * t * t * t
+    )
+    erf = 1.0 - poly * F.exp(-x * x)
+    return 2.0 * (1.0 - 0.5 * (1.0 + erf))
+
+
+_SQL_PVAL = """
+        2 * (1 - 0.5 * (1 + (1 - (0.254829592 * (1 / (1 + 0.3275911 * (zabs / sqrt(2.0))))
+            - 0.284496736 * pow(1 / (1 + 0.3275911 * (zabs / sqrt(2.0))), 2)
+            + 1.421413741 * pow(1 / (1 + 0.3275911 * (zabs / sqrt(2.0))), 3)
+            - 1.453152027 * pow(1 / (1 + 0.3275911 * (zabs / sqrt(2.0))), 4)
+            + 1.061405429 * pow(1 / (1 + 0.3275911 * (zabs / sqrt(2.0))), 5))
+            * exp(-(zabs / sqrt(2.0)) * (zabs / sqrt(2.0))))))
+"""
+
+
+@query(
+    "dq_bh_fdr_proportions",
+    f"""
+    WITH li AS (
+        SELECT s.s_nationkey AS g,
+               (l.l_returnflag = 'R')::INT AS is_r
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    per AS (
+        SELECT g, count(*) AS n, sum(is_r) AS r FROM li GROUP BY g
+    ),
+    gl AS (
+        SELECT sum(n) AS nn, sum(r) AS rr, count(*) AS m FROM per
+    ),
+    z AS (
+        SELECT g, n, r,
+               abs((r / (1.0 * n) - rr / (1.0 * nn))
+                   / sqrt((rr / (1.0 * nn)) * (1 - rr / (1.0 * nn)) / n))
+                   AS zabs,
+               m
+        FROM per, gl
+    ),
+    p AS (
+        SELECT g, n, r, m, {_SQL_PVAL} AS pval FROM z
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (ORDER BY pval, g) AS rnk FROM p
+    ),
+    thr AS (
+        SELECT coalesce(max(CASE WHEN pval * m <= 0.05 * rnk
+                                 THEN rnk END), 0) AS rmax
+        FROM rk
+    )
+    SELECT cast(g AS BIGINT) AS nationkey,
+           cast(n AS BIGINT) AS n_items,
+           round(r / (1.0 * n), 6) AS return_rate,
+           round(pval, 6) AS p_value,
+           rnk <= rmax AS reject_fdr_05
+    FROM rk, thr ORDER BY 1
+    """,
+)
+def dq_bh_fdr_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control (BH 1995) over 25 simultaneous
+    per-nation return-rate tests: each supplier nation's returned-flag
+    proportion is z-tested against the global rate, p-values come from
+    the Abramowitz–Stegun 7.1.26 erf polynomial (written identically in
+    both engines so the doubles agree bit-for-bit), and the BH step-up
+    rule rejects every hypothesis at or below the largest rank r with
+    p_(r) ≤ α·r/m — the multiple-testing discipline a 25-way drift scan
+    needs where per-test α would fire 1-in-20 nations by chance.
+
+    Scale shape: one broadcast dim join + one groupBy collapse rows to
+    the 25-row per-nation rollup; the rank window and the step-up max
+    run on that bounded rollup (unpartitioned window allow-listed at
+    ≤|nations| rows; the threshold rides a one-row broadcast)."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    per = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("r"),
+        )
+    )
+    glob = per.agg(
+        F.sum("n").alias("nn"), F.sum("r").alias("rr"), F.count(F.lit(1)).alias("m")
+    )
+    z = per.crossJoin(F.broadcast(glob)).select(
+        "g",
+        "n",
+        "r",
+        "m",
+        F.abs(
+            (F.col("r") / (1.0 * F.col("n")) - F.col("rr") / (1.0 * F.col("nn")))
+            / F.sqrt(
+                (F.col("rr") / (1.0 * F.col("nn")))
+                * (1 - F.col("rr") / (1.0 * F.col("nn")))
+                / F.col("n")
+            )
+        ).alias("zabs"),
+    )
+    p = z.withColumn("pval", _pvalue_two_sided(F.col("zabs")))
+    rk = p.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("pval", "g"))
+    )
+    thr = rk.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pval") * F.col("m") <= 0.05 * F.col("rnk"),
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("rmax")
+    )
+    return (
+        rk.crossJoin(F.broadcast(thr))
+        .select(
+            F.col("g").cast("bigint").alias("nationkey"),
+            F.col("n").cast("bigint").alias("n_items"),
+            F.round(F.col("r") / (1.0 * F.col("n")), 6).alias("return_rate"),
+            F.round(F.col("pval"), 6).alias("p_value"),
+            (F.col("rnk") <= F.col("rmax")).alias("reject_fdr_05"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact trimmed + winsorized means — order statistics by bucket recount
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_trimmed_winsorized_mean",
+    """
+    WITH v AS (
+        SELECT c_mktsegment AS g,
+               cast(round(c_acctbal * 100) AS BIGINT) AS x
+        FROM customer
+    ),
+    o AS (
+        SELECT g, x,
+               row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM v
+    ),
+    kk AS (
+        SELECT g, n, cast(floor(0.1 * n) AS BIGINT) AS k
+        FROM (SELECT DISTINCT g, n FROM o)
+    ),
+    t AS (
+        SELECT o.g,
+               any_value(kk.n) AS n, any_value(kk.k) AS k,
+               sum(CASE WHEN rn > kk.k AND rn <= kk.n - kk.k
+                        THEN x END) AS tsum,
+               max(CASE WHEN rn = kk.k + 1 THEN x END) AS xlo1,
+               max(CASE WHEN rn = kk.n - kk.k THEN x END) AS xhi0
+        FROM o JOIN kk ON o.g = kk.g
+        GROUP BY o.g
+    )
+    SELECT g AS segment,
+           cast(n AS BIGINT) AS n_rows,
+           cast(k AS BIGINT) AS n_trimmed_each,
+           ((2 * tsum * 100 + (n - 2 * k)) // (2 * (n - 2 * k)))
+               / 10000.0 AS trimmed_mean,
+           ((2 * (tsum + k * xlo1 + k * xhi0) * 100 + n) // (2 * n))
+               / 10000.0 AS winsor_mean
+    FROM t ORDER BY 1
+    """,
+)
+def a_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 10%-trimmed and winsorized means of account balance per
+    market segment — the outlier-robust location estimates — WITHOUT a
+    per-group sort: the three order statistics each group needs (ranks
+    k, k+1, n−k with k = ⌊n/10⌋, which VARY per group and so defeat
+    fixed-quantile helpers) are located by
+    ``operators/exact_stats.values_at_ranks``'s two-phase bucket
+    recount, and boundary ties are settled in integer cents via the
+    strictly-below prefix sums it returns: the trimmed sum is
+    kept(n−k) − kept(k) where kept(m) = sum_lt(x₍ₘ₎) + (m −
+    cnt_lt(x₍ₘ₎))·x₍ₘ₎, and winsorizing adds k copies of x₍ₖ₊₁₎ and
+    x₍ₙ₋ₖ₎. Every accumulated term is a BIGINT; the oracle computes the
+    same statistics with the full row_number sort an oracle can afford.
+    An in-query gate RAISES if any group's k < 1 (the trim would be a
+    no-op and the entry ungraded)."""
+    from glamira_end_to_end_data_pipeline_spark.operators.exact_stats import (
+        values_at_ranks,
+    )
+
+    v = read_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("g"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("x"),
+    )
+    tot = v.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    kmin = tot.agg(F.min(F.floor(0.1 * F.col("n")))).collect()[0][0]
+    if kmin is None or kmin < 1:
+        raise AssertionError(
+            f"fixture drift: smallest group trims k={kmin} rows — the "
+            "trimmed mean would equal the plain mean"
+        )
+    ranks = tot.select(
+        "g",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("klo").alias("label"),
+                    F.floor(0.1 * F.col("n")).cast("long").alias("rk"),
+                ),
+                F.struct(
+                    F.lit("klo1").alias("label"),
+                    (F.floor(0.1 * F.col("n")) + 1).cast("long").alias("rk"),
+                ),
+                F.struct(
+                    F.lit("khi").alias("label"),
+                    (F.col("n") - F.floor(0.1 * F.col("n")))
+                    .cast("long")
+                    .alias("rk"),
+                ),
+            )
+        ).alias("s"),
+    ).select("g", F.col("s.label").alias("label"), F.col("s.rk").alias("rk"))
+    at = values_at_ranks(v, "g", "x", ranks, bucket_width=100000.0)
+    piv = at.groupBy("g").agg(
+        F.max(F.when(F.col("label") == "klo", F.col("rk"))).alias("k"),
+        F.max(F.when(F.col("label") == "klo", F.col("x_at"))).alias("xlo"),
+        F.max(F.when(F.col("label") == "klo", F.col("cnt_lt"))).alias("clo"),
+        F.max(F.when(F.col("label") == "klo", F.col("sum_lt"))).alias("slo"),
+        F.max(F.when(F.col("label") == "klo1", F.col("x_at"))).alias("xlo1"),
+        F.max(F.when(F.col("label") == "khi", F.col("rk"))).alias("rhi"),
+        F.max(F.when(F.col("label") == "khi", F.col("x_at"))).alias("xhi"),
+        F.max(F.when(F.col("label") == "khi", F.col("cnt_lt"))).alias("chi"),
+        F.max(F.when(F.col("label") == "khi", F.col("sum_lt"))).alias("shi"),
+    )
+    out = piv.join(tot, "g").select(
+        "g",
+        "n",
+        "k",
+        (
+            (F.col("shi") + (F.col("rhi") - F.col("chi")) * F.col("xhi"))
+            - (F.col("slo") + (F.col("k") - F.col("clo")) * F.col("xlo"))
+        ).alias("tsum"),
+        "xlo1",
+        F.col("xhi").alias("xhi0"),
+    )
+    # Final 4-decimal rounding in INTEGER half-up arithmetic — the mean
+    # grid is 1/(100·n)-spaced, so a double round() can land exactly on
+    # a decimal half and the two engines' round() would disagree at the
+    # last digit; (2a + b) div (2b) is exact for the positive sums the
+    # gate below certifies.
+    out = out.withColumn("d", F.col("n") - 2 * F.col("k")).withColumn(
+        "wsum",
+        F.col("tsum") + F.col("k") * F.col("xlo1") + F.col("k") * F.col("xhi0"),
+    )
+    bad = out.filter((F.col("tsum") <= 0) | (F.col("wsum") <= 0)).count()
+    if bad:
+        raise AssertionError(
+            "fixture drift: a group's trimmed/winsorized sum is non-positive "
+            "— the integer half-up rounding below assumes positive numerators"
+        )
+    return out.select(
+        F.col("g").alias("segment"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("k").cast("bigint").alias("n_trimmed_each"),
+        (
+            F.expr("(2 * tsum * 100 + d) div (2 * d)") / 10000.0
+        ).alias("trimmed_mean"),
+        (
+            F.expr("(2 * wsum * 100 + n) div (2 * n)") / 10000.0
+        ).alias("winsor_mean"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Join-consistent sampling by shared key hash
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_consistent_hash_keys",
+    """
+    WITH cs AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT % 5 = 0
+    ),
+    os AS (
+        SELECT o_custkey, o_totalprice FROM orders
+        WHERE ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT % 5 = 0
+    )
+    SELECT c_mktsegment AS segment,
+           count(DISTINCT cs.c_custkey) AS n_cust_sampled,
+           count(os.o_custkey) AS n_orders_sampled,
+           cast(count(os.o_custkey) * 5 AS BIGINT) AS est_total_orders,
+           round(sum(os.o_totalprice), 2) AS sampled_revenue
+    FROM cs LEFT JOIN os ON os.o_custkey = cs.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sample_consistent_hash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-CONSISTENT sampling across the customer/orders star edge:
+    both tables are sampled INDEPENDENTLY by the same md5 bucket of the
+    customer key, so the 20% customer sample and the orders sample stay
+    referentially intact with ZERO coordination — no sampled-key
+    broadcast, no sampling-time join, each table one map-only filter
+    (the universe-sampling trick: consistent hashing makes the sample a
+    deterministic function of the key, so any table sharing the key
+    self-selects the same entities; VLDB folklore, e.g. Gemulla 2008).
+    An in-query gate RAISES if any sampled order misses its sampled
+    customer — the consistency proof. Estimator column: sampled order
+    count × 5 is unbiased for the total order count.
+
+    Scale shape: two map-only hash filters (pushed to the scans) + one
+    key-partitioned join for the report; at 100 TB the filters prune
+    before any shuffle and the join carries only the 20% sample."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cs = cust.filter(_hash_mod(F.col("c_custkey"), 5) == 0)
+    os_ = orders.filter(_hash_mod(F.col("o_custkey"), 5) == 0)
+    missing = os_.join(
+        cs, os_["o_custkey"] == cs["c_custkey"], "left_anti"
+    ).count()
+    if missing:
+        raise AssertionError(
+            f"consistency breach: {missing} sampled orders have no sampled "
+            "customer — the shared-key hash must self-select both sides"
+        )
+    return (
+        cs.join(os_, os_["o_custkey"] == cs["c_custkey"], "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_cust_sampled"),
+            F.count("o_custkey").alias("n_orders_sampled"),
+            (F.count("o_custkey") * 5).cast("bigint").alias("est_total_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern matching (ClickHouse sequenceMatch semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_event_sequence_match",
+    """
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    ),
+    tagged AS (
+        SELECT CASE
+                   WHEN seq NOT LIKE '%purchase%' THEN 'no_purchase'
+                   WHEN regexp_matches(seq, 'view.*purchase')
+                       THEN 'viewed_then_purchased'
+                   ELSE 'purchased_unviewed'
+               END AS funnel
+        FROM seqs
+    )
+    SELECT funnel, count(*) AS n_users
+    FROM tagged GROUP BY 1 ORDER BY 1
+    """,
+)
+def a_event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-pattern matching over each user's TIME-ORDERED event-type
+    string — ClickHouse's ``sequenceMatch('(?1).*(?2)')`` semantics
+    re-expressed relationally: did a 'view' precede a 'purchase'
+    anywhere in the user's history? Users split three ways: never
+    purchased, purchased with a prior view, purchased without one.
+
+    Scale shape: ONE exchange (groupBy user) — the sequence is built by
+    sort_array over collect_list of (ts, event_id, type) structs (the
+    tiebreak makes the string deterministic under any task order), the
+    pattern is a single JVM regex per user row, and the final tag
+    rollup is a 3-row aggregate. No window, no per-event shuffle;
+    event-type names are prefix-free so the '>'-joined string matches
+    exactly the event sequence."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("seq")
+    )
+    tagged = seqs.select(
+        F.when(~F.col("seq").contains("purchase"), F.lit("no_purchase"))
+        .when(F.col("seq").rlike("view.*purchase"), F.lit("viewed_then_purchased"))
+        .otherwise(F.lit("purchased_unviewed"))
+        .alias("funnel")
+    )
+    return (
+        tagged.groupBy("funnel")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lead–lag cross-correlation between two segments' daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_lagged_cross_correlation",
+    """
+    WITH o AS (
+        SELECT c.c_mktsegment AS seg,
+               cast(o.o_orderdate AS DATE) AS d,
+               cast(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    a AS (SELECT d, sum(cents) AS ra FROM o WHERE seg = 'BUILDING' GROUP BY d),
+    b AS (SELECT d, sum(cents) AS rb FROM o WHERE seg = 'MACHINERY' GROUP BY d),
+    lagged AS (
+        SELECT t.lag AS lag, a.d, a.ra, b.rb
+        FROM a CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS lag) t
+        JOIN b ON b.d = a.d - cast(t.lag AS INT)
+    ),
+    s AS (
+        SELECT lag,
+               cast(count(*) AS DOUBLE) AS n,
+               cast(sum(ra) AS DOUBLE) AS sa,
+               cast(sum(rb) AS DOUBLE) AS sb,
+               sum(cast(ra AS DOUBLE) * cast(ra AS DOUBLE)) AS saa,
+               sum(cast(rb AS DOUBLE) * cast(rb AS DOUBLE)) AS sbb,
+               sum(cast(ra AS DOUBLE) * cast(rb AS DOUBLE)) AS sab
+        FROM lagged GROUP BY lag
+    )
+    SELECT cast(lag AS BIGINT) AS lag_days,
+           cast(n AS BIGINT) AS n_days,
+           round((n * sab - sa * sb)
+                 / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)),
+                 6) AS xcorr
+    FROM s ORDER BY 1
+    """,
+)
+def w_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag Pearson cross-correlation between the BUILDING and
+    MACHINERY segments' daily revenue series at lags 0..7 days — the
+    "does one segment lead the other" diagnostic behind demand-transfer
+    and cannibalization analyses (corr(A_t, B_{t−ℓ}) per ℓ).
+
+    Scale shape: rows collapse to two |days|-sized daily rollups in one
+    join+groupBy; the 8 lags come from an EXPLODE of a literal array
+    (no cross join operator, no BNLJ) and each lag realigns via one
+    key-partitioned join on the shifted date; correlations come from
+    per-lag sufficient statistics. Daily sums are EXACT integer cents,
+    so both engines feed identical doubles into the closed form; days
+    missing from either series drop from that lag's n (inner-join
+    semantics, mirrored in the oracle)."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    o = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    a = o.filter(F.col("seg") == "BUILDING").groupBy("d").agg(
+        F.sum("cents").alias("ra")
+    )
+    b = (
+        o.filter(F.col("seg") == "MACHINERY")
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rb"))
+        .select(F.col("d").alias("bd"), "rb")
+    )
+    lags = a.select(
+        "d",
+        "ra",
+        F.explode(F.array([F.lit(i) for i in range(8)])).alias("lag"),
+    ).withColumn("d_b", F.date_sub(F.col("d"), F.col("lag")))
+    j = lags.join(b, lags["d_b"] == b["bd"]).select("lag", "ra", "rb")
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("ra").cast("double").alias("sa"),
+        F.sum("rb").cast("double").alias("sb"),
+        F.sum(F.col("ra").cast("double") * F.col("ra").cast("double")).alias("saa"),
+        F.sum(F.col("rb").cast("double") * F.col("rb").cast("double")).alias("sbb"),
+        F.sum(F.col("ra").cast("double") * F.col("rb").cast("double")).alias("sab"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag_days"),
+        n.cast("bigint").alias("n_days"),
+        F.round(
+            (n * sab - sa * sb)
+            / (F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)),
+            6,
+        ).alias("xcorr"),
+    ).orderBy("lag_days")

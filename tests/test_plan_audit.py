@@ -30,6 +30,15 @@ from tests.test_plans import plan_of
 # BroadcastNestedLoopJoin is the intended plan here: a tiny broadcast
 # side against a streamed big side, with a non-equi predicate.
 BNLJ_OK = {
+    # MW's one-row (r2) stats × one-row totals scalar cross — O(1).
+    "dq_mann_whitney_u",
+    # t-closeness dense grid: |nations| × |balance-buckets| ≈ 275-row
+    # broadcast cross (both sides bounded rollups), plus the one-row
+    # (m, n) scalar — never data-sized.
+    "dq_t_closeness",
+    # BH step-up: one-row global-rate scalar and one-row threshold rank
+    # broadcast onto the 25-row per-nation rollup.
+    "dq_bh_fdr_proportions",
     # Benford expectation join: the population total is a ONE-ROW
     # broadcast cross-joined onto the ≤9-row digit rollup (q11/q15
     # scalar pattern) — O(9) work.
@@ -154,6 +163,16 @@ BNLJ_OK = {
 # bounded pre-aggregates (cardinality independent of, or reduced
 # orders-of-magnitude below, the raw row count):
 UNPARTITIONED_WINDOW_OK = {
+    # MW bucket-offset prefix sum over the ≤|value-range/50| bucket
+    # rollup (the dq_ks_two_sample spine); per-value cumulatives stay
+    # bucket-partitioned.
+    "dq_mann_whitney_u",
+    # Spearman's two bucket-offset rollups (quantity: ≤10 buckets,
+    # price: ≤|price-range/1000| buckets) — per-value cumulatives are
+    # bucket-partitioned, rows never enter an unpartitioned window.
+    "a_spearman_corr",
+    # BH rank + step-up max over the 25-row per-nation p-value rollup.
+    "dq_bh_fdr_proportions",
     # cumulative-users running sum over the DAILY rollup — |days| rows.
     "w7_new_vs_returning",
     # lag(7) week-over-week deltas over the DAILY rollup — |days| rows.
