@@ -1389,3 +1389,84 @@ def bfs_path_counts(
         settled = settled.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return settled
+
+
+def betweenness_from_source(
+    edges: DataFrame,
+    source: int,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Brandes single-source dependency accumulation (Brandes 2001) —
+    the backward pass over :func:`bfs_path_counts`'s forward σ/levels:
+    processing BFS layers deepest-first, each node's dependency is
+    δ(u) = Σ_{u→v, d(v)=d(u)+1} σ(u)/σ(v) · (1 + δ(v)), and summing
+    δ over sources yields betweenness centrality. Returns
+    ``(node, dist, npaths, dependency)`` for every node reachable from
+    ``source`` (δ restricted to this source's shortest-path DAG).
+
+    Scale shape: the forward pass is the layered-BFS sum join of
+    ``bfs_path_counts``; the backward pass re-walks the SAME layer
+    boundaries in reverse — per layer one edge⋈layer join keyed on the
+    node id, no node-count broadcast, lineage cut per layer. Rounds =
+    graph diameter (bounded), each join frontier-sized. In full
+    betweenness the per-source passes are independent and would run as
+    a batched union over a source set (pivot on a source-id column);
+    this single-source primitive is the unit of that batch."""
+    fw = bfs_path_counts(edges, source, src, dst, max_rounds).localCheckpoint()
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("eu"),
+            F.col(dst).cast("long").alias("ev"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dmax = fw.agg(F.max("dist")).collect()[0][0]
+    if dmax is None:
+        return fw.withColumn("dependency", F.lit(0.0))
+    cur = (
+        fw.filter(F.col("dist") == dmax)
+        .select("node", "dist", "npaths", F.lit(0.0).alias("dependency"))
+        .localCheckpoint()
+    )
+    out = cur
+    for d in range(int(dmax) - 1, -1, -1):
+        lvl = fw.filter(F.col("dist") == d)
+        contrib = (
+            e.join(cur.select(F.col("node").alias("ev_n"), "npaths", "dependency"),
+                   e["ev"] == F.col("ev_n"))
+            .select(
+                F.col("eu").alias("node"),
+                F.col("npaths").alias("sig_v"),
+                F.col("dependency").alias("del_v"),
+            )
+            .groupBy("node")
+            .agg(
+                F.sum((1.0 + F.col("del_v")) / F.col("sig_v")).alias("dsum")
+            )
+        )
+        cur = (
+            lvl.join(contrib, "node", "left")
+            .select(
+                "node",
+                "dist",
+                "npaths",
+                (
+                    F.col("npaths")
+                    * F.coalesce(F.col("dsum"), F.lit(0.0))
+                ).alias("dependency"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(cur).localCheckpoint(eager=False)
+    # Brandes accumulates delta only for v ≠ s (the source's own delta
+    # is internal scaffolding and never contributes to centrality);
+    # report the conventional 0 for the source row.
+    return out.withColumn(
+        "dependency",
+        F.when(F.col("node") == int(source), F.lit(0.0)).otherwise(
+            F.col("dependency")
+        ),
+    )

@@ -944,3 +944,242 @@ def w_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     ).orderBy("lag_days")
+
+
+# ---------------------------------------------------------------------------
+# Positional delete files (Iceberg-v2 MoR, the (file, pos) flavor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_position_deletes",
+    """
+    WITH base AS (
+        SELECT cast(c_custkey AS BIGINT) AS k, c_mktsegment, c_acctbal
+        FROM customer
+    ),
+    final AS (
+        SELECT * FROM base
+        WHERE k % 2 = 0 AND c_acctbal >= 0 AND c_mktsegment <> 'BUILDING'
+        UNION ALL
+        SELECT * FROM base
+        WHERE k % 2 = 1 AND c_acctbal < 0 AND c_mktsegment <> 'BUILDING'
+    )
+    SELECT c_mktsegment AS segment, count(*) AS n_rows,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-v2 POSITIONAL deletes (sources/posdelete.py): tombstones
+    address (data-file path, row ordinal), the complementary MoR flavor
+    to ``lake_mor_equality_deletes``. The fixture proves the defining
+    property — file-scoped tombstones need NO sequence-era rule:
+    commit 1 lands the even keys, delete 1 tombstones negative
+    balances, commit 2 RE-INSERTS rows that match delete 1's predicate
+    (odd keys with negative balances) into new files — and they
+    survive, because a positional tombstone can never name a file
+    written after it. Delete 2 ('BUILDING') then spans files of both
+    commits. In-query gates RAISE unless both deletes tombstoned rows
+    AND the predicate-matching re-inserts survived. The oracle derives
+    the same final state from the source table in closed form."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_posdel_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    k = F.col("k")
+    c1 = base.filter(k % 2 == 0).withColumn("grp", (k % 4).cast("long"))
+    posdelete.write_data(spark, c1, path, "grp", "k")
+    n1 = posdelete.position_delete(spark, path, F.col("c_acctbal") < 0)
+    c2 = (
+        base.filter((k % 2 == 1) & (F.col("c_acctbal") < 0))
+        .withColumn("grp", (k % 4).cast("long"))
+    )
+    posdelete.write_data(spark, c2, path, "grp", "k")
+    n2 = posdelete.position_delete(
+        spark, path, F.col("c_mktsegment") == "BUILDING"
+    )
+    if n1 == 0 or n2 == 0:
+        raise AssertionError(
+            f"fixture drift: both deletes must tombstone rows (n1={n1}, "
+            f"n2={n2})"
+        )
+    final = posdelete.read_mor(spark, path)
+    reinserted = final.filter(k % 2 == 1).count()
+    if reinserted == 0:
+        raise AssertionError(
+            "fixture drift: no delete-predicate-matching re-inserts "
+            "survived — the file-scoped tombstone property went unexercised"
+        )
+    return (
+        final.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brandes single-source betweenness dependencies
+# ---------------------------------------------------------------------------
+
+_BTW_N = 250
+_BTW_SRC = 1
+_BTW_CAP = 12
+
+
+@query(
+    "graph_betweenness_source",
+    f"""
+    WITH RECURSIVE edges AS (
+        SELECT i AS u, (3 * i + 1) % {_BTW_N} AS v FROM range({_BTW_N}) t(i)
+        UNION ALL
+        SELECT i, (3 * i + 2) % {_BTW_N} FROM range({_BTW_N}) t(i)
+    ),
+    walk(node, d, path) AS (
+        SELECT {_BTW_SRC}, 0, CAST('' AS VARCHAR)
+        UNION ALL
+        SELECT e.v, w.d + 1,
+               CASE WHEN w.d = 0 THEN ''
+                    WHEN w.path = '' THEN CAST(w.node AS VARCHAR)
+                    ELSE w.path || ',' || CAST(w.node AS VARCHAR) END
+        FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.d < {_BTW_CAP}
+    ),
+    md AS (SELECT node, min(d) AS dist FROM walk GROUP BY 1),
+    sp AS (
+        SELECT w.node AS t, w.path FROM walk w
+        JOIN md m ON w.node = m.node AND w.d = m.dist
+    ),
+    np AS (SELECT t, count(*) AS sigma FROM sp GROUP BY t),
+    inter AS (
+        SELECT cast(s.part AS BIGINT) AS v, sp.t
+        FROM sp, unnest(string_split(sp.path, ',')) AS s(part)
+        WHERE sp.path <> ''
+    ),
+    dep AS (
+        SELECT v, sum(1.0 / np.sigma) AS delta
+        FROM inter JOIN np USING (t) GROUP BY v
+    )
+    SELECT cast(m.node AS BIGINT) AS node,
+           cast(m.dist AS BIGINT) AS dist,
+           cast(np.sigma AS BIGINT) AS npaths,
+           round(coalesce(dep.delta, 0.0), 6) AS dependency
+    FROM md m JOIN np ON np.t = m.node
+    LEFT JOIN dep ON dep.v = m.node
+    ORDER BY 1
+    """,
+)
+def graph_betweenness_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes single-source betweenness dependencies
+    (operators/graph.py:betweenness_from_source): the forward layered
+    BFS computes σ(s,v) (graph_shortest_path_counts' machinery), then
+    the backward pass walks the SAME layer boundaries deepest-first
+    accumulating δ(u) = σ(u)·Σ (1+δ(v))/σ(v) over shortest-path-DAG
+    edges — summing δ over a source set is exact betweenness
+    centrality, and each per-source pass is this primitive. The oracle
+    computes δ a completely different way: a depth-capped recursive
+    walk enumerates EVERY shortest path with an explicit interior-node
+    string and charges each interior node 1/σ(t) (oracle-scale luxury;
+    bounded: out-degree 2, cap {_BTW_CAP} → ≤ 2^{_BTW_CAP}+ walks). An
+    in-query gate RAISES if any distance reaches the walk cap. Fixture:
+    the tripling graph i → {{3i+1, 3i+2}} mod {_BTW_N} from source
+    {_BTW_SRC}."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        betweenness_from_source,
+    )
+
+    ids = spark.range(_BTW_N)
+    edges = ids.select(
+        F.col("id").alias("u"), ((F.col("id") * 3 + 1) % _BTW_N).alias("v")
+    ).unionAll(
+        ids.select(
+            F.col("id").alias("u"),
+            ((F.col("id") * 3 + 2) % _BTW_N).alias("v"),
+        )
+    )
+    out = betweenness_from_source(edges, _BTW_SRC)
+    dmax = out.agg(F.max("dist")).collect()[0][0]
+    if dmax is None or dmax >= _BTW_CAP:
+        raise AssertionError(
+            f"fixture drift: max distance {dmax} reaches the oracle walk "
+            f"cap {_BTW_CAP} — dependencies would diverge"
+        )
+    return out.select(
+        "node",
+        "dist",
+        "npaths",
+        F.round("dependency", 6).alias("dependency"),
+    ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# bucket(N, col) partition transform with metadata pruning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_bucket_partition_prune",
+    """
+    SELECT count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_custkey = 7
+    """,
+)
+def lake_bucket_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``bucket(N, col)`` partition transform, expressed as a
+    stored computed column over the snapshot-table machinery
+    (sources/lake.py:write_snapshot + read_snapshot_spec_pruned): the
+    table is committed partitioned on an 8-way md5 bucket of the
+    customer key, and an equality probe on the NATURAL key prunes to
+    the probe's bucket by metadata alone — the transform maps the probe
+    value through the same hash, so pruning needs no file opens and no
+    value index, exactly why Iceberg buckets high-cardinality join/probe
+    keys. In-query gates RAISE unless files were really pruned
+    (n_read < n_total) AND the kept files came from the spec path (the
+    observability counter read_snapshot_spec_pruned returns). The
+    residual row filter still applies (other keys share the bucket).
+    The oracle reads the plain table — pruning must be result-neutral."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    probe = 7
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_bktprune_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    df = orders.withColumn("o_bucket", _hash_mod(F.col("o_custkey"), 8))
+    lake.write_snapshot(spark, df, path, partition_by=["o_bucket"])
+    # the probe value routes through the SAME transform, python-side —
+    # mirrors _hash_mod's md5-of-string-cast exactly
+    b = int(hashlib.md5(str(probe).encode()).hexdigest()[:15], 16) % 8
+    pruned, n_read, n_total, n_spec = lake.read_snapshot_spec_pruned(
+        spark, path, "o_bucket", b
+    )
+    if not (0 < n_read < n_total) or n_spec < 1:
+        raise AssertionError(
+            f"bucket pruning failed: read {n_read}/{n_total} files, "
+            f"spec-kept {n_spec} — the transform probe must prune"
+        )
+    return pruned.filter(F.col("o_custkey") == probe).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -651,3 +651,35 @@ def test_bfs_path_counts_exact_on_diamond_and_doubling(spark):
     expected = {k: (dist[k], cnt[k]) for k in dist}
     got2 = {r.node: (r.dist, r.npaths) for r in bfs_path_counts(edges, 0).collect()}
     assert got2 == expected
+
+
+def test_betweenness_diamond_and_chain(spark):
+    """Brandes single-source dependencies on hand-computed fixtures:
+    the diamond s->{a,b}->t gives delta(a)=delta(b)=1/2 (each carries
+    half of t's path mass), and the chain s->a->b->c gives delta(a)=2,
+    delta(b)=1 (each interior node sits on every deeper target's only
+    path). The source reports the conventional 0."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        betweenness_from_source,
+    )
+
+    diamond = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "u long, v long"
+    )
+    got = {
+        r.node: (r.dist, r.npaths, r.dependency)
+        for r in betweenness_from_source(diamond, 0).collect()
+    }
+    assert got == {
+        0: (0, 1, 0.0),
+        1: (1, 1, 0.5),
+        2: (1, 1, 0.5),
+        3: (2, 2, 0.0),
+    }
+
+    chain = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "u long, v long")
+    got = {
+        r.node: r.dependency
+        for r in betweenness_from_source(chain, 0).collect()
+    }
+    assert got == {0: 0.0, 1: 2.0, 2: 1.0, 3: 0.0}

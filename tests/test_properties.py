@@ -1127,3 +1127,49 @@ def test_delta_join_rule_reconstitutes_full_join(spark, r_rows, s_rows, salt):
     assert Counter(map(tuple, inc.collect())) == Counter(
         map(tuple, full.collect())
     )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-2000, max_value=5000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_values_at_ranks_matches_flat_sort(spark, rows):
+    """values_at_ranks' two-phase bucket locate equals the flat sorted
+    definition (x_at = the rk-th smallest, cnt_lt/sum_lt over strictly
+    smaller values) for ANY integer multiset and any in-range rank —
+    including ties at the located value, negative values, ranks landing
+    on bucket boundaries, and single-value groups."""
+    from collections import defaultdict
+
+    from glamira_end_to_end_data_pipeline_spark.operators.exact_stats import (
+        values_at_ranks,
+    )
+
+    by_g = defaultdict(list)
+    for g, x in rows:
+        by_g[g].append(x)
+    rank_rows = []
+    for g, xs in by_g.items():
+        n = len(xs)
+        for label, rk in (("first", 1), ("third", (n + 2) // 3), ("last", n)):
+            rank_rows.append((g, label, max(1, rk)))
+    df = spark.createDataFrame(rows, "g string, x long")
+    ranks = spark.createDataFrame(rank_rows, "g string, label string, rk long")
+    got = {
+        (r.g, r.label): (r.x_at, r.cnt_lt, r.sum_lt)
+        for r in values_at_ranks(df, "g", "x", ranks, bucket_width=500.0).collect()
+    }
+    expected = {}
+    for g, label, rk in rank_rows:
+        xs = sorted(by_g[g])
+        x_at = xs[rk - 1]
+        below = [v for v in xs if v < x_at]
+        expected[(g, label)] = (x_at, len(below), sum(below))
+    assert got == expected
