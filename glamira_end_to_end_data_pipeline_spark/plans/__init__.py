@@ -705,6 +705,7 @@ _DEFER_FRESH_R12 = (
     "lake_position_deletes",
     "graph_betweenness_source",
     "lake_bucket_partition_prune",
+    "stream_outer_join_unconverted",
 )
 
 

@@ -1183,3 +1183,76 @@ def lake_bucket_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join — the unconverted-clicks feed
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_outer_join_unconverted",
+    """
+    WITH c AS (
+        SELECT event_id AS cid, user_id, ts FROM events
+        WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    conv AS (
+        SELECT DISTINCT c.cid FROM c
+        JOIN p ON p.user_id = c.user_id
+              AND p.ts >= c.ts
+              AND p.ts <= c.ts + INTERVAL 24 HOUR
+    )
+    SELECT (SELECT count(*) FROM c) AS n_clicks,
+           (SELECT count(*) FROM conv) AS n_converted,
+           (SELECT count(*) FROM c) - (SELECT count(*) FROM conv)
+               AS n_unconverted,
+           round((SELECT count(*) FROM conv)
+                 / (1.0 * (SELECT count(*) FROM c)), 6) AS conversion_rate
+    """,
+)
+def stream_outer_join_unconverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension — stream-stream LEFT OUTER join
+    (streaming/joins.py:attribution_join_left_outer): every click
+    joined to same-user purchases in the following 24 h, with
+    null-padded rows for clicks that never convert — the abandonment
+    feed an inner join structurally cannot produce, and the join mode
+    where Structured Streaming's watermark does REAL work (an unmatched
+    verdict requires the watermark to close the click's window before
+    the null row may be emitted; state on both sides stays
+    lookahead-bounded per key). Evaluated in batch here so DuckDB can
+    hash-check the semantics; tests/test_streaming.py drains the SAME
+    function over watermarked file streams across micro-batches — with
+    a watermark-advancing sentinel to flush trailing nulls — and pins
+    streamed == batch.
+
+    Scale shape: one key-partitioned equi-join with the band as a
+    post-condition; the rollup distinct-counts converted clicks without
+    a second scan."""
+    from glamira_end_to_end_data_pipeline_spark.streaming import (
+        attribution_join_left_outer,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    out = attribution_join_left_outer(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        lookahead="24 hours",
+    )
+    agg = out.agg(
+        F.countDistinct("click_id").alias("n_clicks"),
+        F.countDistinct(
+            F.when(F.col("purchase_id").isNotNull(), F.col("click_id"))
+        ).alias("n_converted"),
+    )
+    return agg.select(
+        "n_clicks",
+        "n_converted",
+        (F.col("n_clicks") - F.col("n_converted")).alias("n_unconverted"),
+        F.round(F.col("n_converted") / (1.0 * F.col("n_clicks")), 6).alias(
+            "conversion_rate"
+        ),
+    )

@@ -8,6 +8,7 @@ from glamira_end_to_end_data_pipeline_spark.streaming.incremental import (
 )
 from glamira_end_to_end_data_pipeline_spark.streaming.joins import (
     attribution_join,
+    attribution_join_left_outer,
 )
 from glamira_end_to_end_data_pipeline_spark.streaming.sessions import (
     session_aggregate,
@@ -16,6 +17,7 @@ from glamira_end_to_end_data_pipeline_spark.streaming.sessions import (
 
 __all__ = [
     "attribution_join",
+    "attribution_join_left_outer",
     "dedup_replayed_events",
     "incremental_file_load",
     "run_incremental_load_once",

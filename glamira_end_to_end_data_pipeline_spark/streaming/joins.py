@@ -55,3 +55,45 @@ def attribution_join(
         & (F.col("click_ts") <= F.col("purchase_ts")),
         "inner",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+def attribution_join_left_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookahead: str = "24 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join — every click, attributed to each
+    same-user purchase within ``lookahead`` AFTER it, or emitted with a
+    NULL purchase if none arrives: the "unconverted clicks" feed that
+    an inner join structurally cannot produce. In streaming, Spark
+    buffers each left row until the watermark passes the end of its
+    join window and only THEN emits the null-padded row (the unmatched
+    verdict needs the window closed) — which is why both sides must be
+    watermarked and the time band must bound the condition; the
+    streamed result equals this batch plan once the watermark clears
+    the data (pinned in tests/test_streaming.py with a
+    watermark-advancing sentinel).
+
+    Scale: same state shape as :func:`attribution_join` — equi-join on
+    the user key, band as post-condition, per-key state bounded by the
+    lookahead window on both sides."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {lookahead}")
+        ),
+        "left_outer",
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")

@@ -390,3 +390,83 @@ def test_snapshot_commit_sink_rebatched_redelivery_with_new_files(spark, tmp_pat
     snapshot_commit_load(spark, src, table, str(tmp_path / "c2"), schema)
     got = sorted(r["id"] for r in lake.read_snapshot(spark, table).collect())
     assert got == list(range(70))  # old rows once, new rows ingested
+
+
+def test_left_outer_attribution_streaming_equals_batch(spark, tmp_path):
+    """Stream-stream LEFT OUTER join: unmatched clicks must be emitted
+    null-padded, but only once the watermark closes their join window —
+    a sentinel click far in the future advances the watermark so every
+    pending null flushes, then streamed == batch (sentinel excluded)."""
+    from glamira_end_to_end_data_pipeline_spark.streaming import (
+        attribution_join_left_outer,
+    )
+
+    src = str(tmp_path / "lo_src")
+    sink = str(tmp_path / "lo_sink")
+    ckpt = str(tmp_path / "lo_ckpt")
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_s string, event_type string"
+        ).select(
+            "event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: user 1 converts same-batch; user 2's click pends.
+    write_file(
+        [
+            (1, 1, "2024-01-01 00:00:00", "click"),
+            (2, 1, "2024-01-01 01:00:00", "purchase"),
+            (3, 2, "2024-01-01 02:00:00", "click"),
+        ]
+    )
+    # batch 2: user 2 converts cross-batch; user 3's click will never
+    # convert (the null row the outer join exists for); user 1's second
+    # click is followed only by a too-late purchase (>24h).
+    write_file(
+        [
+            (4, 2, "2024-01-01 20:00:00", "purchase"),
+            (5, 3, "2024-01-01 03:00:00", "click"),
+            (6, 1, "2024-01-01 04:00:00", "click"),
+            (7, 1, "2024-01-03 00:00:00", "purchase"),
+        ]
+    )
+    # batch 3: watermark-advancing sentinel — pushes event time far
+    # past every open window so the unmatched verdicts can be emitted.
+    write_file([(99, 9, "2024-02-01 00:00:00", "click")])
+
+    def sides(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        attribution_join_left_outer(*sides(stream))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def rows_of(df):
+        return sorted(
+            (r.click_id, r.purchase_id)
+            for r in df.collect()
+            if r.click_id != 99
+        )
+
+    streamed = rows_of(spark.read.parquet(sink))
+    batch = rows_of(attribution_join_left_outer(*sides(spark.read.parquet(src))))
+    assert streamed == batch == [(1, 2), (3, 4), (5, None), (6, None)]
