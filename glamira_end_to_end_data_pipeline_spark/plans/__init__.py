@@ -706,6 +706,9 @@ _DEFER_FRESH_R12 = (
     "graph_betweenness_source",
     "lake_bucket_partition_prune",
     "stream_outer_join_unconverted",
+    "lake_merge_multi_clause",
+    "graph_betweenness_batched",
+    "text_kneser_ney_bigram",
 )
 
 

@@ -1256,3 +1256,297 @@ def stream_outer_join_unconverted(spark: SparkSession, sf_dir: str) -> DataFrame
             "conversion_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-clause MERGE INTO (full Delta/Iceberg surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_merge_multi_clause",
+    """
+    WITH o AS (
+        SELECT cast(o_orderkey AS BIGINT) AS k, o_totalprice AS p,
+               o_orderpriority AS pr
+        FROM orders
+    ),
+    src AS (
+        SELECT k, CASE WHEN k % 4 = 0 THEN p + 5000 ELSE p - 5000 END AS sp,
+               pr
+        FROM o WHERE k % 2 = 0
+    ),
+    tgt AS (SELECT k, p, pr FROM o WHERE k % 3 = 0),
+    final AS (
+        SELECT t.k, CASE WHEN s.sp > t.p THEN s.sp ELSE t.p END AS p, t.pr
+        FROM tgt t JOIN src s USING (k)
+        WHERE s.sp > t.p OR NOT (t.p < 50000)
+        UNION ALL
+        SELECT s.k, s.sp, s.pr FROM src s LEFT JOIN tgt t USING (k)
+        WHERE t.k IS NULL AND s.sp > 100000
+        UNION ALL
+        SELECT t.k, t.p, t.pr FROM tgt t LEFT JOIN src s USING (k)
+        WHERE s.k IS NULL AND t.pr <> '5-LOW'
+    )
+    SELECT pr AS priority, count(*) AS n_rows, round(sum(p), 2) AS total
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-clause MERGE INTO (sources/lake.py:
+    merge_into_multi_clause) — the complete Delta/Iceberg surface in
+    one statement, exercising every clause against the orders table:
+    WHEN MATCHED AND the source price rose THEN UPDATE (first-true-wins
+    ordering), WHEN MATCHED AND the target row is small THEN DELETE,
+    WHEN NOT MATCHED AND the insert is large THEN INSERT, and WHEN NOT
+    MATCHED BY SOURCE AND priority = '5-LOW' THEN DELETE (the
+    target-only clause that forces the full-base scan — the cost Delta
+    documents and the reason the clause wants a partition-predicate
+    scope). The merge REDUCES the clause verdicts to a compact CDC feed
+    and delegates to apply_cdc_partitioned, sharing the copy-on-write
+    core with the other merge flavors. The oracle replays the same
+    clause order in closed form from the source table."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_mergemc_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    k = F.col("k")
+    tgt = o.filter(k % 3 == 0)
+    lake.write_partitioned(tgt, path, ["pr"])
+    src = o.filter(k % 2 == 0).select(
+        "k",
+        F.when(k % 4 == 0, F.col("p") + 5000)
+        .otherwise(F.col("p") - 5000)
+        .alias("p"),
+        "pr",
+    )
+    lake.merge_into_multi_clause(
+        spark,
+        path,
+        src,
+        key_cols=["k"],
+        partition_col="pr",
+        when_matched=[
+            ("s.p > t.p", "update"),
+            ("t.p < 50000", "delete"),
+        ],
+        when_not_matched="s.p > 100000",
+        when_not_matched_by_source_delete="t.pr = '5-LOW'",
+    )
+    final = lake.read_partitioned(spark, path)
+    return (
+        final.groupBy(F.col("pr").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("p"), 2).alias("total"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-batched Brandes betweenness (pivot sampling shape)
+# ---------------------------------------------------------------------------
+
+_BTB_SRCS = (1, 5, 11)
+
+
+@query(
+    "graph_betweenness_batched",
+    f"""
+    WITH RECURSIVE edges AS (
+        SELECT i AS u, (3 * i + 1) % {_BTW_N} AS v FROM range({_BTW_N}) t(i)
+        UNION ALL
+        SELECT i, (3 * i + 2) % {_BTW_N} FROM range({_BTW_N}) t(i)
+    ),
+    srcs AS (SELECT unnest([{", ".join(str(s) for s in _BTB_SRCS)}]) AS s),
+    walk(src, node, d, path) AS (
+        SELECT s, s, 0, CAST('' AS VARCHAR) FROM srcs
+        UNION ALL
+        SELECT w.src, e.v, w.d + 1,
+               CASE WHEN w.d = 0 THEN ''
+                    WHEN w.path = '' THEN CAST(w.node AS VARCHAR)
+                    ELSE w.path || ',' || CAST(w.node AS VARCHAR) END
+        FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.d < {_BTW_CAP}
+    ),
+    md AS (SELECT src, node, min(d) AS dist FROM walk GROUP BY 1, 2),
+    sp AS (
+        SELECT w.src, w.node AS t, w.path FROM walk w
+        JOIN md m ON w.src = m.src AND w.node = m.node AND w.d = m.dist
+    ),
+    np AS (SELECT src, t, count(*) AS sigma FROM sp GROUP BY 1, 2),
+    inter AS (
+        SELECT sp.src, cast(s.part AS BIGINT) AS v, sp.t
+        FROM sp, unnest(string_split(sp.path, ',')) AS s(part)
+        WHERE sp.path <> ''
+    ),
+    dep AS (
+        SELECT inter.src, v, sum(1.0 / np.sigma) AS delta
+        FROM inter JOIN np ON np.src = inter.src AND np.t = inter.t
+        GROUP BY 1, 2
+    ),
+    agg AS (SELECT v, sum(delta) AS btw FROM dep GROUP BY v)
+    SELECT cast(i AS BIGINT) AS node,
+           round(coalesce(agg.btw, 0.0), 6) AS betweenness
+    FROM range({_BTW_N}) t(i) LEFT JOIN agg ON agg.v = i
+    ORDER BY 1
+    """,
+)
+def graph_betweenness_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-BATCHED Brandes betweenness
+    (operators/graph.py:betweenness_batched) — the Brandes–Pich pivot-
+    sampling shape: forward σ/levels and backward dependency
+    accumulation for THREE sources run simultaneously under a
+    (source, node) composite key, so the batch pays one source's
+    per-layer shuffle count with 3× the rows per shuffle — the
+    scheduling-latency trade a large cluster wants for small frontiers.
+    Betweenness(v) = Σ_src δ_src(v). The oracle enumerates every
+    shortest path per source with interior-node strings (≤ 3·2^
+    {_BTW_CAP} walks) and sums 1/σ charges — a completely independent
+    derivation. Same tripling-graph fixture and walk-cap gate as
+    ``graph_betweenness_source``."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        betweenness_batched,
+    )
+
+    ids = spark.range(_BTW_N)
+    edges = ids.select(
+        F.col("id").alias("u"), ((F.col("id") * 3 + 1) % _BTW_N).alias("v")
+    ).unionAll(
+        ids.select(
+            F.col("id").alias("u"),
+            ((F.col("id") * 3 + 2) % _BTW_N).alias("v"),
+        )
+    )
+    btw = betweenness_batched(
+        edges, list(_BTB_SRCS), assert_diameter_below=_BTW_CAP
+    )
+    full = spark.range(_BTW_N).select(F.col("id").alias("node"))
+    out = full.join(btw, "node", "left").select(
+        "node",
+        F.round(F.coalesce(F.col("betweenness"), F.lit(0.0)), 6).alias(
+            "betweenness"
+        ),
+    )
+    return out.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Kneser–Ney smoothed bigram language model
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+@query(
+    "text_kneser_ney_bigram",
+    f"""
+    WITH tl AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM tl, unnest(generate_series(1, greatest(len(toks) - 1, 0))) t(i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    lc AS (
+        SELECT w1, sum(c12) AS c1, count(*) AS n1p_fw FROM bc GROUP BY 1
+    ),
+    rc AS (SELECT w2, count(*) AS n1p_bw FROM bc GROUP BY 1),
+    tt AS (SELECT count(*) AS n_types FROM bc),
+    top AS (
+        SELECT w1, w2, c12 FROM bc
+        ORDER BY c12 DESC, w1, w2 LIMIT 15
+    )
+    SELECT top.w1 AS w1, top.w2 AS w2, cast(top.c12 AS BIGINT) AS n_bigram,
+           round(
+               (greatest(top.c12 - {_KN_D}, 0.0) / lc.c1)
+               + ({_KN_D} * lc.n1p_fw / lc.c1)
+                 * (rc.n1p_bw / (1.0 * tt.n_types)),
+               6) AS p_kn
+    FROM top
+    JOIN lc ON lc.w1 = top.w1
+    JOIN rc ON rc.w2 = top.w2
+    CROSS JOIN tt
+    ORDER BY n_bigram DESC, top.w1, top.w2
+    """,
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995,
+    discount D=0.75) for the corpus's 15 most frequent bigrams:
+    P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1) + λ(w1)·P_cont(w2), with
+    λ(w1) = D·N1+(w1,·)/c(w1) and the continuation probability
+    P_cont(w2) = N1+(·,w2)/|bigram types| — the smoothing that scores
+    "novel continuation" mass by how PROMISCUOUS a word's left contexts
+    are, not by raw frequency (the reason KN beats add-k for LM-based
+    quality scoring; complements text_bigram_lm_score's raw LM and
+    text_bigram_pmi's association view over the same counts table).
+
+    Scale shape: bigrams zip map-side from each document's token array
+    (no self-join); every KN term is a grouped count off the ONE bigram
+    count table (left totals, forward/backward continuation type counts
+    — three partial aggregates); the type total rides a one-row
+    broadcast; top-15 selection is count-ordered (integer-deterministic)
+    via TakeOrderedAndProject. All inputs to the float closed form are
+    exact BIGINTs, mirrored term-for-term in the oracle."""
+    from pyspark import StorageLevel
+
+    from glamira_end_to_end_data_pipeline_spark.caching import tracked_persist
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        normalized_tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    tl = docs.select(normalized_tokens("text").alias("toks"))
+    n = F.size("toks")
+    bg = (
+        tl.select(
+            F.slice(F.col("toks"), 1, n - 1).alias("xs"),
+            F.slice(F.col("toks"), 2, n - 1).alias("ys"),
+        )
+        .select(F.explode(F.arrays_zip("xs", "ys")).alias("p"))
+        .select(F.col("p.xs").alias("w1"), F.col("p.ys").alias("w2"))
+    )
+    bc = tracked_persist(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    lc = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fw")
+    )
+    rc = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw"))
+    tt = bc.agg(F.count(F.lit(1)).alias("n_types"))
+    top = bc.orderBy(F.desc("c12"), "w1", "w2").limit(15)
+    return (
+        top.join(lc, "w1")
+        .join(rc, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("n_bigram"),
+            F.round(
+                (
+                    F.greatest(F.col("c12") - _KN_D, F.lit(0.0))
+                    / F.col("c1")
+                )
+                + (_KN_D * F.col("n1p_fw") / F.col("c1"))
+                * (F.col("n1p_bw") / (1.0 * F.col("n_types"))),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.desc("n_bigram"), "w1", "w2")
+    )

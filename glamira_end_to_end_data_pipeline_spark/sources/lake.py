@@ -1896,3 +1896,106 @@ def drop_branch(spark: SparkSession, path: str, branch: str) -> bool:
     :func:`gc_orphan_files` reclaims them. Main was never touched."""
     fs, bpath = _hadoop_fs(spark, _branch_pointer(path, branch))
     return bool(fs.exists(bpath) and fs.delete(bpath, False))
+
+
+def merge_into_multi_clause(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    partition_col: str,
+    when_matched: Sequence[tuple[str, str]],
+    when_not_matched: str | None = "true",
+    when_not_matched_by_source_delete: str | None = None,
+) -> int:
+    """Full multi-clause MERGE INTO on a partitioned parquet lake — the
+    Delta/Iceberg surface ``WHEN MATCHED [AND cond] THEN UPDATE/DELETE
+    … WHEN NOT MATCHED [AND cond] THEN INSERT … WHEN NOT MATCHED BY
+    SOURCE [AND cond] THEN DELETE``, with the standard first-true-wins
+    clause ordering. ``when_matched`` is an ordered list of
+    ``(condition_sql, action)`` pairs (action ∈ {'update', 'delete'});
+    conditions are SQL over ``s.<col>`` (source) and ``t.<col>``
+    (target). ``when_not_matched`` is the insert guard (None = never
+    insert); ``when_not_matched_by_source_delete`` is the target-only
+    delete guard over ``t.<col>`` (None = leave target-only rows).
+
+    Implemented as a REDUCTION: one keyed outer join between the
+    source batch and the (pruned) base evaluates every clause to a
+    per-key verdict, the verdicts become a compact CDC feed (op
+    'U'/'D' + payload), and :func:`apply_cdc_partitioned` applies it —
+    so the copy-on-write core, the emptied-partition mechanics, and
+    the malformed-batch validation are shared with the other merge
+    flavors and cannot drift.
+
+    Scale shape: without the by-source clause only the source's
+    touched partitions are read (partition pruning, same contract as
+    :func:`merge_upsert_partitioned`); WITH it the whole base must be
+    scanned to find target-only victims — the full-table-rewrite cost
+    is exactly why Delta tells users to scope that clause with a
+    partition predicate, and callers here should pre-filter ``path``'s
+    read the same way. The decision join is keyed on ``key_cols``; the
+    CDC feed it emits is change-sized, not table-sized."""
+    data_cols = [c for c in source.columns if c != partition_col]
+    s = source.alias("s")
+    if when_not_matched_by_source_delete is None:
+        parts = [
+            r[0]
+            for r in source.select(partition_col).distinct().collect()
+        ]
+        base = read_partitioned(spark, path).filter(
+            F.col(partition_col).isin(parts)
+        )
+    else:
+        base = read_partitioned(spark, path)
+    t = base.alias("t")
+    on = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key_cols]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    j = s.join(t, cond, "full_outer")
+    matched = F.col(f"t.{key_cols[0]}").isNotNull() & F.col(
+        f"s.{key_cols[0]}"
+    ).isNotNull()
+    s_only = F.col(f"t.{key_cols[0]}").isNull()
+    t_only = F.col(f"s.{key_cols[0]}").isNull()
+
+    # first-true-wins verdict over the ordered matched clauses
+    verdict = F.lit(None).cast("string")
+    picked = F.lit(False)
+    for cond_sql, action in when_matched:
+        fire = matched & ~picked & F.expr(cond_sql)
+        verdict = F.when(fire, F.lit(action)).otherwise(verdict)
+        picked = picked | fire
+    if when_not_matched is not None:
+        verdict = F.when(
+            s_only & F.expr(when_not_matched), F.lit("insert")
+        ).otherwise(verdict)
+    if when_not_matched_by_source_delete is not None:
+        verdict = F.when(
+            t_only & F.expr(when_not_matched_by_source_delete),
+            F.lit("bs_delete"),
+        ).otherwise(verdict)
+    dec = j.withColumn("__verdict", verdict).filter(
+        F.col("__verdict").isNotNull()
+    )
+    take_s = F.col("__verdict").isin("update", "insert")
+    feed = dec.select(
+        *[
+            F.when(take_s, F.col(f"s.{k}"))
+            .otherwise(F.col(f"t.{k}"))
+            .alias(k)
+            for k in key_cols
+        ],
+        *[
+            F.when(take_s, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in data_cols
+            if c not in key_cols
+        ],
+        F.when(take_s, F.col(f"s.{partition_col}"))
+        .otherwise(F.col(f"t.{partition_col}"))
+        .alias(partition_col),
+        F.when(take_s, F.lit("U")).otherwise(F.lit("D")).alias("__op"),
+    )
+    return apply_cdc_partitioned(
+        spark, path, feed, key_cols, partition_col, op_col="__op"
+    )

@@ -683,3 +683,33 @@ def test_betweenness_diamond_and_chain(spark):
         for r in betweenness_from_source(chain, 0).collect()
     }
     assert got == {0: 0.0, 1: 2.0, 2: 1.0, 3: 0.0}
+
+
+def test_betweenness_batched_equals_summed_single_source(spark):
+    """The source-batched pass must equal the sum of independent
+    single-source dependency passes over the same graph — the fused
+    (source, node) keying is a scheduling optimization, not a semantic
+    change."""
+    from collections import defaultdict
+
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        betweenness_batched,
+        betweenness_from_source,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (1, 4), (5, 0)],
+        "u long, v long",
+    )
+    sources = [0, 5, 1]
+    want = defaultdict(float)
+    for s in sources:
+        for r in betweenness_from_source(edges, s).collect():
+            want[r.node] += r.dependency
+    got = {
+        r.node: r.betweenness
+        for r in betweenness_batched(edges, sources).collect()
+    }
+    for node, btw in got.items():
+        assert abs(btw - want.get(node, 0.0)) < 1e-9, (node, btw, want)
+    assert set(got) == {n for n, v in want.items()} | set(got)

@@ -645,3 +645,55 @@ def test_write_snapshot_cas_conflict_retry_and_isolation(spark, tmp_path):
     )  # v6 re-insert via the vcas_ dir — era must come from the manifest
     got = sorted(r.k for r in lake.read_snapshot_mor(spark, path).collect())
     assert got == [1, 2, 3, 4, 5]
+
+
+def test_merge_multi_clause_first_true_wins_and_by_source(spark, tmp_path):
+    """Multi-clause MERGE semantics on an explicit fixture: clause
+    ORDER decides a row matching both the update and delete guards;
+    unguarded matched rows pass through; the NOT MATCHED guard filters
+    inserts; the BY SOURCE clause deletes only guarded target-only
+    rows."""
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    path = str(tmp_path / "mergemc")
+    base = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),   # matched, src higher -> update (clause 1)
+            (2, 10.0, "a"),   # matched, src lower, t.val < 20 -> delete
+            (3, 50.0, "b"),   # matched, src lower, t.val >= 20 -> keep
+            (4, 10.0, "a"),   # target-only, part 'a' -> by-source delete
+            (5, 10.0, "b"),   # target-only, part 'b' -> keep
+        ],
+        "k long, val double, part string",
+    )
+    lake.write_partitioned(base, path, ["part"])
+    src = spark.createDataFrame(
+        [
+            (1, 99.0, "a"),
+            (2, 5.0, "a"),
+            (3, 5.0, "b"),
+            (6, 100.0, "b"),  # source-only, passes insert guard
+            (7, 1.0, "b"),    # source-only, fails insert guard
+        ],
+        "k long, val double, part string",
+    )
+    lake.merge_into_multi_clause(
+        spark,
+        path,
+        src,
+        key_cols=["k"],
+        partition_col="part",
+        when_matched=[("s.val > t.val", "update"), ("t.val < 20", "delete")],
+        when_not_matched="s.val > 50",
+        when_not_matched_by_source_delete="t.part = 'a'",
+    )
+    got = {
+        r.k: (r.val, r.part)
+        for r in lake.read_partitioned(spark, path).collect()
+    }
+    assert got == {
+        1: (99.0, "a"),
+        3: (50.0, "b"),
+        5: (10.0, "b"),
+        6: (100.0, "b"),
+    }

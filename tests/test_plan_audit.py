@@ -30,6 +30,9 @@ from tests.test_plans import plan_of
 # BroadcastNestedLoopJoin is the intended plan here: a tiny broadcast
 # side against a streamed big side, with a non-equi predicate.
 BNLJ_OK = {
+    # Kneser-Ney's bigram-type total is a ONE-ROW broadcast onto the
+    # count-ordered top-15 (the text_bm25_topk scalar pattern).
+    "text_kneser_ney_bigram",
     # MW's one-row (r2) stats × one-row totals scalar cross — O(1).
     "dq_mann_whitney_u",
     # t-closeness dense grid: |nations| × |balance-buckets| ≈ 275-row
