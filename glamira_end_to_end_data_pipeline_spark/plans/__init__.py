@@ -709,6 +709,8 @@ _DEFER_FRESH_R12 = (
     "lake_merge_multi_clause",
     "graph_betweenness_batched",
     "text_kneser_ney_bigram",
+    "a_market_basket_rules",
+    "dq_cramers_v",
 )
 
 

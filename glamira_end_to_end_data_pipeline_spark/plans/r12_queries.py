@@ -1550,3 +1550,185 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_bigram"), "w1", "w2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (frequent-pair mining)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_market_basket_rules",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    nb AS (SELECT count(DISTINCT o) AS n_baskets FROM items),
+    isup AS (SELECT p, count(*) AS sup FROM items GROUP BY p),
+    pairs AS (
+        SELECT a.p AS pa, b.p AS pb, count(*) AS sup_ab
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    top AS (
+        SELECT pa, pb, sup_ab FROM pairs
+        ORDER BY sup_ab DESC, pa, pb LIMIT 15
+    )
+    SELECT cast(top.pa AS BIGINT) AS part_a,
+           cast(top.pb AS BIGINT) AS part_b,
+           cast(top.sup_ab AS BIGINT) AS support,
+           round(top.sup_ab / (1.0 * sa.sup), 6) AS confidence_ab,
+           round((1.0 * top.sup_ab * nb.n_baskets)
+                 / (1.0 * sa.sup * sb.sup), 6) AS lift
+    FROM top
+    JOIN isup sa ON sa.p = top.pa
+    JOIN isup sb ON sb.p = top.pb
+    CROSS JOIN nb
+    ORDER BY support DESC, part_a, part_b
+    """,
+)
+def a_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair association rules over order baskets (the Apriori
+    k=2 pass): support(a,b) counts orders containing both parts,
+    confidence(a→b) = supp(ab)/supp(a), lift = supp(ab)·N/
+    (supp(a)·supp(b)) — the market-basket screen behind co-purchase
+    recommendations, with min-support 3 pruning the pair tail before
+    any rule math (Apriori's monotonicity argument).
+
+    Scale shape: basket items dedup in one exchange; candidate pairs
+    come from a SELF-JOIN KEYED ON THE BASKET id with a < inequality as
+    post-condition — per-basket work is C(|basket|, 2) (bounded by
+    basket size, ~7 here), never corpus-quadratic, and the hot-basket
+    risk is the dedup.py hub-cap story (a pathological mega-basket
+    would be capped in production; TPC-H baskets are ≤7 items). Item
+    supports and the basket total are partial aggregates off the same
+    items table; top-15 selection is integer-deterministic
+    (support desc, then pair ids)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    items = li.distinct()
+    nb = items.agg(F.countDistinct("o").alias("n_baskets"))
+    isup = items.groupBy("p").agg(F.count(F.lit(1)).alias("sup"))
+    a = items.select(F.col("o"), F.col("p").alias("pa"))
+    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, (a["o"] == b["ob"]) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+        .filter(F.col("sup_ab") >= 3)
+    )
+    top = pairs.orderBy(F.desc("sup_ab"), "pa", "pb").limit(15)
+    return (
+        top.join(isup.select(F.col("p").alias("pa"), F.col("sup").alias("sa")), "pa")
+        .join(isup.select(F.col("p").alias("pb"), F.col("sup").alias("sb")), "pb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("pa").cast("bigint").alias("part_a"),
+            F.col("pb").cast("bigint").alias("part_b"),
+            F.col("sup_ab").cast("bigint").alias("support"),
+            F.round(F.col("sup_ab") / (1.0 * F.col("sa")), 6).alias(
+                "confidence_ab"
+            ),
+            F.round(
+                (F.lit(1.0) * F.col("sup_ab") * F.col("n_baskets"))
+                / (F.lit(1.0) * F.col("sa") * F.col("sb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V — effect-size for categorical association
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_cramers_v",
+    """
+    WITH cells AS (
+        SELECT o_orderpriority AS r, o_orderstatus AS c, count(*) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    rm AS (SELECT r, sum(o) AS nr FROM cells GROUP BY r),
+    cm AS (SELECT c, sum(o) AS nc FROM cells GROUP BY c),
+    tot AS (
+        SELECT sum(o) AS n, count(DISTINCT r) AS nrows,
+               count(DISTINCT c) AS ncols
+        FROM cells
+    ),
+    grid AS (
+        SELECT rm.r, cm.c, rm.nr, cm.nc, coalesce(cells.o, 0) AS o
+        FROM rm CROSS JOIN cm
+        LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+    ),
+    chi AS (
+        SELECT sum(pow(o - (1.0 * nr * nc) / t.n, 2)
+                   / ((1.0 * nr * nc) / t.n)) AS chi2,
+               any_value(t.nrows) AS nrows, any_value(t.ncols) AS ncols,
+               any_value(t.n) AS n
+        FROM grid, tot t
+    )
+    SELECT cast(n AS BIGINT) AS n_rows,
+           cast((nrows - 1) * (ncols - 1) AS BIGINT) AS dof,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * (least(nrows, ncols) - 1))), 6)
+               AS cramers_v
+    FROM chi
+    """,
+)
+def dq_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between order priority and order status — the
+    normalized-to-[0,1] effect size on the χ² contingency table, the
+    association number a drift dashboard can threshold where raw χ²
+    only grows with N (complements dq_chi2_categorical_drift's test
+    and a_mutual_information_terms' information view).
+
+    Scale shape: rows collapse to the (priority × status) cell rollup
+    in one exchange; expected counts come from the marginals over the
+    BOUNDED dense grid (≤ 5×3 cells, zero-observed cells included —
+    they still contribute their expectation to χ²); the scalar totals
+    ride a one-row broadcast. Every input to the float form is an
+    exact BIGINT."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    )
+    cells = o.groupBy("r", "c").agg(F.count(F.lit(1)).alias("o"))
+    rm = cells.groupBy("r").agg(F.sum("o").alias("nr"))
+    cm = cells.groupBy("c").agg(F.sum("o").alias("nc"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("r").alias("nrows"),
+        F.countDistinct("c").alias("ncols"),
+    )
+    grid = (
+        rm.crossJoin(F.broadcast(cm))
+        .join(cells, ["r", "c"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    e = (F.lit(1.0) * F.col("nr") * F.col("nc")) / F.col("n")
+    chi = (
+        grid.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"),
+            F.first("nrows").alias("nrows"),
+            F.first("ncols").alias("ncols"),
+            F.first("n").alias("n"),
+        )
+    )
+    return chi.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        ((F.col("nrows") - 1) * (F.col("ncols") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least(F.col("nrows"), F.col("ncols")) - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -30,6 +30,12 @@ from tests.test_plans import plan_of
 # BroadcastNestedLoopJoin is the intended plan here: a tiny broadcast
 # side against a streamed big side, with a non-equi predicate.
 BNLJ_OK = {
+    # market-basket scalars: one-row basket total broadcast onto the
+    # count-ordered top-15 (the text_bm25_topk pattern).
+    "a_market_basket_rules",
+    # Cramer's V dense grid: 5x3 marginal cross (both sides bounded
+    # rollups) + one-row scalar totals.
+    "dq_cramers_v",
     # Kneser-Ney's bigram-type total is a ONE-ROW broadcast onto the
     # count-ordered top-15 (the text_bm25_topk scalar pattern).
     "text_kneser_ney_bigram",
