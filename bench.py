@@ -230,6 +230,24 @@ HEADLINE = [
     "a_gini_index_exact",
     "a_mutual_information_terms",
     "lake_conditional_commit",
+    # round-12 additions (deferred-graded; benched from day one)
+    "dq_mann_whitney_u",
+    "a_spearman_corr",
+    "dq_t_closeness",
+    "dq_bh_fdr_proportions",
+    "a_trimmed_winsorized_mean",
+    "sample_consistent_hash_keys",
+    "a_event_sequence_match",
+    "w_lagged_cross_correlation",
+    "lake_position_deletes",
+    "graph_betweenness_source",
+    "lake_bucket_partition_prune",
+    "stream_outer_join_unconverted",
+    "lake_merge_multi_clause",
+    "graph_betweenness_batched",
+    "text_kneser_ney_bigram",
+    "a_market_basket_rules",
+    "dq_cramers_v",
 ]
 
 
