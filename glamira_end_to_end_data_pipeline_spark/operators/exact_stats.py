@@ -228,3 +228,44 @@ def values_at_ranks(
         (F.col("bprior_c") + F.col("iprior_c")).alias("cnt_lt"),
         (F.col("bprior_s") + F.col("iprior_s")).alias("sum_lt"),
     )
+
+
+def exclusive_prefix_over_values(
+    g: DataFrame,
+    value_col: str,
+    cnt_col: str,
+    bucket_width: float,
+    out: str = "prior",
+) -> DataFrame:
+    """EXCLUSIVE running count over a value-ordered tie-collapsed
+    rollup — the shared primitive under every exact rank statistic in
+    the registry (Mann–Whitney midranks, Spearman midranks, KS CDFs):
+    ``out`` = Σ of ``cnt_col`` over all rows with a strictly smaller
+    ``value_col``. From it, 2×midrank = 2·prior + cnt + 1 and the
+    k-th-rank bracket prior < k ≤ prior + cnt both follow.
+
+    No global sort: the in-bucket prefix runs under a window
+    PARTITIONED on a ``bucket_width``-wide value bucket; bucket offsets
+    come from a second window over the BOUNDED ≤|buckets| rollup
+    (callers allow-list that bounded unpartitioned window) and
+    broadcast back. Other columns of ``g`` ride along untouched."""
+    b = g.withColumn("__epb", F.floor(F.col(value_col) / bucket_width))
+    win_in = (
+        Window.partitionBy("__epb")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = b.withColumn(
+        "__iprior", F.coalesce(F.sum(cnt_col).over(win_in), F.lit(0))
+    )
+    btot = b.groupBy("__epb").agg(F.sum(cnt_col).alias("__bc"))
+    win_b = Window.orderBy("__epb").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__epb",
+        F.coalesce(F.sum("__bc").over(win_b), F.lit(0)).alias("__bprior"),
+    )
+    return (
+        cum.join(F.broadcast(boff), "__epb")
+        .withColumn(out, F.col("__bprior") + F.col("__iprior"))
+        .drop("__epb", "__iprior", "__bprior")
+    )

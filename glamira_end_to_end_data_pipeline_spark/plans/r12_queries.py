@@ -134,6 +134,10 @@ def dq_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic is bit-identical cross-engine; the only floating math is
     the final z normalization, mirrored expression-for-expression in
     the oracle."""
+    from glamira_end_to_end_data_pipeline_spark.operators.exact_stats import (
+        exclusive_prefix_over_values,
+    )
+
     ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     s = _hash_mod(F.col("event_id"), 2)
     g = (
@@ -144,30 +148,8 @@ def dq_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("s") == 1).cast("long")).alias("cb"),
         )
         .withColumn("cnt", F.col("ca") + F.col("cb"))
-        .withColumn("bucket", F.floor(F.col("value") / 50.0))
     )
-    win_in = (
-        Window.partitionBy("bucket")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = g.select(
-        "bucket",
-        "ca",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(win_in), F.lit(0)).alias("iprior"),
-    )
-    btot = g.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
-    win_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    boff = btot.select(
-        "bucket",
-        F.coalesce(F.sum("bc").over(win_b), F.lit(0)).alias("bprior"),
-    )
-    ranked = cum.join(F.broadcast(boff), "bucket").select(
-        "ca",
-        "cnt",
-        (F.col("bprior") + F.col("iprior")).alias("prior"),
-    )
+    ranked = exclusive_prefix_over_values(g, "value", "cnt", 50.0)
     stats = ranked.agg(
         F.sum(F.col("ca") * (2 * F.col("prior") + F.col("cnt") + 1)).alias("r2"),
     )
@@ -261,41 +243,15 @@ def a_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
     )
 
+    from glamira_end_to_end_data_pipeline_spark.operators.exact_stats import (
+        exclusive_prefix_over_values,
+    )
+
     def midranks(df: DataFrame, col: str, width: float, out: str) -> DataFrame:
-        g = (
-            df.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("bucket", F.floor(F.col(col) / width))
-        )
-        win_in = (
-            Window.partitionBy("bucket")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        cum = g.select(
-            "bucket",
-            col,
-            "cnt",
-            F.coalesce(F.sum("cnt").over(win_in), F.lit(0)).alias("iprior"),
-        )
-        btot = g.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
-        win_b = Window.orderBy("bucket").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        boff = btot.select(
-            "bucket",
-            F.coalesce(F.sum("bc").over(win_b), F.lit(0)).alias("bprior"),
-        )
-        return (
-            cum.join(F.broadcast(boff), "bucket")
-            .select(
-                col,
-                (
-                    2 * (F.col("bprior") + F.col("iprior"))
-                    + F.col("cnt")
-                    + 1
-                ).alias(out),
-            )
+        g = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        p = exclusive_prefix_over_values(g, col, "cnt", width)
+        return p.select(
+            col, (2 * F.col("prior") + F.col("cnt") + 1).alias(out)
         )
 
     rx = midranks(li, "x", 5.0, "r2x")

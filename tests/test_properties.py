@@ -1173,3 +1173,37 @@ def test_values_at_ranks_matches_flat_sort(spark, rows):
         below = [v for v in xs if v < x_at]
         expected[(g, label)] = (x_at, len(below), sum(below))
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1000.0, max_value=1000.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_exclusive_prefix_over_values_matches_flat_cumsum(spark, xs):
+    """The bucket-partitioned exclusive prefix equals the flat sorted
+    exclusive cumulative count for ANY multiset — ties collapse to one
+    row carrying the count of strictly-smaller values, values landing
+    exactly on bucket boundaries included (floor(x/width) edges)."""
+    from collections import Counter
+
+    from glamira_end_to_end_data_pipeline_spark.operators.exact_stats import (
+        exclusive_prefix_over_values,
+    )
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    g = df.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    got = {
+        r.x: (r.cnt, r.prior)
+        for r in exclusive_prefix_over_values(g, "x", "cnt", 250.0).collect()
+    }
+    counts = Counter(float(x) for x in xs)
+    run = 0
+    expected = {}
+    for v in sorted(counts):
+        expected[v] = (counts[v], run)
+        run += counts[v]
+    assert got == expected
