@@ -711,6 +711,7 @@ _DEFER_FRESH_R12 = (
     "text_kneser_ney_bigram",
     "a_market_basket_rules",
     "dq_cramers_v",
+    "j_dynamic_partition_pruning",
 )
 
 
