@@ -248,6 +248,9 @@ HEADLINE = [
     "text_kneser_ney_bigram",
     "a_market_basket_rules",
     "dq_cramers_v",
+    "j_dynamic_partition_pruning",
+    "w_sliding_distinct_users",
+    "a_ratio_metric_delta_ci",
 ]
 
 

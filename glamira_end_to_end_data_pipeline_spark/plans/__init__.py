@@ -712,6 +712,8 @@ _DEFER_FRESH_R12 = (
     "a_market_basket_rules",
     "dq_cramers_v",
     "j_dynamic_partition_pruning",
+    "w_sliding_distinct_users",
+    "a_ratio_metric_delta_ci",
 )
 
 
