@@ -251,6 +251,8 @@ HEADLINE = [
     "j_dynamic_partition_pruning",
     "w_sliding_distinct_users",
     "a_ratio_metric_delta_ci",
+    "graph_pointer_jump_roots",
+    "stream_ivm_retractable_agg",
 ]
 
 

@@ -1575,3 +1575,67 @@ def betweenness_batched(
         .groupBy("node")
         .agg(F.sum("dependency").alias("betweenness"))
     )
+
+
+def pointer_jump_roots(
+    parents: DataFrame,
+    node: str = "node",
+    parent: str = "parent",
+    max_rounds: int = 40,
+) -> tuple[DataFrame, int]:
+    """Forest transitive closure by POINTER JUMPING (path doubling):
+    every node's root ancestor and exact depth in O(log depth) rounds —
+    each round composes the ancestor map with itself (p ← p∘p), so a
+    2000-deep chain resolves in 11 joins where per-level BFS would take
+    2000. This is THE distributed pattern for deep hierarchies (org
+    charts, BOM explosions, symlink chains, union-find finalization):
+    round count is logarithmic in the longest chain, each round one
+    self-join keyed on the ancestor id. Roots are rows with
+    ``parent == node``; depth counts edges to the root.
+
+    Returns ``(df(node, root, depth), rounds_used)`` — the round count
+    is the execution-shape evidence callers gate on (a doubling pass
+    that "converged" in ≥ depth rounds would mean the composition
+    degenerated to single stepping).
+
+    Scale shape: the map is |V|-sized; each round is one key-partitioned
+    self-join + a fixed-point probe on the bounded unresolved count,
+    lineage cut per round. Composition is exact: d(node) accumulates
+    d(anc half) + d(upper half), both already exact."""
+    m = (
+        parents.select(
+            F.col(node).cast("long").alias("node"),
+            F.col(parent).cast("long").alias("anc"),
+        )
+        .withColumn(
+            "d", F.when(F.col("anc") == F.col("node"), F.lit(0)).otherwise(F.lit(1))
+        )
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        up = m.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("d").alias("j_d"),
+        )
+        nxt = (
+            m.join(up, m["anc"] == up["j_node"])
+            .select(
+                "node",
+                F.col("j_anc").alias("anc"),
+                (F.col("d") + F.col("j_d")).alias("d"),
+            )
+            .localCheckpoint()
+        )
+        rounds += 1
+        moved = nxt.join(
+            m.select("node", F.col("anc").alias("prev_anc")), "node"
+        ).filter(F.col("anc") != F.col("prev_anc"))
+        m = nxt
+        if moved.limit(1).count() == 0:
+            break
+    return (
+        m.select("node", F.col("anc").alias("root"), F.col("d").alias("depth")),
+        rounds,
+    )

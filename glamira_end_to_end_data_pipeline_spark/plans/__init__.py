@@ -714,6 +714,8 @@ _DEFER_FRESH_R12 = (
     "j_dynamic_partition_pruning",
     "w_sliding_distinct_users",
     "a_ratio_metric_delta_ci",
+    "graph_pointer_jump_roots",
+    "stream_ivm_retractable_agg",
 )
 
 

@@ -1929,3 +1929,174 @@ def a_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ci_half_width"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Pointer-jumping transitive closure (O(log depth) hierarchy flattening)
+# ---------------------------------------------------------------------------
+
+_PJ_N = 2000
+
+
+@query(
+    "graph_pointer_jump_roots",
+    f"""
+    WITH RECURSIVE pr AS (
+        SELECT i AS node,
+               CASE WHEN i = 1 THEN 1
+                    WHEN i <= 1000 THEN i - 1
+                    ELSE i // 2 END AS parent
+        FROM range(1, {_PJ_N + 1}) t(i)
+    ),
+    walk(node, cur, d) AS (
+        SELECT node, node, 0 FROM pr
+        UNION ALL
+        SELECT w.node, p.parent, w.d + 1
+        FROM walk w JOIN pr p ON p.node = w.cur
+        WHERE w.cur <> 1
+    ),
+    res AS (SELECT node, max(d) AS depth FROM walk GROUP BY node)
+    SELECT cast(node AS BIGINT) AS node,
+           cast(1 AS BIGINT) AS root,
+           cast(depth AS BIGINT) AS depth
+    FROM res ORDER BY 1
+    """,
+)
+def graph_pointer_jump_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening by POINTER JUMPING
+    (operators/graph.py:pointer_jump_roots): every node's root and
+    exact depth in a 1000-deep parent chain (plus a tree grafted onto
+    it) via path doubling — p ← p∘p per round, so the closure lands in
+    ~11 self-joins where per-level iteration (the recursive-CTE shape
+    the oracle runs at oracle scale) steps 1000 times. THE pattern for
+    deep hierarchies at scale: org charts, BOM explosions, symlink
+    resolution. An in-query gate RAISES unless the doubling pass
+    resolved the 1000-deep chain within 14 rounds — the log₂-round
+    count IS the algorithm's signature, so the green grade is an
+    execution-shape proof. Fixture: nodes 2..1000 chain to their
+    predecessor, nodes 1001..2000 attach at i div 2; root 1."""
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        pointer_jump_roots,
+    )
+
+    ids = spark.range(1, _PJ_N + 1)
+    parents = ids.select(
+        F.col("id").alias("node"),
+        F.when(F.col("id") == 1, F.lit(1))
+        .when(F.col("id") <= 1000, F.col("id") - 1)
+        .otherwise(F.expr("id div 2"))
+        .cast("long")
+        .alias("parent"),
+    )
+    out, rounds = pointer_jump_roots(parents)
+    if rounds > 14:
+        raise AssertionError(
+            f"pointer jumping took {rounds} rounds for a 1000-deep chain — "
+            "doubling degenerated to single stepping"
+        )
+    return out.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Retractable incremental view maintenance for aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_ivm_retractable_agg",
+    """
+    WITH o AS (
+        SELECT cast(o_orderkey AS BIGINT) AS k, o_orderpriority AS pr,
+               cast(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    survivors AS (
+        SELECT * FROM o WHERE k % 8 = 4 OR k % 8 = 1 OR k % 4 = 2
+    )
+    SELECT pr AS priority, count(*) AS n_rows,
+           round(sum(cents) / 100.0, 2) AS total
+    FROM survivors GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_ivm_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a grouped aggregate under
+    RETRACTIONS (the Materialize/Flink changelog algebra): the
+    maintained per-priority (count, sum) absorbs each CDC batch as
+    maintained ⊕ Σinserts ⊖ Σdeletes — one bounded merge per batch,
+    never a recompute — and groups whose count reaches zero LEAVE the
+    view (the retraction case an insert-only rollup never faces).
+    Count/sum/avg are retractable; min/max are NOT (a retracted
+    maximum needs the runner-up, i.e. a re-scan) — which is exactly
+    why engines keep changelog state per aggregate kind. Three batches
+    run here: base load, insert+delete, insert+delete; an in-query
+    gate RAISES unless the maintained view EQUALS a full recompute
+    from the surviving rows (complements stream_delta_join_view's
+    join-side IVM). The oracle derives the survivors in closed form.
+
+    Scale shape: each batch collapses to a per-group delta aggregate
+    (partial map-side), the merge is a bounded |groups|-row full-outer
+    join, and the gate is one anti-join-style comparison — the raw
+    table is scanned once per batch, never re-aggregated."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderpriority").alias("pr"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    k = F.col("k")
+
+    def agg_delta(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("pr").agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("dn"),
+            (F.lit(sign) * F.sum("cents")).alias("dc"),
+        )
+
+    def merge(view: DataFrame, delta: DataFrame) -> DataFrame:
+        v = view.select(F.col("pr"), F.col("n"), F.col("c"))
+        d = delta.select(F.col("pr").alias("dpr"), "dn", "dc")
+        return (
+            v.join(d, v["pr"] == d["dpr"], "full_outer")
+            .select(
+                F.coalesce(F.col("pr"), F.col("dpr")).alias("pr"),
+                (
+                    F.coalesce(F.col("n"), F.lit(0))
+                    + F.coalesce(F.col("dn"), F.lit(0))
+                ).alias("n"),
+                (
+                    F.coalesce(F.col("c"), F.lit(0))
+                    + F.coalesce(F.col("dc"), F.lit(0))
+                ).alias("c"),
+            )
+            .filter(F.col("n") > 0)
+        )
+
+    base = o.filter(k % 4 == 0)
+    view = agg_delta(base, 1).select(
+        "pr", F.col("dn").alias("n"), F.col("dc").alias("c")
+    )
+    # batch 1: insert k%4==1, delete k%8==0 (half the base)
+    view = merge(view, agg_delta(o.filter(k % 4 == 1), 1))
+    view = merge(view, agg_delta(o.filter(k % 8 == 0), -1))
+    # batch 2: insert k%4==2, delete k%8==5 (half of batch 1's inserts)
+    view = merge(view, agg_delta(o.filter(k % 4 == 2), 1))
+    view = merge(view, agg_delta(o.filter(k % 8 == 5), -1))
+    # gate: maintained view == full recompute over surviving rows
+    survivors = o.filter((k % 8 == 4) | (k % 8 == 1) | (k % 4 == 2))
+    recomputed = survivors.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("rn"), F.sum("cents").alias("rc")
+    )
+    cmp = view.join(recomputed, "pr", "full_outer").filter(
+        (F.col("n") != F.col("rn"))
+        | (F.col("c") != F.col("rc"))
+        | F.col("n").isNull()
+        | F.col("rn").isNull()
+    )
+    if cmp.count() != 0:
+        raise AssertionError(
+            "IVM drift: the retractable-merge view disagrees with the "
+            "full recompute over surviving rows"
+        )
+    return view.select(
+        F.col("pr").alias("priority"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("c") / 100.0, 2).alias("total"),
+    ).orderBy("priority")
