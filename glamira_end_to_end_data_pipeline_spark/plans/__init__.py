@@ -716,6 +716,8 @@ _DEFER_FRESH_R12 = (
     "a_ratio_metric_delta_ci",
     "graph_pointer_jump_roots",
     "stream_ivm_retractable_agg",
+    "j_aqe_skew_join_split",
+    "s_bucket_pruned_scan",
 )
 
 

@@ -2100,3 +2100,176 @@ def stream_ivm_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_rows"),
         F.round(F.col("c") / 100.0, 2).alias("total"),
     ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join split (runtime hot-partition mitigation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j_aqe_skew_join_split",
+    """
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 10 < 9 THEN 7
+                    ELSE l_orderkey % 1000 END AS key,
+               l_quantity AS qty
+        FROM lineitem CROSS JOIN range(8) r(i)
+    ),
+    dim AS (SELECT i AS dkey, i % 7 AS grp FROM range(1000) t(i))
+    SELECT grp, count(*) AS n_rows, round(sum(qty), 2) AS total_qty
+    FROM fact JOIN dim ON fact.key = dim.dkey
+    GROUP BY grp ORDER BY grp
+    """,
+)
+def j_aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE skew-join mitigation — AQE's OptimizeSkewedJoin
+    splitting the hot partition at RUNTIME: 90% of the fact rides one
+    join key (the power-law reality manual salting pre-empts in
+    j_skew_salted; AQE is the zero-code-change counterpart that reads
+    ACTUAL partition sizes from the shuffle map stage and splits the
+    oversized partition into parallel sub-reads, duplicating the tiny
+    matching build side). The join is hinted sort-merge (a broadcast
+    would dodge the skew machinery) and the skew thresholds are scoped
+    DOWN for the fixture-sized shuffle, then restored — runtime-settable
+    session confs only, exactly how a production job would scope them
+    per-stage. An in-query gate RAISES unless the final adaptive plan
+    carries a skew=true sort-merge join — the green grade proves the
+    split executed, not just that values matched. The oracle computes
+    the same aggregate skew-blind."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        # splitting is legal here (the downstream grp aggregate reshuffles
+        # anyway); force past AQE's conservative extra-shuffle veto
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved: dict[str, str | None] = {}
+    for kk, vv in confs.items():
+        try:
+            saved[kk] = spark.conf.get(kk)
+        except Exception:
+            saved[kk] = None
+        spark.conf.set(kk, vv)
+    try:
+        li = (
+            read_table(spark, sf_dir, "lineitem")
+            .select(
+                F.when(F.col("l_orderkey") % 10 < 9, F.lit(7))
+                .otherwise(F.col("l_orderkey") % 1000)
+                .cast("long")
+                .alias("key"),
+                F.col("l_quantity").alias("qty"),
+                # x8 literal inflation so the hot shuffle partition clears
+                # the (scoped-down) skew threshold even at sf0.001 —
+                # mirrored as CROSS JOIN range(8) in the oracle
+                F.explode(F.array([F.lit(i) for i in range(8)])).alias("rep"),
+            )
+            .drop("rep")
+            # many map tasks: OptimizeSkewedJoin splits a skewed REDUCE
+            # partition along MAP-output block boundaries — a fact read
+            # as one small parquet split gives one block, which cannot
+            # be split no matter how skewed (empirically pinned: the
+            # same join with a 1-task fact never shows skew=true)
+            .repartition(32)
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("dkey"), (F.col("id") % 7).alias("grp")
+        )
+        j = (
+            li.join(dim.hint("merge"), li["key"] == dim["dkey"])
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("qty"), 2).alias("total_qty"),
+            )
+            .orderBy("grp")
+        )
+        rows = j.collect()
+        plan = j._jdf.queryExecution().toString()
+        if "skew=true" not in plan:
+            raise AssertionError(
+                "AQE did not split the skewed partition: no skew=true "
+                "sort-merge join in the final adaptive plan"
+            )
+        return spark.createDataFrame(rows, j.schema)
+    finally:
+        for kk, vv in saved.items():
+            if vv is None:
+                spark.conf.unset(kk)
+            else:
+                spark.conf.set(kk, vv)
+
+
+# ---------------------------------------------------------------------------
+# Bucket-pruned scan (catalog bucketing as a point-lookup index)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s_bucket_pruned_scan",
+    """
+    SELECT count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_custkey = 7
+    """,
+)
+def s_bucket_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET PRUNING on a catalog-bucketed table: an equality probe on
+    the bucket column reads 1 bucket file-group out of 8 — Spark maps
+    the probe value through the bucket hash and skips the other 7 at
+    planning time, turning the bucketed layout into a free point-lookup
+    index (the scan-side payoff of the same layout whose join-side
+    payoff is j_bucketed_colocated's zero-Exchange join; the file-level
+    sibling is lake_bucket_partition_prune over the snapshot manifests).
+    Production nuance, empirically pinned here: with the default
+    autoBucketedScan=true Spark DISCARDS the bucketed layout for scans
+    with no downstream join/agg that exploits clustering — which also
+    forfeits pruning — so the conf is scoped off and restored, exactly
+    the per-query toggle a production point-lookup would use. An
+    in-query gate parses ``SelectedBucketsCount: s out of t`` from the
+    executed plan and RAISES unless s < t. The oracle reads the plain
+    table (pruning must be result-neutral)."""
+    import os
+    import re
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources.bucketing import (
+        write_bucketed,
+    )
+
+    probe = 7
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"bktprune_orders_{tag}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{table}")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_bucketed(orders, table, path, ["o_custkey"], n_buckets=8)
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    saved = spark.conf.get(conf, None)
+    spark.conf.set(conf, "false")
+    try:
+        res = (
+            spark.table(table)
+            .filter(F.col("o_custkey") == probe)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+        rows = res.collect()
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        if not m or not (int(m.group(1)) < int(m.group(2))):
+            raise AssertionError(
+                f"bucket pruning did not fire: {m.group(0) if m else 'no SelectedBucketsCount in plan'}"
+            )
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        if saved is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, saved)
