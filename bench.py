@@ -255,6 +255,8 @@ HEADLINE = [
     "stream_ivm_retractable_agg",
     "j_aqe_skew_join_split",
     "s_bucket_pruned_scan",
+    "scd2_late_arriving_splice",
+    "lake_check_constraint_commit",
 ]
 
 

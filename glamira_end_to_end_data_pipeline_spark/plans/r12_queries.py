@@ -2273,3 +2273,177 @@ def s_bucket_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, saved)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 late-arriving splice (affected-keys-only history repair)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_late_arriving_splice",
+    """
+    WITH ordered AS (
+        SELECT o_custkey AS k, o_orderpriority AS seg,
+               o_orderdate AS ts, o_orderkey AS tb,
+               lag(o_orderpriority) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev
+        FROM orders
+    ),
+    changed AS (
+        SELECT k, seg, ts, tb FROM ordered
+        WHERE prev IS NULL OR prev <> seg
+    ),
+    starts AS (
+        SELECT k, seg, ts FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY k, ts ORDER BY tb DESC) AS rn
+            FROM changed
+        ) WHERE rn = 1
+    ),
+    v AS (
+        SELECT k, seg,
+               (lead(ts) OVER (PARTITION BY k ORDER BY ts) IS NULL)
+                   AS is_current
+        FROM starts
+    )
+    SELECT seg AS segment,
+           count(*) AS n_versions,
+           cast(sum(is_current::INT) AS BIGINT) AS n_current
+    FROM v GROUP BY 1 ORDER BY 1
+    """,
+)
+def scd2_late_arriving_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-ARRIVING change repair for an SCD2 dimension
+    (operators/scd.py:scd2_versions): a batch of out-of-order changes
+    (here 1/7 of the stream, withheld by key hash) lands AFTER the
+    dimension was built — version intervals of the affected keys are
+    WRONG retroactively (their valid_from/valid_to straddle the late
+    events). The scale-honest repair re-windows ONLY the affected keys
+    (one semi-join to pull their full history, one per-key rebuild) and
+    stitches them back beside the untouched keys — the full-dimension
+    rebuild a 100 TB dim cannot afford nightly. An in-query gate RAISES
+    unless the spliced dimension EQUALS the from-scratch rebuild row
+    for row (key, version_no, segment, validity, currency flag). The
+    oracle rebuilds the final history in closed form — late vs on-time
+    is invisible in the end state, which is exactly the repair's
+    contract."""
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import scd2_versions
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderpriority").alias("seg"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    late = o.filter(F.col("tb") % 7 == 3)
+    on_time = o.filter(F.col("tb") % 7 != 3)
+    dim_v1 = scd2_versions(on_time, "k", "seg", "ts", "tb")
+    affected = late.select("k").distinct()
+    rebuilt = scd2_versions(
+        o.join(affected, "k", "left_semi"), "k", "seg", "ts", "tb"
+    )
+    spliced = dim_v1.join(affected, "k", "left_anti").unionByName(rebuilt)
+    full = scd2_versions(o, "k", "seg", "ts", "tb")
+    cols = ["k", "version_no", "segment", "valid_from", "valid_to", "is_current"]
+    mismatches = (
+        spliced.select(*cols)
+        .exceptAll(full.select(*cols))
+        .unionByName(full.select(*cols).exceptAll(spliced.select(*cols)))
+        .count()
+    )
+    if mismatches:
+        raise AssertionError(
+            f"splice drift: {mismatches} version rows differ from the "
+            "from-scratch rebuild"
+        )
+    return (
+        spliced.groupBy(F.col("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.col("is_current").cast("int"))
+            .cast("bigint")
+            .alias("n_current"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Write-time CHECK constraints (Delta table-constraint semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_check_constraint_commit",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n_rows,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer WHERE c_acctbal >= -1000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_check_constraint_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints (sources/lake.py:
+    write_snapshot_checked — Delta's ALTER TABLE ADD CONSTRAINT
+    semantics): a batch commits ONLY if every row passes the boolean
+    SQL constraint; a violating batch raises and leaves NO trace — no
+    version, no files, the table head untouched (enforce-on-write is
+    what lets every reader skip re-validation). The fixture commits a
+    conforming batch, then attempts a violating one and GATES that (a)
+    it raised, (b) the head version did not move, and (c) a
+    NULL-evaluating constraint row counts as a violation (the
+    three-valued-logic loophole closed). The oracle reproduces the
+    conforming batch's aggregate."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_chk_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    good = cust.filter(F.col("c_acctbal") >= -1000)
+    v1 = lake.write_snapshot_checked(
+        spark, good, path, "c_acctbal >= -1000"
+    )
+    for bad_batch, label in (
+        (cust, "negative balances"),
+        (
+            good.withColumn(
+                "c_acctbal",
+                F.when(F.col("c_custkey") % 50 == 0, F.lit(None)).otherwise(
+                    F.col("c_acctbal")
+                ),
+            ),
+            "NULL constraint results",
+        ),
+    ):
+        try:
+            lake.write_snapshot_checked(
+                spark, bad_batch, path, "c_acctbal >= 0"
+            )
+            raise AssertionError(
+                f"violating batch ({label}) committed — CHECK not enforced"
+            )
+        except lake.CheckConstraintViolation:
+            pass
+    if lake.latest_snapshot_version(spark, path) != v1:
+        raise AssertionError(
+            "table head moved after refused commits — rejected batches "
+            "must leave no version behind"
+        )
+    return (
+        lake.read_snapshot(spark, path)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("segment")
+    )

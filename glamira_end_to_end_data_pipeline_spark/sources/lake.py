@@ -1999,3 +1999,40 @@ def merge_into_multi_clause(
     return apply_cdc_partitioned(
         spark, path, feed, key_cols, partition_col, op_col="__op"
     )
+
+
+class CheckConstraintViolation(RuntimeError):
+    """Raised by :func:`write_snapshot_checked` when the batch violates
+    the table's CHECK constraint — nothing is committed (Delta's
+    ``ALTER TABLE ADD CONSTRAINT CHECK`` write-time semantics: the
+    constraint is enforced on the WRITER, so readers never need to
+    re-validate)."""
+
+
+def write_snapshot_checked(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    constraint_sql: str,
+    tag: str | None = None,
+) -> int:
+    """APPEND commit gated by a row-level CHECK constraint (Delta table
+    constraints / Iceberg write.validate): the batch commits ONLY if
+    every row satisfies ``constraint_sql`` (a boolean SQL expression
+    over the batch's columns); otherwise :class:`CheckConstraintViolation`
+    raises and the table head is untouched — no version, no data files,
+    nothing to GC. NULL constraint results count as violations
+    (three-valued logic would otherwise let NULLs slip through a
+    CHECK, the classic constraint loophole).
+
+    Scale shape: validation is one map-side filter + count over the
+    batch (the writer already scans the batch to write it); the commit
+    itself delegates to :func:`write_snapshot` unchanged."""
+    bad = df.filter(
+        ~F.coalesce(F.expr(constraint_sql), F.lit(False))
+    ).count()
+    if bad:
+        raise CheckConstraintViolation(
+            f"{bad} rows violate CHECK ({constraint_sql}); commit refused"
+        )
+    return write_snapshot(spark, df, path, tag=tag)
