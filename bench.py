@@ -257,6 +257,7 @@ HEADLINE = [
     "s_bucket_pruned_scan",
     "scd2_late_arriving_splice",
     "lake_check_constraint_commit",
+    "lake_zorder_prune_effectiveness",
 ]
 
 

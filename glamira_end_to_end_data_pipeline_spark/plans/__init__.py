@@ -720,6 +720,7 @@ _DEFER_FRESH_R12 = (
     "s_bucket_pruned_scan",
     "scd2_late_arriving_splice",
     "lake_check_constraint_commit",
+    "lake_zorder_prune_effectiveness",
 )
 
 

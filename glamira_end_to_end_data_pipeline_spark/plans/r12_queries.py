@@ -2447,3 +2447,83 @@ def lake_check_constraint_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order pruning effectiveness vs single-column sort (measured gate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_zorder_prune_effectiveness",
+    """
+    SELECT count(*) AS n_rows,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal >= 4000 AND c_acctbal <= 4500
+    """,
+)
+def lake_zorder_prune_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER pruning effectiveness, MEASURED against the layout it
+    beats: the same customer rows land twice — linearly range-sorted on
+    the key (so every file's BALANCE stats span the full range) and
+    Morton-interleaved on (key, balance) (so each file covers a compact
+    2-D rectangle) — both committed with per-file column metrics
+    (write_snapshot(stats_cols=...)). The same balance-range probe then
+    plans through read_snapshot_pruned on both, and an in-query gate
+    RAISES unless the Z-ordered table opens STRICTLY fewer files than
+    the linear one AND genuinely prunes (read < total) — the measured
+    counter proof behind the lake_zorder_codes claim that a single-
+    column sort leaves the second dimension scattered. Pruning is
+    result-neutral: the returned aggregate comes from the pruned read
+    and the oracle scans the raw table."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_zeff_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        # Morton inputs must be non-negative ints: cents shifted above 0
+        (F.round(F.col("c_acctbal") * 100, 0).cast("long") + 100000).alias(
+            "bal_key"
+        ),
+    )
+    lin = cust.repartitionByRange(8, "c_custkey").sortWithinPartitions(
+        "c_custkey"
+    )
+    lake.write_snapshot(
+        spark, lin, f"{base}/linear", stats_cols=["c_acctbal"]
+    )
+    z = (
+        cust.withColumn("__z", lake.morton_code("c_custkey", "bal_key", 20))
+        .repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    lake.write_snapshot(spark, z, f"{base}/zorder", stats_cols=["c_acctbal"])
+    lo, hi = 4000.0, 4500.0
+    df_l, read_l, tot_l = lake.read_snapshot_pruned(
+        spark, f"{base}/linear", "c_acctbal", lo, hi
+    )
+    df_z, read_z, tot_z = lake.read_snapshot_pruned(
+        spark, f"{base}/zorder", "c_acctbal", lo, hi
+    )
+    if not (read_z < read_l and read_z < tot_z):
+        raise AssertionError(
+            f"z-order pruning ineffective: zorder read {read_z}/{tot_z} "
+            f"files vs linear {read_l}/{tot_l} — the 2-D clustering must "
+            "beat the single-column sort on the scattered dimension"
+        )
+    return df_z.filter(
+        (F.col("c_acctbal") >= lo) & (F.col("c_acctbal") <= hi)
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
