@@ -258,6 +258,8 @@ HEADLINE = [
     "scd2_late_arriving_splice",
     "lake_check_constraint_commit",
     "lake_zorder_prune_effectiveness",
+    "a_kaplan_meier_survival",
+    "a_beta_binomial_shrinkage",
 ]
 
 

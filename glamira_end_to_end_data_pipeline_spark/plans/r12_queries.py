@@ -2527,3 +2527,208 @@ def lake_zorder_prune_effectiveness(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival estimator (right-censored durations)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_kaplan_meier_survival",
+    """
+    WITH d AS (
+        SELECT date_diff('day', cast(o.o_orderdate AS DATE),
+                         cast(l.l_shipdate AS DATE)) AS t,
+               (l.l_orderkey % 5 <> 0) AS observed
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    r AS (
+        SELECT t,
+               sum(observed::INT) AS dd,
+               count(*) AS cnt
+        FROM d GROUP BY t
+    ),
+    c AS (
+        SELECT t, dd,
+               (SELECT count(*) FROM d) -
+               coalesce(sum(cnt) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_risk
+        FROM r
+    ),
+    s AS (
+        SELECT t, dd, n_risk,
+               exp(sum(ln(1.0 - dd / (1.0 * n_risk))) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)) AS surv
+        FROM c WHERE dd < n_risk
+    )
+    SELECT cast(t AS BIGINT) AS t_days,
+           cast(n_risk AS BIGINT) AS n_at_risk,
+           cast(dd AS BIGINT) AS d_events,
+           round(surv, 6) AS survival
+    FROM s ORDER BY t LIMIT 15
+    """,
+)
+def a_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimator over RIGHT-
+    CENSORED durations (order→ship fulfilment days; a deterministic 20%
+    of items are censored): S(t) = ∏_{u≤t} (1 − d(u)/n(u)) with d =
+    observed events at u and n = at-risk count — THE estimator for
+    time-to-event under censoring (delivery SLAs, churn, failure
+    analysis), where a naive mean over observed durations is biased
+    low.
+
+    Scale shape: durations collapse to a per-distinct-time rollup in
+    one exchange; the at-risk count n(t) = N − (# durations < t) comes
+    from operators/exact_stats.exclusive_prefix_over_values (the
+    bucket-partitioned prefix primitive shared with MW/Spearman/KS);
+    the product-limit runs as exp∘cumsum∘ln over the BOUNDED distinct-
+    times rollup (≤ |fulfilment-day domain| ≈ 130 rows — allow-listed
+    unpartitioned window). d and n are exact BIGINTs, the float chain
+    is evaluated in cumulative order identically by both engines, and
+    times where d = n (survival hits exact 0, ln −∞) are excluded in
+    both."""
+    from glamira_end_to_end_data_pipeline_spark.operators.exact_stats import (
+        exclusive_prefix_over_values,
+    )
+
+    li0 = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ords = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = li0.join(ords, li0["l_orderkey"] == ords["o_orderkey"]).select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("t"),
+        (F.col("l_orderkey") % 5 != 0).alias("observed"),
+    )
+    r = li.groupBy("t").agg(
+        F.sum(F.col("observed").cast("long")).alias("dd"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    tot = r.agg(F.sum("cnt").alias("n_total"))
+    pre = exclusive_prefix_over_values(r, "t", "cnt", 16.0)
+    c = pre.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "dd",
+        (F.col("n_total") - F.col("prior")).alias("n_risk"),
+    ).filter(F.col("dd") < F.col("n_risk"))
+    win = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    s = c.withColumn(
+        "surv",
+        F.exp(
+            F.sum(F.log(1.0 - F.col("dd") / (1.0 * F.col("n_risk")))).over(win)
+        ),
+    )
+    return (
+        s.select(
+            F.col("t").cast("bigint").alias("t_days"),
+            F.col("n_risk").cast("bigint").alias("n_at_risk"),
+            F.col("dd").cast("bigint").alias("d_events"),
+            F.round("surv", 6).alias("survival"),
+        )
+        .orderBy("t_days")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes beta-binomial shrinkage of per-group rates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_beta_binomial_shrinkage",
+    """
+    WITH li AS (
+        SELECT s.s_nationkey AS g, (l.l_returnflag = 'R')::INT AS is_r
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    per AS (SELECT g, count(*) AS n, sum(is_r) AS r FROM li GROUP BY g),
+    mom AS (
+        SELECT sum(r) / (1.0 * sum(n)) AS m,
+               avg(pow(r / (1.0 * n) - (SELECT sum(r) / (1.0 * sum(n))
+                                        FROM per), 2)) AS s2
+        FROM per
+    ),
+    pri AS (
+        SELECT m, s2,
+               (m * (1 - m) / s2 - 1) * m AS alpha,
+               (m * (1 - m) / s2 - 1) * (1 - m) AS beta
+        FROM mom
+    )
+    SELECT cast(g AS BIGINT) AS nationkey,
+           cast(n AS BIGINT) AS n_items,
+           round(r / (1.0 * n), 6) AS raw_rate,
+           round((r + alpha) / (n + alpha + beta), 6) AS shrunk_rate
+    FROM per, pri ORDER BY 1
+    """,
+)
+def a_beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes BETA-BINOMIAL SHRINKAGE of per-nation return
+    rates (Robbins/Efron–Morris): fit a Beta(α, β) prior to the
+    cross-group rate distribution by method of moments (α+β =
+    m(1−m)/s² − 1), then report each group's posterior-mean rate
+    (r+α)/(n+α+β) — small groups shrink hard toward the global mean,
+    big groups barely move, which is what makes league tables of
+    small-n groups honest (the ranking dq_bh_fdr_proportions tests,
+    this entry ESTIMATES). An in-query gate RAISES unless the fitted
+    prior is proper (s² > 0, α > 0, β > 0) — MoM degenerates when the
+    groups are under-dispersed.
+
+    Scale shape: one broadcast dim join + one groupBy to the 25-row
+    per-nation rollup; the prior fit is a two-pass aggregate over that
+    bounded rollup (mean, then centered second moment) and rides a
+    one-row broadcast back onto it. All counts exact BIGINTs; the
+    float closed form is mirrored term-for-term."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    per = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("r"),
+        )
+    )
+    gm = per.agg((F.sum("r") / (1.0 * F.sum("n"))).alias("m"))
+    mom = (
+        per.crossJoin(F.broadcast(gm))
+        .agg(
+            F.first("m").alias("m"),
+            F.avg(
+                F.pow(F.col("r") / (1.0 * F.col("n")) - F.col("m"), 2)
+            ).alias("s2"),
+        )
+    )
+    pri = mom.select(
+        "m",
+        "s2",
+        ((F.col("m") * (1 - F.col("m")) / F.col("s2") - 1) * F.col("m")).alias(
+            "alpha"
+        ),
+        (
+            (F.col("m") * (1 - F.col("m")) / F.col("s2") - 1)
+            * (1 - F.col("m"))
+        ).alias("beta"),
+    )
+    prow = pri.collect()[0]
+    if not (prow["s2"] > 0 and prow["alpha"] > 0 and prow["beta"] > 0):
+        raise AssertionError(
+            f"method-of-moments Beta fit degenerated: {prow} — "
+            "shrinkage undefined"
+        )
+    return (
+        per.crossJoin(F.broadcast(pri))
+        .select(
+            F.col("g").cast("bigint").alias("nationkey"),
+            F.col("n").cast("bigint").alias("n_items"),
+            F.round(F.col("r") / (1.0 * F.col("n")), 6).alias("raw_rate"),
+            F.round(
+                (F.col("r") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta")),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("nationkey")
+    )

@@ -30,6 +30,13 @@ from tests.test_plans import plan_of
 # BroadcastNestedLoopJoin is the intended plan here: a tiny broadcast
 # side against a streamed big side, with a non-equi predicate.
 BNLJ_OK = {
+    # KM product-limit: exp-cumsum-ln over the bounded distinct-
+    # fulfilment-days rollup (~130 rows, domain-bounded) + one-row
+    # total broadcast; the raw join output never enters a window.
+    "a_kaplan_meier_survival",
+    # beta-binomial prior fit: one-row global-mean and prior broadcasts
+    # onto the 25-row per-nation rollup.
+    "a_beta_binomial_shrinkage",
     # market-basket scalars: one-row basket total broadcast onto the
     # count-ordered top-15 (the text_bm25_topk pattern).
     "a_market_basket_rules",
@@ -172,6 +179,9 @@ BNLJ_OK = {
 # bounded pre-aggregates (cardinality independent of, or reduced
 # orders-of-magnitude below, the raw row count):
 UNPARTITIONED_WINDOW_OK = {
+    # KM cumulative product over the bounded distinct-times rollup
+    # (~130 rows, fulfilment-day domain).
+    "a_kaplan_meier_survival",
     # MW bucket-offset prefix sum over the ≤|value-range/50| bucket
     # rollup (the dq_ks_two_sample spine); per-value cumulatives stay
     # bucket-partitioned.
