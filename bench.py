@@ -260,6 +260,7 @@ HEADLINE = [
     "lake_zorder_prune_effectiveness",
     "a_kaplan_meier_survival",
     "a_beta_binomial_shrinkage",
+    "a_pareto_concentration",
 ]
 
 

@@ -723,6 +723,7 @@ _DEFER_FRESH_R12 = (
     "lake_zorder_prune_effectiveness",
     "a_kaplan_meier_survival",
     "a_beta_binomial_shrinkage",
+    "a_pareto_concentration",
 )
 
 

@@ -2732,3 +2732,141 @@ def a_beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Pareto concentration (the 80/20 analysis, no global sort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_pareto_concentration",
+    """
+    WITH pc AS (
+        SELECT o_custkey AS k,
+               sum(cast(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, k) AS rn,
+               sum(cents) OVER (ORDER BY cents DESC, k) AS cum
+        FROM pc
+    ),
+    tot AS (SELECT count(*) AS n, sum(cents) AS r FROM pc),
+    k80 AS (
+        SELECT min(rn) AS k_needed FROM ranked, tot
+        WHERE 5 * cum >= 4 * r
+    ),
+    top10 AS (
+        SELECT sum(cents) AS toprev
+        FROM ranked, tot WHERE rn <= (n + 9) // 10
+    )
+    SELECT cast(n AS BIGINT) AS n_customers,
+           cast(k_needed AS BIGINT) AS k_for_80pct,
+           ((2 * k_needed * 10000 + n) // (2 * n)) / 10000.0
+               AS pct_cust_for_80pct,
+           round(toprev / (1.0 * r), 6) AS top_decile_share
+    FROM tot, k80, top10
+    """,
+)
+def a_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Pareto concentration of customer revenue — the 80/20
+    read-out (how few customers carry 80% of revenue; what share the
+    top decile holds) WITHOUT the global sort the naive cumulative-share
+    query needs: revenue ties collapse to a per-distinct-value rollup,
+    the descending prefix runs through
+    operators/exact_stats.exclusive_prefix_over_values on the NEGATED
+    value, the 80% crossing is cross-multiplied integer math (5·cum ≥
+    4·R, within-tie remainder by integer ceil-division), and the top-
+    decile boundary value comes from values_at_ranks at rank ⌈N/10⌉ —
+    every quantity an exact BIGINT until the two final ratios. The
+    oracle affords the full row_number sort. The within-tie counts are
+    rank-deterministic because tied customers contribute identical
+    values — any tie order yields the same k and the same top-decile
+    sum (the oracle's k,-tiebreak is value-neutral)."""
+    from glamira_end_to_end_data_pipeline_spark.operators.exact_stats import (
+        exclusive_prefix_over_values,
+        values_at_ranks,
+    )
+
+    pc = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+        .select("k", "cents", (-F.col("cents")).alias("neg"))
+    )
+    rv = pc.groupBy("neg").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("vsum")
+    )
+    # two prefixes over the same rollup, both through the bucket-
+    # partitioned primitive (a bare single-partition window here would
+    # be a data-sized sort in disguise — |distinct revenues| ≈ |customers|):
+    # customer-count prefix locates k, revenue prefix locates the 80% line
+    pre = exclusive_prefix_over_values(rv, "neg", "cnt", 1000000.0)
+    tot = rv.agg(
+        F.sum("cnt").alias("n"), F.sum("vsum").alias("r")
+    )
+    pre2 = exclusive_prefix_over_values(
+        pre, "neg", "vsum", 1000000.0, out="rprior"
+    )
+    cross = (
+        pre2.crossJoin(F.broadcast(tot))
+        .filter(
+            (5 * F.col("rprior") < 4 * F.col("r"))
+            & (5 * (F.col("rprior") + F.col("vsum")) >= 4 * F.col("r"))
+        )
+        .select(
+            "neg",
+            "cnt",
+            "vsum",
+            "prior",
+            "rprior",
+            "n",
+            "r",
+            (
+                F.expr(
+                    "prior + cast((4 * r - 5 * rprior + 5 * (-neg) - 1) "
+                    "div (5 * (-neg)) as bigint)"
+                )
+            ).alias("k_needed"),
+        )
+    )
+    m_rank = tot.select(
+        F.lit("all").alias("g"),
+        F.lit("m").alias("label"),
+        F.expr("cast((n + 9) div 10 as bigint)").alias("rk"),
+        "n",
+        "r",
+    )
+    at = values_at_ranks(
+        pc.select(F.lit("all").alias("g"), F.col("neg").alias("x")),
+        "g",
+        "x",
+        m_rank.select("g", "label", "rk"),
+        bucket_width=1000000.0,
+    )
+    top10 = at.crossJoin(F.broadcast(m_rank.select("n", "r"))).select(
+        (
+            -F.col("sum_lt") + (F.col("rk") - F.col("cnt_lt")) * (-F.col("x_at"))
+        ).alias("toprev"),
+        "n",
+        "r",
+    )
+    out = cross.select("k_needed", "n", "r").crossJoin(
+        F.broadcast(top10.select("toprev"))
+    )
+    return out.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("k_needed").cast("bigint").alias("k_for_80pct"),
+        (
+            F.expr("(2 * k_needed * 10000 + n) div (2 * n)") / 10000.0
+        ).alias("pct_cust_for_80pct"),
+        F.round(F.col("toprev") / (1.0 * F.col("r")), 6).alias(
+            "top_decile_share"
+        ),
+    )

@@ -30,6 +30,9 @@ from tests.test_plans import plan_of
 # BroadcastNestedLoopJoin is the intended plan here: a tiny broadcast
 # side against a streamed big side, with a non-equi predicate.
 BNLJ_OK = {
+    # Pareto crossing/top-decile scalars: one-row totals broadcast onto
+    # the bounded located rows.
+    "a_pareto_concentration",
     # KM product-limit: exp-cumsum-ln over the bounded distinct-
     # fulfilment-days rollup (~130 rows, domain-bounded) + one-row
     # total broadcast; the raw join output never enters a window.
@@ -179,6 +182,11 @@ BNLJ_OK = {
 # bounded pre-aggregates (cardinality independent of, or reduced
 # orders-of-magnitude below, the raw row count):
 UNPARTITIONED_WINDOW_OK = {
+    # Pareto's two exclusive-prefix calls + rank locate: each
+    # unpartitioned window is the primitive's bucket-OFFSET rollup,
+    # bounded by |revenue-range / 1e6-cent buckets| (~hundreds), never
+    # by customer count — per-value cumulatives stay bucket-partitioned.
+    "a_pareto_concentration",
     # KM cumulative product over the bounded distinct-times rollup
     # (~130 rows, fulfilment-day domain).
     "a_kaplan_meier_survival",
