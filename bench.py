@@ -261,6 +261,7 @@ HEADLINE = [
     "a_kaplan_meier_survival",
     "a_beta_binomial_shrinkage",
     "a_pareto_concentration",
+    "dq_experiment_readout_panel",
 ]
 
 

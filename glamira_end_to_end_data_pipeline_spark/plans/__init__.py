@@ -734,6 +734,7 @@ _DEFER_FRESH_R12 = (
     "a_kaplan_meier_survival",
     "a_beta_binomial_shrinkage",
     "a_pareto_concentration",
+    "dq_experiment_readout_panel",
 )
 
 

@@ -2870,3 +2870,226 @@ def a_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_decile_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment read-out panel (capstone over the rank-stats family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_experiment_readout_panel",
+    """
+    WITH pc AS (
+        SELECT o_custkey AS k,
+               ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT % 2
+                   AS s,
+               sum(cast(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+        SELECT s, count(*) AS n,
+               cast(sum(cents) AS DOUBLE) AS sx,
+               sum(cast(cents AS DOUBLE) * cast(cents AS DOUBLE)) AS sxx
+        FROM pc GROUP BY s
+    ),
+    welch AS (
+        SELECT (a.sx / a.n - b.sx / b.n)
+               / sqrt(((a.sxx - a.sx * a.sx / a.n) / (a.n - 1)) / a.n
+                      + ((b.sxx - b.sx * b.sx / b.n) / (b.n - 1)) / b.n)
+                   AS t
+        FROM m a, m b WHERE a.s = 0 AND b.s = 1
+    ),
+    g AS (
+        SELECT cents,
+               sum((s = 0)::INT) AS ca, sum((s = 1)::INT) AS cb
+        FROM pc GROUP BY cents
+    ),
+    c AS (
+        SELECT ca, cb,
+               coalesce(sum(ca + cb) OVER (
+                   ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prior,
+               sum(ca) OVER (ORDER BY cents) AS fa,
+               sum(cb) OVER (ORDER BY cents) AS fb
+        FROM g
+    ),
+    t2 AS (
+        SELECT cast(sum(ca) AS BIGINT) AS na,
+               cast(sum(cb) AS BIGINT) AS nb,
+               cast(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                    AS BIGINT) AS tie
+        FROM g
+    ),
+    r2 AS (
+        SELECT cast(sum(ca * (2 * prior + ca + cb + 1)) AS BIGINT) AS r2
+        FROM c
+    ),
+    mw AS (
+        SELECT ((r2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
+               / sqrt(na * nb / 12.0
+                      * ((na + nb + 1)
+                         - tie / (1.0 * (na + nb) * (na + nb - 1)))) AS z
+        FROM r2, t2
+    ),
+    ks AS (
+        SELECT max(abs(fa / (SELECT 1.0 * na FROM t2)
+                      - fb / (SELECT 1.0 * nb FROM t2))) AS d,
+               1.3581 * sqrt((SELECT na + nb FROM t2)
+                             / (1.0 * (SELECT na FROM t2)
+                                * (SELECT nb FROM t2))) AS crit
+        FROM c
+    )
+    SELECT * FROM (
+        SELECT 'ks_d' AS test_name,
+               round((SELECT d FROM ks), 6) AS statistic,
+               (SELECT d FROM ks) > (SELECT crit FROM ks) AS reject_05
+        UNION ALL
+        SELECT 'mann_whitney_z', round((SELECT z FROM mw), 6),
+               abs((SELECT z FROM mw)) > 1.96
+        UNION ALL
+        SELECT 'welch_t', round((SELECT t FROM welch), 6),
+               abs((SELECT t FROM welch)) > 1.96
+    ) ORDER BY test_name
+    """,
+)
+def dq_experiment_readout_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT READ-OUT PANEL — the capstone over this round's
+    rank-statistics family: one md5 coin flip assigns each CUSTOMER
+    (the randomization unit) to an arm, per-customer revenue is the
+    metric, and THREE tests read the same per-customer rollup — Welch's
+    t (mean shift), tie-corrected Mann–Whitney (rank shift), and
+    two-sample KS (any distributional difference) — the panel a real
+    experimentation platform renders per metric, and a sound A/A split
+    like this one should NOT reject on any of them (normal-approximate
+    α=0.05 throughout, documented).
+
+    Scale shape: ONE per-customer exchange feeds everything; the Welch
+    moments are a 2-row rollup (second moments in double — the
+    a_ratio_metric_delta_ci overflow lesson); MW and KS share one
+    per-distinct-value rollup whose prefix runs through
+    exclusive_prefix_over_values (bucket-partitioned; the bounded
+    offset window is allow-listed); the three verdict rows assemble
+    from one-row broadcasts. Each statistic is mirrored
+    expression-for-expression in the oracle."""
+    from glamira_end_to_end_data_pipeline_spark.operators.exact_stats import (
+        exclusive_prefix_over_values,
+    )
+
+    pc = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+        .withColumn("s", _hash_mod(F.col("k"), 2))
+    )
+    m = pc.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("double").alias("sx"),
+        F.sum(
+            F.col("cents").cast("double") * F.col("cents").cast("double")
+        ).alias("sxx"),
+    )
+    a = m.filter(F.col("s") == 0).select(
+        F.col("n").alias("n0"), F.col("sx").alias("sx0"), F.col("sxx").alias("sxx0")
+    )
+    b = m.filter(F.col("s") == 1).select(
+        F.col("n").alias("n1"), F.col("sx").alias("sx1"), F.col("sxx").alias("sxx1")
+    )
+    welch = a.crossJoin(F.broadcast(b)).select(
+        (
+            (F.col("sx0") / F.col("n0") - F.col("sx1") / F.col("n1"))
+            / F.sqrt(
+                (
+                    (F.col("sxx0") - F.col("sx0") * F.col("sx0") / F.col("n0"))
+                    / (F.col("n0") - 1)
+                )
+                / F.col("n0")
+                + (
+                    (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1"))
+                    / (F.col("n1") - 1)
+                )
+                / F.col("n1")
+            )
+        ).alias("t")
+    )
+    g = pc.groupBy("cents").agg(
+        F.sum((F.col("s") == 0).cast("long")).alias("ca"),
+        F.sum((F.col("s") == 1).cast("long")).alias("cb"),
+    ).withColumn("cnt", F.col("ca") + F.col("cb"))
+    pre = exclusive_prefix_over_values(g, "cents", "cnt", 1000000.0)
+    tots = g.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie"),
+    )
+    r2 = pre.agg(
+        F.sum(
+            F.col("ca") * (2 * F.col("prior") + F.col("cnt") + 1)
+        ).alias("r2")
+    )
+    na, nb, tie = F.col("na"), F.col("nb"), F.col("tie")
+    u = (F.col("r2") - na * (na + 1)) / 2.0
+    mw = r2.crossJoin(F.broadcast(tots)).select(
+        (
+            (u - na * nb / 2.0)
+            / F.sqrt(
+                na * nb / 12.0
+                * ((na + nb + 1) - tie / (1.0 * (na + nb) * (na + nb - 1)))
+            )
+        ).alias("z")
+    )
+    # KS over the same per-value rollup: inclusive CDFs from the
+    # exclusive prefix + the row's own counts (per-arm prefixes derive
+    # from the shared count prefix by a second pair of prefix calls)
+    pre_a = exclusive_prefix_over_values(g, "cents", "ca", 1000000.0, out="pa")
+    pre_ab = exclusive_prefix_over_values(
+        pre_a, "cents", "cb", 1000000.0, out="pb"
+    )
+    ks = (
+        pre_ab.crossJoin(F.broadcast(tots))
+        .select(
+            F.abs(
+                (F.col("pa") + F.col("ca")) / (1.0 * na)
+                - (F.col("pb") + F.col("cb")) / (1.0 * nb)
+            ).alias("dd"),
+            na,
+            nb,
+        )
+        .groupBy("na", "nb")
+        .agg(F.max("dd").alias("d"))
+        .select(
+            "d",
+            (
+                1.3581 * F.sqrt((na + nb) / (1.0 * na * nb))
+            ).alias("crit"),
+        )
+    )
+    panel = (
+        ks.select(
+            F.lit("ks_d").alias("test_name"),
+            F.round(F.col("d"), 6).alias("statistic"),
+            (F.col("d") > F.col("crit")).alias("reject_05"),
+        )
+        .unionByName(
+            mw.select(
+                F.lit("mann_whitney_z").alias("test_name"),
+                F.round(F.col("z"), 6).alias("statistic"),
+                (F.abs(F.col("z")) > 1.96).alias("reject_05"),
+            )
+        )
+        .unionByName(
+            welch.select(
+                F.lit("welch_t").alias("test_name"),
+                F.round(F.col("t"), 6).alias("statistic"),
+                (F.abs(F.col("t")) > 1.96).alias("reject_05"),
+            )
+        )
+    )
+    return panel.orderBy("test_name")

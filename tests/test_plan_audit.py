@@ -30,6 +30,9 @@ from tests.test_plans import plan_of
 # BroadcastNestedLoopJoin is the intended plan here: a tiny broadcast
 # side against a streamed big side, with a non-equi predicate.
 BNLJ_OK = {
+    # experiment panel: one-row Welch/MW/KS verdict rows assembled from
+    # one-row broadcasts; prefixes stay bucket-partitioned.
+    "dq_experiment_readout_panel",
     # Pareto crossing/top-decile scalars: one-row totals broadcast onto
     # the bounded located rows.
     "a_pareto_concentration",
@@ -182,6 +185,9 @@ BNLJ_OK = {
 # bounded pre-aggregates (cardinality independent of, or reduced
 # orders-of-magnitude below, the raw row count):
 UNPARTITIONED_WINDOW_OK = {
+    # experiment panel: three exclusive-prefix bucket-OFFSET rollups
+    # (bounded by |revenue-range / 1e6-cent buckets|), the MW/KS spine.
+    "dq_experiment_readout_panel",
     # Pareto's two exclusive-prefix calls + rank locate: each
     # unpartitioned window is the primitive's bucket-OFFSET rollup,
     # bounded by |revenue-range / 1e6-cent buckets| (~hundreds), never
