@@ -262,6 +262,7 @@ HEADLINE = [
     "a_beta_binomial_shrinkage",
     "a_pareto_concentration",
     "dq_experiment_readout_panel",
+    "f_variant_semistructured",
 ]
 
 

@@ -735,6 +735,7 @@ _DEFER_FRESH_R12 = (
     "a_beta_binomial_shrinkage",
     "a_pareto_concentration",
     "dq_experiment_readout_panel",
+    "f_variant_semistructured",
 )
 
 

@@ -3093,3 +3093,52 @@ def dq_experiment_readout_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return panel.orderBy("test_name")
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured extraction (Spark 4 open variant type)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_variant_semistructured",
+    """
+    SELECT event_type,
+           count(json_extract(props, '$.k')) AS n_with_k,
+           cast(sum(cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           cast(max(cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def f_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's open VARIANT type:
+    the event ``props`` JSON parses ONCE into a binary variant
+    (``parse_json``) and typed paths come out via ``try_variant_get`` —
+    the schema-on-read path for ragged payloads that beats per-access
+    ``get_json_object`` re-parsing (variant decodes the document a
+    single time into a navigable binary, the Delta/Iceberg-adopted
+    open format) while staying NULL-safe on missing paths
+    (``try_`` semantics mirror the oracle's json_extract NULLs).
+
+    Scale shape: map-only — parse + path extraction fuse into the scan
+    projection under whole-stage codegen, then one bounded per-type
+    rollup; nothing shuffles but the 5-row aggregate. The oracle reads
+    the same paths with DuckDB's JSON extraction."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    ex = ev.select(
+        "event_type",
+        F.try_variant_get(F.col("v"), "$.k", "long").alias("k"),
+    )
+    return (
+        ex.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
