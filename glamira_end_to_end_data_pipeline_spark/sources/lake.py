@@ -1937,16 +1937,30 @@ def merge_into_multi_clause(
     CDC feed it emits is change-sized, not table-sized."""
     data_cols = [c for c in source.columns if c != partition_col]
     s = source.alias("s")
+    try:
+        base = read_partitioned(spark, path)
+    except Exception:
+        # MERGE into an empty/new table: no data files yet (schema
+        # inference fails on the read) — every source row is NOT
+        # MATCHED, so bootstrap the table with the guarded inserts
+        # directly instead of routing through the copy-on-write apply
+        # (which itself must read the base). Found by the Hypothesis
+        # model property, not hand-reasoning.
+        ins = source
+        if when_not_matched is not None:
+            ins = source.alias("s").filter(F.expr(when_not_matched))
+        else:
+            ins = source.limit(0)
+        n_parts = ins.select(partition_col).distinct().count()
+        if n_parts:
+            write_partitioned(ins, path, [partition_col])
+        return n_parts
     if when_not_matched_by_source_delete is None:
         parts = [
             r[0]
             for r in source.select(partition_col).distinct().collect()
         ]
-        base = read_partitioned(spark, path).filter(
-            F.col(partition_col).isin(parts)
-        )
-    else:
-        base = read_partitioned(spark, path)
+        base = base.filter(F.col(partition_col).isin(parts))
     t = base.alias("t")
     on = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key_cols]
     cond = on[0]

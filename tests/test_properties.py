@@ -1207,3 +1207,144 @@ def test_exclusive_prefix_over_values_matches_flat_cumsum(spark, xs):
         expected[v] = (counts[v], run)
         run += counts[v]
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=60),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pointer_jump_roots_matches_flat_walk(spark, raw):
+    """Path doubling equals the flat parent walk on ANY forest —
+    including multi-root forests, long chains, and star shapes. The
+    fixture guarantees acyclicity by drawing parent(i) < i (node 0 and
+    any i with draw ≥ i become roots), and the round count must stay
+    logarithmic in the longest chain."""
+    import math
+
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        pointer_jump_roots,
+    )
+
+    parent = {}
+    for i, draw in enumerate(raw):
+        parent[i] = draw if draw < i else i
+    df = spark.createDataFrame(
+        list(parent.items()), "node long, parent long"
+    )
+    got_df, rounds = pointer_jump_roots(df)
+    got = {r.node: (r.root, r.depth) for r in got_df.collect()}
+    expected = {}
+    maxdepth = 0
+    for i in parent:
+        cur, d = i, 0
+        while parent[cur] != cur:
+            cur, d = parent[cur], d + 1
+        expected[i] = (cur, d)
+        maxdepth = max(maxdepth, d)
+    assert got == expected
+    # doubling signature: rounds ≤ ceil(log2(depth)) + 2 slack
+    bound = (math.ceil(math.log2(maxdepth)) if maxdepth > 1 else 1) + 2
+    assert rounds <= bound, (rounds, maxdepth)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),   # key
+            st.integers(min_value=0, max_value=99),   # val
+            st.sampled_from(["a", "b"]),              # partition
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_merge_multi_clause_matches_model(spark, tmp_path_factory, base_rows, src_rows):
+    """merge_into_multi_clause equals a flat in-memory model for ANY
+    base/source keyed row sets under a fixed clause program:
+    WHEN MATCHED AND s.val > t.val THEN UPDATE,
+    WHEN MATCHED AND t.val < 20 THEN DELETE,
+    WHEN NOT MATCHED AND s.val > 50 THEN INSERT,
+    WHEN NOT MATCHED BY SOURCE AND t.part = 'a' THEN DELETE —
+    first-true-wins ordering, source rows keep the target's partition
+    contract (source carries its key's current partition when
+    matched)."""
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    if not base_rows and not src_rows:
+        return
+    base_map = {k: (v, p) for k, v, p in base_rows}
+    # matched source rows must carry the key's CURRENT partition (the
+    # documented cross-partition contract); unmatched pick 'b'
+    src_map = {
+        k: (v, base_map[k][1] if k in base_map else "b")
+        for k, v in src_rows
+    }
+    path = str(tmp_path_factory.mktemp("mergeprop") / "tab")
+    if base_rows:
+        lake.write_partitioned(
+            spark.createDataFrame(
+                [(k, float(v), p) for k, (v, p) in base_map.items()],
+                "k long, val double, part string",
+            ),
+            path,
+            ["part"],
+        )
+    else:
+        lake.write_partitioned(
+            spark.createDataFrame([], "k long, val double, part string"),
+            path,
+            ["part"],
+        )
+    src = spark.createDataFrame(
+        [(k, float(v), p) for k, (v, p) in src_map.items()],
+        "k long, val double, part string",
+    )
+    lake.merge_into_multi_clause(
+        spark,
+        path,
+        src,
+        key_cols=["k"],
+        partition_col="part",
+        when_matched=[("s.val > t.val", "update"), ("t.val < 20", "delete")],
+        when_not_matched="s.val > 50",
+        when_not_matched_by_source_delete="t.part = 'a'",
+    )
+    try:
+        got = {
+            r.k: (r.val, r.part)
+            for r in lake.read_partitioned(spark, path).collect()
+        }
+    except Exception:
+        got = {}  # table still empty: nothing committed, nothing to read
+    expected = {}
+    for k, (v, p) in base_map.items():
+        if k in src_map:
+            sv = src_map[k][0]
+            if sv > v:
+                expected[k] = (float(sv), p)
+            elif v < 20:
+                pass
+            else:
+                expected[k] = (float(v), p)
+        else:
+            if p != "a":
+                expected[k] = (float(v), p)
+    for k, (sv, sp) in src_map.items():
+        if k not in base_map and sv > 50:
+            expected[k] = (float(sv), sp)
+    assert got == expected
