@@ -1348,3 +1348,67 @@ def test_merge_multi_clause_matches_model(spark, tmp_path_factory, base_rows, sr
         if k not in base_map and sv > 50:
             expected[k] = (float(sv), sp)
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=40),
+                        st.integers(min_value=0, max_value=9),
+                    ),
+                    min_size=1,
+                    max_size=6,
+                ),
+            ),
+            st.tuples(
+                st.just("delete"),
+                st.integers(min_value=0, max_value=9),
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_posdelete_matches_reference_model(spark, tmp_path_factory, ops):
+    """Positional deletes equal an in-memory multiset model under
+    RANDOM append/delete interleavings: a delete tombstones exactly the
+    CURRENTLY-live rows matching the predicate (val == probe), and rows
+    appended later always survive earlier deletes even when they match
+    — the file-scoped-tombstone law, exercised across arbitrary op
+    orders and duplicate (key, val) rows in distinct commits."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path_factory.mktemp("posprop") / "ptab")
+    live = []  # model: list of (k, val) multiset of live rows
+    seq = 0
+    wrote = False
+    for op, arg in ops:
+        if op == "append":
+            rows = [
+                (seq * 1000 + i, k % 3, k, v)
+                for i, (k, v) in enumerate(arg)
+            ]
+            seq += 1
+            df = spark.createDataFrame(
+                rows, "rid long, grp long, k long, val long"
+            )
+            posdelete.write_data(spark, df, path, "grp", "rid")
+            live.extend((k, v) for k, v in arg)
+            wrote = True
+        elif wrote:
+            n = posdelete.position_delete(
+                spark, path, F.col("val") == int(arg)
+            )
+            assert n == sum(1 for _, v in live if v == arg)
+            live = [(k, v) for k, v in live if v != arg]
+    if not wrote:
+        return
+    got = sorted(
+        (r.k, r.val) for r in posdelete.read_mor(spark, path).collect()
+    )
+    assert got == sorted(live)
