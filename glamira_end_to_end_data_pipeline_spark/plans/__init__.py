@@ -692,12 +692,13 @@ _DEFER_FRESH_R11 = (
 
 # Round-12 fresh entries (registered by plans.r12_queries) — same
 # deferral contract as _DEFER_FRESH_R11: oracle-checked locally this
-# round (all 30 bare-green at sf0.01), graded from round 12 on.
+# round (all 32 bare-green at sf0.01, plus a combined 46-entry single-
+# session sweep), graded from round 12 on.
 #
 # ROUND-12 WINDOW PLAN (for the next session's maintainer): the defer
 # lists only hold entries back WHILE _last_graded()==0, so they must be
-# folded into the round-12 fresh block explicitly — 14 (r11) + 30 (r12)
-# = 44 deferred > one 50-slot window minus any rotate-first block.
+# folded into the round-12 fresh block explicitly — 14 (r11) + 32 (r12)
+# = 46 deferred > one 50-slot window minus any rotate-first block.
 # Grade order: (1) entries whose code moves in r12, (2) the 14
 # r11-deferred (oldest debt first), (3) as many r12 entries as fit in
 # registration order; whatever spills re-defers to r13 via a
