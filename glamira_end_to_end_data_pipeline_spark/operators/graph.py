@@ -1612,6 +1612,22 @@ def pointer_jump_roots(
         )
         .localCheckpoint()
     )
+    # Malformed-forest guard: every parent id must itself be a node row,
+    # or the composition self-join (inner) would silently DROP the
+    # orphaned subtree instead of failing. One anti-join up front turns
+    # that silent loss into a loud error; it is keyed on the same column
+    # as the doubling joins, so it adds no new exchange shape.
+    dangling = (
+        m.select(F.col("anc").alias("node"))
+        .join(m.select("node"), "node", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if dangling:
+        raise ValueError(
+            "pointer_jump_roots: parent id(s) reference no node row — "
+            "malformed forest (dangling ancestor)"
+        )
     rounds = 0
     for _ in range(max_rounds):
         up = m.select(

@@ -2412,10 +2412,21 @@ def lake_check_constraint_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = lake.write_snapshot_checked(
         spark, good, path, "c_acctbal >= -1000"
     )
+    # The NULL probe is built from rows that ALREADY satisfy the
+    # constraint (c_acctbal >= 0) with only some balances NULLed — so
+    # if this batch is refused, the refusal can have come ONLY from
+    # NULL-constraint handling, not from plain negative balances
+    # sneaking in alongside.
+    passing = cust.filter(F.col("c_acctbal") >= 0)
+    n_nulled = passing.filter(F.col("c_custkey") % 50 == 0).count()
+    if n_nulled == 0:
+        raise AssertionError(
+            "NULL probe is vacuous at this SF — no rows would be NULLed"
+        )
     for bad_batch, label in (
         (cust, "negative balances"),
         (
-            good.withColumn(
+            passing.withColumn(
                 "c_acctbal",
                 F.when(F.col("c_custkey") % 50 == 0, F.lit(None)).otherwise(
                     F.col("c_acctbal")

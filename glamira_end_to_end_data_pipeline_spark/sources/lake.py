@@ -1937,15 +1937,19 @@ def merge_into_multi_clause(
     CDC feed it emits is change-sized, not table-sized."""
     data_cols = [c for c in source.columns if c != partition_col]
     s = source.alias("s")
-    try:
-        base = read_partitioned(spark, path)
-    except Exception:
-        # MERGE into an empty/new table: no data files yet (schema
-        # inference fails on the read) — every source row is NOT
-        # MATCHED, so bootstrap the table with the guarded inserts
-        # directly instead of routing through the copy-on-write apply
-        # (which itself must read the base). Found by the Hypothesis
-        # model property, not hand-reasoning.
+    # MERGE into an empty/new table: every source row is NOT MATCHED,
+    # so bootstrap the table with the guarded inserts directly instead
+    # of routing through the copy-on-write apply (which itself must
+    # read the base). The bootstrap is taken ONLY when the table path
+    # verifiably has no data — a transient read failure on an EXISTING
+    # table must propagate, never be misclassified as "empty" and have
+    # the table overwritten with only the insert rows.
+    fs, jpath = _hadoop_fs(spark, path)
+    table_absent = not fs.exists(jpath) or not any(
+        not st.getPath().getName().startswith((".", "_"))
+        for st in fs.listStatus(jpath)
+    )
+    if table_absent:
         ins = source
         if when_not_matched is not None:
             ins = source.alias("s").filter(F.expr(when_not_matched))
@@ -1955,6 +1959,7 @@ def merge_into_multi_clause(
         if n_parts:
             write_partitioned(ins, path, [partition_col])
         return n_parts
+    base = read_partitioned(spark, path)
     if when_not_matched_by_source_delete is None:
         parts = [
             r[0]
@@ -1973,20 +1978,29 @@ def merge_into_multi_clause(
     s_only = F.col(f"t.{key_cols[0]}").isNull()
     t_only = F.col(f"s.{key_cols[0]}").isNull()
 
-    # first-true-wins verdict over the ordered matched clauses
+    # first-true-wins verdict over the ordered matched clauses. SQL
+    # MERGE clause conditions use accept-if-TRUE semantics: a NULL
+    # result means "this clause does not fire, evaluate the next one"
+    # — so every condition is coalesced to false before entering the
+    # chain. Without the coalesce a NULL poisons `picked` (False|NULL
+    # = NULL, ~NULL = NULL) and silently suppresses every later
+    # clause for that row.
+    def _cond(cond_sql: str):
+        return F.coalesce(F.expr(cond_sql), F.lit(False))
+
     verdict = F.lit(None).cast("string")
     picked = F.lit(False)
     for cond_sql, action in when_matched:
-        fire = matched & ~picked & F.expr(cond_sql)
+        fire = matched & ~picked & _cond(cond_sql)
         verdict = F.when(fire, F.lit(action)).otherwise(verdict)
         picked = picked | fire
     if when_not_matched is not None:
         verdict = F.when(
-            s_only & F.expr(when_not_matched), F.lit("insert")
+            s_only & _cond(when_not_matched), F.lit("insert")
         ).otherwise(verdict)
     if when_not_matched_by_source_delete is not None:
         verdict = F.when(
-            t_only & F.expr(when_not_matched_by_source_delete),
+            t_only & _cond(when_not_matched_by_source_delete),
             F.lit("bs_delete"),
         ).otherwise(verdict)
     dec = j.withColumn("__verdict", verdict).filter(

@@ -91,10 +91,16 @@ def read_mor(
     delete (new files) survive by construction even when they match the
     original delete predicate."""
     d = _data_with_identity(spark, path)
-    try:
-        dels = spark.read.parquet(f"{path}/{_DELETES}")
-    except Exception:
-        dels = None
+    # The tombstone directory legitimately does not exist before the
+    # first positional delete — but ONLY that case may be skipped. A
+    # transient IO/corruption error while reading an existing deletes
+    # directory must propagate: swallowing it would silently resurrect
+    # deleted rows (and position_delete would then re-tombstone
+    # duplicates).
+    from .lake import _hadoop_fs
+
+    fs, dpath = _hadoop_fs(spark, f"{path}/{_DELETES}")
+    dels = spark.read.parquet(f"{path}/{_DELETES}") if fs.exists(dpath) else None
     if dels is not None:
         d = d.join(
             dels.withColumnRenamed("__file", "__dfile").withColumnRenamed(

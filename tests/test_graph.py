@@ -713,3 +713,21 @@ def test_betweenness_batched_equals_summed_single_source(spark):
     for node, btw in got.items():
         assert abs(btw - want.get(node, 0.0)) < 1e-9, (node, btw, want)
     assert set(got) == {n for n, v in want.items()} | set(got)
+
+
+def test_pointer_jump_roots_rejects_dangling_parent(spark):
+    """A parent id that is not itself a node row is a malformed forest:
+    the doubling self-join would silently drop the orphaned subtree, so
+    the operator must raise instead (regression for the silent-drop)."""
+    import pytest
+
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        pointer_jump_roots,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 99)],  # 99 is nobody's node row
+        "node long, parent long",
+    )
+    with pytest.raises(ValueError, match="dangling"):
+        pointer_jump_roots(df)

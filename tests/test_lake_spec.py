@@ -697,3 +697,94 @@ def test_merge_multi_clause_first_true_wins_and_by_source(spark, tmp_path):
         5: (10.0, "b"),
         6: (100.0, "b"),
     }
+
+
+def test_merge_multi_clause_null_condition_falls_through(spark, tmp_path):
+    """A WHEN MATCHED clause condition evaluating to NULL must be
+    treated as not-true and evaluation must CONTINUE to the next
+    clause (SQL MERGE three-valued logic). Regression: False|NULL =
+    NULL poisoned the first-true-wins chain and suppressed every later
+    clause for that row."""
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    path = str(tmp_path / "mergenull")
+    base = spark.createDataFrame(
+        [
+            (1, None, 10.0, "a"),  # t.flag NULL -> clause 1 NULL, clause 2 fires
+            (2, "x", 10.0, "a"),   # clause 1 fires -> delete
+            (3, "y", 99.0, "a"),   # no clause fires (s.val < t.val) -> keep
+        ],
+        "k long, flag string, val double, part string",
+    )
+    lake.write_partitioned(base, path, ["part"])
+    src = spark.createDataFrame(
+        [
+            (1, "s1", 50.0, "a"),
+            (2, "s2", 50.0, "a"),
+            (3, "s3", 50.0, "a"),
+        ],
+        "k long, flag string, val double, part string",
+    )
+    lake.merge_into_multi_clause(
+        spark,
+        path,
+        src,
+        key_cols=["k"],
+        partition_col="part",
+        when_matched=[("t.flag = 'x'", "delete"), ("s.val > t.val", "update")],
+        when_not_matched=None,
+    )
+    got = {r.k: r.val for r in lake.read_partitioned(spark, path).collect()}
+    assert got == {1: 50.0, 3: 99.0}
+
+
+def test_merge_multi_clause_read_failure_not_bootstrap(spark, tmp_path):
+    """A read failure on an EXISTING table must propagate, never be
+    misclassified as the empty-table bootstrap (which would overwrite
+    the whole table with only the insert rows)."""
+    import pytest
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    path = str(tmp_path / "mergecorrupt")
+    # A non-empty directory whose content is NOT readable parquet.
+    import os
+
+    os.makedirs(path)
+    with open(os.path.join(path, "part=a"), "w") as f:
+        f.write("not parquet")
+    src = spark.createDataFrame(
+        [(1, 1.0, "a")], "k long, val double, part string"
+    )
+    with pytest.raises(Exception):
+        lake.merge_into_multi_clause(
+            spark,
+            path,
+            src,
+            key_cols=["k"],
+            partition_col="part",
+            when_matched=[("s.val > t.val", "update")],
+        )
+    # the corrupt file must still be there — the table was not overwritten
+    assert os.path.exists(os.path.join(path, "part=a"))
+    with open(os.path.join(path, "part=a")) as f:
+        assert f.read() == "not parquet"
+
+
+def test_write_snapshot_checked_null_only_probe(spark, tmp_path):
+    """A batch whose every row PASSES the constraint except for NULL
+    evaluations must be refused — isolates the three-valued-logic
+    loophole from plain value violations."""
+    import pytest
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    path = str(tmp_path / "chknull")
+    ok = spark.createDataFrame([(1, 5.0), (2, 6.0)], "k long, bal double")
+    v1 = lake.write_snapshot_checked(spark, ok, path, "bal >= 0")
+    probe = spark.createDataFrame(
+        [(3, 7.0), (4, None)], "k long, bal double"
+    )
+    with pytest.raises(lake.CheckConstraintViolation):
+        lake.write_snapshot_checked(spark, probe, path, "bal >= 0")
+    assert lake.latest_snapshot_version(spark, path) == v1

@@ -59,3 +59,28 @@ def test_second_delete_spans_both_commits(spark, tmp_path):
     assert n == 2
     got = sorted(r.k for r in posdelete.read_mor(spark, path).collect())
     assert got == [2]
+
+
+def test_read_mor_without_deletes_dir_and_exists_gate(spark, tmp_path):
+    """Before any positional delete the deletes dir is absent and
+    read_mor must return all rows (exists-gated, not exception-
+    swallowed — a genuine read error on an existing deletes dir now
+    propagates instead of silently resurrecting deleted rows)."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path / "pd_nodel")
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 2), (3, "b", 1)], "k long, grp string, ord int"
+    )
+    posdelete.write_data(spark, df, path, "grp", "ord")
+    assert posdelete.read_mor(spark, path).count() == 3
+    # corrupt deletes dir -> error must PROPAGATE
+    import os
+
+    import pytest
+
+    os.makedirs(os.path.join(path, "deletes"))
+    with open(os.path.join(path, "deletes", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    with pytest.raises(Exception):
+        posdelete.read_mor(spark, path).count()
