@@ -245,6 +245,8 @@ HEADLINE = [
     "stream_outer_join_unconverted",
     "lake_merge_multi_clause",
     "graph_betweenness_batched",
+    "graph_betweenness_capstone",
+    "f_variant_shredded_read",
     "text_kneser_ney_bigram",
     "a_market_basket_rules",
     "dq_cramers_v",

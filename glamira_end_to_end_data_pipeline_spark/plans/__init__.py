@@ -224,6 +224,69 @@ _ROTATE_FIRST_R11 = (
     "graph_triangles",
 )
 
+# Round-12 front-loads: entries whose implementation moved this round —
+# the sixteen TPC-H suite entries that lost their SF-proportional
+# F.broadcast hints (customer/part/supplier sides now carry NO hint;
+# statistics/AQE pick broadcast-vs-shuffle — the r11 VERDICT's one
+# systemic `weak`, enforced henceforth by tests/test_broadcast_audit.py),
+# plus w_theil_sen_trend (same hint strip in r11_queries.py) and
+# j_bloom_prefilter_join (its customer-dim verification join lost the
+# hint too). Code-touched NEVER-graded entries (lake_merge_multi_clause,
+# lake_position_deletes, lake_check_constraint_commit,
+# graph_pointer_jump_roots, dq_bh_fdr_proportions,
+# w_lagged_cross_correlation, a_ratio_metric_delta_ci,
+# a_beta_binomial_shrinkage) grade this round via the fresh block.
+_ROTATE_FIRST_R12 = (
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "w_theil_sen_trend",
+    "j_bloom_prefilter_join",
+)
+
+# Driver-green in CORRECTNESS_r11.json (round-11 window, 50/50 green).
+_R11_GREEN = frozenset(
+    {
+        "lake_mor_equality_deletes", "lake_compact_mor",
+        "lake_expire_versions", "lake_wap_publish", "stream_wap_microbatch",
+        "lake_partition_evolution", "lake_stats_pruned_read",
+        "graph_pagerank_personalized", "graph_triangles",
+        "lake_mor_dense_deletes", "w_theil_sen_trend",
+        "dq_benford_first_digit", "flagship_daily_events",
+        "p1_typed_projection", "p6_p7_membership_coalesce",
+        "q1_pricing_summary", "q3_shipping_priority",
+        "a1_a3_topk_event_types", "a2_multicol_distinct",
+        "a5_minmax_date_range", "a6_a7_worklist_pick",
+        "j1_j5_star_join_defaults", "j3_computed_date_key_join",
+        "j4_composite_key_null_miss", "j7_anti_join_unprocessed",
+        "j9_not_in_null_aware", "q4_semi_join_priority",
+        "q6_forecast_revenue", "q5_local_supplier_volume",
+        "q18_large_volume_customers", "q2_min_cost_supplier",
+        "q12_priority_by_flag", "emb_ivf_kcenter_topk",
+        "a_incremental_rollup_merge", "text_tfidf_topterms",
+        "dedup_cross_batch_minhash", "dq_profile_columns",
+        "j_interval_overlap", "emb_ivf_partitioned_prune",
+        "dedup_containment_snippets", "s_jsonl_round_trip",
+        "dq_freshness_check", "a_countmin_tokens", "text_bigram_pmi",
+        "dq_k_anonymity", "lake_schema_evolution_snapshot",
+        "dedup_minhash_estimate", "stream_watermark_finalization",
+        "j10_null_safe_join", "w10_rank_distributions",
+    }
+)
+
 # Driver-green in CORRECTNESS_r10.json (round-10 window, 50/50 green).
 _R10_GREEN = frozenset(
     {
@@ -652,6 +715,7 @@ def _last_graded(name: str) -> int:
     never graded — fresh this round). Later rounds win: r5 re-graded
     19 entries first greened in r2/r3."""
     for rnd, green in (
+        (11, _R11_GREEN),
         (10, _R10_GREEN),
         (9, _R9_GREEN),
         (8, _R8_GREEN),
@@ -667,85 +731,45 @@ def _last_graded(name: str) -> int:
     return 0
 
 
-# Fresh entries added AFTER the round-11 rotation plan was locked: the
-# r11 window exactly drains the 40-entry r5-stale cohort (r10 VERDICT
-# task 2 — 9 code-touched + 3 fresh + 38 stale = 50), so putting these
-# in the fresh-first block would push stale entries back out. They
-# DEFER to the back of the ordering (graded r12, when _last_graded==0
-# pulls them forward again) and are oracle-checked locally this round.
-_DEFER_FRESH_R11 = (
-    "w_seasonal_decompose",
-    "w_autocorrelation",
-    "graph_hits_scores",
-    "a_ols_sufficient_stats",
-    "lake_rewrite_manifests",
-    "a_weighted_quantiles_exact",
-    "stream_delta_join_view",
-    "graph_closeness_landmarks",
-    "dq_l_diversity",
-    "graph_shortest_path_counts",
-    "scd2_type6_hybrid",
-    "a_gini_index_exact",
-    "a_mutual_information_terms",
-    "lake_conditional_commit",
-)
-
-# Round-12 fresh entries (registered by plans.r12_queries) — same
-# deferral contract as _DEFER_FRESH_R11: oracle-checked locally this
-# round (all 32 bare-green at sf0.01, plus a combined 46-entry single-
-# session sweep), graded from round 12 on.
+# ROUND-12 WINDOW FOLD (executed per the r11 plan): the 14 r11-deferred
+# and the first 18 of the 32 r12-deferred (registration order, augmented
+# so every code-touched entry of this round is included) fold into the
+# fresh block — 18 rotate-first + 32 fresh = exactly the 50-slot window.
+# The remaining 14 spill to _DEFER_FRESH_R13 below, together with any
+# entry newly added during round 12; all were bare-oracle-green at
+# sf0.01 when deferred and re-checked this round.
 #
-# ROUND-12 WINDOW PLAN (for the next session's maintainer): the defer
-# lists only hold entries back WHILE _last_graded()==0, so they must be
-# folded into the round-12 fresh block explicitly — 14 (r11) + 32 (r12)
-# = 46 deferred > one 50-slot window minus any rotate-first block.
-# Grade order: (1) entries whose code moves in r12, (2) the 14
-# r11-deferred (oldest debt first), (3) as many r12 entries as fit in
-# registration order; whatever spills re-defers to r13 via a
-# _DEFER_FRESH_R13 list. Update _R11_GREEN from CORRECTNESS_r11 before
-# reordering.
-_DEFER_FRESH_R12 = (
-    "dq_mann_whitney_u",
-    "a_spearman_corr",
-    "dq_t_closeness",
-    "dq_bh_fdr_proportions",
-    "a_trimmed_winsorized_mean",
-    "sample_consistent_hash_keys",
-    "a_event_sequence_match",
-    "w_lagged_cross_correlation",
-    "lake_position_deletes",
-    "graph_betweenness_source",
-    "lake_bucket_partition_prune",
-    "stream_outer_join_unconverted",
-    "lake_merge_multi_clause",
-    "graph_betweenness_batched",
+# ROUND-13 WINDOW PLAN: grade (1) entries whose code moves in r13,
+# (2) the _DEFER_FRESH_R13 names (oldest debt first), (3) the 38-entry
+# r6-stale cohort oldest-first with whatever slots remain. Update
+# _R11_GREEN-style sets from CORRECTNESS_r12 before reordering.
+_DEFER_FRESH_R13 = (
     "text_kneser_ney_bigram",
     "a_market_basket_rules",
     "dq_cramers_v",
     "j_dynamic_partition_pruning",
     "w_sliding_distinct_users",
-    "a_ratio_metric_delta_ci",
-    "graph_pointer_jump_roots",
     "stream_ivm_retractable_agg",
     "j_aqe_skew_join_split",
     "s_bucket_pruned_scan",
     "scd2_late_arriving_splice",
-    "lake_check_constraint_commit",
     "lake_zorder_prune_effectiveness",
     "a_kaplan_meier_survival",
-    "a_beta_binomial_shrinkage",
     "a_pareto_concentration",
     "dq_experiment_readout_panel",
     "f_variant_semistructured",
+    # added during round 12 (after the window plan locked):
+    "graph_betweenness_capstone",
+    "f_variant_shredded_read",
 )
 
 
 def _window_order() -> list[str]:
     registered = list(QUERIES)
-    front = [n for n in _ROTATE_FIRST_R11 if n in QUERIES]
+    front = [n for n in _ROTATE_FIRST_R12 if n in QUERIES]
     defer = [
         n
-        for n in (*_DEFER_FRESH_R11, *_DEFER_FRESH_R12)
+        for n in _DEFER_FRESH_R13
         if n in QUERIES and _last_graded(n) == 0
     ]
     fresh = [

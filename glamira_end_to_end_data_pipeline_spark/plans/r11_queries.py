@@ -203,7 +203,7 @@ def w_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     monthly = (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy(
             "n_name",
@@ -333,7 +333,7 @@ def _dense_monthly_revenue(spark: SparkSession, sf_dir: str, unit: str):
     )
     scale = 100.0 if unit == "cents" else 1.0
     monthly = (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy(
             "n_name",
@@ -1004,7 +1004,7 @@ def stream_delta_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = cust.filter(F.col("c_custkey") % 2 == 1)
 
     def j(r, s):
-        return r.join(F.broadcast(s), r["o_custkey"] == s["c_custkey"])
+        return r.join(s, r["o_custkey"] == s["c_custkey"])
 
     v1 = j(r1, s1)
     v2 = (

@@ -2563,7 +2563,7 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact scans total instead of the naive five (counts and gates as
     # separate jobs benched 5.8 s; this form ~2.5 s at sf0.1).
     enriched = fact.withColumn("member", F.expr(member)).join(
-        F.broadcast(dim), fact["o_custkey"] == dim["key"], "left"
+        dim, fact["o_custkey"] == dim["key"], "left"
     )
     totals = enriched.agg(
         F.count(F.lit(1)).cast("long").alias("n_fact"),
