@@ -506,7 +506,15 @@ def main() -> None:
             "snapshot when present (ratio_n_common ~= the whole suite), "
             "else regex-recovered from the driver record's bounded "
             "stdout tail (~55 pairs); warm single-query swings up to "
-            "~1.5x are noise."
+            "~1.5x are noise. r12 re-measure of the r11-flagged "
+            "regressions (3x solo, r10 methodology): stream_wap_"
+            "microbatch 1.01x, emb_binary_quant_recall 1.09x — noise "
+            "confirmed; j_grid_neighbor_join/stream_late_sideoutput/"
+            "text_bigram_lm_score/lake_compact_mor re-time to ~1.0-1.8s "
+            "warm solo (vs 0.33-2.0 r11) on a 14.4-effective-core host "
+            "— host-share swing, code untouched; graph_betweenness_"
+            "source ~7s solo is per-layer scheduling latency on the "
+            "busier host (layered BFS is driver-latency-bound)."
         ),
     }
     # The driver keeps only a bounded TAIL of stdout (~2000 chars), which
