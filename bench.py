@@ -247,6 +247,8 @@ HEADLINE = [
     "graph_betweenness_batched",
     "graph_betweenness_capstone",
     "f_variant_shredded_read",
+    "lake_deletion_vectors",
+    "scd4_current_history_pair",
     "text_kneser_ney_bigram",
     "a_market_basket_rules",
     "dq_cramers_v",

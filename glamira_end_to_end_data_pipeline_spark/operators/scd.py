@@ -242,3 +242,84 @@ def scd2_apply_changes(
         .unionByName(closed_rows)
         .unionByName(new_rows)
     )
+
+
+def scd4_apply(
+    spark,
+    current_path: str,
+    history_path: str,
+    changes: DataFrame,
+    key_col: str,
+    state_col: str,
+    eff_col: str = "effective_ts",
+    superseded_col: str = "superseded_at",
+) -> tuple[int, int]:
+    """SCD TYPE 4 — the current/history TABLE PAIR: the current table
+    stays narrow and validity-free (every query against it is a plain
+    key lookup, no ``is_current`` filter, no interval predicate), and
+    every superseded version is appended to a separate history table
+    stamped with when it was replaced. Type 4 is what warehouses pick
+    when the dimension is hot (the current table is the join target on
+    every fact load) and history is cold (audited occasionally) —
+    versus Type 2's single table where every reader pays the validity
+    filter forever.
+
+    Semantics per change row (at most one per key per batch, same
+    contract as :func:`scd2_apply_changes`): a REAL change (new state
+    differs null-safely from the key's current state) appends the OLD
+    current row + ``superseded_col`` = the change's ``eff_col`` to the
+    history table and replaces the row in the current table; no-op
+    changes and unknown keys touch nothing.
+
+    Returns ``(n_superseded, n_current)``.
+
+    Plan shape: ONE key-keyed join decides everything; history is an
+    append of change-sized rows; the new current table is written to a
+    sibling directory and swapped in with a filesystem rename (the
+    copy-on-write discipline every overwrite-while-reading path here
+    uses — never overwrite the directory a live plan is scanning).
+    At 100 TB the current table would be key-partitioned and only
+    touched partitions rewritten (merge_upsert_partitioned's
+    contract); the swap shape is identical."""
+    from glamira_end_to_end_data_pipeline_spark.sources.lake import _hadoop_fs
+
+    cur = spark.read.parquet(current_path)
+    ch = changes.select(
+        F.col(key_col),
+        F.col(state_col).alias("_new_state"),
+        F.col(eff_col).alias("_eff"),
+    )
+    j = cur.join(ch, key_col, "left")
+    real = j.filter(
+        F.col("_new_state").isNotNull()
+        & ~F.col("_new_state").eqNullSafe(F.col(state_col))
+    )
+    superseded = real.select(
+        *cur.columns, F.col("_eff").alias(superseded_col)
+    )
+    n_hist = superseded.count()
+    if n_hist:
+        superseded.write.mode("append").parquet(history_path)
+    replaced = real.select(
+        *[
+            F.col("_new_state").alias(c) if c == state_col else F.col(c)
+            for c in cur.columns
+        ]
+    )
+    untouched = j.filter(
+        F.col("_new_state").isNull()
+        | F.col("_new_state").eqNullSafe(F.col(state_col))
+    ).select(*cur.columns)
+    nxt = untouched.unionByName(replaced)
+    tmp = current_path.rstrip("/") + ".tmp"
+    nxt.write.mode("overwrite").parquet(tmp)
+    n_cur = spark.read.parquet(tmp).count()
+    fs, live = _hadoop_fs(spark, current_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    old = jvm_path(current_path.rstrip("/") + ".old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    fs.rename(live, old)
+    fs.rename(jvm_path(tmp), live)
+    fs.delete(old, True)
+    return n_hist, n_cur

@@ -761,6 +761,8 @@ _DEFER_FRESH_R13 = (
     # added during round 12 (after the window plan locked):
     "graph_betweenness_capstone",
     "f_variant_shredded_read",
+    "lake_deletion_vectors",
+    "scd4_current_history_pair",
 )
 
 

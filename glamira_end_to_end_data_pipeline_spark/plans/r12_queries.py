@@ -3345,3 +3345,229 @@ def f_variant_shredded_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"being read: {rs[0]}"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors — Iceberg-v3 / Delta DV parity over positional deletes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_deletion_vectors",
+    """
+    WITH base AS (
+        SELECT cast(c_custkey AS BIGINT) AS k, c_mktsegment, c_acctbal
+        FROM customer
+    ),
+    final AS (
+        SELECT * FROM base
+        WHERE k % 2 = 0 AND c_acctbal >= 0 AND c_mktsegment <> 'BUILDING'
+              AND NOT (c_mktsegment = 'MACHINERY' AND c_acctbal < 5000)
+        UNION ALL
+        SELECT * FROM base
+        WHERE k % 2 = 1 AND c_acctbal < 0
+              AND NOT (c_mktsegment = 'MACHINERY' AND c_acctbal < 5000)
+    )
+    SELECT c_mktsegment AS segment, count(*) AS n_rows,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS (sources/posdelete.py:compact_to_deletion_
+    vectors / read_mor_dv) — the Iceberg-v3 / Delta evolution of
+    positional deletes: the pile of per-delete (file, pos) tombstone
+    files folds into ONE vector row per data file (sorted ordinal
+    array = the portable stand-in for the roaring bitmap), so the MoR
+    read pays one file-keyed membership probe instead of a growing
+    anti-join, and tombstone metadata stops scaling with the number of
+    delete COMMITS. The fixture drives the full lifecycle: commit 1,
+    two predicate deletes, COMPACT to vectors (gates: >0 vectors, the
+    deletes/ dir is gone), commit 2 re-inserting rows matching delete
+    1's predicate (file-scoped tombstones must not touch them), then a
+    post-compaction delete 3 that lands as residual (file, pos) rows —
+    so the graded read exercises the merged vector+residual path.
+    Oracle derives the same final state in closed form."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_dv_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    k = F.col("k")
+    c1 = base.filter(k % 2 == 0).withColumn("grp", (k % 4).cast("long"))
+    posdelete.write_data(spark, c1, path, "grp", "k")
+    n1 = posdelete.position_delete(spark, path, F.col("c_acctbal") < 0)
+    n2 = posdelete.position_delete(
+        spark, path, F.col("c_mktsegment") == "BUILDING"
+    )
+    n_dv = posdelete.compact_to_deletion_vectors(spark, path)
+    if n1 == 0 or n2 == 0 or n_dv == 0:
+        raise AssertionError(
+            f"fixture drift: deletes/vectors empty (n1={n1}, n2={n2}, "
+            f"dv={n_dv})"
+        )
+    if os.path.isdir(os.path.join(path, "deletes")):
+        raise AssertionError(
+            "compaction left the per-row tombstone directory behind"
+        )
+    c2 = (
+        base.filter((k % 2 == 1) & (F.col("c_acctbal") < 0))
+        .withColumn("grp", (k % 4).cast("long"))
+    )
+    posdelete.write_data(spark, c2, path, "grp", "k")
+    n3 = posdelete.position_delete(
+        spark,
+        path,
+        (F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") < 5000),
+    )
+    if n3 == 0:
+        raise AssertionError("fixture drift: post-compaction delete empty")
+    if not os.path.isdir(os.path.join(path, "deletes")):
+        raise AssertionError(
+            "post-compaction delete should land as residual (file, pos) "
+            "rows — the graded read must exercise vector+residual merge"
+        )
+    final = posdelete.read_mor_dv(spark, path)
+    if final.filter(k % 2 == 1).limit(1).count() == 0:
+        raise AssertionError(
+            "fixture drift: no delete-predicate-matching re-inserts "
+            "survived the vectors"
+        )
+    return (
+        final.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 4 — current/history table pair
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd4_current_history_pair",
+    """
+    WITH base AS (
+        SELECT cast(c_custkey AS BIGINT) AS k, c_mktsegment AS seg
+        FROM customer
+    ),
+    s1 AS (
+        SELECT k, CASE WHEN k % 7 = 0 THEN 'SEG_A' ELSE seg END AS seg,
+               seg AS seg0 FROM base
+    ),
+    s2 AS (
+        SELECT k, CASE WHEN k % 2 = 0 THEN 'BUILDING' ELSE seg END AS seg,
+               seg0, seg AS seg1 FROM s1
+    ),
+    s3 AS (
+        SELECT k, CASE WHEN k % 14 = 0 THEN 'SEG_C' ELSE seg END AS seg,
+               seg0, seg1, seg AS seg2 FROM s2
+    ),
+    hist AS (
+        SELECT seg0 AS seg FROM s1 WHERE k % 7 = 0 AND seg0 <> 'SEG_A'
+        UNION ALL
+        SELECT seg1 FROM s2 WHERE k % 2 = 0 AND seg1 <> 'BUILDING'
+        UNION ALL
+        SELECT seg2 FROM s3 WHERE k % 14 = 0 AND seg2 <> 'SEG_C'
+    ),
+    h AS (SELECT seg, count(*) AS n_superseded FROM hist GROUP BY 1),
+    c AS (SELECT seg, count(*) AS n_current FROM s3 GROUP BY 1)
+    SELECT coalesce(c.seg, h.seg) AS segment,
+           cast(coalesce(c.n_current, 0) AS BIGINT) AS n_current,
+           cast(coalesce(h.n_superseded, 0) AS BIGINT) AS n_superseded
+    FROM c FULL OUTER JOIN h ON c.seg = h.seg
+    ORDER BY 1
+    """,
+)
+def scd4_current_history_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 4 (operators/scd.py:scd4_apply) — the current/history
+    TABLE PAIR, completing the SCD family (Type 1 dedup-to-latest,
+    Type 2 validity intervals, Type 3 previous-value column inside
+    Type 6, Type 6 hybrid): the current table stays narrow and
+    validity-free (the hot fact-load join target), superseded versions
+    append to a cold history table stamped with their supersession
+    timestamp. Three change batches drive the pair: batch 1 moves the
+    k%7 keys to SEG_A; batch 2 moves all even keys to BUILDING — a
+    REAL change only where the current state differs (rows already
+    BUILDING are no-ops, exercising null-safe no-op suppression);
+    batch 3 moves the k%14 keys (which batch 2 just made BUILDING) to
+    SEG_C. The result reconciles BOTH tables — per segment, current
+    row count and superseded version count — so a drifting history
+    append or a missed current swap breaks the hash. Oracle replays
+    the three batches as layered CASE expressions.
+
+    Plan shape per batch: one key-keyed join decides real-vs-no-op;
+    history appends change-sized rows; the current table swaps via
+    write-new-dir + FS rename (copy-on-write, never overwriting a
+    directory a live plan might scan)."""
+    import os
+    import shutil
+    import tempfile
+
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import scd4_apply
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_scd4_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    cur_path = os.path.join(root, "current")
+    hist_path = os.path.join(root, "history")
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    base.write.parquet(cur_path)
+    k = F.col("k")
+    batches = (
+        (base.filter(k % 7 == 0), "SEG_A", "2020-01-01 00:00:00"),
+        (base.filter(k % 2 == 0), "BUILDING", "2020-02-01 00:00:00"),
+        (base.filter(k % 14 == 0), "SEG_C", "2020-03-01 00:00:00"),
+    )
+    n_hist_total = 0
+    for rows, new_seg, ts in batches:
+        ch = rows.select(
+            "k",
+            F.lit(new_seg).alias("seg"),
+            F.lit(ts).cast("timestamp").alias("effective_ts"),
+        )
+        n_hist, n_cur = scd4_apply(
+            spark, cur_path, hist_path, ch, "k", "seg"
+        )
+        n_hist_total += n_hist
+    n_base = base.count()
+    if n_cur != n_base:
+        raise AssertionError(
+            f"current table cardinality drifted: {n_cur} != {n_base} — "
+            "Type 4's current table must stay exactly one row per key"
+        )
+    if n_hist_total == 0:
+        raise AssertionError("fixture drift: no versions superseded")
+    cur = spark.read.parquet(cur_path)
+    hist = spark.read.parquet(hist_path)
+    c = cur.groupBy("seg").agg(F.count(F.lit(1)).alias("n_current"))
+    h = hist.groupBy("seg").agg(F.count(F.lit(1)).alias("n_superseded"))
+    return (
+        c.join(h, "seg", "full_outer")
+        .select(
+            F.col("seg").alias("segment"),
+            F.coalesce(F.col("n_current"), F.lit(0))
+            .cast("bigint")
+            .alias("n_current"),
+            F.coalesce(F.col("n_superseded"), F.lit(0))
+            .cast("bigint")
+            .alias("n_superseded"),
+        )
+        .orderBy("segment")
+    )

@@ -113,3 +113,101 @@ def read_mor(
     if _internal:
         return d
     return d.drop("__file", "__pos")
+
+
+_DV = "dv"
+
+
+def compact_to_deletion_vectors(spark: SparkSession, path: str) -> int:
+    """Fold the accumulated per-row tombstones into DELETION VECTORS —
+    ONE row per data file carrying the file's full sorted tombstone
+    ordinal list (Iceberg-v3 / Delta deletion vectors replace the pile
+    of per-delete (file, pos) files with a single per-file bitmap; the
+    sorted BIGINT array here is that bitmap's engine-portable stand-in,
+    with the roaring encoding an implementation detail this column
+    layout is ready for). Merges any EXISTING vectors with the
+    un-compacted delete files, overwrites ``dv/``, then drops the
+    folded ``deletes/`` directory. Crash-safety is by idempotence, not
+    ordering: if the process dies after the dv/ write but before the
+    deletes/ cleanup, the same tombstone is present in both — and
+    tombstone application is a set union, so the double entry is
+    harmless and the next compaction folds it away.
+
+    Returns the number of deletion vectors (files with tombstones).
+
+    Scale shape: one groupBy(file) over tombstone-sized input — the
+    compaction's cost is proportional to deletes, never to data; the
+    result is file-count rows."""
+    from .lake import _hadoop_fs
+
+    fs, dpath = _hadoop_fs(spark, f"{path}/{_DELETES}")
+    fs_v, vpath = _hadoop_fs(spark, f"{path}/{_DV}")
+    srcs = []
+    if fs.exists(dpath):
+        srcs.append(spark.read.parquet(f"{path}/{_DELETES}"))
+    if fs_v.exists(vpath):
+        srcs.append(
+            spark.read.parquet(f"{path}/{_DV}").select(
+                "__file", F.explode("__positions").alias("__pos")
+            )
+        )
+    if not srcs:
+        return 0
+    allk = srcs[0]
+    for s in srcs[1:]:
+        allk = allk.unionByName(s)
+    dv = (
+        allk.distinct()
+        .groupBy("__file")
+        .agg(
+            F.sort_array(F.collect_list("__pos")).alias("__positions"),
+            F.count(F.lit(1)).cast("long").alias("__cardinality"),
+        )
+    )
+    n = dv.count()
+    dv.write.mode("overwrite").parquet(f"{path}/{_DV}")
+    if fs.exists(dpath):
+        fs.delete(dpath, True)
+    return n
+
+
+def read_mor_dv(spark: SparkSession, path: str) -> DataFrame:
+    """Merge-on-read over deletion vectors PLUS any tombstones written
+    after the last compaction: the data scan left-joins its file's
+    vector (file-count-sized side) and drops rows whose ordinal is in
+    the vector, then anti-joins the residual un-compacted (file, pos)
+    set exactly as :func:`read_mor` does. Both sides are exists-gated;
+    genuine read errors propagate (same contract as read_mor).
+
+    Scale shape: the vector join is keyed on the file identity — at
+    most one vector row per data file, applied as a per-row membership
+    probe; the residual anti-join is tombstone-sized. Nothing here is
+    proportional to table size except the scan itself."""
+    from .lake import _hadoop_fs as _fs  # same helper, avoids shadowing
+
+    d = _data_with_identity(spark, path)
+    fs_v, vpath = _fs(spark, f"{path}/{_DV}")
+    if fs_v.exists(vpath):
+        dv = spark.read.parquet(f"{path}/{_DV}").select(
+            F.col("__file").alias("__vfile"), "__positions"
+        )
+        d = (
+            d.join(dv, d["__file"] == dv["__vfile"], "left")
+            .filter(
+                F.col("__positions").isNull()
+                | ~F.array_contains(F.col("__positions"), F.col("__pos"))
+            )
+            .drop("__vfile", "__positions")
+        )
+    fs, dpath = _fs(spark, f"{path}/{_DELETES}")
+    if fs.exists(dpath):
+        dels = spark.read.parquet(f"{path}/{_DELETES}")
+        d = d.join(
+            dels.withColumnRenamed("__file", "__dfile").withColumnRenamed(
+                "__pos", "__dpos"
+            ),
+            (F.col("__file") == F.col("__dfile"))
+            & (F.col("__pos") == F.col("__dpos")),
+            "left_anti",
+        )
+    return d.drop("__file", "__pos")

@@ -84,3 +84,64 @@ def test_read_mor_without_deletes_dir_and_exists_gate(spark, tmp_path):
         f.write("not parquet")
     with pytest.raises(Exception):
         posdelete.read_mor(spark, path).count()
+
+
+def test_deletion_vector_compaction_lifecycle(spark, tmp_path):
+    """Compaction folds per-row tombstones into one vector per file,
+    drops the deletes dir, merges with EXISTING vectors on re-compact,
+    and read_mor_dv applies vectors + residuals identically to the
+    uncompacted read."""
+    import os
+
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path / "dv")
+    df = spark.createDataFrame(
+        [(i, i % 2, i) for i in range(20)], "k long, grp long, ord long"
+    )
+    posdelete.write_data(spark, df, path, "grp", "ord")
+    assert posdelete.position_delete(spark, path, F.col("k") < 5) == 5
+    n_dv = posdelete.compact_to_deletion_vectors(spark, path)
+    assert n_dv >= 1
+    assert not os.path.isdir(os.path.join(path, "deletes"))
+    assert sorted(
+        r.k for r in posdelete.read_mor_dv(spark, path).collect()
+    ) == list(range(5, 20))
+    # post-compaction delete lands as residual; read merges both
+    assert posdelete.position_delete(spark, path, F.col("k") >= 18) == 2
+    assert os.path.isdir(os.path.join(path, "deletes"))
+    assert sorted(
+        r.k for r in posdelete.read_mor_dv(spark, path).collect()
+    ) == list(range(5, 18))
+    # re-compaction merges existing vectors with the residual
+    assert posdelete.compact_to_deletion_vectors(spark, path) >= 1
+    assert sorted(
+        r.k for r in posdelete.read_mor_dv(spark, path).collect()
+    ) == list(range(5, 18))
+
+
+def test_deletion_vector_double_entry_idempotent(spark, tmp_path):
+    """The crash window (dv written, deletes/ not yet dropped) leaves
+    the same tombstone in both stores — application is a set union, so
+    the read is unaffected and the next compaction folds it away."""
+    import shutil
+
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path / "dvcrash")
+    df = spark.createDataFrame(
+        [(i, 0, i) for i in range(10)], "k long, grp long, ord long"
+    )
+    posdelete.write_data(spark, df, path, "grp", "ord")
+    posdelete.position_delete(spark, path, F.col("k") < 3)
+    # snapshot deletes/, compact, then restore the dir = the crash state
+    shutil.copytree(f"{path}/deletes", f"{path}/deletes_bak")
+    posdelete.compact_to_deletion_vectors(spark, path)
+    shutil.move(f"{path}/deletes_bak", f"{path}/deletes")
+    assert sorted(
+        r.k for r in posdelete.read_mor_dv(spark, path).collect()
+    ) == list(range(3, 10))
+    posdelete.compact_to_deletion_vectors(spark, path)
+    assert sorted(
+        r.k for r in posdelete.read_mor_dv(spark, path).collect()
+    ) == list(range(3, 10))

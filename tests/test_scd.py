@@ -271,3 +271,29 @@ def test_asof_join_tolerance_discards_stale_states(spark):
     )
     got = {r.pid: r.seg for r in out.collect()}
     assert got == {100: "none", 101: "new", 102: "new"}
+
+
+def test_scd4_apply_pair_semantics(spark, tmp_path):
+    """SCD4: real changes replace the current row and append the OLD
+    version + supersession ts to history; no-ops and unknown keys touch
+    nothing; current cardinality is invariant."""
+    from pyspark.sql import functions as F
+
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import scd4_apply
+
+    cur_path = str(tmp_path / "cur")
+    hist_path = str(tmp_path / "hist")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k long, seg string"
+    ).write.parquet(cur_path)
+    ch = spark.createDataFrame(
+        [(1, "x", "2020-01-01"), (2, "b", "2020-01-01"), (9, "z", "2020-01-01")],
+        "k long, seg string, effective_ts string",
+    ).withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+    n_hist, n_cur = scd4_apply(spark, cur_path, hist_path, ch, "k", "seg")
+    assert (n_hist, n_cur) == (1, 3)
+    cur = {r.k: r.seg for r in spark.read.parquet(cur_path).collect()}
+    assert cur == {1: "x", 2: "b", 3: "a"}
+    hist = spark.read.parquet(hist_path).collect()
+    assert len(hist) == 1 and hist[0].k == 1 and hist[0].seg == "a"
+    assert str(hist[0].superseded_at).startswith("2020-01-01")
