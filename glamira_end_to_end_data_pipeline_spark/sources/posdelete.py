@@ -73,8 +73,13 @@ def position_delete(spark: SparkSession, path: str, predicate) -> int:
     matching ``predicate`` (a Column): scans the data (the read half
     positional deletes cannot avoid), subtracts already-deleted rows so
     tombstones are never duplicated, and appends only (file, pos)
-    pairs. Returns the number of tombstones written."""
-    live = read_mor(spark, path, _internal=True)
+    pairs. Returns the number of tombstones written.
+
+    "Already-deleted" includes rows tombstoned through DELETION VECTORS
+    (:func:`compact_to_deletion_vectors`): the live set is the DV-aware
+    read, so a delete issued after a compaction neither re-tombstones
+    dead rows nor over-counts its victims."""
+    live = read_mor_dv(spark, path, _internal=True)
     victims = live.filter(predicate).select("__file", "__pos")
     n = victims.count()
     if n:
@@ -171,7 +176,9 @@ def compact_to_deletion_vectors(spark: SparkSession, path: str) -> int:
     return n
 
 
-def read_mor_dv(spark: SparkSession, path: str) -> DataFrame:
+def read_mor_dv(
+    spark: SparkSession, path: str, _internal: bool = False
+) -> DataFrame:
     """Merge-on-read over deletion vectors PLUS any tombstones written
     after the last compaction: the data scan left-joins its file's
     vector (file-count-sized side) and drops rows whose ordinal is in
@@ -210,4 +217,6 @@ def read_mor_dv(spark: SparkSession, path: str) -> DataFrame:
             & (F.col("__pos") == F.col("__dpos")),
             "left_anti",
         )
+    if _internal:
+        return d
     return d.drop("__file", "__pos")

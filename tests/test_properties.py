@@ -1412,3 +1412,79 @@ def test_posdelete_matches_reference_model(spark, tmp_path_factory, ops):
         (r.k, r.val) for r in posdelete.read_mor(spark, path).collect()
     )
     assert got == sorted(live)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=40),
+                        st.integers(min_value=0, max_value=9),
+                    ),
+                    min_size=1,
+                    max_size=6,
+                ),
+            ),
+            st.tuples(
+                st.just("delete"),
+                st.integers(min_value=0, max_value=9),
+            ),
+            st.tuples(st.just("compact"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=7,
+    )
+)
+def test_deletion_vectors_match_reference_model(spark, tmp_path_factory, ops):
+    """Deletion-vector compaction is INVISIBLE to reads: under random
+    append/delete/COMPACT interleavings the DV-aware read equals the
+    same in-memory multiset model as the uncompacted positional-delete
+    law (file-scoped tombstones, later appends survive earlier
+    deletes). Compaction at ANY point — before deletes, between them,
+    repeatedly, or never — must not change a single visible row."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path_factory.mktemp("dvprop") / "dvtab")
+    live = []
+    seq = 0
+    wrote = False
+    for op, arg in ops:
+        if op == "append":
+            rows = [
+                (seq * 1000 + i, k % 3, k, v)
+                for i, (k, v) in enumerate(arg)
+            ]
+            seq += 1
+            df = spark.createDataFrame(
+                rows, "rid long, grp long, k long, val long"
+            )
+            posdelete.write_data(spark, df, path, "grp", "rid")
+            live.extend((k, v) for k, v in arg)
+            wrote = True
+        elif op == "delete" and wrote:
+            # position_delete's live set is the DV-aware read (a delete
+            # issued after a compaction must not re-tombstone rows whose
+            # (file, pos) moved into dv/) — pinned by the count assert
+            victims = (
+                posdelete.read_mor_dv(spark, path)
+                .filter(F.col("val") == int(arg))
+                .count()
+            )
+            assert victims == sum(1 for _, v in live if v == arg)
+            live = [(k, v) for k, v in live if v != arg]
+            n = posdelete.position_delete(
+                spark, path, F.col("val") == int(arg)
+            )
+            assert n == victims
+        elif op == "compact" and wrote:
+            posdelete.compact_to_deletion_vectors(spark, path)
+    if not wrote:
+        return
+    got = sorted(
+        (r.k, r.val) for r in posdelete.read_mor_dv(spark, path).collect()
+    )
+    assert got == sorted(live)
