@@ -3377,9 +3377,9 @@ def lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETION VECTORS (sources/posdelete.py:compact_to_deletion_
     vectors / read_mor_dv) — the Iceberg-v3 / Delta evolution of
     positional deletes: the pile of per-delete (file, pos) tombstone
-    files folds into ONE vector row per data file (sorted ordinal
-    array = the portable stand-in for the roaring bitmap), so the MoR
-    read pays one file-keyed membership probe instead of a growing
+    files folds into ONE vector row per data file, stored as word-
+    index → 64-bit-mask BITMAP entries, so the MoR read pays one
+    O(1) element_at + bit test per row instead of a growing
     anti-join, and tombstone metadata stops scaling with the number of
     delete COMMITS. The fixture drives the full lifecycle: commit 1,
     two predicate deletes, COMPACT to vectors (gates: >0 vectors, the

@@ -123,26 +123,52 @@ def read_mor(
 _DV = "dv"
 
 
+def _dv_positions(dv: DataFrame) -> DataFrame:
+    """Decode vector rows back to (file, pos) pairs: each 64-bit word
+    fans out over its set bits — bounded 64x on word rows, so decoding
+    stays tombstone-proportional."""
+    return (
+        dv.select("__file", F.explode("__bits").alias("kv"))
+        .select(
+            "__file",
+            F.col("kv.key").alias("__word"),
+            F.col("kv.value").alias("__mask"),
+        )
+        .select(
+            "__file",
+            "__word",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("__bit"),
+            "__mask",
+        )
+        .filter(F.expr("(shiftright(__mask, __bit) & 1) = 1"))
+        .select(
+            "__file",
+            (F.col("__word") * 64 + F.col("__bit")).alias("__pos"),
+        )
+    )
+
+
 def compact_to_deletion_vectors(spark: SparkSession, path: str) -> int:
     """Fold the accumulated per-row tombstones into DELETION VECTORS —
-    ONE row per data file carrying the file's full sorted tombstone
-    ordinal list (Iceberg-v3 / Delta deletion vectors replace the pile
-    of per-delete (file, pos) files with a single per-file bitmap; the
-    sorted BIGINT array here is that bitmap's engine-portable stand-in,
-    with the roaring encoding an implementation detail this column
-    layout is ready for). Merges any EXISTING vectors with the
-    un-compacted delete files, overwrites ``dv/``, then drops the
-    folded ``deletes/`` directory. Crash-safety is by idempotence, not
-    ordering: if the process dies after the dv/ write but before the
-    deletes/ cleanup, the same tombstone is present in both — and
-    tombstone application is a set union, so the double entry is
-    harmless and the next compaction folds it away.
+    ONE row per data file carrying the file's tombstones as a BITMAP
+    (Iceberg-v3 / Delta deletion vectors replace the pile of per-delete
+    (file, pos) files with one bitmap per file). The bitmap is stored
+    as word-index → 64-bit-mask entries (``__bits``: array of (key,
+    value) structs = the dense words of a roaring-style container), so
+    the read-side membership probe is an O(1) ``element_at`` + bit test
+    per row — never a per-row scan of an ordinal list. Merges any
+    EXISTING vectors with the un-compacted delete files, overwrites
+    ``dv/``, then drops the folded ``deletes/`` directory. Crash-safety
+    is by idempotence, not ordering: if the process dies after the dv/
+    write but before the deletes/ cleanup, the same tombstone is
+    present in both — and tombstone application is a set union, so the
+    double entry is harmless and the next compaction folds it away.
 
     Returns the number of deletion vectors (files with tombstones).
 
-    Scale shape: one groupBy(file) over tombstone-sized input — the
-    compaction's cost is proportional to deletes, never to data; the
-    result is file-count rows."""
+    Scale shape: one groupBy(file, word) + one groupBy(file) over
+    tombstone-sized input — compaction cost is proportional to deletes,
+    never to data; the result is file-count rows."""
     from .lake import _hadoop_fs
 
     fs, dpath = _hadoop_fs(spark, f"{path}/{_DELETES}")
@@ -151,23 +177,33 @@ def compact_to_deletion_vectors(spark: SparkSession, path: str) -> int:
     if fs.exists(dpath):
         srcs.append(spark.read.parquet(f"{path}/{_DELETES}"))
     if fs_v.exists(vpath):
-        srcs.append(
-            spark.read.parquet(f"{path}/{_DV}").select(
-                "__file", F.explode("__positions").alias("__pos")
-            )
-        )
+        srcs.append(_dv_positions(spark.read.parquet(f"{path}/{_DV}")))
     if not srcs:
         return 0
     allk = srcs[0]
     for s in srcs[1:]:
         allk = allk.unionByName(s)
-    dv = (
+    words = (
         allk.distinct()
-        .groupBy("__file")
-        .agg(
-            F.sort_array(F.collect_list("__pos")).alias("__positions"),
-            F.count(F.lit(1)).cast("long").alias("__cardinality"),
+        .groupBy(
+            "__file", (F.col("__pos") / 64).cast("long").alias("__word")
         )
+        .agg(
+            F.expr(
+                "aggregate(collect_list(CAST(__pos % 64 AS INT)), "
+                "CAST(0 AS BIGINT), "
+                "(acc, b) -> acc | shiftleft(CAST(1 AS BIGINT), b))"
+            ).alias("__mask"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+    )
+    dv = words.groupBy("__file").agg(
+        F.map_entries(
+            F.map_from_entries(
+                F.collect_list(F.struct("__word", "__mask"))
+            )
+        ).alias("__bits"),
+        F.sum("__n").cast("long").alias("__cardinality"),
     )
     n = dv.count()
     dv.write.mode("overwrite").parquet(f"{path}/{_DV}")
@@ -196,15 +232,19 @@ def read_mor_dv(
     fs_v, vpath = _fs(spark, f"{path}/{_DV}")
     if fs_v.exists(vpath):
         dv = spark.read.parquet(f"{path}/{_DV}").select(
-            F.col("__file").alias("__vfile"), "__positions"
+            F.col("__file").alias("__vfile"),
+            F.map_from_entries("__bits").alias("__bitmap"),
+        )
+        # O(1) membership per row: word lookup + bit test — the bitmap
+        # probe shape, not a per-row ordinal-list scan
+        hit = F.expr(
+            "(shiftright(element_at(__bitmap, CAST(__pos DIV 64 AS BIGINT)), "
+            "CAST(__pos % 64 AS INT)) & 1) = 1"
         )
         d = (
             d.join(dv, d["__file"] == dv["__vfile"], "left")
-            .filter(
-                F.col("__positions").isNull()
-                | ~F.array_contains(F.col("__positions"), F.col("__pos"))
-            )
-            .drop("__vfile", "__positions")
+            .filter(F.col("__bitmap").isNull() | ~F.coalesce(hit, F.lit(False)))
+            .drop("__vfile", "__bitmap")
         )
     fs, dpath = _fs(spark, f"{path}/{_DELETES}")
     if fs.exists(dpath):
