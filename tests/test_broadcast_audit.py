@@ -43,34 +43,22 @@ ALLOWED_BROADCAST_ROOTS: dict[str, set[str]] = {
     "queries.py": {
         "nation",        # 25 rows, fixed by TPC-H spec
         "region",        # 5 rows, fixed
+        "nat",           # nation alias, 25 rows
+        "reg",           # region alias, 5 rows
         "dim",           # j4 status dim: returnflag x linestatus (<= 9 rows)
-                         # j1 customer dim is NOT hinted (see test body guard)
         "dim_date",      # generated date spine, bounded by calendar range
+        "spine",         # generated date spine, calendar-bounded
         "cutoff",        # one-row scalar aggregate
         "total",         # one-row scalar aggregate
         "best",          # one-row max aggregate
-        "avg_yearly",    # one-row aggregate
         "ranges",        # geo BIN ranges: bounded lookup table
-        "tot",           # one-row totals
-        "nat",           # nation, 25 rows
-        "reg",           # region, 5 rows
-        "spine",         # generated date spine, calendar-bounded
     },
-    "extra_queries.py": {"nation", "region", "tot", "spine", "bounds"},
-    "ingest_queries.py": {"nation", "region", "rules", "manifest"},
     "models.py": {
         "product",       # star dim_product: distinct product_source_id of the
                          # 2k-row seeded catalog (bounded dimension by design)
         "date",          # dim_date spine
-        "nation",
-        "region",
     },
-    "northstar_queries.py": {"nation", "region", "tot", "spine", "cats"},
-    "star_queries.py": {"nation", "region", "date_spine", "dim_date"},
     "streaming_queries.py": {
-        "nation",
-        "region",
-        "dim_date",
         "audit_stats",   # one-row audit aggregate
         "mani_rows",     # one manifest row
     },
@@ -81,42 +69,34 @@ ALLOWED_BROADCAST_ROOTS: dict[str, set[str]] = {
         "tot",           # one-row total
     },
     "r6_queries.py": {
-        "nation",
-        "region",
-        "tot",
         "dim",           # customer WHERE c_custkey < 100: <= 99 rows at any SF
     },
     "r7_queries.py": {
         "med",           # per-mktsegment medians: <= 5 rows
         "mad",           # per-mktsegment MADs: <= 5 rows
-        "nation",
-        "region",
     },
     "r8_queries.py": {
         "v",             # one-row vocab/total aggregate
         "b",             # distinct event types (enum-bounded)
         "stats",         # one-row corpus stats
         "cut",           # one-row threshold
-        "nation",
-        "tot",
     },
     "r9_queries.py": {
         "tot",           # one-row totals
         "sad",           # one-row sum-of-abs-deviations
-        "vdf",           # k-bounded codebook / query vectors
-        "pdf",           # k-bounded probe set
+        "vdf",           # 64-row driver-literal direction table
+        "pdf",           # driver-literal Rademacher plane table
         "rates",         # per-source rates: source enum is bounded
         "sketch",        # k-bounded sketch rows
         "stats",         # one-row stats
-        "f",             # bounded filter/probe set
+        "f",             # random-walk frontier: |starts|-bounded here (the
+                         # docstring documents the |V|-frontier production
+                         # variant switching to keyed Pregel rounds)
         "roots",         # k-bounded cluster roots
         "l1",            # k-bounded level-1 centroids
         "bad_key",       # one-row poisoned-key scalar
-        "q",             # query vectors: k-bounded probe set
+        "q",             # query vectors filtered to vec_id < 10
         "qv",            # 10 query vectors (vec_id < 10)
-        "centroids",     # k-bounded
-        "cb",            # codebook, k-bounded
-        "nation",
     },
     "r10_queries.py": {
         "cands",         # hot-key candidate set: top-k bounded
@@ -124,19 +104,18 @@ ALLOWED_BROADCAST_ROOTS: dict[str, set[str]] = {
         "boff",          # per-bucket offsets: <= |buckets|
         "wsum",          # one-row weighted sum
         "bsum",          # one-row sum
-        "nation",
-        "spine",
     },
     "r11_queries.py": {
-        "nation",
-        "b",             # bounded bucket/band dim
+        "nation",        # 25 rows, fixed by TPC-H spec
+        "b",             # nation x month series: ~25 x 84 rows at ANY SF
         "tot",           # one-row total
         "bounds",        # one-row min/max
         "mx",            # one-row marginal
         "my",            # one-row marginal
     },
     "r12_queries.py": {
-        "rx",            # bounded rank/percentile cut rows
+        "rx",            # per-distinct-value midrank rollup of a bounded
+                         # discrete domain (l_quantity: 50 values)
         "tots",          # one-row totals
         "buckets",       # <= |buckets| rollup
         "mrow",          # one-row scalar
@@ -152,8 +131,6 @@ ALLOWED_BROADCAST_ROOTS: dict[str, set[str]] = {
         "m_rank",        # top-10 rows
         "top10",         # 10 rows
         "b",             # one-row Welch group stats
-        "nation",
-        "region",
     },
 }
 
