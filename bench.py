@@ -249,6 +249,7 @@ HEADLINE = [
     "f_variant_shredded_read",
     "lake_deletion_vectors",
     "scd4_current_history_pair",
+    "text_isotonic_calibration",
     "text_kneser_ney_bigram",
     "a_market_basket_rules",
     "dq_cramers_v",

@@ -763,6 +763,7 @@ _DEFER_FRESH_R13 = (
     "f_variant_shredded_read",
     "lake_deletion_vectors",
     "scd4_current_history_pair",
+    "text_isotonic_calibration",
 )
 
 

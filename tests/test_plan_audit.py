@@ -179,6 +179,11 @@ BNLJ_OK = {
     # MI: the ONE-ROW population total broadcast onto the bounded
     # |X|·|Y| contingency-cell table (q11/q15 scalar pattern).
     "a_mutual_information_terms",
+    # isotonic minimax: the two inequality joins enumerate (i, j, k)
+    # triples over the ≤20-row score-bucket ROLLUP (O(|buckets|^3)
+    # bounded metadata); the raw document scan reduced to that rollup
+    # one exchange earlier and never enters a nested loop.
+    "text_isotonic_calibration",
 }
 
 # Unpartitioned ordered windows allowed ONLY over inputs that are
@@ -239,6 +244,10 @@ UNPARTITIONED_WINDOW_OK = {
     # largest-remainder ranking over the |sources|-row stratum table
     # (bounded by stratum cardinality — the multitouch discipline).
     "sample_neyman_allocation",
+    # isotonic prefix sums over the ≤20-row score-bucket rollup —
+    # bounded by the n_chars//50 (capped 19) bucket domain, never by
+    # document count.
+    "text_isotonic_calibration",
 }
 
 
