@@ -735,13 +735,16 @@ def _last_graded(name: str) -> int:
 # and the first 18 of the 32 r12-deferred (registration order, augmented
 # so every code-touched entry of this round is included) fold into the
 # fresh block — 18 rotate-first + 32 fresh = exactly the 50-slot window.
-# The remaining 14 spill to _DEFER_FRESH_R13 below, together with any
-# entry newly added during round 12; all were bare-oracle-green at
-# sf0.01 when deferred and re-checked this round.
+# The remaining 14 spill to _DEFER_FRESH_R13 below, together with the
+# five entries newly added during round 12 (19 deferred total); all
+# were bare-oracle-green at sf0.01 this round.
 #
 # ROUND-13 WINDOW PLAN: grade (1) entries whose code moves in r13,
-# (2) the _DEFER_FRESH_R13 names (oldest debt first), (3) the 38-entry
-# r6-stale cohort oldest-first with whatever slots remain. Update
+# (2) the 19 _DEFER_FRESH_R13 names (oldest debt first), (3) the
+# 38-entry r6-stale cohort oldest-first with whatever slots remain
+# (≈31 slots if nothing moves — the whole r6 cohort was locally
+# bare-green this round, as were the r7- and r8-stale cohorts behind
+# it). Update
 # _R11_GREEN-style sets from CORRECTNESS_r12 before reordering.
 _DEFER_FRESH_R13 = (
     "text_kneser_ney_bigram",
