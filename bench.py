@@ -250,6 +250,7 @@ HEADLINE = [
     "lake_deletion_vectors",
     "scd4_current_history_pair",
     "text_isotonic_calibration",
+    "graph_mst_boruvka",
     "text_kneser_ney_bigram",
     "a_market_basket_rules",
     "dq_cramers_v",

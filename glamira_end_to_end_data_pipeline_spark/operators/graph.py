@@ -1587,6 +1587,7 @@ def pointer_jump_roots(
     node: str = "node",
     parent: str = "parent",
     max_rounds: int = 40,
+    check_dangling: bool = True,
 ) -> tuple[DataFrame, int]:
     """Forest transitive closure by POINTER JUMPING (path doubling):
     every node's root ancestor and exact depth in O(log depth) rounds —
@@ -1623,10 +1624,14 @@ def pointer_jump_roots(
     # that silent loss into a loud error; it is keyed on the same column
     # as the doubling joins, so it adds no new exchange shape.
     dangling = (
-        m.select(F.col("anc").alias("node"))
-        .join(m.select("node"), "node", "left_anti")
-        .limit(1)
-        .count()
+        (
+            m.select(F.col("anc").alias("node"))
+            .join(m.select("node"), "node", "left_anti")
+            .limit(1)
+            .count()
+        )
+        if check_dangling
+        else 0
     )
     if dangling:
         raise ValueError(
@@ -1660,3 +1665,142 @@ def pointer_jump_roots(
         m.select("node", F.col("anc").alias("root"), F.col("d").alias("depth")),
         rounds,
     )
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    max_rounds: int = 20,
+) -> tuple[DataFrame, int]:
+    """Minimum spanning tree by BORŮVKA'S algorithm — THE distributed
+    MST formulation (Borůvka 1926; the GHS distributed-computing
+    classic): every round, each component picks its minimum-weight
+    outgoing edge (all picks in ONE grouped min — no sequential edge
+    scan), the picked edges merge components, and the component count
+    at least HALVES, so rounds ≤ ⌈log2 |V|⌉ where Prim/Kruskal are
+    inherently |V|-sequential. Component contraction reuses
+    :func:`pointer_jump_roots`: each component points at the other end
+    of its picked edge, mutual picks (the pseudoforest's 2-cycles) are
+    broken toward the smaller label, and path doubling resolves roots
+    in O(log) self-joins.
+
+    Requires DISTINCT edge weights (the MST is then unique and the
+    grouped ``min(struct(w, u, v))`` pick is total-ordered — callers
+    derive weights from a collision-checked hash when the raw weights
+    can tie). Edges are undirected; rows may come in either or both
+    orientations.
+
+    Returns ``(mst_edges(u, v, w) with u < v, rounds_used)`` — the
+    round count is the execution-shape evidence (a run that needed
+    ≥ |V| rounds would mean the halving argument broke).
+
+    Scale shape: per round, two label joins keyed on the node id, one
+    grouped min over 2|E'| candidate rows, and a pointer-jumping
+    contraction over the ≤|components| parent map — every shuffle is
+    key-partitioned and component-bounded; no node-count broadcast,
+    no driver-sized collect (the emptiness probe is a take(1) on a
+    materialized checkpoint)."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    mst = spark.createDataFrame([], "u long, v long, w long")
+    rounds = 0
+    for _ in range(max_rounds):
+        el = (
+            e.join(
+                lab.select(F.col("node").alias("u"), F.col("label").alias("cu")),
+                "u",
+            )
+            .join(
+                lab.select(F.col("node").alias("v"), F.col("label").alias("cv")),
+                "v",
+            )
+            .filter(F.col("cu") != F.col("cv"))
+            .localCheckpoint()
+        )
+        if not el.take(1):
+            break
+        rounds += 1
+        pick = F.struct("w", "u", "v", "cu", "cv").alias("pick")
+        cand = el.select(F.col("cu").alias("comp"), pick).unionAll(
+            el.select(F.col("cv").alias("comp"), pick)
+        )
+        # one grouped min per component: struct ordering is (w, u, v,
+        # ...) lexicographic — total because weights are distinct
+        chosen = cand.groupBy("comp").agg(F.min("pick").alias("pick"))
+        ch = (
+            chosen.select("pick.u", "pick.v", "pick.w").distinct()
+        )
+        mst = mst.unionByName(ch).localCheckpoint(eager=False)
+        # contraction: comp -> other end of its picked edge
+        par = chosen.select(
+            "comp",
+            F.when(F.col("pick.cu") == F.col("comp"), F.col("pick.cv"))
+            .otherwise(F.col("pick.cu"))
+            .alias("parent"),
+        )
+        # the pick map is a pseudoforest: every tree has exactly one
+        # 2-CYCLE (the pair that mutually picked the same edge — the
+        # component-minimal edge is min-outgoing for BOTH ends). Break
+        # exactly those cycles toward the smaller label, which becomes
+        # the tree's root; chains toward larger labels stay intact for
+        # the doubling pass. Every parent is itself a picked comp (it
+        # shares the picked edge, so it has an outgoing pick), making
+        # the grandparent join total.
+        gp = par.select(
+            F.col("comp").alias("g_comp"), F.col("parent").alias("g_parent")
+        )
+        par = (
+            par.join(gp, par["parent"] == gp["g_comp"])
+            .select(
+                "comp",
+                F.when(
+                    (F.col("g_parent") == F.col("comp"))
+                    & (F.col("comp") < F.col("parent")),
+                    F.col("comp"),
+                )
+                .otherwise(F.col("parent"))
+                .alias("parent"),
+            )
+        )
+        # comps with NO outgoing pick this round (isolated, or fully
+        # interior) self-root so the forest covers every live label
+        all_comps = lab.select(F.col("label").alias("comp")).distinct()
+        par = (
+            all_comps.join(par, "comp", "left")
+            .select(
+                "comp",
+                F.coalesce(F.col("parent"), F.col("comp")).alias("parent"),
+            )
+            .localCheckpoint()
+        )
+        # parents are comps sharing a picked edge — present by
+        # construction, so the dangling guard job is skipped
+        roots, _ = pointer_jump_roots(
+            par, node="comp", parent="parent", check_dangling=False
+        )
+        lab = (
+            lab.join(
+                roots.select(F.col("node").alias("label"), "root"), "label"
+            )
+            .select("node", F.col("root").alias("label"))
+            .localCheckpoint()
+        )
+    return mst.distinct().localCheckpoint(), rounds

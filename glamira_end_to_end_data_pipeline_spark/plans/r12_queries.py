@@ -3714,3 +3714,156 @@ def text_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"isotonic fit is not monotone non-decreasing: {vals}"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning tree — Borůvka (distributed) vs unrolled Prim (oracle)
+# ---------------------------------------------------------------------------
+
+_MST_N = 60
+
+
+def _mst_oracle_sql() -> str:
+    """Unrolled sequential PRIM over the same fixture: 59 chained CTE
+    steps, each carrying (intree list, mst list) in ONE row and picking
+    the minimum edge leaving the tree via a LATERAL ORDER BY w LIMIT 1.
+    Each step references its predecessor exactly once (DuckDB inlines
+    CTEs — a multi-reference step would explode the plan
+    exponentially). Prim's greedy invariant is a genuinely different
+    derivation from Borůvka's per-component minimum: with distinct
+    weights both must produce the unique MST."""
+    edges = f"""
+    base AS (
+        SELECT i AS a, (i + 1) % {_MST_N} AS b FROM range({_MST_N}) t(i)
+        UNION ALL
+        SELECT i, (i * 7 + 3) % {_MST_N} FROM range({_MST_N}) t(i)
+        UNION ALL
+        SELECT i, (i * 13 + 5) % {_MST_N} FROM range({_MST_N}) t(i)
+    ),
+    ed AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        FROM base WHERE a <> b
+    ),
+    wed AS (
+        SELECT u, v,
+               ('0x' || substr(md5('mst:' || u || ':' || v), 1, 15))::BIGINT
+                   % 1000000 AS w
+        FROM ed
+    ),
+    und AS (
+        SELECT u, v, w FROM wed UNION ALL SELECT v, u, w FROM wed
+    ),
+    s0 AS (
+        SELECT [CAST(0 AS BIGINT)] AS intree,
+               CAST([] AS STRUCT(u BIGINT, v BIGINT, w BIGINT)[]) AS mst
+    )"""
+    steps = "".join(
+        f""",
+    s{i} AS (
+        SELECT list_append(s.intree, e.v) AS intree,
+               list_append(s.mst,
+                   {{'u': least(e.u, e.v), 'v': greatest(e.u, e.v),
+                     'w': e.w}}) AS mst
+        FROM s{i - 1} s, LATERAL (
+            SELECT d.u, d.v, d.w FROM und d
+            WHERE list_contains(s.intree, d.u)
+              AND NOT list_contains(s.intree, d.v)
+            ORDER BY d.w LIMIT 1) e
+    )"""
+        for i in range(1, _MST_N)
+    )
+    return (
+        "WITH "
+        + edges
+        + steps
+        + f"""
+    SELECT e.u AS u, e.v AS v, cast(e.w AS BIGINT) AS w
+    FROM (SELECT unnest(mst) AS e FROM s{_MST_N - 1})
+    ORDER BY w, u, v
+    """
+    )
+
+
+@query("graph_mst_boruvka", _mst_oracle_sql())
+def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning tree by BORŮVKA (operators/graph.py:
+    boruvka_mst) — the log-round distributed MST: every round each
+    component picks its minimum outgoing edge in ONE grouped min,
+    picked edges merge components through the pointer-jumping
+    contraction, components at least halve per round. The fixture is a
+    60-node ring + two chord families with md5-derived DISTINCT edge
+    weights (distinctness gated in-query — it is what makes the MST
+    unique and the struct-min pick total); a second gate RAISES if the
+    run needed more than ⌈log2 N⌉ + 1 rounds (the halving argument is
+    the algorithm's entire scale claim). The oracle builds the SAME
+    weighted graph and runs sequential PRIM unrolled over 59
+    single-reference CTE steps — a greedy-invariant derivation sharing
+    nothing with the per-component formulation; distinct weights force
+    both to the unique MST, edge for edge.
+
+    Scale shape: per round two node-keyed label joins + one grouped
+    min + an O(log) pointer-jump contraction over the component map —
+    rounds logarithmic in |V| where Prim/Kruskal are |V|-sequential;
+    this is why Borůvka (not Prim) is the 100 TB MST."""
+    import math
+
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        boruvka_mst,
+    )
+
+    ids = spark.range(_MST_N).select(F.col("id").alias("i"))
+    base = (
+        ids.select("i", ((F.col("i") + 1) % _MST_N).alias("b"))
+        .unionAll(ids.select("i", ((F.col("i") * 7 + 3) % _MST_N).alias("b")))
+        .unionAll(ids.select("i", ((F.col("i") * 13 + 5) % _MST_N).alias("b")))
+        .filter(F.col("i") != F.col("b"))
+    )
+    ed = base.select(
+        F.least("i", "b").alias("u"), F.greatest("i", "b").alias("v")
+    ).distinct()
+    wed = ed.select(
+        "u",
+        "v",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("mst:"),
+                            F.col("u").cast("string"),
+                            F.lit(":"),
+                            F.col("v").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).alias("w"),
+    )
+    stats = wed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("w").alias("nw"),
+    ).collect()[0]
+    if stats.n != stats.nw:
+        raise AssertionError(
+            "fixture drift: edge weights collide — the MST is not unique"
+        )
+    mst, rounds = boruvka_mst(wed)
+    bound = math.ceil(math.log2(_MST_N)) + 1
+    if rounds > bound:
+        raise AssertionError(
+            f"Borůvka used {rounds} rounds > ⌈log2 {_MST_N}⌉+1 = {bound} — "
+            "component halving broke"
+        )
+    n_mst = mst.count()
+    if n_mst != _MST_N - 1:
+        raise AssertionError(
+            f"MST has {n_mst} edges, expected {_MST_N - 1} (connected ring)"
+        )
+    return mst.select(
+        "u", "v", F.col("w").cast("bigint").alias("w")
+    ).orderBy("w", "u", "v")

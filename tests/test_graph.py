@@ -731,3 +731,51 @@ def test_pointer_jump_roots_rejects_dangling_parent(spark):
     )
     with pytest.raises(ValueError, match="dangling"):
         pointer_jump_roots(df)
+
+
+def test_boruvka_mst_matches_prim_and_handles_forest(spark):
+    """Borůvka equals a local Prim on a weighted graph with distinct
+    weights, and on a DISCONNECTED graph yields the minimum spanning
+    FOREST (one tree per component) in logarithmic rounds."""
+    import heapq
+
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        boruvka_mst,
+    )
+
+    E = [
+        (0, 1, 7), (0, 3, 5), (1, 2, 8), (1, 3, 9), (1, 4, 70),
+        (2, 4, 50), (3, 4, 15), (3, 5, 6), (4, 5, 80), (4, 6, 90),
+        (5, 6, 11),
+        # second component
+        (10, 11, 3), (11, 12, 1), (10, 12, 2),
+    ]
+    df = spark.createDataFrame(E, "u long, v long, w long")
+    mst, rounds = boruvka_mst(df)
+    got = sorted((r.u, r.v, r.w) for r in mst.collect())
+
+    def prim(nodes, edges):
+        adj = {}
+        for u, v, w in edges:
+            adj.setdefault(u, []).append((w, v))
+            adj.setdefault(v, []).append((w, u))
+        out, seen = [], set()
+        for start in nodes:
+            if start in seen or start not in adj:
+                continue
+            seen.add(start)
+            h = [(w, start, v) for w, v in adj[start]]
+            heapq.heapify(h)
+            while h:
+                w, u, v = heapq.heappop(h)
+                if v in seen:
+                    continue
+                seen.add(v)
+                out.append((min(u, v), max(u, v), w))
+                for w2, x in adj[v]:
+                    if x not in seen:
+                        heapq.heappush(h, (w2, v, x))
+        return sorted(out)
+
+    assert got == prim(range(13), E)
+    assert rounds <= 5  # ceil(log2(7)) + margin; never node-sequential
