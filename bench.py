@@ -518,7 +518,15 @@ def main() -> None:
             "warm solo (vs 0.33-2.0 r11) on a 14.4-effective-core host "
             "— host-share swing, code untouched; graph_betweenness_"
             "source ~7s solo is per-layer scheduling latency on the "
-            "busier host (layered BFS is driver-latency-bound)."
+            "busier host (layered BFS is driver-latency-bound). "
+            "r12 close: Brandes family re-benched 5.0-6.0s after the "
+            "take(1)-probe + batched-checkpoint cut (was 5.8-8.5); the "
+            "2-3x swings on untouched sub-5s entries between SAME-DAY "
+            "runs (a_mutual_information_terms 0.43->1.42, a_gini "
+            "0.96->2.84, back-verified solo) are host jitter — "
+            "graph_shortest_path_counts re-times 2.2-2.7s solo vs its "
+            "4.9s in-suite sample; fleet median vs the early-r12 "
+            "snapshot is 1.004."
         ),
     }
     # The driver keeps only a bounded TAIL of stdout (~2000 chars), which
