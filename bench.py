@@ -251,6 +251,7 @@ HEADLINE = [
     "scd4_current_history_pair",
     "text_isotonic_calibration",
     "graph_mst_boruvka",
+    "a_logistic_irls_glm",
     "text_kneser_ney_bigram",
     "a_market_basket_rules",
     "dq_cramers_v",

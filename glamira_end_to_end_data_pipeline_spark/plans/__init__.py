@@ -736,7 +736,7 @@ def _last_graded(name: str) -> int:
 # so every code-touched entry of this round is included) fold into the
 # fresh block — 18 rotate-first + 32 fresh = exactly the 50-slot window.
 # The remaining 14 spill to _DEFER_FRESH_R13 below, together with the
-# six entries newly added during round 12 (20 deferred total); all
+# seven entries newly added during round 12 (21 deferred total); all
 # were bare-oracle-green at sf0.01 this round.
 #
 # ROUND-13 WINDOW PLAN: grade (1) entries whose code moves in r13,
@@ -768,6 +768,7 @@ _DEFER_FRESH_R13 = (
     "scd4_current_history_pair",
     "text_isotonic_calibration",
     "graph_mst_boruvka",
+    "a_logistic_irls_glm",
 )
 
 

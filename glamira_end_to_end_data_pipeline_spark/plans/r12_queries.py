@@ -3867,3 +3867,200 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mst.select(
         "u", "v", F.col("w").cast("bigint").alias("w")
     ).orderBy("w", "u", "v")
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression by IRLS/Newton sufficient statistics
+# ---------------------------------------------------------------------------
+
+_GLM_ITERS = 3
+
+
+def _glm_oracle_sql() -> str:
+    """Three unrolled Newton iterations; each CTE block computes the
+    3x3 Hessian / gradient sufficient statistics (rounded to 4dp — the
+    cross-engine pin: double-sum order noise is ~1e-9 absolute, five
+    orders below the rounding grid) and solves the symmetric system by
+    Cramer's rule written with the IDENTICAL expression tree the Spark
+    side uses, so given equal rounded aggregates every downstream
+    double op is bit-identical."""
+    base = """
+    d AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS y,
+               c_acctbal / 10000.0 AS x1,
+               (c_custkey % 97) / 97.0 AS x2
+        FROM customer
+    ),
+    it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    block = """,
+    p{k} AS (
+        SELECT d.y, d.x1, d.x2,
+               1.0 / (1.0 + exp(-(w.w0 + w.w1 * d.x1 + w.w2 * d.x2))) AS p
+        FROM d, it{j} w
+    ),
+    a{k} AS (
+        SELECT round(sum(p * (1.0 - p)), 4) AS h00,
+               round(sum(p * (1.0 - p) * x1), 4) AS h01,
+               round(sum(p * (1.0 - p) * x2), 4) AS h02,
+               round(sum(p * (1.0 - p) * x1 * x1), 4) AS h11,
+               round(sum(p * (1.0 - p) * x1 * x2), 4) AS h12,
+               round(sum(p * (1.0 - p) * x2 * x2), 4) AS h22,
+               round(sum(y - p), 4) AS g0,
+               round(sum((y - p) * x1), 4) AS g1,
+               round(sum((y - p) * x2), 4) AS g2
+        FROM p{k}
+    ),
+    it{k} AS (
+        SELECT round(w.w0 + (g0 * (h11 * h22 - h12 * h12)
+                     - h01 * (g1 * h22 - h12 * g2)
+                     + h02 * (g1 * h12 - h11 * g2))
+                   / (h00 * (h11 * h22 - h12 * h12)
+                     - h01 * (h01 * h22 - h12 * h02)
+                     + h02 * (h01 * h12 - h11 * h02)), 6) AS w0,
+               round(w.w1 + (h00 * (g1 * h22 - g2 * h12)
+                     - g0 * (h01 * h22 - h12 * h02)
+                     + h02 * (h01 * g2 - g1 * h02))
+                   / (h00 * (h11 * h22 - h12 * h12)
+                     - h01 * (h01 * h22 - h12 * h02)
+                     + h02 * (h01 * h12 - h11 * h02)), 6) AS w1,
+               round(w.w2 + (h00 * (h11 * g2 - h12 * g1)
+                     - h01 * (h01 * g2 - g1 * h02)
+                     + g0 * (h01 * h12 - h11 * h02))
+                   / (h00 * (h11 * h22 - h12 * h12)
+                     - h01 * (h01 * h22 - h12 * h02)
+                     + h02 * (h01 * h12 - h11 * h02)), 6) AS w2
+        FROM a{k}, it{j} w
+    )"""
+    blocks = "".join(
+        block.format(k=k, j=k - 1) for k in range(1, _GLM_ITERS + 1)
+    )
+    return (
+        "WITH"
+        + base
+        + blocks
+        + f"""
+    SELECT t.term AS term, t.coef AS coef
+    FROM (
+        SELECT 'intercept' AS term, w0 AS coef FROM it{_GLM_ITERS}
+        UNION ALL SELECT 'x1_acctbal', w1 FROM it{_GLM_ITERS}
+        UNION ALL SELECT 'x2_keyfrac', w2 FROM it{_GLM_ITERS}
+    ) t
+    ORDER BY term
+    """
+    )
+
+
+@query("a_logistic_irls_glm", _glm_oracle_sql())
+def a_logistic_irls_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LOGISTIC REGRESSION by IRLS/Newton over SUFFICIENT
+    STATISTICS — the classifier-training shape that actually runs at
+    100 TB (and the GLM sibling of ``a_ols_sufficient_stats``): each
+    Newton iteration is ONE partial-aggregated pass computing the nine
+    sufficient statistics of the weighted normal equations (the
+    symmetric 3x3 Hessian X'SX and gradient X'(y−p)); the solve is
+    3x3 Cramer over that one-row aggregate — model state never exceeds
+    p² driver metadata, the data is never iterated row-wise, and
+    adding executors scales each pass linearly. Three iterations are
+    unrolled with the weight row carried as a one-row broadcast
+    (never a driver float — both engines do ALL math in their SQL
+    expression trees, written token-for-token identically).
+
+    Cross-engine determinism pins: the aggregates are rounded to 4dp
+    before the solve (sum-order noise ~1e-9 absolute vs the 5e-5
+    rounding grid) and the weights to 6dp between iterations, so the
+    trajectory is a pure function of the rounded statistics; libm exp
+    differences (~1 ulp/row) vanish into the same grid. An in-query
+    gate RAISES on a singular system."""
+    d = read_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+        (F.col("c_acctbal") / 10000.0).alias("x1"),
+        ((F.col("c_custkey") % 97) / 97.0).alias("x2"),
+    )
+    w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
+    for _ in range(_GLM_ITERS):
+        p = d.crossJoin(F.broadcast(w)).select(
+            "y",
+            "x1",
+            "x2",
+            (
+                1.0
+                / (
+                    1.0
+                    + F.exp(
+                        -(
+                            F.col("w0")
+                            + F.col("w1") * F.col("x1")
+                            + F.col("w2") * F.col("x2")
+                        )
+                    )
+                )
+            ).alias("p"),
+        )
+        s = F.col("p") * (1.0 - F.col("p"))
+        a = p.agg(
+            F.round(F.sum(s), 4).alias("h00"),
+            F.round(F.sum(s * F.col("x1")), 4).alias("h01"),
+            F.round(F.sum(s * F.col("x2")), 4).alias("h02"),
+            F.round(F.sum(s * F.col("x1") * F.col("x1")), 4).alias("h11"),
+            F.round(F.sum(s * F.col("x1") * F.col("x2")), 4).alias("h12"),
+            F.round(F.sum(s * F.col("x2") * F.col("x2")), 4).alias("h22"),
+            F.round(F.sum(F.col("y") - F.col("p")), 4).alias("g0"),
+            F.round(
+                F.sum((F.col("y") - F.col("p")) * F.col("x1")), 4
+            ).alias("g1"),
+            F.round(
+                F.sum((F.col("y") - F.col("p")) * F.col("x2")), 4
+            ).alias("g2"),
+        )
+        det = (
+            "(h00 * (h11 * h22 - h12 * h12)"
+            " - h01 * (h01 * h22 - h12 * h02)"
+            " + h02 * (h01 * h12 - h11 * h02))"
+        )
+        sing = a.select(F.expr(f"{det} = 0").alias("z")).collect()[0].z
+        if sing:
+            raise AssertionError("singular IRLS system — fixture drift")
+        w = a.crossJoin(F.broadcast(w)).select(
+            F.expr(
+                "round(w0 + (g0 * (h11 * h22 - h12 * h12)"
+                " - h01 * (g1 * h22 - h12 * g2)"
+                " + h02 * (g1 * h12 - h11 * g2))"
+                f" / {det}, 6)"
+            ).alias("w0"),
+            F.expr(
+                "round(w1 + (h00 * (g1 * h22 - g2 * h12)"
+                " - g0 * (h01 * h22 - h12 * h02)"
+                " + h02 * (h01 * g2 - g1 * h02))"
+                f" / {det}, 6)"
+            ).alias("w1"),
+            F.expr(
+                "round(w2 + (h00 * (h11 * g2 - h12 * g1)"
+                " - h01 * (h01 * g2 - g1 * h02)"
+                " + g0 * (h01 * h12 - h11 * h02))"
+                f" / {det}, 6)"
+            ).alias("w2"),
+        )
+    return (
+        w.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("intercept").alias("term"),
+                        F.col("w0").alias("coef"),
+                    ),
+                    F.struct(
+                        F.lit("x1_acctbal").alias("term"),
+                        F.col("w1").alias("coef"),
+                    ),
+                    F.struct(
+                        F.lit("x2_keyfrac").alias("term"),
+                        F.col("w2").alias("coef"),
+                    ),
+                )
+            ).alias("t")
+        )
+        .select("t.term", "t.coef")
+        .orderBy("term")
+    )

@@ -131,6 +131,7 @@ ALLOWED_BROADCAST_ROOTS: dict[str, set[str]] = {
         "m_rank",        # top-10 rows
         "top10",         # 10 rows
         "b",             # one-row Welch group stats
+        "w",             # IRLS one-row weight state
         "jx",            # isotonic j-side: <= 20 score-bucket rows
         "kx",            # isotonic k-side: <= 20 score-bucket rows
     },

@@ -179,6 +179,10 @@ BNLJ_OK = {
     # MI: the ONE-ROW population total broadcast onto the bounded
     # |X|·|Y| contingency-cell table (q11/q15 scalar pattern).
     "a_mutual_information_terms",
+    # IRLS: the ONE-ROW weight state cross-joins onto the scan each
+    # Newton pass (the q11/q15 scalar pattern), and the one-row solve
+    # cross-joins the one-row aggregate — never data x data.
+    "a_logistic_irls_glm",
     # isotonic minimax: the two inequality joins enumerate (i, j, k)
     # triples over the ≤20-row score-bucket ROLLUP (O(|buckets|^3)
     # bounded metadata); the raw document scan reduced to that rollup
