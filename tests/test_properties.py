@@ -1488,3 +1488,66 @@ def test_deletion_vectors_match_reference_model(spark, tmp_path_factory, ops):
         (r.k, r.val) for r in posdelete.read_mor_dv(spark, path).collect()
     )
     assert got == sorted(live)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_boruvka_mst_matches_kruskal_model(spark, edges_raw):
+    """Borůvka equals an in-memory union-find KRUSKAL on ANY random
+    graph shape (self-loops dropped, parallel edges collapsed,
+    disconnected inputs allowed — both produce the minimum spanning
+    FOREST): with md5-derived distinct weights the MSF is unique, so
+    the two greedy orders must pick the identical edge set."""
+    import hashlib
+
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        boruvka_mst,
+    )
+
+    canon = sorted(
+        {(min(u, v), max(u, v)) for u, v in edges_raw if u != v}
+    )
+    if not canon:
+        return
+    weighted = []
+    seen_w = set()
+    for u, v in canon:
+        w = (
+            int(hashlib.md5(f"prop:{u}:{v}".encode()).hexdigest()[:15], 16)
+            % 100000
+        )
+        assert w not in seen_w, "md5 weight collision in property fixture"
+        seen_w.add(w)
+        weighted.append((u, v, w))
+
+    # model: Kruskal with union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    expected = []
+    for u, v, w in sorted(weighted, key=lambda t: t[2]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            expected.append((u, v, w))
+
+    df = spark.createDataFrame(weighted, "u long, v long, w long")
+    mst, rounds = boruvka_mst(df)
+    got = sorted((r.u, r.v, r.w) for r in mst.collect())
+    assert got == sorted(expected)
+    assert rounds <= 5  # ceil(log2(15)) + margin
