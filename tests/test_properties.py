@@ -1551,3 +1551,92 @@ def test_boruvka_mst_matches_kruskal_model(spark, edges_raw):
     got = sorted((r.u, r.v, r.w) for r in mst.collect())
     assert got == sorted(expected)
     assert rounds <= 5  # ceil(log2(15)) + margin
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),   # bucket count n_i
+            st.integers(min_value=0, max_value=9),   # positives s_i <= n_i later
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_isotonic_minimax_matches_pava_model(spark, buckets):
+    """The registry's minimax isotonic construction (prefix sums + two
+    bounded inequality joins + min_by/max_by) equals the sequential
+    pool-adjacent-violators reference on ANY bucket profile — the
+    equivalence the entry's derivation rests on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    data = [(i, n, min(s, n)) for i, (n, s) in enumerate(buckets)]
+
+    # reference: classic PAVA stack over (weight, sum)
+    stack = []
+    for _, n, s in data:
+        stack.append([n, s])
+        while len(stack) > 1 and (
+            stack[-2][1] * stack[-1][0] > stack[-1][1] * stack[-2][0]
+        ):
+            b = stack.pop()
+            stack[-1][0] += b[0]
+            stack[-1][1] += b[1]
+    # expand block means back to per-bucket values (half-up integer ppm)
+    expected = []
+    idx = 0
+    remaining = data[:]
+    for n_blk, s_blk in stack:
+        ppm = (2_000_000 * s_blk + n_blk) // (2 * n_blk)
+        acc = 0
+        while acc < n_blk:
+            acc += remaining[idx][1]
+            expected.append(ppm)
+            idx += 1
+
+    g = spark.createDataFrame(data, "b long, n long, s long")
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    p = g.select(
+        "b", "n", "s",
+        F.sum("n").over(w).alias("ni"), F.sum("s").over(w).alias("si"),
+    )
+    jx = p.select(
+        F.col("b").alias("j"),
+        (F.col("ni") - F.col("n")).alias("nxj"),
+        (F.col("si") - F.col("s")).alias("sxj"),
+    )
+    kx = p.select(
+        F.col("b").alias("k"), F.col("ni").alias("nk"), F.col("si").alias("sk")
+    )
+    t = (
+        p.select(F.col("b").alias("i"))
+        .join(F.broadcast(jx), F.col("j") <= F.col("i"))
+        .join(F.broadcast(kx), F.col("k") >= F.col("i"))
+        .select(
+            "i", "j",
+            (F.col("sk") - F.col("sxj")).alias("num"),
+            (F.col("nk") - F.col("nxj")).alias("den"),
+            ((F.col("sk") - F.col("sxj")) / (F.col("nk") - F.col("nxj"))).alias("frac"),
+        )
+    )
+    m1 = t.groupBy("i", "j").agg(
+        F.min("frac").alias("fmin"),
+        F.min_by("num", "frac").alias("mnum"),
+        F.min_by("den", "frac").alias("mden"),
+    )
+    m2 = m1.groupBy("i").agg(
+        F.max_by("mnum", "fmin").alias("wnum"),
+        F.max_by("mden", "fmin").alias("wden"),
+    )
+    got = [
+        r.ppm
+        for r in m2.select(
+            "i",
+            F.expr("CAST((2000000 * wnum + wden) DIV (2 * wden) AS BIGINT)").alias("ppm"),
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == expected
