@@ -283,6 +283,20 @@ def scd4_apply(
     contract); the swap shape is identical."""
     from glamira_end_to_end_data_pipeline_spark.sources.lake import _hadoop_fs
 
+    fs, live = _hadoop_fs(spark, current_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    old = jvm_path(current_path.rstrip("/") + ".old")
+    # Recovery from a prior failed swap: ``.old`` present WITHOUT a
+    # live current dir means we crashed between the two renames — the
+    # backup IS the current table; restore it before reading. (A
+    # leftover ``.old`` alongside a live dir is just an uncleaned
+    # backup from a completed swap — drop it.)
+    if fs.exists(old):
+        if fs.exists(live):
+            fs.delete(old, True)
+        elif not fs.rename(old, live):
+            raise IOError(f"could not restore {old} -> {current_path}")
+
     cur = spark.read.parquet(current_path)
     ch = changes.select(
         F.col(key_col),
@@ -314,12 +328,26 @@ def scd4_apply(
     tmp = current_path.rstrip("/") + ".tmp"
     nxt.write.mode("overwrite").parquet(tmp)
     n_cur = spark.read.parquet(tmp).count()
-    fs, live = _hadoop_fs(spark, current_path)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    old = jvm_path(current_path.rstrip("/") + ".old")
-    if fs.exists(old):
-        fs.delete(old, True)
-    fs.rename(live, old)
-    fs.rename(jvm_path(tmp), live)
+    # Hadoop FileSystem.rename signals failure by RETURNING FALSE, not
+    # by raising — an unchecked rename here would report success counts
+    # while leaving the current/history pair silently inconsistent
+    # (history was already appended above). Check both; on a failed
+    # second rename roll the backup straight back so a live current
+    # directory always exists.
+    if not fs.rename(live, old):
+        raise IOError(
+            f"could not stage {current_path} -> {old}; history already "
+            f"appended {n_hist} rows — current table left untouched"
+        )
+    if not fs.rename(jvm_path(tmp), live):
+        if not fs.rename(old, live):
+            raise IOError(
+                f"could not swap in {tmp} AND could not restore {old} -> "
+                f"{current_path}; restore {old} manually"
+            )
+        raise IOError(
+            f"could not swap {tmp} -> {current_path}; previous current "
+            f"table restored (history already appended {n_hist} rows)"
+        )
     fs.delete(old, True)
     return n_hist, n_cur

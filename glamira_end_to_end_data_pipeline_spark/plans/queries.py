@@ -432,7 +432,11 @@ def j1_j5_star_join_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 + J5 + F4 — left equi-join to a dim with md5 surrogate keys and
     '-1' defaults for unmatched FKs (``fact_sales_order.sql:34-58``). The
     dim is deliberately filtered (c_custkey % 3 = 0 removed) so the
-    unmatched path is exercised. Dim side is broadcast."""
+    unmatched path is exercised. The dim is customer-derived and thus
+    SF-PROPORTIONAL — it carries NO broadcast hint: statistics/AQE pick
+    broadcast at small SF and degrade to shuffle join at the 100 TB
+    target instead of OOMing the driver (the static audit in
+    tests/test_broadcast_audit.py fences this per enclosing function)."""
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0)
     dim = cust.select(
@@ -442,7 +446,7 @@ def j1_j5_star_join_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     return orders.join(
-        F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left"
+        dim, orders.o_custkey == dim.c_custkey, "left"
     ).select(
         "o_orderkey",
         F.coalesce(F.col("customer_key"), F.lit("-1")).alias("customer_key"),

@@ -94,7 +94,20 @@ def read_mor(
     data scan against the tombstone set on (file, pos). No sequence
     rule: a tombstone names a physical file, so rows appended AFTER the
     delete (new files) survive by construction even when they match the
-    original delete predicate."""
+    original delete predicate.
+
+    DELETION-VECTOR AWARENESS: once :func:`compact_to_deletion_vectors`
+    has folded ``deletes/`` into ``dv/``, the tombstones live ONLY in
+    the vectors — a read that applied just the residual ``deletes/``
+    directory would silently resurrect every compacted delete. So when
+    ``dv/`` exists this delegates to :func:`read_mor_dv` (which applies
+    vectors AND residuals); the anti-join-only path below runs only on
+    never-compacted tables, where it is exactly equivalent."""
+    from .lake import _hadoop_fs as _fs_dv
+
+    fs_v, vpath = _fs_dv(spark, f"{path}/{_DV}")
+    if fs_v.exists(vpath):
+        return read_mor_dv(spark, path, _internal=_internal)
     d = _data_with_identity(spark, path)
     # The tombstone directory legitimately does not exist before the
     # first positional delete — but ONLY that case may be skipped. A
@@ -157,12 +170,27 @@ def compact_to_deletion_vectors(spark: SparkSession, path: str) -> int:
     value) structs = the dense words of a roaring-style container), so
     the read-side membership probe is an O(1) ``element_at`` + bit test
     per row — never a per-row scan of an ordinal list. Merges any
-    EXISTING vectors with the un-compacted delete files, overwrites
-    ``dv/``, then drops the folded ``deletes/`` directory. Crash-safety
-    is by idempotence, not ordering: if the process dies after the dv/
-    write but before the deletes/ cleanup, the same tombstone is
-    present in both — and tombstone application is a set union, so the
-    double entry is harmless and the next compaction folds it away.
+    EXISTING vectors with the un-compacted delete files, writes the
+    merged vectors to a SIBLING ``dv__compacting`` directory and swaps
+    it in with filesystem renames (the copy-on-write discipline
+    ``lake.compact_table``/``scd4_apply`` use), then drops the folded
+    ``deletes/`` directory. Two distinct crash windows are covered:
+
+    * the dv/-replacement window — an in-place ``mode("overwrite")`` of
+      ``dv/`` would delete the old files before the new write commits
+      WHILE the merge plan is still reading them (a shuffle-free
+      self-overwrite fails with FAILED_READ_FILE on this build; with
+      AQE it merely races), and a crash mid-write would lose every
+      previously-compacted tombstone whose ``deletes/`` copies were
+      already dropped by the PRIOR compaction — silently resurrecting
+      deleted rows. The tmp-write + rename swap closes it: the old
+      ``dv/`` is renamed aside (``dv__precompact``) only after the new
+      vectors are fully committed, and restored on entry if a crash
+      left it orphaned.
+    * the deletes/-cleanup window — dying after the swap but before the
+      ``deletes/`` drop leaves the same tombstone in both; tombstone
+      application is a set union, so the double entry is harmless and
+      the next compaction folds it away (idempotence).
 
     Returns the number of deletion vectors (files with tombstones).
 
@@ -173,6 +201,19 @@ def compact_to_deletion_vectors(spark: SparkSession, path: str) -> int:
 
     fs, dpath = _hadoop_fs(spark, f"{path}/{_DELETES}")
     fs_v, vpath = _hadoop_fs(spark, f"{path}/{_DV}")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = jvm_path(f"{path}/{_DV}__compacting")
+    backup = jvm_path(f"{path}/{_DV}__precompact")
+    # Recovery from a prior failed swap: backup present without live
+    # dv/ means we crashed between the two renames — the backup IS the
+    # committed vector set. A leftover tmp is always incomplete.
+    if fs_v.exists(backup):
+        if fs_v.exists(vpath):
+            fs_v.delete(backup, True)
+        elif not fs_v.rename(backup, vpath):
+            raise IOError(f"could not restore {backup} -> {path}/{_DV}")
+    if fs_v.exists(tmp):
+        fs_v.delete(tmp, True)
     srcs = []
     if fs.exists(dpath):
         srcs.append(spark.read.parquet(f"{path}/{_DELETES}"))
@@ -206,7 +247,16 @@ def compact_to_deletion_vectors(spark: SparkSession, path: str) -> int:
         F.sum("__n").cast("long").alias("__cardinality"),
     )
     n = dv.count()
-    dv.write.mode("overwrite").parquet(f"{path}/{_DV}")
+    dv.write.mode("overwrite").parquet(tmp.toString())
+    if fs_v.exists(vpath):
+        if not fs_v.rename(vpath, backup):
+            raise IOError(f"could not stage {path}/{_DV} -> {backup}")
+    if not fs_v.rename(tmp, vpath):
+        if fs_v.exists(backup):
+            fs_v.rename(backup, vpath)  # roll back; vectors never lost
+        raise IOError(f"could not swap {tmp} -> {path}/{_DV}")
+    if fs_v.exists(backup):
+        fs_v.delete(backup, True)
     if fs.exists(dpath):
         fs.delete(dpath, True)
     return n

@@ -145,3 +145,78 @@ def test_deletion_vector_double_entry_idempotent(spark, tmp_path):
     assert sorted(
         r.k for r in posdelete.read_mor_dv(spark, path).collect()
     ) == list(range(3, 10))
+
+
+def test_read_mor_is_dv_aware_after_compaction(spark, tmp_path):
+    """The PUBLIC read_mor must not resurrect compacted tombstones:
+    after compact_to_deletion_vectors removes deletes/, the tombstones
+    live only in dv/ — read_mor delegates to the DV-aware read when
+    dv/ exists (ADVICE r12), so both public reads agree at every stage
+    of the lifecycle."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path / "dvpub")
+    df = spark.createDataFrame(
+        [(i, i % 2, i) for i in range(12)], "k long, grp long, ord long"
+    )
+    posdelete.write_data(spark, df, path, "grp", "ord")
+    assert posdelete.position_delete(spark, path, F.col("k") < 4) == 4
+    posdelete.compact_to_deletion_vectors(spark, path)
+    # deletes/ is gone; the anti-join-only read would return ALL rows
+    assert sorted(r.k for r in posdelete.read_mor(spark, path).collect()) == list(
+        range(4, 12)
+    )
+    # residual tombstones after compaction: read_mor applies BOTH
+    assert posdelete.position_delete(spark, path, F.col("k") >= 10) == 2
+    assert sorted(r.k for r in posdelete.read_mor(spark, path).collect()) == list(
+        range(4, 10)
+    )
+
+
+def test_compaction_swap_is_crash_recoverable(spark, tmp_path):
+    """The dv/-replacement window: compaction writes the merged vectors
+    to dv__compacting and swaps via rename. Simulate the two crash
+    states (backup present without live dv/; stale tmp) and check the
+    next compaction recovers the committed vectors instead of silently
+    resurrecting deleted rows."""
+    import os
+    import shutil
+
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path / "dvswap")
+    df = spark.createDataFrame(
+        [(i, 0, i) for i in range(10)], "k long, grp long, ord long"
+    )
+    posdelete.write_data(spark, df, path, "grp", "ord")
+    posdelete.position_delete(spark, path, F.col("k") < 3)
+    posdelete.compact_to_deletion_vectors(spark, path)
+    # crash state A: renamed live dv/ aside, died before tmp -> live
+    shutil.move(f"{path}/dv", f"{path}/dv__precompact")
+    os.makedirs(f"{path}/dv__compacting")  # stale incomplete tmp too
+    # a fresh tombstone arrives, then compaction runs: it must restore
+    # the backup, fold the new tombstone in, and lose NOTHING
+    posdelete.position_delete(spark, path, F.col("k") == 9)
+    posdelete.compact_to_deletion_vectors(spark, path)
+    assert not os.path.isdir(f"{path}/dv__precompact")
+    assert not os.path.isdir(f"{path}/dv__compacting")
+    assert sorted(r.k for r in posdelete.read_mor(spark, path).collect()) == [
+        3,
+        4,
+        5,
+        6,
+        7,
+        8,
+    ]
+    # crash state B: backup alongside a committed live dv/ -> dropped
+    shutil.copytree(f"{path}/dv", f"{path}/dv__precompact")
+    posdelete.compact_to_deletion_vectors(spark, path)
+    assert not os.path.isdir(f"{path}/dv__precompact")
+    assert sorted(r.k for r in posdelete.read_mor(spark, path).collect()) == [
+        3,
+        4,
+        5,
+        6,
+        7,
+        8,
+    ]

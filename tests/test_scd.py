@@ -297,3 +297,31 @@ def test_scd4_apply_pair_semantics(spark, tmp_path):
     hist = spark.read.parquet(hist_path).collect()
     assert len(hist) == 1 and hist[0].k == 1 and hist[0].seg == "a"
     assert str(hist[0].superseded_at).startswith("2020-01-01")
+
+
+def test_scd4_apply_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between scd4_apply's two renames leaves `.old` holding
+    the current table and no live directory; the next apply must
+    restore it before reading (ADVICE r12: Hadoop rename fails by
+    returning false — the swap is now checked and recoverable)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import scd4_apply
+
+    cur_path = str(tmp_path / "cur4r")
+    hist_path = str(tmp_path / "hist4r")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, seg string"
+    ).write.parquet(cur_path)
+    # simulate the mid-swap crash: live renamed to .old, tmp never
+    # landed (and a stale .tmp from the dead writer is still around)
+    shutil.move(cur_path, cur_path + ".old")
+    ch = spark.createDataFrame(
+        [(1, "x", "2021-06-01")], "k long, seg string, effective_ts string"
+    ).withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+    n_hist, n_cur = scd4_apply(spark, cur_path, hist_path, ch, "k", "seg")
+    assert (n_hist, n_cur) == (1, 2)
+    cur = {r.k: r.seg for r in spark.read.parquet(cur_path).collect()}
+    assert cur == {1: "x", 2: "b"}
