@@ -710,11 +710,44 @@ _R8_GREEN = frozenset(
 )
 
 
+# Driver-green in CORRECTNESS_r12.json (round-12 window, 50/50 green:
+# the 16 TPC-H hint-removal re-grades + w_theil_sen_trend +
+# j_bloom_prefilter_join rotate-first, then the 32-entry fresh fold).
+_R12_GREEN = frozenset(
+    {
+        "q2_min_cost_supplier", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q7_volume_shipping",
+        "q8_market_share", "q9_product_profit", "q10_returned_items",
+        "q11_important_parts", "q14_promo_effect", "q15_top_supplier",
+        "q16_supplier_part_counts", "q17_small_quantity_revenue",
+        "q18_large_volume_customers", "q19_disjunctive_revenue",
+        "q20_excess_shippers", "q21_waiting_suppliers",
+        "w_theil_sen_trend", "j_bloom_prefilter_join",
+        "w_seasonal_decompose", "w_autocorrelation", "graph_hits_scores",
+        "a_ols_sufficient_stats", "lake_rewrite_manifests",
+        "a_weighted_quantiles_exact", "stream_delta_join_view",
+        "graph_closeness_landmarks", "dq_l_diversity",
+        "graph_shortest_path_counts", "scd2_type6_hybrid",
+        "a_gini_index_exact", "a_mutual_information_terms",
+        "lake_conditional_commit", "dq_mann_whitney_u", "a_spearman_corr",
+        "dq_t_closeness", "dq_bh_fdr_proportions",
+        "a_trimmed_winsorized_mean", "sample_consistent_hash_keys",
+        "a_event_sequence_match", "w_lagged_cross_correlation",
+        "lake_position_deletes", "graph_betweenness_source",
+        "lake_bucket_partition_prune", "stream_outer_join_unconverted",
+        "lake_merge_multi_clause", "graph_betweenness_batched",
+        "a_ratio_metric_delta_ci", "graph_pointer_jump_roots",
+        "lake_check_constraint_commit", "a_beta_binomial_shrinkage",
+    }
+)
+
+
 def _last_graded(name: str) -> int:
     """Latest round whose driver window graded ``name`` green (0 =
     never graded — fresh this round). Later rounds win: r5 re-graded
     19 entries first greened in r2/r3."""
     for rnd, green in (
+        (12, _R12_GREEN),
         (11, _R11_GREEN),
         (10, _R10_GREEN),
         (9, _R9_GREEN),
@@ -772,13 +805,35 @@ _DEFER_FRESH_R13 = (
 )
 
 
+# Round-13 front-loads: entries whose IMPLEMENTATION moved in round 13,
+# re-graded the round their code moves. j1_j5_star_join_defaults: the
+# last SF-proportional broadcast hint removed (the r12 verdict's single
+# weak — AQE/statistics now pick the join); lake_position_deletes +
+# lake_deletion_vectors: compact_to_deletion_vectors switched to the
+# tmp-write + checked-rename swap and read_mor became DV-aware (ADVICE
+# r12); scd4_current_history_pair: scd4_apply's swap renames are now
+# checked with entry-time .old recovery (ADVICE r12).
+_ROTATE_FIRST_R13 = (
+    "j1_j5_star_join_defaults",
+    "lake_position_deletes",
+    "lake_deletion_vectors",
+    "scd4_current_history_pair",
+)
+
+
 def _window_order() -> list[str]:
+    """Round-13 order, per the written plan above: (1) code-moved
+    entries, (2) the never-driver-graded _DEFER_FRESH_R13 debt (oldest
+    first — these are the only registry entries with zero driver
+    grades), (3) fresh round-13 entries, (4) the staleness drain
+    (last-graded round ascending — the r6 cohort leads). Whatever the
+    50-slot window cannot fit of (4) spills to round 14's drain."""
     registered = list(QUERIES)
-    front = [n for n in _ROTATE_FIRST_R12 if n in QUERIES]
+    front = [n for n in _ROTATE_FIRST_R13 if n in QUERIES]
     defer = [
         n
         for n in _DEFER_FRESH_R13
-        if n in QUERIES and _last_graded(n) == 0
+        if n in QUERIES and _last_graded(n) == 0 and n not in front
     ]
     fresh = [
         n
@@ -794,7 +849,7 @@ def _window_order() -> list[str]:
         ),
         key=lambda n: (_last_graded(n), pos[n]),
     )
-    return front + fresh + graded + defer
+    return front + defer + fresh + graded
 
 
 def _apply_order() -> None:
