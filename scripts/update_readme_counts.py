@@ -52,7 +52,9 @@ def bench_rows() -> list[str]:
                 m = re.search(rf'"{key}": ([0-9.]+)', tail)
                 if m:
                     doc[key] = float(m.group(1))
-            m = re.search(r'"ratio_baseline": "(r\d+)"', tail)
+            # baseline labels carry a suffix since r11 ("r11 (full
+            # local snapshot)") — capture the round, keep the cell tidy
+            m = re.search(r'"ratio_baseline": "(r\d+)[^"]*"', tail)
             if m:
                 doc["ratio_baseline"] = m.group(1)
             # r10+ probes are nested (pre/post); the OUTER mean is the
@@ -61,9 +63,23 @@ def bench_rows() -> list[str]:
             if effs:
                 doc["host_probe"] = {"effective_cores": float(effs[-1])}
             # the tail preserves only the last ~2000 chars, so the
-            # per-query count is a LOWER bound for wrapped records
+            # per-query count is a LOWER bound for wrapped records —
+            # unless a committed full local snapshot holds the SAME
+            # record (identical headline value), in which case its
+            # complete per-query map gives the exact count.
             n_tail = len(re.findall(r'"[a-z0-9_]+": [0-9.]+,', tail))
             doc["n_queries"] = f"≥{n_tail}" if n_tail else "—"
+            for snap in glob.glob(os.path.join(REPO, "BENCH_local_r*.json")):
+                try:
+                    with open(snap) as sf:
+                        sdoc = json.load(sf)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                if sdoc.get("value") == doc.get("value") and sdoc.get(
+                    "queries"
+                ):
+                    doc["n_queries"] = len(sdoc["queries"])
+                    break
         if "value" not in doc:
             continue
         n_q = doc.get("n_queries") or len(doc.get("queries", {})) or "—"
