@@ -270,6 +270,9 @@ HEADLINE = [
     "a_pareto_concentration",
     "dq_experiment_readout_panel",
     "f_variant_semistructured",
+    "star_fact_sales_order_incremental",
+    "emb_ivf_incremental",
+    "lake_dv_zorder_read",
 ]
 
 

@@ -402,6 +402,43 @@ def lloyd_refine(
     return cents
 
 
+def ivf_drift_min_cos(
+    assigned: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    vec_col: str = "c_vec",
+    cell_col: str = "cell",
+) -> float:
+    """Per-cell DRIFT monitor for incremental IVF maintenance: the
+    minimum, over cells that received new vectors, of the cosine
+    between the cell's STORED centroid and the new batch's per-cell
+    mean — the ``emb_centroid_drift`` statistic applied to index
+    upkeep. Near 1.0 = the append looks like the data the quantizer
+    was built on (assign-only is safe); a drop means the
+    representation shifted and the caller should Lloyd-refresh.
+
+    Scale shape: one partial-aggregated groupBy collapsing the batch
+    to K×dim means (K ≤ cells, bounded), then driver-side arithmetic
+    over ≤ K rows — cost is batch-scan plus nothing."""
+    dim = len(cents[0][1])
+    means = assigned.groupBy(cell_col).agg(
+        *[
+            F.avg(F.element_at(vec_col, i + 1)).alias(f"__d{i}")
+            for i in range(dim)
+        ]
+    )
+    cmap = {cid: vec for cid, vec, _ in cents}
+    min_cos = 1.0
+    for r in means.collect():  # <= K rows
+        m = [r[f"__d{i}"] for i in range(dim)]
+        c = cmap[r[cell_col]]
+        d = sum(x * y for x, y in zip(m, c))
+        nm = sum(x * x for x in m) ** 0.5
+        nc = sum(x * x for x in c) ** 0.5
+        if nm > 0 and nc > 0:
+            min_cos = min(min_cos, d / (nm * nc))
+    return min_cos
+
+
 def kcenter_centroids(
     corpus: DataFrame,
     n_cells: int = 4,

@@ -69,6 +69,10 @@ from glamira_end_to_end_data_pipeline_spark.plans import r11_queries  # noqa: E4
 # ``_last_graded() == 0`` rule pulls them forward for round 12.
 from glamira_end_to_end_data_pipeline_spark.plans import r12_queries  # noqa: E402,F401
 
+# round-13 fresh entries — never graded; the ``_last_graded() == 0``
+# rule places them behind the round-13 defer block, inside the window.
+from glamira_end_to_end_data_pipeline_spark.plans import r13_queries  # noqa: E402,F401
+
 # Round-8 front-loads: entries whose code changed in round 8, re-graded
 # the round their implementation moves. graph_scc_exact: TRIM pre-pass
 # + trivial-chain fixture + doubling probes; dedup_minhash_lsh /

@@ -262,23 +262,85 @@ def compact_to_deletion_vectors(spark: SparkSession, path: str) -> int:
     return n
 
 
-def read_mor_dv(
-    spark: SparkSession, path: str, _internal: bool = False
-) -> DataFrame:
-    """Merge-on-read over deletion vectors PLUS any tombstones written
-    after the last compaction: the data scan left-joins its file's
-    vector (file-count-sized side) and drops rows whose ordinal is in
-    the vector, then anti-joins the residual un-compacted (file, pos)
-    set exactly as :func:`read_mor` does. Both sides are exists-gated;
-    genuine read errors propagate (same contract as read_mor).
+_STATS = "stats"
 
-    Scale shape: the vector join is keyed on the file identity — at
-    most one vector row per data file, applied as a per-row membership
-    probe; the residual anti-join is tombstone-sized. Nothing here is
-    proportional to table size except the scan itself."""
-    from .lake import _hadoop_fs as _fs  # same helper, avoids shadowing
 
+def collect_file_stats(spark: SparkSession, path: str, cols: list) -> int:
+    """Per-DATA-FILE min/max column metrics, written to ``stats/`` —
+    the moral equivalent of Iceberg's per-file ``lower_bounds``/
+    ``upper_bounds`` manifest metrics (a real writer collects these
+    DURING the write; this standalone maintenance pass recomputes them
+    from the data, like ``ANALYZE`` / ``rewrite_manifests``, so the
+    module stays decoupled from lake.py's manifest lifecycle — see the
+    module docstring). Returns the number of files profiled.
+
+    The stats directory is derived metadata, rebuildable from data/ at
+    any time, so a plain overwrite (no swap dance) is acceptable here:
+    a crash mid-write loses only the pruning accelerator, never rows —
+    readers that find no stats/ fall back to scanning every file."""
     d = _data_with_identity(spark, path)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    stats = d.groupBy("__file").agg(*aggs)
+    n = stats.count()
+    stats.write.mode("overwrite").parquet(f"{path}/{_STATS}")
+    return n
+
+
+def read_mor_dv_pruned(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> tuple:
+    """FILE-PRUNED merge-on-read: plan the scan from the per-file
+    min/max metrics (``collect_file_stats``), open only the files whose
+    ``col`` range overlaps [lo, hi], and apply deletion vectors +
+    residual tombstones to exactly those files — the Iceberg-v3
+    composed read path (metadata file pruning × DV row filtering in
+    one plan). Returns ``(df, n_files_read, n_files_total)``.
+
+    The overlapping-file list is DRIVER-side metadata, bounded by the
+    table's file count — precisely what Iceberg's planning phase holds
+    in memory; no row data is collected. Tombstone application prunes
+    itself for free: both the vector join and the residual anti-join
+    key on ``__file``, so tombstones of unopened files never join.
+
+    NOTE: file pruning is a superset filter (a file may contain rows
+    outside [lo, hi] alongside matching ones) — callers apply the row
+    predicate on top, exactly as with parquet min/max pruning."""
+    stats = spark.read.parquet(f"{path}/{_STATS}")
+    rows = stats.select(
+        "__file", f"__min_{col}", f"__max_{col}"
+    ).collect()
+    total = len(rows)
+    files = [
+        r["__file"]
+        for r in rows
+        if r[f"__min_{col}"] <= hi and r[f"__max_{col}"] >= lo
+    ]
+    if not files:
+        d = _data_with_identity(spark, path).limit(0)
+        return _apply_tombstones(spark, path, d).drop("__file", "__pos"), 0, total
+    d = (
+        spark.read.option("basePath", f"{path}/{_DATA}")
+        .parquet(*files)
+        .select("*", F.col("_metadata.file_path").alias("__file"))
+    )
+    return (
+        _apply_tombstones(spark, path, d).drop("__file", "__pos"),
+        len(files),
+        total,
+    )
+
+
+def _apply_tombstones(spark: SparkSession, path: str, d: DataFrame) -> DataFrame:
+    """Apply ``dv/`` bitmaps and residual ``deletes/`` tombstones to a
+    data scan ``d`` carrying (__file, __pos) identity — the shared
+    read-side core of :func:`read_mor_dv` and
+    :func:`read_mor_dv_pruned`. Both sides are exists-gated; genuine
+    read errors propagate."""
+    from .lake import _hadoop_fs as _fs
+
     fs_v, vpath = _fs(spark, f"{path}/{_DV}")
     if fs_v.exists(vpath):
         dv = spark.read.parquet(f"{path}/{_DV}").select(
@@ -307,6 +369,24 @@ def read_mor_dv(
             & (F.col("__pos") == F.col("__dpos")),
             "left_anti",
         )
+    return d
+
+
+def read_mor_dv(
+    spark: SparkSession, path: str, _internal: bool = False
+) -> DataFrame:
+    """Merge-on-read over deletion vectors PLUS any tombstones written
+    after the last compaction: the data scan left-joins its file's
+    vector (file-count-sized side) and drops rows whose ordinal is in
+    the vector, then anti-joins the residual un-compacted (file, pos)
+    set exactly as :func:`read_mor` does. Both sides are exists-gated;
+    genuine read errors propagate (same contract as read_mor).
+
+    Scale shape: the vector join is keyed on the file identity — at
+    most one vector row per data file, applied as a per-row membership
+    probe; the residual anti-join is tombstone-sized. Nothing here is
+    proportional to table size except the scan itself."""
+    d = _apply_tombstones(spark, path, _data_with_identity(spark, path))
     if _internal:
         return d
     return d.drop("__file", "__pos")

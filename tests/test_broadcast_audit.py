@@ -197,6 +197,16 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str, str], str] = {
     ("r12_queries.py", "a_logistic_irls_glm", "w"): (
         "IRLS one-row weight state"
     ),
+    # --- r13_queries.py ----------------------------------------------
+    ("r13_queries.py", "emb_ivf_incremental", "qs"): (
+        "10 query vectors (vec_id < 10), exploded over <= 2 probe cells"
+    ),
+    ("r13_queries.py", "emb_ivf_incremental", "qd"): (
+        "10 query vectors (vec_id < 10)"
+    ),
+    ("r13_queries.py", "emb_ivf_incremental", "q_reb"): (
+        "10 query vectors (vec_id < 10), exploded over <= 2 probe cells"
+    ),
 }
 
 BANNED_SUBSTRINGS = (

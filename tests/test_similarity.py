@@ -294,3 +294,68 @@ def test_kcenter_seeding_recall_and_cell_purity(spark):
     kcenter = recall(kc)
     assert kcenter >= low_id, f"kcenter {kcenter:.2f} vs lowest-id {low_id:.2f}"
     assert kcenter >= 0.95, f"kcenter recall {kcenter:.2f}"
+
+
+def test_ivf_drift_monitor_gates_lloyd_refresh(spark):
+    """The incremental-IVF maintenance contract (emb_ivf_incremental):
+    an append drawn from the indexed distribution keeps the per-cell
+    drift cosine high (assign-only is safe), while a representation
+    shift — vectors pointing AWAY from the stored centroids — drives
+    it below the refresh threshold, and the triggered Lloyd refresh
+    moves the centroids toward the shifted mass."""
+    from glamira_end_to_end_data_pipeline_spark.operators.similarity import (
+        _side,
+        ivf_cell_bulk,
+        ivf_centroids,
+        ivf_drift_min_cos,
+        lloyd_refine,
+    )
+    from glamira_end_to_end_data_pipeline_spark.plans.r13_queries import (
+        _DRIFT_REFRESH_COS,
+    )
+
+    dim = 8
+
+    def vec(direction, i):
+        # tight cluster around +-e_direction with a small deterministic
+        # off-axis wobble so cells are nondegenerate
+        v = [0.01 * ((i + j) % 3) for j in range(dim)]
+        v[abs(direction) - 1] += 1.0 if direction > 0 else -1.0
+        return v
+
+    init = spark.createDataFrame(
+        [(i, vec(+1, i)) for i in range(10, 20)]
+        + [(i, vec(+2, i)) for i in range(20, 30)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(init, n_cells=2)
+
+    same_dist = spark.createDataFrame(
+        [(i, vec(+1, i)) for i in range(100, 110)],
+        "vec_id long, embedding array<double>",
+    )
+    a_same = _side(
+        same_dist, "vec_id", "embedding", "nid", "c_vec", "c_norm"
+    ).withColumn("cell", ivf_cell_bulk(F.col("c_vec"), F.col("c_norm"), cents))
+    assert ivf_drift_min_cos(a_same, cents) > _DRIFT_REFRESH_COS
+
+    shifted = spark.createDataFrame(
+        [(i, vec(-1, i)) for i in range(200, 210)],
+        "vec_id long, embedding array<double>",
+    )
+    a_shift = _side(
+        shifted, "vec_id", "embedding", "nid", "c_vec", "c_norm"
+    ).withColumn("cell", ivf_cell_bulk(F.col("c_vec"), F.col("c_norm"), cents))
+    drift = ivf_drift_min_cos(a_shift, cents)
+    assert drift < _DRIFT_REFRESH_COS, f"shifted append drift {drift:.3f}"
+
+    # the triggered refresh pulls a centroid toward the shifted mass:
+    # after one Lloyd pass over init+shifted, the worst-case drift of
+    # the SAME shifted batch against the refreshed quantizer improves
+    refreshed = lloyd_refine(init.unionByName(shifted), cents, n_iters=1)
+    a_re = _side(
+        shifted, "vec_id", "embedding", "nid", "c_vec", "c_norm"
+    ).withColumn(
+        "cell", ivf_cell_bulk(F.col("c_vec"), F.col("c_norm"), refreshed)
+    )
+    assert ivf_drift_min_cos(a_re, refreshed) > drift
