@@ -273,6 +273,7 @@ HEADLINE = [
     "star_fact_sales_order_incremental",
     "emb_ivf_incremental",
     "lake_dv_zorder_read",
+    "dedup_lsh_index_incremental",
 ]
 
 

@@ -584,3 +584,145 @@ def lake_dv_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH dedup against a PERSISTED band index
+# ---------------------------------------------------------------------------
+
+
+def _register_dedup_lsh_index_incremental() -> None:
+    """Registered via a helper so the oracle can be REUSED verbatim
+    from ``dedup_cross_batch_minhash`` (same final semantics — the
+    index round-trip must be invisible to results), without importing
+    r5's module-level SQL string by name."""
+    from glamira_end_to_end_data_pipeline_spark.plans.queries import ORACLES
+
+    @query(
+        "dedup_lsh_index_incremental",
+        ORACLES["dedup_cross_batch_minhash"],
+    )
+    def dedup_lsh_index_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Continuous-crawl dedup against a PERSISTED LSH index — the
+        incremental flavor of ``dedup_cross_batch_minhash``, which
+        recomputes corpus signatures every round; at 100 TB the corpus
+        side must be amortized: band rows are computed ONCE at
+        admission time and stored as a parquet index partitioned by
+        band_id, and each round (1) computes signatures for the NEW
+        batch only, (2) probes the stored index with a band join — the
+        corpus's text is never re-shingled — (3) restores exact set
+        semantics by fetching ONLY the candidate corpus docs' text
+        (keyed semi-join, gated: strictly fewer docs than the corpus),
+        and (4) ADMITS the batch's genuinely-new docs by appending
+        their band rows to the index (growth gated to exactly the
+        admitted docs' bands). Screening cost scales with the batch
+        and candidate count, never with corpus size; results equal the
+        recompute-everything entry (shared oracle), because the band
+        rows round-tripping parquet are byte-stable md5 strings.
+
+        The verify fetch is the Iceberg pattern: candidate ids form a
+        pushed-down semi-join key set; at 100 TB the documents table
+        is id-bucketed so the fetch opens candidate buckets only."""
+        from glamira_end_to_end_data_pipeline_spark.caching import (
+            tracked_persist,
+        )
+        from glamira_end_to_end_data_pipeline_spark.operators import dedup
+        from glamira_end_to_end_data_pipeline_spark.plans.r5_queries import (
+            _cross_new_batch,
+        )
+
+        tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_lshidx_{tag}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        # ADMISSION-TIME build (the amortized one-time cost)
+        b_c = dedup.lsh_bands(
+            dedup.minhash_signatures(
+                dedup.exploded_shingles(docs, distinct=False)
+            )
+        ).select(F.col("doc_id").alias("corpus_id"), "band_id", "band_hash")
+        b_c.write.partitionBy("band_id").parquet(path)
+        n_idx = spark.read.parquet(path).count()
+
+        # PROBE — batch-only compute against the stored index
+        newb = _cross_new_batch(docs)
+        sh_n = tracked_persist(
+            dedup.exploded_shingles(newb, distinct=False)
+        )
+        b_n = dedup.lsh_bands(
+            dedup.minhash_signatures(sh_n)
+        ).select(F.col("doc_id").alias("new_id"), "band_id", "band_hash")
+        idx = spark.read.parquet(path)
+        cand = tracked_persist(
+            idx.join(b_n, ["band_id", "band_hash"])
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
+        cand_docs = cand.select(
+            F.col("corpus_id").alias("doc_id")
+        ).distinct()
+        n_cand = cand_docs.count()
+        n_corpus = docs.count()
+        if not 0 < n_cand < n_corpus:
+            raise AssertionError(
+                f"candidate fetch is not selective ({n_cand} of "
+                f"{n_corpus} corpus docs) — the index probe must bound "
+                "the re-read to candidates"
+            )
+
+        # EXACT verify on candidate docs only: fetch their text by key,
+        # re-shingle with set semantics; new/corpus id spaces are
+        # disjoint (+1e5/2e5/3e5 offsets), so one shingle frame serves
+        # both sides of jaccard_for_pairs
+        sh_cand = dedup.exploded_shingles(
+            docs.join(cand_docs, "doc_id"), distinct=True
+        )
+        sh_new_cand = (
+            sh_n.join(
+                cand.select(F.col("new_id").alias("doc_id")).distinct(),
+                "doc_id",
+            ).distinct()
+        )
+        pairs = dedup.jaccard_for_pairs(
+            cand.select(
+                F.col("new_id").alias("a"), F.col("corpus_id").alias("b")
+            ),
+            sh_new_cand.unionByName(sh_cand),
+        ).filter(F.col("jaccard") >= 0.5)
+        out = pairs.select(
+            F.col("a").alias("new_id"),
+            F.col("b").alias("corpus_id"),
+            "jaccard",
+        ).orderBy("new_id", "corpus_id")
+        got = out.collect()
+        if not got:
+            raise AssertionError(
+                "fixture drift: the injected dup groups found no match"
+            )
+
+        # MAINTENANCE — admit the batch's genuinely-new docs: append
+        # their band rows; dup docs are discarded, so the index grows
+        # by exactly the admitted docs' bands
+        dup_new = {r["new_id"] for r in got}
+        admit = b_n.filter(~F.col("new_id").isin(sorted(dup_new))).select(
+            F.col("new_id").alias("corpus_id"), "band_id", "band_hash"
+        )
+        n_admit = admit.count()
+        admit.write.mode("append").partitionBy("band_id").parquet(path)
+        n_after = spark.read.parquet(path).count()
+        if n_after != n_idx + n_admit:
+            raise AssertionError(
+                f"index maintenance drift: {n_idx} + {n_admit} admitted "
+                f"!= {n_after}"
+            )
+        return out
+
+
+_register_dedup_lsh_index_incremental()
