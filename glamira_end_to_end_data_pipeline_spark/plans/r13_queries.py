@@ -143,9 +143,12 @@ def star_fact_sales_order_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The dbt INCREMENTAL materialization of ``fact_sales_order``
-    (insert-overwrite-by-partition strategy — the reference's models
-    default to ``view`` per SURVEY §3.1, which cannot serve a 100 TB
-    fact): raw events land in a date-partitioned staging lake in two
+    (ref ``7.dtv/dbt-project-glamira/models/facts/fact_sales_order.sql:
+    25-77``; the reference's models all materialize as dbt's default
+    ``view`` — the only config block, ``dbt_project.yml:32-36``,
+    targets a nonexistent dir — which cannot serve a 100 TB fact, so
+    this is the insert-overwrite-by-partition strategy dbt-bigquery
+    would use there): raw events land in a date-partitioned staging lake in two
     loads — load 2 carries both NEW dates and LATE-ARRIVING rows for an
     already-built date — and each run recomputes ONLY the partitions
     its load touched, from a partition-pruned staging scan
@@ -658,7 +661,13 @@ def _register_dedup_lsh_index_incremental() -> None:
                 dedup.exploded_shingles(docs, distinct=False)
             )
         ).select(F.col("doc_id").alias("corpus_id"), "band_id", "band_hash")
-        b_c.write.partitionBy("band_id").parquet(path)
+        # partition-aligned write: one file per band directory instead
+        # of one per (write task x band) — the probe and the growth
+        # counts re-open this layout, and file-open overhead taxed the
+        # whole lifecycle (same fix as the incremental star fact)
+        b_c.repartition("band_id").write.partitionBy("band_id").parquet(
+            path
+        )
         n_idx = spark.read.parquet(path).count()
 
         # PROBE — batch-only compute against the stored index
@@ -720,12 +729,21 @@ def _register_dedup_lsh_index_incremental() -> None:
         # MAINTENANCE — admit the batch's genuinely-new docs: append
         # their band rows; dup docs are discarded, so the index grows
         # by exactly the admitted docs' bands
-        dup_new = {r["new_id"] for r in got}
-        admit = b_n.filter(~F.col("new_id").isin(sorted(dup_new))).select(
+        # batch-bounded driver metadata (already collected for the
+        # emptiness gate) — anti-joined rather than inlined as an
+        # isin literal: a thousand-element In() costs seconds of
+        # Catalyst analysis per invocation
+        dup_df = spark.createDataFrame(
+            [(i,) for i in sorted({r["new_id"] for r in got})],
+            "new_id long",
+        )
+        admit = b_n.join(dup_df, "new_id", "left_anti").select(
             F.col("new_id").alias("corpus_id"), "band_id", "band_hash"
         )
         n_admit = admit.count()
-        admit.write.mode("append").partitionBy("band_id").parquet(path)
+        admit.repartition("band_id").write.mode("append").partitionBy(
+            "band_id"
+        ).parquet(path)
         n_after = spark.read.parquet(path).count()
         if n_after != n_idx + n_admit:
             raise AssertionError(

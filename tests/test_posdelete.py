@@ -220,3 +220,23 @@ def test_compaction_swap_is_crash_recoverable(spark, tmp_path):
         7,
         8,
     ]
+
+
+def test_pruned_read_no_overlap_returns_empty_with_schema(spark, tmp_path):
+    """A probe range overlapping no file's [min, max] prunes everything:
+    zero files opened, empty result, schema intact (the planner's
+    empty-scan path, not an error)."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path / "dvempty")
+    df = spark.createDataFrame(
+        [(i, i % 2, i) for i in range(10)], "k long, grp long, ord long"
+    )
+    posdelete.write_data(spark, df, path, "grp", "ord")
+    posdelete.collect_file_stats(spark, path, ["k"])
+    pruned, n_read, n_total = posdelete.read_mor_dv_pruned(
+        spark, path, "k", 100, 200
+    )
+    assert n_read == 0 and n_total >= 1
+    assert pruned.count() == 0
+    assert {"k", "grp", "ord"} <= set(pruned.columns)
