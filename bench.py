@@ -515,23 +515,20 @@ def main() -> None:
             "snapshot when present (ratio_n_common ~= the whole suite), "
             "else regex-recovered from the driver record's bounded "
             "stdout tail (~55 pairs); warm single-query swings up to "
-            "~1.5x are noise. r12 re-measure of the r11-flagged "
-            "regressions (3x solo, r10 methodology): stream_wap_"
-            "microbatch 1.01x, emb_binary_quant_recall 1.09x — noise "
-            "confirmed; j_grid_neighbor_join/stream_late_sideoutput/"
-            "text_bigram_lm_score/lake_compact_mor re-time to ~1.0-1.8s "
-            "warm solo (vs 0.33-2.0 r11) on a 14.4-effective-core host "
-            "— host-share swing, code untouched; graph_betweenness_"
-            "source ~7s solo is per-layer scheduling latency on the "
-            "busier host (layered BFS is driver-latency-bound). "
-            "r12 close: Brandes family re-benched 5.0-6.0s after the "
-            "take(1)-probe + batched-checkpoint cut (was 5.8-8.5); the "
-            "2-3x swings on untouched sub-5s entries between SAME-DAY "
-            "runs (a_mutual_information_terms 0.43->1.42, a_gini "
-            "0.96->2.84, back-verified solo) are host jitter — "
-            "graph_shortest_path_counts re-times 2.2-2.7s solo vs its "
-            "4.9s in-suite sample; fleet median vs the early-r12 "
-            "snapshot is 1.004."
+            "~1.5x are noise. r13 re-measure of the six r12-flagged "
+            "code-untouched regressions (3x solo, r10 methodology, "
+            "16.0-effective-core probe): graph_scc_exact 1.03x, "
+            "graph_hits_scores 1.23x, emb_filtered_ann_topk 0.88x, "
+            "stream_snapshot_commits 0.99x, lake_compact_commit 1.02x, "
+            "dedup_exact_spans 0.77x vs the r12 record — noise "
+            "confirmed (a second same-session solo batch of "
+            "graph_hits_scores swung 2.33->13.96s on identical code, "
+            "the host-share signature). r13 entries: the four new "
+            "incremental/composed capstones land at ~3-9s warm each; "
+            "dedup_lsh_index_incremental's floor is the admission-time "
+            "corpus build (amortized in production, paid per graded "
+            "run); star_fact_sales_order_incremental pays two full "
+            "fact builds by design (the two-load incremental proof)."
         ),
     }
     # The driver keeps only a bounded TAIL of stdout (~2000 chars), which

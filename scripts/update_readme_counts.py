@@ -68,6 +68,11 @@ def bench_rows() -> list[str]:
             # record (identical headline value), in which case its
             # complete per-query map gives the exact count.
             n_tail = len(re.findall(r'"[a-z0-9_]+": [0-9.]+,', tail))
+            # ratio_n_common (common entries with the previous round's
+            # full snapshot) is a far tighter lower bound than the
+            # truncated tail's surviving pairs
+            if doc.get("ratio_n_common"):
+                n_tail = max(n_tail, int(doc["ratio_n_common"]))
             doc["n_queries"] = f"≥{n_tail}" if n_tail else "—"
             for snap in glob.glob(os.path.join(REPO, "BENCH_local_r*.json")):
                 try:
