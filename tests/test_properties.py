@@ -1733,3 +1733,111 @@ def test_dv_pruned_read_matches_model_under_zorder_layout(
         ).collect()
     )
     assert got == sorted((k, v) for k, v in live if lo <= v <= hi)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2), min_size=30, max_size=30
+    ),
+    st.integers(min_value=2, max_value=7),
+)
+def test_incremental_star_fact_equals_full_rebuild(
+    spark, tmp_path_factory, assign, late_mod
+):
+    """star_fact_sales_order_incremental's load-splitting law, under
+    RANDOM splits: dates are assigned arbitrarily to three loads, and
+    a late slice (event_id % m == 0) of the first load's earliest date
+    is withheld until the LAST load — after all incremental runs
+    (insert-overwrite of exactly the touched date partitions, dims
+    derived per-slice) the fact must equal the one-shot full build
+    row-for-row. This is the property the graded entry fixes one split
+    of; here the split itself is adversarial."""
+    import datetime as dt
+
+    from glamira_end_to_end_data_pipeline_spark.plans.r13_queries import (
+        _incremental_fact_run,
+    )
+    from glamira_end_to_end_data_pipeline_spark.plans.star_queries import (
+        _events,
+    )
+    from glamira_end_to_end_data_pipeline_spark.plans import models
+    from glamira_end_to_end_data_pipeline_spark.plans.star_queries import (
+        ip_locations_from_events,
+        product_details_from_events,
+        summary_from_events,
+    )
+    from tests.conftest import SF_SMALL
+
+    base = str(tmp_path_factory.mktemp("starprop"))
+    src_path = f"{base}/staging"
+    fact_path = f"{base}/fact"
+
+    events = _events(spark, SF_SMALL).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    b = events.agg(F.min("event_date").alias("lo")).collect()[0]
+    dates = [b["lo"] + dt.timedelta(days=i) for i in range(30)]
+    loads_dates = {i: [d for d, a in zip(dates, assign) if a == i] for i in range(3)}
+    # the late slice: first load-0 date's (event_id % late_mod == 0)
+    # rows arrive with the LAST nonempty load
+    last_load = max(i for i in range(3) if loads_dates[i]) if any(
+        loads_dates.values()
+    ) else 0
+    # the late slice only exists when a LATER load can deliver it —
+    # when load 0 is the only (or last) nonempty load, its rows are
+    # simply on time
+    late_day = (
+        loads_dates[0][0] if loads_dates[0] and last_load != 0 else None
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        for i in range(3):
+            ds = loads_dates[i]
+            sel = events.filter(F.col("event_date").isin(ds)) if ds else None
+            if late_day is not None:
+                late = (F.col("event_date") == F.lit(late_day)) & (
+                    F.col("event_id") % late_mod == 0
+                )
+                if sel is not None:
+                    sel = sel.filter(~late) if i != last_load else sel
+                if i == last_load:
+                    late_rows = events.filter(late)
+                    sel = (
+                        sel.unionByName(late_rows)
+                        if sel is not None
+                        else late_rows
+                    )
+            if sel is None:
+                continue
+            touched = sorted(
+                r[0] for r in sel.select("event_date").distinct().collect()
+            )
+            if not touched:
+                continue
+            sel.repartition("event_date").write.mode("append").partitionBy(
+                "event_date"
+            ).parquet(src_path)
+            _incremental_fact_run(
+                spark, src_path, fact_path, touched, expect_pruning=False
+            )
+    finally:
+        spark.conf.set(mode_key, prev)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(fact_path).drop("event_date").collect()
+    )
+    full_stg = models.stg_summary(summary_from_events(events))
+    want_df = models.fact_sales_order(
+        full_stg,
+        models.dim_product(product_details_from_events(events)),
+        models.dim_customer(full_stg),
+        models.dim_location(ip_locations_from_events(events)),
+        models.dim_date(models.stg_summary_date_range(full_stg)),
+        models.dim_session_context(full_stg),
+    )
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want
