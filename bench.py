@@ -274,6 +274,7 @@ HEADLINE = [
     "emb_ivf_incremental",
     "lake_dv_zorder_read",
     "dedup_lsh_index_incremental",
+    "text_incremental_quality_gate",
 ]
 
 

@@ -754,3 +754,176 @@ def _register_dedup_lsh_index_incremental() -> None:
 
 
 _register_dedup_lsh_index_incremental()
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus-quality gate via mergeable histogram state
+# ---------------------------------------------------------------------------
+
+
+def _register_text_incremental_quality_gate() -> None:
+    """Registered via a helper so the oracle can splice in the shared
+    quality-score CTE chain (``northstar_queries._QSCORE_CTES`` — the
+    exact twin of ``operators/text.py::quality_score``)."""
+    from glamira_end_to_end_data_pipeline_spark.plans.northstar_queries import (
+        _QSCORE_CTES,
+    )
+
+    oracle = f"""
+    WITH {_QSCORE_CTES.strip()},
+    sm AS (
+        SELECT doc_id, quality_score,
+               CAST(floor(quality_score * 1000000e0 + 0.5e0) AS BIGINT) AS s
+        FROM scored
+    ),
+    hb AS (
+        SELECT least(s // 50000, 19) AS bin, count(*) AS n
+        FROM sm GROUP BY 1
+    ),
+    hc AS (
+        SELECT bin, n,
+               coalesce(sum(n) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum,
+               sum(n) OVER () AS total
+        FROM hb
+    ),
+    thr AS (
+        SELECT bin * 50000e0
+                   + 50000e0 * (total * 0.25e0 - cum) / n AS t
+        FROM hc
+        WHERE cum < total * 0.25e0 AND cum + n >= total * 0.25e0
+    )
+    SELECT doc_id, quality_score, (s >= t) AS kept
+    FROM sm, thr
+    WHERE doc_id % 3 = 2
+    ORDER BY doc_id
+    """
+
+    @query("text_incremental_quality_gate", oracle)
+    def text_incremental_quality_gate(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """INCREMENTAL corpus-quality gating — the maintenance shape a
+        growing training corpus needs: corpus-level quality thresholds
+        are PERCENTILES (absolute cutoffs bias against hard strata —
+        the ``text_quality_filter_stratified`` rationale), but exact
+        percentiles are not reaggregable, so a new shard would force a
+        full corpus re-scan every arrival. The mergeable-histogram
+        state (``a_histogram_rollup_merge``'s contract) fixes the cost
+        model: each admitted shard persists its 20-bin quality
+        histogram (kilobytes), and when a shard arrives the engine
+        (1) scores ONLY the new shard — the staging scan is
+        partition-pruned and runtime-gated on the files it opened,
+        (2) merges bins (bin-wise addition) with the stored state,
+        (3) reads the corpus-level P25 off the merged histogram by
+        linear interpolation inside the crossing bin (driver-side over
+        ≤ 20 rows — bounded metadata, the Druid/Pinot serving shape),
+        and (4) gates the new shard's docs against that corpus-level
+        threshold. Nothing rescans admitted shards, yet the threshold
+        reflects the WHOLE corpus — the oracle recomputes it from
+        scratch over all documents.
+
+        Cross-engine exactness: scores quantize to integer micro-units
+        via floor(x·1e6 + 0.5) (the ``emb_centroid_drift`` discipline),
+        bins/cumulative counts are integers, and the interpolated
+        threshold is the same short chain of IEEE double ops in both
+        engines (int→double exact, ·0.25 exact, one rounding each for
+        ·5e4 and /n) — bit-identical, so the kept boundary cannot
+        flicker."""
+        from glamira_end_to_end_data_pipeline_spark.operators import text
+
+        tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        base = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_qgate_{tag}"
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        src_path = os.path.join(base, "staging")
+        state_path = os.path.join(base, "hist_state")
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", (F.col("doc_id") % 3).alias("shard")
+        )
+        docs.repartition("shard").write.partitionBy("shard").parquet(
+            src_path
+        )
+
+        def _hist(scored: DataFrame) -> DataFrame:
+            s = F.floor(
+                F.col("quality_score") * 1000000.0 + 0.5
+            ).cast("long")
+            return scored.groupBy(
+                F.least(s / 50000, F.lit(19)).cast("long").alias("bin")
+            ).agg(F.count(F.lit(1)).alias("n"))
+
+        # ADMISSION-TIME state: per-shard histograms of shards 0 and 1
+        # (in production each shard wrote its own rows on arrival)
+        staged = spark.read.parquet(src_path)
+        for sh in (0, 1):
+            _hist(
+                text.quality_score(staged.filter(F.col("shard") == sh))
+            ).withColumn("shard", F.lit(sh)).write.mode("append").parquet(
+                state_path
+            )
+        state = spark.read.parquet(state_path)
+        n_state = state.count()
+        if not 0 < n_state <= 40:
+            raise AssertionError(
+                f"histogram state is not bounded metadata ({n_state} rows)"
+            )
+
+        # NEW SHARD — the only text scanned this round (runtime gate)
+        new_src = staged.filter(F.col("shard") == 2)
+        opened = [
+            r[0]
+            for r in new_src.select(F.input_file_name())
+            .distinct()
+            .collect()
+        ]
+        bad = [f for f in opened if "shard=2" not in f]
+        n_all_dirs = len(
+            [p for p in os.listdir(src_path) if p.startswith("shard=")]
+        )
+        if bad or n_all_dirs < 2:
+            raise AssertionError(
+                f"new-shard scoring read outside its partition: {bad[:3]} "
+                f"({n_all_dirs} shard dirs)"
+            )
+        new_scored = text.quality_score(new_src)
+        merged = (
+            state.select("bin", "n")
+            .unionByName(_hist(new_scored))
+            .groupBy("bin")
+            .agg(F.sum("n").alias("n"))
+        )
+        bins = sorted(
+            ((r["bin"], r["n"]) for r in merged.collect())
+        )  # <= 20 rows: bounded driver metadata
+        total = sum(n for _, n in bins)
+        cum = 0
+        thr = None
+        for b, n in bins:
+            if cum < total * 0.25 and cum + n >= total * 0.25:
+                thr = b * 50000 + 50000.0 * (total * 0.25 - cum) / n
+                break
+            cum += n
+        if thr is None:
+            raise AssertionError("no crossing bin — empty corpus?")
+
+        s = F.floor(F.col("quality_score") * 1000000.0 + 0.5).cast("long")
+        out = new_scored.select(
+            "doc_id",
+            "quality_score",
+            (s >= F.lit(thr)).alias("kept"),
+        ).orderBy("doc_id")
+        counts = out.groupBy("kept").count().collect()
+        kmap = {r["kept"]: r["count"] for r in counts}
+        if not (kmap.get(True, 0) > 0 and kmap.get(False, 0) > 0):
+            raise AssertionError(
+                f"gate is vacuous on this shard (kept split {kmap}) — "
+                "the P25 threshold must separate the batch"
+            )
+        return out
+
+
+_register_text_incremental_quality_gate()
