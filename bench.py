@@ -275,6 +275,7 @@ HEADLINE = [
     "lake_dv_zorder_read",
     "dedup_lsh_index_incremental",
     "text_incremental_quality_gate",
+    "lake_mor_rewrite_compaction",
 ]
 
 

@@ -927,3 +927,126 @@ def _register_text_incremental_quality_gate() -> None:
 
 
 _register_text_incremental_quality_gate()
+
+
+# ---------------------------------------------------------------------------
+# MoR -> COW file rewrite compaction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_mor_rewrite_compaction",
+    """
+    WITH base AS (
+        SELECT cast(c_custkey AS BIGINT) AS k, c_mktsegment, c_acctbal
+        FROM customer
+    ),
+    final AS (
+        SELECT * FROM base
+        WHERE k % 2 = 0 AND c_acctbal >= 0 AND c_mktsegment <> 'BUILDING'
+              AND NOT (c_mktsegment = 'MACHINERY' AND c_acctbal < 5000)
+        UNION ALL
+        SELECT * FROM base
+        WHERE k % 2 = 1 AND c_acctbal < 0
+    )
+    SELECT c_mktsegment AS segment, count(*) AS n_rows,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_mor_rewrite_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR → COW FILE compaction (``posdelete.rewrite_compact`` —
+    Iceberg's ``rewrite_data_files`` when delete metadata piles up):
+    after a full tombstone lifecycle (two predicate deletes, a
+    deletion-vector fold, a residual delete) the data files themselves
+    are REWRITTEN with every tombstone applied, and dv//deletes//stats/
+    die with the files they referenced — the read side returns to a
+    bare scan with zero merge work, which is why engines schedule this
+    when the tombstone fraction makes every read pay.
+
+    The graded sequence then proves the rewritten table is
+    indistinguishable from a fresh one: a post-rewrite delete
+    tombstones against the NEW (file, pos) identities, and a
+    re-insert matching the very first delete's predicate survives
+    (file-scoped addressing holds across the rewrite). In-query gates:
+    every lifecycle stage nonempty, the metadata dirs exist before the
+    rewrite and are gone after, and the rewrite's live-row count
+    equals the pre-rewrite DV-aware read.
+
+    Distinct from ``lake_deletion_vectors`` (tombstone compaction,
+    metadata-sized) and ``lake_dv_zorder_read`` (pruned DV read):
+    this is the data-file maintenance that RESETS both. Insert order
+    differs from the DV entry deliberately — here the MACHINERY
+    delete lands BEFORE the odd-key re-insert, so the re-inserted
+    rows keep their MACHINERY members and the oracle's closed form
+    proves the engine respected commit order."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_rwc_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    k = F.col("k")
+    c1 = base.filter(k % 2 == 0).withColumn("grp", (k % 4).cast("long"))
+    posdelete.write_data(spark, c1, path, "grp", "k")
+    n1 = posdelete.position_delete(spark, path, F.col("c_acctbal") < 0)
+    posdelete.compact_to_deletion_vectors(spark, path)
+    n2 = posdelete.position_delete(
+        spark, path, F.col("c_mktsegment") == "BUILDING"
+    )
+    posdelete.collect_file_stats(spark, path, ["c_acctbal"])
+    if not (
+        os.path.isdir(os.path.join(path, "dv"))
+        and os.path.isdir(os.path.join(path, "deletes"))
+        and os.path.isdir(os.path.join(path, "stats"))
+    ):
+        raise AssertionError(
+            "fixture drift: expected vectors + residuals + stats before "
+            "the rewrite"
+        )
+    n3 = posdelete.position_delete(
+        spark,
+        path,
+        (F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") < 5000),
+    )
+    n_live = posdelete.read_mor_dv(spark, path).count()
+    n_rw = posdelete.rewrite_compact(spark, path, "grp", "k")
+    if n_rw != n_live:
+        raise AssertionError(
+            f"rewrite row count {n_rw} != pre-rewrite live set {n_live}"
+        )
+    for sub in ("dv", "deletes", "stats"):
+        if os.path.isdir(os.path.join(path, sub)):
+            raise AssertionError(
+                f"rewrite left stale {sub}/ referencing dead files"
+            )
+    if min(n1, n2, n3) == 0:
+        raise AssertionError(
+            f"fixture drift: a delete stage is empty ({n1}/{n2}/{n3})"
+        )
+    # the rewritten table behaves like a fresh one: re-insert rows
+    # matching delete 1's predicate — file-scoped tombstones are gone
+    # with their files, and new files were never addressed
+    c2 = (
+        base.filter((k % 2 == 1) & (F.col("c_acctbal") < 0))
+        .withColumn("grp", (k % 4).cast("long"))
+    )
+    posdelete.write_data(spark, c2, path, "grp", "k")
+    final = posdelete.read_mor(spark, path)
+    if final.filter(k % 2 == 1).limit(1).count() == 0:
+        raise AssertionError(
+            "fixture drift: no delete-predicate-matching re-inserts "
+            "survived the rewrite"
+        )
+    return (
+        final.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("segment")
+    )

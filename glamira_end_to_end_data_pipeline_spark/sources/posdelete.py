@@ -390,3 +390,78 @@ def read_mor_dv(
     if _internal:
         return d
     return d.drop("__file", "__pos")
+
+
+def rewrite_compact(
+    spark: SparkSession, path: str, file_col: str, order_col: str
+) -> int:
+    """MoR → COW FILE compaction — the other half of table maintenance
+    (:func:`compact_to_deletion_vectors` compacts TOMBSTONES into
+    bitmaps; this rewrites the DATA FILES, applying every tombstone and
+    dropping the delete metadata with the files it referenced — exactly
+    what Iceberg's ``rewrite_data_files`` does when delete files pile
+    up). The live row set (DV-aware read) is materialized to a sibling
+    ``data__rewrite`` directory through the same layout discipline as
+    :func:`write_data` (hash-partitioned on ``file_col``, fresh
+    ``__pos`` ordinals ordered by ``order_col``), then swapped in with
+    checked renames; ``dv/``, ``deletes/``, and ``stats/`` are dropped
+    ONLY after the new data directory is committed — tombstones
+    reference the dead files by name and per-file metrics describe
+    them, so both are invalid the moment the swap lands (callers
+    re-run :func:`collect_file_stats` if they prune). Returns the
+    number of live rows rewritten.
+
+    Crash windows mirror the compaction swap: a backup
+    (``data__precompact``) orphaned without a live data dir is
+    restored on entry; a leftover ``data__rewrite`` is always
+    incomplete and dropped. Dying after the swap but before the
+    metadata drop is BENIGN in the one direction that matters — the
+    old tombstones name files that no longer exist, so they match
+    nothing on the rewritten table (file-scoped addressing, the same
+    property that lets re-inserts survive) — but the drop is still
+    performed eagerly so stale ``stats/`` cannot mis-prune a reader.
+
+    Scale shape: one DV-aware scan + one hash exchange + the
+    partitioned ordinal window — the cost of rewriting the live data
+    once, which is the point of the operation; at 100 TB this runs
+    per partition/file-group, embarrassingly parallel."""
+    from .lake import _hadoop_fs
+
+    fs, live = _hadoop_fs(spark, f"{path}/{_DATA}")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = jvm_path(f"{path}/{_DATA}__rewrite")
+    backup = jvm_path(f"{path}/{_DATA}__precompact")
+    if fs.exists(backup):
+        if fs.exists(live):
+            fs.delete(backup, True)
+        elif not fs.rename(backup, live):
+            raise IOError(f"could not restore {backup} -> {path}/{_DATA}")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+
+    rows = read_mor_dv(spark, path)  # identity cols already dropped;
+    # fresh ordinals are assigned below
+    w = Window.partitionBy(file_col).orderBy(order_col)
+    out = rows.withColumn("__pos", F.row_number().over(w))
+    n = out.count()
+    (
+        out.repartition(F.col(file_col))
+        .write.mode("overwrite")
+        .partitionBy(file_col)
+        .parquet(tmp.toString())
+    )
+    if not fs.rename(live, backup):
+        raise IOError(f"could not stage {path}/{_DATA} -> {backup}")
+    if not fs.rename(tmp, live):
+        if not fs.rename(backup, live):
+            raise IOError(
+                f"could not swap in {tmp} AND could not restore {backup}; "
+                "restore manually"
+            )
+        raise IOError(f"could not swap {tmp} -> {path}/{_DATA}")
+    fs.delete(backup, True)
+    for sub in (_DV, _DELETES, _STATS):
+        fs_s, spath = _hadoop_fs(spark, f"{path}/{sub}")
+        if fs_s.exists(spath):
+            fs_s.delete(spath, True)
+    return n

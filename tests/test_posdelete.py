@@ -240,3 +240,76 @@ def test_pruned_read_no_overlap_returns_empty_with_schema(spark, tmp_path):
     assert n_read == 0 and n_total >= 1
     assert pruned.count() == 0
     assert {"k", "grp", "ord"} <= set(pruned.columns)
+
+
+def test_rewrite_compact_applies_tombstones_and_resets_metadata(
+    spark, tmp_path
+):
+    """MoR->COW file compaction: after rewrite_compact the live rows
+    are unchanged, dv//deletes//stats/ are gone (they referenced dead
+    files), positions are freshly assigned, and the tombstone
+    machinery works on the rewritten table (a post-rewrite delete +
+    re-insert behave exactly as on a fresh table)."""
+    import os
+
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path / "rw")
+    df = spark.createDataFrame(
+        [(i, i % 2, i) for i in range(20)], "k long, grp long, ord long"
+    )
+    posdelete.write_data(spark, df, path, "grp", "ord")
+    posdelete.position_delete(spark, path, F.col("k") < 4)
+    posdelete.compact_to_deletion_vectors(spark, path)
+    posdelete.position_delete(spark, path, F.col("k") >= 18)
+    posdelete.collect_file_stats(spark, path, ["k"])
+    n = posdelete.rewrite_compact(spark, path, "grp", "ord")
+    assert n == 14
+    for sub in ("dv", "deletes", "stats"):
+        assert not os.path.isdir(os.path.join(path, sub)), sub
+    assert sorted(r.k for r in posdelete.read_mor(spark, path).collect()) == list(
+        range(4, 18)
+    )
+    # positions restart per file group on the rewritten table
+    mx = (
+        spark.read.parquet(f"{path}/data")
+        .groupBy("grp")
+        .agg(F.max("__pos").alias("m"), F.count("*").alias("c"))
+        .collect()
+    )
+    assert all(r.m == r.c for r in mx)
+    # tombstones + re-inserts behave as on a fresh table
+    assert posdelete.position_delete(spark, path, F.col("k") == 10) == 1
+    re_ins = spark.createDataFrame(
+        [(10, 0, 100)], "k long, grp long, ord long"
+    )
+    posdelete.write_data(spark, re_ins, path, "grp", "ord")
+    got = sorted(r.k for r in posdelete.read_mor(spark, path).collect())
+    assert got == [4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17]
+
+
+def test_rewrite_compact_crash_recovery(spark, tmp_path):
+    """The rewrite swap's two crash states: a data__precompact orphan
+    without a live data dir is restored on entry; a stale
+    data__rewrite is dropped."""
+    import os
+    import shutil
+
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path / "rwcrash")
+    df = spark.createDataFrame(
+        [(i, 0, i) for i in range(10)], "k long, grp long, ord long"
+    )
+    posdelete.write_data(spark, df, path, "grp", "ord")
+    posdelete.position_delete(spark, path, F.col("k") < 2)
+    # crash state: live renamed aside, tmp incomplete
+    shutil.move(f"{path}/data", f"{path}/data__precompact")
+    os.makedirs(f"{path}/data__rewrite")
+    n = posdelete.rewrite_compact(spark, path, "grp", "ord")
+    assert n == 8
+    assert not os.path.isdir(f"{path}/data__precompact")
+    assert not os.path.isdir(f"{path}/data__rewrite")
+    assert sorted(r.k for r in posdelete.read_mor(spark, path).collect()) == list(
+        range(2, 10)
+    )

@@ -1662,6 +1662,7 @@ def test_isotonic_minimax_matches_pava_model(spark, buckets):
                 st.integers(min_value=0, max_value=9),
             ),
             st.tuples(st.just("compact"), st.just(0)),
+            st.tuples(st.just("rewrite"), st.just(0)),
         ),
         min_size=1,
         max_size=7,
@@ -1718,6 +1719,11 @@ def test_dv_pruned_read_matches_model_under_zorder_layout(
             live = [(k, v) for k, v in live if v != arg]
         elif op == "compact" and wrote:
             posdelete.compact_to_deletion_vectors(spark, path)
+        elif op == "rewrite" and wrote:
+            # MoR->COW file rewrite at ANY interleaving point: live
+            # rows unchanged, all tombstone/stats metadata reset
+            n = posdelete.rewrite_compact(spark, path, "grp", "rid")
+            assert n == len(live)
     if not wrote:
         return
     lo, hi = min(a, b), max(a, b)
