@@ -265,24 +265,66 @@ def compact_to_deletion_vectors(spark: SparkSession, path: str) -> int:
 _STATS = "stats"
 
 
-def collect_file_stats(spark: SparkSession, path: str, cols: list) -> int:
+def collect_file_stats(
+    spark: SparkSession, path: str, cols: list, incremental: bool = False
+) -> int:
     """Per-DATA-FILE min/max column metrics, written to ``stats/`` —
     the moral equivalent of Iceberg's per-file ``lower_bounds``/
     ``upper_bounds`` manifest metrics (a real writer collects these
     DURING the write; this standalone maintenance pass recomputes them
     from the data, like ``ANALYZE`` / ``rewrite_manifests``, so the
     module stays decoupled from lake.py's manifest lifecycle — see the
-    module docstring). Returns the number of files profiled.
+    module docstring). Returns the number of files profiled by THIS
+    call.
+
+    ``incremental=True`` is the append-mostly cost model: files already
+    present in ``stats/`` are skipped — the profiled-file set comes
+    from the existing stats rows (file-count-bounded driver metadata),
+    the scan opens ONLY the unprofiled files, and the new rows are
+    appended. A table that grows by commits pays stats collection
+    proportional to each commit, never to its history; a full rescan
+    (default) remains the recovery path when stats are suspect.
+    A file deleted by :func:`rewrite_compact` never lingers here —
+    the rewrite drops ``stats/`` wholesale with the files it describes.
 
     The stats directory is derived metadata, rebuildable from data/ at
-    any time, so a plain overwrite (no swap dance) is acceptable here:
-    a crash mid-write loses only the pruning accelerator, never rows —
-    readers that find no stats/ fall back to scanning every file."""
-    d = _data_with_identity(spark, path)
+    any time, so plain overwrite/append (no swap dance) is acceptable
+    here: a crash mid-write loses only the pruning accelerator, never
+    rows — readers that find no stats/ fall back to scanning every
+    file."""
+    from .lake import _hadoop_fs
+
     aggs = []
     for c in cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
+    d = _data_with_identity(spark, path)
+    fs, spath = _hadoop_fs(spark, f"{path}/{_STATS}")
+    if incremental and fs.exists(spath):
+        known = {
+            r[0]
+            for r in spark.read.parquet(f"{path}/{_STATS}")
+            .select("__file")
+            .collect()
+        }
+        all_files = {
+            r[0] for r in d.select("__file").distinct().collect()
+        }
+        fresh = sorted(all_files - known)
+        if not fresh:
+            return 0
+        # explicit-path scan of only the unprofiled files (the commit's
+        # own files at a real writer) — column-pruned, never re-reads
+        # profiled history
+        d = (
+            spark.read.option("basePath", f"{path}/{_DATA}")
+            .parquet(*fresh)
+            .select("*", F.col("_metadata.file_path").alias("__file"))
+        )
+        stats = d.groupBy("__file").agg(*aggs)
+        n = stats.count()
+        stats.write.mode("append").parquet(f"{path}/{_STATS}")
+        return n
     stats = d.groupBy("__file").agg(*aggs)
     n = stats.count()
     stats.write.mode("overwrite").parquet(f"{path}/{_STATS}")

@@ -313,3 +313,46 @@ def test_rewrite_compact_crash_recovery(spark, tmp_path):
     assert sorted(r.k for r in posdelete.read_mor(spark, path).collect()) == list(
         range(2, 10)
     )
+
+
+def test_collect_file_stats_incremental_profiles_only_new_files(
+    spark, tmp_path
+):
+    """Append-mostly stats maintenance: after a full profile, a new
+    commit's files are profiled by an incremental pass that skips
+    every known file (returns the new-file count, 0 when nothing is
+    new), and the merged stats serve the pruned read exactly as a
+    full rescan would."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path / "incstats")
+    df1 = spark.createDataFrame(
+        [(i, i % 2, i) for i in range(10)], "k long, grp long, ord long"
+    )
+    posdelete.write_data(spark, df1, path, "grp", "ord")
+    n_full = posdelete.collect_file_stats(spark, path, ["k"])
+    assert n_full == 2
+    assert posdelete.collect_file_stats(
+        spark, path, ["k"], incremental=True
+    ) == 0
+    # commit 2: ks 100..105 land in NEW files
+    df2 = spark.createDataFrame(
+        [(i, i % 2, i) for i in range(100, 106)],
+        "k long, grp long, ord long",
+    )
+    posdelete.write_data(spark, df2, path, "grp", "ord")
+    n_inc = posdelete.collect_file_stats(
+        spark, path, ["k"], incremental=True
+    )
+    assert n_inc == 2  # one new file per group directory
+    pruned, n_read, n_total = posdelete.read_mor_dv_pruned(
+        spark, path, "k", 100, 200
+    )
+    assert n_total == 4 and n_read == 2
+    assert sorted(r.k for r in pruned.collect()) == list(range(100, 106))
+    # old-range probe still resolves through the original stats rows
+    pruned2, n_read2, _ = posdelete.read_mor_dv_pruned(
+        spark, path, "k", 0, 9
+    )
+    assert n_read2 == 2
+    assert sorted(r.k for r in pruned2.collect()) == list(range(10))
