@@ -348,7 +348,9 @@ def emb_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_init = _side(
         init, "vec_id", "embedding", "neighbor_id", "c_vec", "c_norm"
     ).withColumn("cell", ivf_cell_bulk(F.col("c_vec"), F.col("c_norm"), cents))
-    c_init.write.partitionBy("cell").parquet(path)
+    # partition-aligned write: one file per cell directory (32 tasks x
+    # 8 cells would land 256 small files; every probe re-opens them)
+    c_init.repartition("cell").write.partitionBy("cell").parquet(path)
 
     # APPEND PATH — assign-only. The plan must be a pure projection
     # over the new batch: no join (the centroids ride as literals) and
@@ -368,7 +370,9 @@ def emb_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append-path assignment scans the index layout — the append "
             "must not re-read the initial corpus"
         )
-    c_app.write.mode("append").partitionBy("cell").parquet(path)
+    c_app.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
 
     # PER-CELL DRIFT (bounded: 8 cells x 64 dims partial-agg sums) —
     # cosine(stored centroid, new-batch cell mean); min over cells
@@ -390,7 +394,9 @@ def emb_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn(
             "cell", ivf_cell_bulk(F.col("c_vec"), F.col("c_norm"), cents)
         )
-        rebuilt.write.mode("overwrite").partitionBy("cell").parquet(path)
+        rebuilt.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
 
     # query through the maintained index: 2-cell probe, partition-
     # pruned read of the layout
