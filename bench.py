@@ -276,6 +276,7 @@ HEADLINE = [
     "dedup_lsh_index_incremental",
     "text_incremental_quality_gate",
     "lake_mor_rewrite_compaction",
+    "lake_stats_incremental_maintenance",
 ]
 
 

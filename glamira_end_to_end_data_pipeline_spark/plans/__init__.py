@@ -779,13 +779,13 @@ def _last_graded(name: str) -> int:
 # ROUND-13 WINDOW PLAN (executed): grade (1) entries whose code moves
 # in r13 — the 4 _ROTATE_FIRST_R13 names, (2) the 19 remaining
 # _DEFER_FRESH_R13 names (the only entries with zero driver grades),
-# (3) the 6 fresh r13 entries, (4) the r6-stale cohort oldest-first
-# with the 21 remaining slots. The full 50-entry window was bare-
+# (3) the 7 fresh r13 entries, (4) the r6-stale cohort oldest-first
+# with the 20 remaining slots. The full 50-entry window was bare-
 # oracle-green at sf0.01 this round before close.
 #
 # ROUND-14 WINDOW PLAN: grade (1) entries whose code moves in r14,
-# (2) fresh r14 entries, (3) the 17-entry r6-stale remainder (the
-# registration-order tail of the r6 cohort after this round's 21-entry
+# (2) fresh r14 entries, (3) the 18-entry r6-stale remainder (the
+# registration-order tail of the r6 cohort after this round's 20-entry
 # drain: a_approx_sketches onward), then (4) the 37-entry r7-stale
 # cohort oldest-first with remaining slots (≈30 if nothing moves —
 # both cohorts were bare-green in the r12 full-registry sweep). Update

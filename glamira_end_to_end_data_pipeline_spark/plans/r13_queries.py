@@ -1056,3 +1056,103 @@ def lake_mor_rewrite_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Commit-proportional stats maintenance on a growing MoR table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_stats_incremental_maintenance",
+    """
+    WITH base AS (
+        SELECT cast(c_custkey AS BIGINT) AS k, c_mktsegment, c_acctbal
+        FROM customer
+    ),
+    final AS (
+        SELECT * FROM base
+        WHERE (k % 2 = 0 AND c_acctbal >= 0) OR k % 2 = 1
+    )
+    SELECT c_mktsegment AS segment, count(*) AS n_rows,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM final
+    WHERE c_acctbal BETWEEN 4000 AND 4500
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_stats_incremental_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMMIT-PROPORTIONAL stats maintenance
+    (``posdelete.collect_file_stats(incremental=True)``) — the missing
+    cost model between write-time metrics (a real Iceberg writer) and
+    the full-table ANALYZE rescan: on an append-mostly table, each
+    commit profiles ONLY its own files (the unprofiled set is
+    file-count-bounded driver metadata; the scan opens new files by
+    explicit path) and appends its min/max rows, so stats upkeep
+    scales with the commit while the pruned read keeps planning over
+    the WHOLE table's metrics. The fixture: commit 1 + full profile +
+    a positional delete (tombstones never invalidate file metrics —
+    pruning is a superset filter), commit 2 + INCREMENTAL profile
+    (gates: it profiled >0 but fewer than all files, and a second
+    incremental pass profiles 0 — idempotence), then one file-pruned
+    DV-aware read over a balance probe spanning BOTH commits' files
+    (gate: opened < total). Oracle: closed-form final state."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_incst_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    k = F.col("k")
+    # balance-banded file groups (c_acctbal spans [-999.99, 9999.99]):
+    # a CLUSTERED layout, so each file's min/max range is compact and
+    # the probe genuinely prunes — grouping by an unrelated key would
+    # leave every file spanning the full range and the gate vacuous
+    grp = F.least(
+        F.greatest(F.floor((F.col("c_acctbal") + 1000) / 2750), F.lit(0)),
+        F.lit(3),
+    ).cast("long")
+    posdelete.write_data(
+        spark, base.filter(k % 2 == 0).withColumn("grp", grp), path, "grp", "k"
+    )
+    n_full = posdelete.collect_file_stats(spark, path, ["c_acctbal"])
+    n1 = posdelete.position_delete(spark, path, F.col("c_acctbal") < 0)
+    posdelete.write_data(
+        spark, base.filter(k % 2 == 1).withColumn("grp", grp), path, "grp", "k"
+    )
+    n_inc = posdelete.collect_file_stats(
+        spark, path, ["c_acctbal"], incremental=True
+    )
+    n_again = posdelete.collect_file_stats(
+        spark, path, ["c_acctbal"], incremental=True
+    )
+    if not (n1 > 0 and 0 < n_inc and n_again == 0):
+        raise AssertionError(
+            f"fixture drift: delete {n1}, incremental profile {n_inc}, "
+            f"re-profile {n_again} (expected >0, >0, 0)"
+        )
+    lo, hi = 4000.0, 4500.0
+    pruned, n_read, n_total = posdelete.read_mor_dv_pruned(
+        spark, path, "c_acctbal", lo, hi
+    )
+    if n_total != n_full + n_inc or not 0 < n_read < n_total:
+        raise AssertionError(
+            f"stats drift: planner sees {n_total} files (profiled "
+            f"{n_full}+{n_inc}), opened {n_read} — the incremental rows "
+            "must serve pruning exactly like a full rescan"
+        )
+    return (
+        pruned.filter((F.col("c_acctbal") >= lo) & (F.col("c_acctbal") <= hi))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
