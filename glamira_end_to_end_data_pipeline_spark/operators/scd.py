@@ -280,7 +280,23 @@ def scd4_apply(
     uses — never overwrite the directory a live plan is scanning).
     At 100 TB the current table would be key-partitioned and only
     touched partitions rewritten (merge_upsert_partitioned's
-    contract); the swap shape is identical."""
+    contract); the swap shape is identical.
+
+    HISTORY EXACTLY-ONCE: the history append is STAGED, not direct —
+    superseded rows land in a sibling ``<history>.pending`` directory
+    before the swap, and fold into the history table only AFTER the
+    current-table swap commits. The fold is file-by-file renames
+    (atomic per file, names unique per write job), and the commit
+    signal is a ``_PENDING_HISTORY`` marker written INSIDE the new
+    current table before it is swapped in: the marker becomes visible
+    exactly when the swap does. A crash anywhere is safe to retry —
+    before the swap, the recomputed run overwrites the identical
+    pending set; after the swap, entry-time recovery sees the marker
+    in the live table and finishes the fold (renames that already
+    happened are skipped because the files are gone from pending),
+    while the retried run itself computes an EMPTY change set against
+    the already-updated current table. The direct-append design this
+    replaces duplicated history rows on exactly that retry."""
     from glamira_end_to_end_data_pipeline_spark.sources.lake import _hadoop_fs
 
     fs, live = _hadoop_fs(spark, current_path)
@@ -296,6 +312,17 @@ def scd4_apply(
             fs.delete(old, True)
         elif not fs.rename(old, live):
             raise IOError(f"could not restore {old} -> {current_path}")
+    pending = jvm_path(history_path.rstrip("/") + ".pending")
+    marker = jvm_path(current_path.rstrip("/") + "/_PENDING_HISTORY")
+    # Recovery from a crash AFTER a committed swap but before the
+    # staged history folded: the live current table still carries the
+    # marker — finish the fold, then clean up. (A pending dir WITHOUT
+    # the marker is a pre-swap leftover: the change set never hit the
+    # current table, so folding it would fabricate history — the
+    # retried run recomputes and overwrites it instead.)
+    if fs.exists(marker):
+        _fold_pending_history(fs, jvm_path, pending, history_path)
+        fs.delete(marker, False)
 
     cur = spark.read.parquet(current_path)
     ch = changes.select(
@@ -313,7 +340,8 @@ def scd4_apply(
     )
     n_hist = superseded.count()
     if n_hist:
-        superseded.write.mode("append").parquet(history_path)
+        # staged, NOT appended — the fold happens after the swap commits
+        superseded.write.mode("overwrite").parquet(pending.toString())
     replaced = real.select(
         *[
             F.col("_new_state").alias(c) if c == state_col else F.col(c)
@@ -328,16 +356,20 @@ def scd4_apply(
     tmp = current_path.rstrip("/") + ".tmp"
     nxt.write.mode("overwrite").parquet(tmp)
     n_cur = spark.read.parquet(tmp).count()
+    if n_hist:
+        # the marker rides INSIDE the new table: it becomes visible to
+        # recovery exactly when the swap commits, never before
+        fs.create(jvm_path(tmp + "/_PENDING_HISTORY"), True).close()
     # Hadoop FileSystem.rename signals failure by RETURNING FALSE, not
     # by raising — an unchecked rename here would report success counts
-    # while leaving the current/history pair silently inconsistent
-    # (history was already appended above). Check both; on a failed
-    # second rename roll the backup straight back so a live current
-    # directory always exists.
+    # while leaving the current/history pair silently inconsistent.
+    # Check both; on a failed second rename roll the backup straight
+    # back so a live current directory always exists. History is still
+    # only STAGED at this point, so a failed swap appends nothing.
     if not fs.rename(live, old):
         raise IOError(
-            f"could not stage {current_path} -> {old}; history already "
-            f"appended {n_hist} rows — current table left untouched"
+            f"could not stage {current_path} -> {old}; history staged "
+            f"({n_hist} rows) but NOT folded — current table untouched"
         )
     if not fs.rename(jvm_path(tmp), live):
         if not fs.rename(old, live):
@@ -347,7 +379,33 @@ def scd4_apply(
             )
         raise IOError(
             f"could not swap {tmp} -> {current_path}; previous current "
-            f"table restored (history already appended {n_hist} rows)"
+            f"table restored (history staged, not folded)"
         )
     fs.delete(old, True)
+    if n_hist:
+        _fold_pending_history(fs, jvm_path, pending, history_path)
+        fs.delete(marker, False)
     return n_hist, n_cur
+
+
+def _fold_pending_history(fs, jvm_path, pending, history_path: str) -> None:
+    """Fold the staged ``<history>.pending`` directory into the history
+    table by RENAMING each data file in — atomic per file and
+    exactly-once (a file lives in pending or in history, never both;
+    part-file names carry the write job's UUID so they never collide).
+    Safe to re-enter after a crash mid-fold: already-moved files are
+    simply absent from pending. No-op when pending is gone (a prior
+    fold completed before the marker was cleared)."""
+    if not fs.exists(pending):
+        return
+    hist = jvm_path(history_path)
+    if not fs.exists(hist):
+        fs.mkdirs(hist)
+    for status in fs.listStatus(pending):
+        p = status.getPath()
+        name = p.getName()
+        if name.startswith(("_", ".")):
+            continue
+        if not fs.rename(p, jvm_path(history_path.rstrip("/") + "/" + name)):
+            raise IOError(f"could not fold {p} into {history_path}")
+    fs.delete(pending, True)

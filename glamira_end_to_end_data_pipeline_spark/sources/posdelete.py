@@ -265,6 +265,28 @@ def compact_to_deletion_vectors(spark: SparkSession, path: str) -> int:
 _STATS = "stats"
 
 
+def _list_data_files(spark: SparkSession, path: str) -> set:
+    """Enumerate the table's data files via the Hadoop FileSystem
+    listing — METADATA-ONLY discovery (a directory walk, no parquet
+    footer is opened), the cost model a real manifest gives for free.
+    Returned URIs match ``_metadata.file_path`` exactly (both are
+    ``Path.toString()`` of the same FileSystem), so they diff cleanly
+    against stats rows. Hidden/marker files (``_SUCCESS``,
+    ``.crc``, ...) are skipped, mirroring what a parquet scan reads."""
+    from .lake import _hadoop_fs
+
+    fs, dpath = _hadoop_fs(spark, f"{path}/{_DATA}")
+    if not fs.exists(dpath):
+        return set()
+    out = set()
+    it = fs.listFiles(dpath, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if not p.getName().startswith(("_", ".")):
+            out.add(p.toString())
+    return out
+
+
 def collect_file_stats(
     spark: SparkSession, path: str, cols: list, incremental: bool = False
 ) -> int:
@@ -307,9 +329,13 @@ def collect_file_stats(
             .select("__file")
             .collect()
         }
-        all_files = {
-            r[0] for r in d.select("__file").distinct().collect()
-        }
+        # Discovery is a FileSystem directory listing, NOT a table scan:
+        # the previous `_data_with_identity(...).distinct().collect()`
+        # opened every historical file's footer, contradicting the
+        # commit-proportional claim at 100 TB. The listing URIs are
+        # byte-identical to `_metadata.file_path` (same Path.toString),
+        # so the stats diff stays exact.
+        all_files = _list_data_files(spark, path)
         fresh = sorted(all_files - known)
         if not fresh:
             return 0
@@ -349,17 +375,36 @@ def read_mor_dv_pruned(
 
     NOTE: file pruning is a superset filter (a file may contain rows
     outside [lo, hi] alongside matching ones) — callers apply the row
-    predicate on top, exactly as with parquet min/max pruning."""
+    predicate on top, exactly as with parquet min/max pruning.
+
+    STALE-STATS SAFETY: the plan is NOT built from stats rows alone —
+    the stats file set is diffed against the live ``data/`` listing,
+    and any data file WITHOUT a stats row (appended after the last
+    ``collect_file_stats``) is read unconditionally, exactly Iceberg's
+    rule that files lacking metrics are must-read. Planning from stats
+    alone would silently DROP live rows behind stale metadata. A file
+    whose bounds are NULL (all-NULL column) is likewise must-read: no
+    evidence of non-overlap is not evidence of exclusion.
+    ``n_files_total`` counts the live listing, so pruning ratios are
+    measured against the actual table, not the profiled subset."""
     stats = spark.read.parquet(f"{path}/{_STATS}")
     rows = stats.select(
         "__file", f"__min_{col}", f"__max_{col}"
     ).collect()
-    total = len(rows)
+    live_files = _list_data_files(spark, path)
+    profiled = {r["__file"] for r in rows}
+    unprofiled = sorted(live_files - profiled)
+    total = len(live_files)
     files = [
         r["__file"]
         for r in rows
-        if r[f"__min_{col}"] <= hi and r[f"__max_{col}"] >= lo
-    ]
+        if r["__file"] in live_files
+        and (
+            r[f"__min_{col}"] is None
+            or r[f"__max_{col}"] is None
+            or (r[f"__min_{col}"] <= hi and r[f"__max_{col}"] >= lo)
+        )
+    ] + unprofiled
     if not files:
         d = _data_with_identity(spark, path).limit(0)
         return _apply_tombstones(spark, path, d).drop("__file", "__pos"), 0, total

@@ -356,3 +356,61 @@ def test_collect_file_stats_incremental_profiles_only_new_files(
     )
     assert n_read2 == 2
     assert sorted(r.k for r in pruned2.collect()) == list(range(10))
+
+
+def test_pruned_read_includes_unprofiled_files(spark, tmp_path):
+    """STALE-STATS SAFETY (ADVICE r13): data files appended AFTER the
+    last collect_file_stats have no stats row — the pruned read must
+    treat them as must-read (Iceberg's files-without-metrics rule),
+    never silently exclude them, and n_files_total must count the live
+    listing, not the profiled subset."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path / "stale_stats")
+    df1 = spark.createDataFrame(
+        [(i, i % 2, i) for i in range(10)], "k long, grp long, ord long"
+    )
+    posdelete.write_data(spark, df1, path, "grp", "ord")
+    posdelete.collect_file_stats(spark, path, ["k"])
+    # commit 2 lands OUTSIDE the probed range and is never profiled
+    df2 = spark.createDataFrame(
+        [(i, i % 2, i) for i in range(100, 106)],
+        "k long, grp long, ord long",
+    )
+    posdelete.write_data(spark, df2, path, "grp", "ord")
+    pruned, n_read, n_total = posdelete.read_mor_dv_pruned(
+        spark, path, "k", 100, 200
+    )
+    assert n_total == 4  # live listing, not the 2 profiled files
+    assert n_read == 2  # both unprofiled files are must-read
+    assert sorted(r.k for r in pruned.collect()) == list(range(100, 106))
+    # a probe that overlaps profiled files reads profiled + unprofiled
+    _, n_read_all, _ = posdelete.read_mor_dv_pruned(spark, path, "k", 0, 9)
+    assert n_read_all == 4
+
+
+def test_pruned_read_null_bounds_are_must_read(spark, tmp_path):
+    """A profiled file whose pruning column is all-NULL has NULL
+    min/max; the driver-side overlap test must treat it as must-read
+    instead of raising TypeError (ADVICE r13)."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path / "null_bounds")
+    df = spark.createDataFrame(
+        [(1, 0, 1, 5.0), (2, 0, 2, 9.0), (3, 1, 1, None), (4, 1, 2, None)],
+        "k long, grp long, ord long, v double",
+    )
+    posdelete.write_data(spark, df, path, "grp", "ord")
+    posdelete.collect_file_stats(spark, path, ["v"])
+    pruned, n_read, n_total = posdelete.read_mor_dv_pruned(
+        spark, path, "v", 0.0, 100.0
+    )
+    assert (n_read, n_total) == (2, 2)
+    assert sorted(r.k for r in pruned.collect()) == [1, 2, 3, 4]
+    # a non-overlapping probe still prunes the bounded file but must
+    # keep the NULL-bounds file
+    pruned2, n_read2, _ = posdelete.read_mor_dv_pruned(
+        spark, path, "v", 1000.0, 2000.0
+    )
+    assert n_read2 == 1
+    assert sorted(r.k for r in pruned2.collect()) == [3, 4]

@@ -325,3 +325,81 @@ def test_scd4_apply_recovers_from_crashed_swap(spark, tmp_path):
     assert (n_hist, n_cur) == (1, 2)
     cur = {r.k: r.seg for r in spark.read.parquet(cur_path).collect()}
     assert cur == {1: "x", 2: "b"}
+
+
+def test_scd4_history_fold_exactly_once_after_swap_commit(spark, tmp_path):
+    """ADVICE r13: a crash AFTER the current-table swap but BEFORE the
+    staged history folds leaves the `_PENDING_HISTORY` marker inside
+    the live current table and the superseded rows in
+    `<history>.pending`. The next apply must fold them exactly once —
+    the retried (now no-op) change set must not duplicate them, and a
+    further apply must not re-fold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import scd4_apply
+
+    cur_path = str(tmp_path / "cur4f")
+    hist_path = str(tmp_path / "hist4f")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, seg string"
+    ).write.parquet(cur_path)
+    ch = spark.createDataFrame(
+        [(1, "x", "2022-01-01")], "k long, seg string, effective_ts string"
+    ).withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+    n_hist, _ = scd4_apply(spark, cur_path, hist_path, ch, "k", "seg")
+    assert n_hist == 1
+    assert spark.read.parquet(hist_path).count() == 1
+
+    # Reconstruct the post-swap/pre-fold crash state: the superseded
+    # rows sit in pending (a distinct write job — distinct part-file
+    # names, as in reality) and the marker is in the live table —
+    # exactly what a crash between the swap and the fold leaves behind.
+    spark.read.parquet(hist_path).write.parquet(hist_path + ".pending")
+    open(os.path.join(cur_path, "_PENDING_HISTORY"), "w").close()
+    # The retried change set is a NO-OP against the already-swapped
+    # current table; only entry-time recovery may touch history.
+    n_hist2, n_cur2 = scd4_apply(spark, cur_path, hist_path, ch, "k", "seg")
+    assert (n_hist2, n_cur2) == (0, 2)
+    # folded exactly once: the original row + the recovered copy = 2,
+    # NOT 3 (the direct-append design re-appended on retry)
+    assert spark.read.parquet(hist_path).count() == 2
+    assert not os.path.exists(hist_path + ".pending")
+    assert not os.path.exists(os.path.join(cur_path, "_PENDING_HISTORY"))
+    # a further apply folds nothing more
+    n_hist3, _ = scd4_apply(spark, cur_path, hist_path, ch, "k", "seg")
+    assert n_hist3 == 0
+    assert spark.read.parquet(hist_path).count() == 2
+
+
+def test_scd4_pre_swap_pending_is_never_fabricated_into_history(
+    spark, tmp_path
+):
+    """A pending directory WITHOUT the marker is a pre-swap leftover
+    (the change set never hit the current table) — folding it would
+    fabricate history. The retried run must recompute and land the
+    correct single history row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from glamira_end_to_end_data_pipeline_spark.operators.scd import scd4_apply
+
+    cur_path = str(tmp_path / "cur4p")
+    hist_path = str(tmp_path / "hist4p")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, seg string"
+    ).write.parquet(cur_path)
+    # dead writer staged pending, crashed before the swap
+    spark.createDataFrame(
+        [(1, "a", "2022-01-01")],
+        "k long, seg string, superseded_at string",
+    ).write.parquet(hist_path + ".pending")
+    ch = spark.createDataFrame(
+        [(1, "x", "2022-01-01")], "k long, seg string, effective_ts string"
+    ).withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+    n_hist, _ = scd4_apply(spark, cur_path, hist_path, ch, "k", "seg")
+    assert n_hist == 1
+    assert spark.read.parquet(hist_path).count() == 1
+    assert not os.path.exists(hist_path + ".pending")
