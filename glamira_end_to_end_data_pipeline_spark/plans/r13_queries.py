@@ -643,7 +643,22 @@ def _register_dedup_lsh_index_incremental() -> None:
 
         The verify fetch is the Iceberg pattern: candidate ids form a
         pushed-down semi-join key set; at 100 TB the documents table
-        is id-bucketed so the fetch opens candidate buckets only."""
+        is id-bucketed so the fetch opens candidate buckets only.
+
+        Lifecycle job budget (r13 verdict asked for the trim): the
+        corpus SHINGLE frame is computed once and persisted — the
+        admission build consumes it for bands and the exact verify
+        recovers set semantics from the SAME frame restricted to
+        candidates (`.join(cand_docs).distinct()` — per-doc distinct
+        equals global distinct, see exploded_shingles), so candidate
+        text is never re-shingled; the index read-back is persisted so
+        the `n_idx` growth gate materializes the SAME scan the probe
+        join consumes (the gate count stops being a separate
+        file-open pass); the admit frame is persisted so its growth
+        count is a cache read after the append write materializes it.
+        The persisted corpus shingles are the admission build's own
+        working set — at steady state (index already built) only the
+        batch-sized `sh_n` persist remains."""
         from glamira_end_to_end_data_pipeline_spark.caching import (
             tracked_persist,
         )
@@ -661,11 +676,14 @@ def _register_dedup_lsh_index_incremental() -> None:
         docs = read_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
-        # ADMISSION-TIME build (the amortized one-time cost)
+        # ADMISSION-TIME build (the amortized one-time cost); the
+        # shingle frame is persisted — the exact verify below recovers
+        # set semantics from this same frame instead of re-shingling
+        sh_c = tracked_persist(
+            dedup.exploded_shingles(docs, distinct=False)
+        )
         b_c = dedup.lsh_bands(
-            dedup.minhash_signatures(
-                dedup.exploded_shingles(docs, distinct=False)
-            )
+            dedup.minhash_signatures(sh_c)
         ).select(F.col("doc_id").alias("corpus_id"), "band_id", "band_hash")
         # partition-aligned write: one file per band directory instead
         # of one per (write task x band) — the probe and the growth
@@ -674,9 +692,10 @@ def _register_dedup_lsh_index_incremental() -> None:
         b_c.repartition("band_id").write.partitionBy("band_id").parquet(
             path
         )
-        n_idx = spark.read.parquet(path).count()
 
-        # PROBE — batch-only compute against the stored index
+        # PROBE — batch-only compute against the stored index; the
+        # read-back is persisted so the n_idx growth gate and the band
+        # join share ONE file-open pass
         newb = _cross_new_batch(docs)
         sh_n = tracked_persist(
             dedup.exploded_shingles(newb, distinct=False)
@@ -684,7 +703,8 @@ def _register_dedup_lsh_index_incremental() -> None:
         b_n = dedup.lsh_bands(
             dedup.minhash_signatures(sh_n)
         ).select(F.col("doc_id").alias("new_id"), "band_id", "band_hash")
-        idx = spark.read.parquet(path)
+        idx = tracked_persist(spark.read.parquet(path))
+        n_idx = idx.count()
         cand = tracked_persist(
             idx.join(b_n, ["band_id", "band_hash"])
             .select("new_id", "corpus_id")
@@ -702,13 +722,13 @@ def _register_dedup_lsh_index_incremental() -> None:
                 "the re-read to candidates"
             )
 
-        # EXACT verify on candidate docs only: fetch their text by key,
-        # re-shingle with set semantics; new/corpus id spaces are
-        # disjoint (+1e5/2e5/3e5 offsets), so one shingle frame serves
-        # both sides of jaccard_for_pairs
-        sh_cand = dedup.exploded_shingles(
-            docs.join(cand_docs, "doc_id"), distinct=True
-        )
+        # EXACT verify on candidate docs only: restrict the PERSISTED
+        # corpus shingle frame to candidates and recover set semantics
+        # with a candidate-bounded distinct (per-doc distinct == global
+        # (doc, shingle) distinct) — no text re-fetch, no re-shingle;
+        # new/corpus id spaces are disjoint (+1e5/2e5/3e5 offsets), so
+        # one shingle frame serves both sides of jaccard_for_pairs
+        sh_cand = sh_c.join(cand_docs, "doc_id").distinct()
         sh_new_cand = (
             sh_n.join(
                 cand.select(F.col("new_id").alias("doc_id")).distinct(),
@@ -743,13 +763,16 @@ def _register_dedup_lsh_index_incremental() -> None:
             [(i,) for i in sorted({r["new_id"] for r in got})],
             "new_id long",
         )
-        admit = b_n.join(dup_df, "new_id", "left_anti").select(
-            F.col("new_id").alias("corpus_id"), "band_id", "band_hash"
+        admit = tracked_persist(
+            b_n.join(dup_df, "new_id", "left_anti").select(
+                F.col("new_id").alias("corpus_id"), "band_id", "band_hash"
+            )
         )
-        n_admit = admit.count()
         admit.repartition("band_id").write.mode("append").partitionBy(
             "band_id"
         ).parquet(path)
+        # cache read — the append write above materialized the persist
+        n_admit = admit.count()
         n_after = spark.read.parquet(path).count()
         if n_after != n_idx + n_admit:
             raise AssertionError(
