@@ -277,6 +277,7 @@ HEADLINE = [
     "text_incremental_quality_gate",
     "lake_mor_rewrite_compaction",
     "lake_stats_incremental_maintenance",
+    "emb_ivf_incremental_refresh",
 ]
 
 

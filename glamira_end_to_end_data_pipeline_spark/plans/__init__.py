@@ -73,6 +73,10 @@ from glamira_end_to_end_data_pipeline_spark.plans import r12_queries  # noqa: E4
 # rule places them behind the round-13 defer block, inside the window.
 from glamira_end_to_end_data_pipeline_spark.plans import r13_queries  # noqa: E402,F401
 
+# round-14 fresh entries — the ``_last_graded() == 0`` rule places
+# them behind the round-14 rotate-first block, inside the window.
+from glamira_end_to_end_data_pipeline_spark.plans import r14_queries  # noqa: E402,F401
+
 # Round-8 front-loads: entries whose code changed in round 8, re-graded
 # the round their implementation moves. graph_scc_exact: TRIM pre-pass
 # + trivial-chain fixture + doubling probes; dedup_minhash_lsh /
@@ -746,11 +750,45 @@ _R12_GREEN = frozenset(
 )
 
 
+# Driver-green in CORRECTNESS_r13.json (round-13 window, 50/50 green:
+# 4 code-moved rotate-first + the 21 _DEFER_FRESH_R13 first-grades +
+# 7 fresh r13 entries + a 20-entry drain of the r6-stale cohort).
+_R13_GREEN = frozenset(
+    {
+        "a_cohort_retention", "a_funnel_conversion",
+        "a_kaplan_meier_survival", "a_logistic_irls_glm",
+        "a_market_basket_rules", "a_pareto_concentration",
+        "a_skewed_salted_agg", "dedup_lsh_index_incremental",
+        "dq_cramers_v", "dq_experiment_readout_panel",
+        "dq_schema_checks", "emb_ivf_incremental", "f_date_parts_dim",
+        "f_ip_enrichment", "f_json_parse_corrupt", "f_surrogate_keys",
+        "f_variant_semistructured", "f_variant_shredded_read",
+        "graph_betweenness_capstone", "graph_mst_boruvka",
+        "j1_j5_star_join_defaults", "j6_value_range_join",
+        "j8_asof_event_segments", "j_aqe_skew_join_split",
+        "j_bucketed_colocated", "j_dynamic_partition_pruning",
+        "j_skew_salted", "lake_deletion_vectors", "lake_dv_zorder_read",
+        "lake_mor_rewrite_compaction", "lake_position_deletes",
+        "lake_stats_incremental_maintenance",
+        "lake_zorder_prune_effectiveness", "s_bucket_pruned_scan",
+        "scd2_late_arriving_splice", "scd4_current_history_pair",
+        "star_fact_sales_order_incremental",
+        "stream_ivm_retractable_agg", "text_incremental_quality_gate",
+        "text_isotonic_calibration", "text_kneser_ney_bigram",
+        "w1_dedup_latest", "w3_date_spine", "w4_rolling_user_value",
+        "w5_scd2_user_segments", "w6_forward_fill",
+        "w7_new_vs_returning", "w8_event_transitions",
+        "w9_ntile_quartiles", "w_sliding_distinct_users",
+    }
+)
+
+
 def _last_graded(name: str) -> int:
     """Latest round whose driver window graded ``name`` green (0 =
     never graded — fresh this round). Later rounds win: r5 re-graded
     19 entries first greened in r2/r3."""
     for rnd, green in (
+        (13, _R13_GREEN),
         (12, _R12_GREEN),
         (11, _R11_GREEN),
         (10, _R10_GREEN),
@@ -832,24 +870,43 @@ _ROTATE_FIRST_R13 = (
 )
 
 
+# Round-14 front-loads: entries whose IMPLEMENTATION moved in round 14,
+# re-graded the round their code moves. scd4_current_history_pair:
+# scd4_apply's history append is now staged through <history>.pending
+# + a _PENDING_HISTORY marker and folded exactly-once after the swap
+# (ADVICE r13); lake_dv_zorder_read + lake_stats_incremental_maintenance:
+# read_mor_dv_pruned diffs stats against the live data/ listing
+# (unprofiled files must-read, NULL bounds must-read, n_total = live
+# listing) and collect_file_stats(incremental=True) discovers files by
+# FileSystem listing instead of a footer-opening scan (ADVICE r13);
+# dedup_lsh_index_incremental: lifecycle job-budget trim (persisted
+# corpus shingles shared by build+verify, persisted index read-back,
+# persisted admit frame — r13 verdict task 4); emb_ivf_incremental:
+# the Lloyd-refresh arm moved into the shared _ivf_refresh_rebuild
+# helper (graded through the new emb_ivf_incremental_refresh).
+_ROTATE_FIRST_R14 = (
+    "scd4_current_history_pair",
+    "lake_dv_zorder_read",
+    "lake_stats_incremental_maintenance",
+    "dedup_lsh_index_incremental",
+    "emb_ivf_incremental",
+)
+
+
 def _window_order() -> list[str]:
-    """Round-13 order, per the written plan above: (1) code-moved
-    entries, (2) the never-driver-graded _DEFER_FRESH_R13 debt (oldest
-    first — these are the only registry entries with zero driver
-    grades), (3) fresh round-13 entries, (4) the staleness drain
-    (last-graded round ascending — the r6 cohort leads). Whatever the
-    50-slot window cannot fit of (4) spills to round 14's drain."""
+    """Round-14 order, per the written plan above: (1) code-moved
+    entries (_ROTATE_FIRST_R14), (2) fresh round-14 entries
+    (_last_graded() == 0 — nothing else is ungraded after r13 cleared
+    the defer debt), (3) the staleness drain (last-graded round
+    ascending: the 18-entry r6 remainder leads, then the r7 cohort).
+    Whatever the 50-slot window cannot fit of (3) spills to round 15's
+    drain."""
     registered = list(QUERIES)
-    front = [n for n in _ROTATE_FIRST_R13 if n in QUERIES]
-    defer = [
-        n
-        for n in _DEFER_FRESH_R13
-        if n in QUERIES and _last_graded(n) == 0 and n not in front
-    ]
+    front = [n for n in _ROTATE_FIRST_R14 if n in QUERIES]
     fresh = [
         n
         for n in registered
-        if _last_graded(n) == 0 and n not in front and n not in defer
+        if _last_graded(n) == 0 and n not in front
     ]
     pos = {n: i for i, n in enumerate(registered)}
     graded = sorted(
@@ -860,7 +917,7 @@ def _window_order() -> list[str]:
         ),
         key=lambda n: (_last_graded(n), pos[n]),
     )
-    return front + defer + fresh + graded
+    return front + fresh + graded
 
 
 def _apply_order() -> None:
