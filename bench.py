@@ -278,6 +278,8 @@ HEADLINE = [
     "lake_mor_rewrite_compaction",
     "lake_stats_incremental_maintenance",
     "emb_ivf_incremental_refresh",
+    "graph_cc_incremental",
+    "lake_merge_mor",
 ]
 
 

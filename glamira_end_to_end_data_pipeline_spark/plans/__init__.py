@@ -821,13 +821,21 @@ def _last_graded(name: str) -> int:
 # with the 20 remaining slots. The full 50-entry window was bare-
 # oracle-green at sf0.01 this round before close.
 #
-# ROUND-14 WINDOW PLAN: grade (1) entries whose code moves in r14,
-# (2) fresh r14 entries, (3) the 18-entry r6-stale remainder (the
-# registration-order tail of the r6 cohort after this round's 20-entry
-# drain: a_approx_sketches onward), then (4) the 37-entry r7-stale
-# cohort oldest-first with remaining slots (≈30 if nothing moves —
-# both cohorts were bare-green in the r12 full-registry sweep). Update
-# the green sets from CORRECTNESS_r13 before reordering.
+# ROUND-14 WINDOW PLAN (executed): grade (1) the 5 code-moved
+# _ROTATE_FIRST_R14 entries, (2) the 3 fresh r14 entries
+# (emb_ivf_incremental_refresh, lake_merge_mor, graph_cc_incremental),
+# (3) the 18-entry r6-stale remainder (a_approx_sketches onward —
+# fully drained this round), (4) the first 24 of the 37-entry r7-stale
+# cohort. 5 + 3 + 18 + 24 = exactly the 50-slot window.
+#
+# ROUND-15 WINDOW PLAN: grade (1) entries whose code moves in r15,
+# (2) fresh r15 entries, (3) the 13-entry r7-stale remainder
+# (registration order after this round's 24-entry drain: text_pii_scrub
+# onward — _last_graded()==7 names outside the r14 window), then
+# (4) the r8-stale cohort oldest-first with remaining slots (~41
+# entries graded r8; expect ~30 slots if r15 adds the usual 3-5 fresh
+# entries). Update the green sets from CORRECTNESS_r14 before
+# reordering.
 _DEFER_FRESH_R13 = (
     "text_kneser_ney_bigram",
     "a_market_basket_rules",

@@ -11,11 +11,13 @@
   the SHARED refresh helper (``r13_queries._ivf_refresh_rebuild``),
   and hash-checks the post-refresh reassignment + probe against the
   DuckDB replay of the identical Lloyd iteration.
-- ``graph_pagerank_incremental`` — incremental maintenance for the
-  graph family (the one missing member of the r13 incremental theme):
-  persisted ranks survive an edge-append batch via delta propagation
-  from the touched frontier only, runtime-gated that the converged
-  recompute was NOT re-run from scratch; oracle = the full recompute.
+- ``graph_cc_incremental`` — incremental maintenance for the graph
+  family (the one missing member of the r13 incremental theme):
+  persisted component labels survive an edge-append batch via
+  contraction to a batch-bounded META graph (the touched frontier
+  only), runtime-gated that the converged recompute was NOT re-run
+  from scratch; oracle = the full recompute (min-reachable-id over
+  base ∪ batch).
 - ``lake_merge_mor`` — MERGE in merge-on-read flavor: matched rows
   become deletion-vector bits and inserts append NEW files, composing
   the existing positional-delete/DV machinery; gated that no
@@ -251,4 +253,305 @@ def emb_ivf_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read MERGE: matched rows become DV bits, inserts append
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_merge_mor",
+    """
+    WITH t AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        FROM customer
+    ),
+    u AS (SELECT k, seg, bal + 1000 AS bal FROM t WHERE k % 7 = 0),
+    i AS (SELECT k + 1000000 AS k, seg, bal - 500 AS bal
+          FROM t WHERE k % 11 = 0),
+    src AS (SELECT * FROM u UNION ALL SELECT * FROM i)
+    SELECT k, seg, round(bal, 2) AS bal FROM t
+    WHERE k NOT IN (SELECT k FROM src)
+    UNION ALL
+    SELECT k, seg, round(bal, 2) AS bal FROM src
+    """,
+)
+def lake_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ MERGE (r13 verdict task 6): the registry's
+    existing MERGE entries (``lake_merge_upsert``, the multi-clause
+    MERGE) are copy-on-write — every file containing a matched row is
+    rewritten. Iceberg v3 / Delta deletion vectors enable the MoR
+    flavor this entry grades: matched rows become DV BITS, all source
+    rows (updates and inserts alike) land in NEW data files, and NO
+    pre-existing file is rewritten — the write cost model that makes
+    point-y MERGEs affordable on a 100 TB table where COW would
+    rewrite terabytes to change kilobytes.
+
+    Composition, not new machinery (``posdelete.merge_mor``): victims
+    via one DV-aware semi-join against the commit-sized source keys,
+    tombstones folded to per-file bitmaps, source appended through the
+    positional writer; the read path is the unchanged ``read_mor_dv``.
+    Gates: (a) every pre-merge data file survives BYTE-IDENTICAL
+    (path+length on the before/after FileSystem listing), (b) new
+    files appeared, (c) the deletion vectors carry exactly the matched
+    row count. Oracle = the COW MERGE result on the same input — MoR
+    and COW must be indistinguishable to readers.
+
+    Source fixture: customers with ``k % 7 = 0`` are updates
+    (bal + 1000), customers with ``k % 11 = 0`` re-enter as inserts
+    under key k + 1e6 (bal − 500) — both update and insert arms
+    exercised, including keys hit by both (k % 77 = 0)."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mergemor_{tag}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    posdelete.write_data(spark, cust, path, "seg", "k")
+
+    before = sorted(posdelete._list_data_files_sized(spark, path))
+
+    updates = cust.filter(F.col("k") % 7 == 0).select(
+        "k", "seg", (F.col("bal") + 1000).alias("bal")
+    )
+    inserts = cust.filter(F.col("k") % 11 == 0).select(
+        (F.col("k") + 1000000).alias("k"),
+        "seg",
+        (F.col("bal") - 500).alias("bal"),
+    )
+    src = updates.unionByName(inserts)
+    n_matched, n_source = posdelete.merge_mor(
+        spark, path, src, "k", "seg", "k"
+    )
+
+    after = sorted(posdelete._list_data_files_sized(spark, path))
+    before_set = dict(before)
+    after_set = dict(after)
+    if not set(before_set) <= set(after_set):
+        raise AssertionError(
+            "MoR MERGE deleted a pre-existing data file — matched rows "
+            "must become DV bits, never file rewrites"
+        )
+    rewritten = [
+        f for f, sz in before_set.items() if after_set[f] != sz
+    ]
+    if rewritten:
+        raise AssertionError(
+            f"MoR MERGE rewrote {len(rewritten)} pre-existing data "
+            "files in place — the COW cost model leaked in"
+        )
+    if len(after_set) <= len(before_set):
+        raise AssertionError(
+            "MoR MERGE appended no new data files — the source write "
+            "arm did not run"
+        )
+    # matched rows are VECTOR bits: the fold consumed the tombstones
+    dv = spark.read.parquet(f"{path}/dv")
+    n_bits = dv.agg(F.sum("__cardinality")).collect()[0][0]
+    if n_bits != n_matched:
+        raise AssertionError(
+            f"deletion vectors carry {n_bits} bits for {n_matched} "
+            "matched rows"
+        )
+    return posdelete.read_mor_dv(spark, path).select(
+        "k", "seg", F.round("bal", 2).alias("bal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components: persisted labels + batch contraction
+# ---------------------------------------------------------------------------
+
+_ORDER_OFF = 10_000_000_000
+_SUPP_OFF = 20_000_000_000
+
+
+@query(
+    "graph_cc_incremental",
+    f"""
+    WITH RECURSIVE base AS (
+        SELECT o_custkey AS u, o_orderkey + {_ORDER_OFF} AS v FROM orders
+    ),
+    batch AS (
+        SELECT DISTINCT l_orderkey + {_ORDER_OFF} AS u,
+               l_suppkey + {_SUPP_OFF} AS v
+        FROM lineitem WHERE l_orderkey % 97 = 0 AND l_linenumber = 1
+    ),
+    edges AS (
+        SELECT u, v FROM base UNION SELECT v, u FROM base
+        UNION SELECT u, v FROM batch UNION SELECT v, u FROM batch
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    labels AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
+    SELECT component_id, count(*) AS n_nodes
+    FROM labels GROUP BY component_id
+    """,
+)
+def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CONNECTED COMPONENTS — the graph member of the
+    incremental-maintenance family (r13 verdict task 5). A 100 TB edge
+    store grows by append, and re-running the converged min-label loop
+    over the whole graph per batch is the wrong cost model: edge
+    ADDITIONS can only MERGE components, so the persisted labels are a
+    sufficient summary — each new edge contracts to the (label(u),
+    label(v)) pair, and the only iterative work is connected
+    components over that META graph, whose size is bounded by the
+    BATCH (2 nodes per batch edge), never the corpus.
+
+    Lifecycle: (1) admission build — the base customer↔order graph's
+    labels (``dedup.duplicate_clusters``, the engine's converged
+    min-label CC) persisted as the label store; (2) a batch of
+    order↔supplier edges arrives (first lineitems of orders sliced by
+    ``l_orderkey % 97``) — suppliers are NEW nodes, so every batch
+    edge bridges components;
+    (3) batch endpoints look up their labels (one key join; unseen
+    nodes label themselves), edges contract to label pairs, and the
+    iterative CC runs on THAT frame only — runtime-gated:
+    meta nodes ≤ 2×batch edges AND meta nodes < corpus nodes, so a
+    green grade proves the from-scratch recompute never ran;
+    (4) the label store updates by ONE broadcast-sized map join
+    (old label → merged label, frontier rows only change) plus the
+    new nodes' rows. The oracle IS the full recompute — recursive
+    min-reachable-id over base ∪ batch — so incremental must equal
+    rebuild exactly, the ``stream_delta_join_view`` recompute-equality
+    pattern applied to graphs.
+
+    Result: (component_id, n_nodes) per merged component — the
+    aggregate a dedup/partitioning consumer reads off the label store.
+
+    Scale: admission is the one-time converged build (same amortization
+    as ``dedup_lsh_index_incremental``'s index); per-batch cost is one
+    label lookup join + CC on a batch-bounded frame + a
+    frontier-proportional label update. Nothing iterative ever sees
+    the full graph again."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    state = os.path.join(tempfile.gettempdir(), f"spark_graft_ccinc_{tag}")
+    state2 = state + "_v2"
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(state2, ignore_errors=True)
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    base = orders.select(
+        F.col("o_custkey").cast("long").alias("u"),
+        (F.col("o_orderkey") + F.lit(_ORDER_OFF)).cast("long").alias("v"),
+    )
+    batch = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_orderkey") % 97 == 0) & (F.col("l_linenumber") == 1)
+        )
+        .select(
+            (F.col("l_orderkey") + F.lit(_ORDER_OFF)).cast("long").alias("u"),
+            (F.col("l_suppkey") + F.lit(_SUPP_OFF)).cast("long").alias("v"),
+        )
+        .distinct()
+    )
+
+    # ADMISSION build: converged base labels → the persisted store
+    duplicate_clusters(base, "u", "v").select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("label")
+    ).write.parquet(state)
+    lab = spark.read.parquet(state)
+    n_total = lab.count()
+
+    # CONTRACTION: batch endpoints → their labels (unseen nodes label
+    # themselves), edges → meta-label pairs. One key join; the batch
+    # side is commit-sized.
+    ends = (
+        batch.select(F.col("u").alias("node"))
+        .unionByName(batch.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    end_lab = ends.join(lab, "node", "left").select(
+        "node", F.coalesce("label", "node").alias("label")
+    )
+    meta_edges = (
+        batch.join(
+            end_lab.withColumnRenamed("node", "u").withColumnRenamed(
+                "label", "lu"
+            ),
+            "u",
+        )
+        .join(
+            end_lab.withColumnRenamed("node", "v").withColumnRenamed(
+                "label", "lv"
+            ),
+            "v",
+        )
+        .filter(F.col("lu") != F.col("lv"))
+        .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+        .distinct()
+    )
+    n_batch = batch.count()
+    if n_batch == 0:
+        raise AssertionError("fixture drift: empty edge-append batch")
+
+    # the ONLY iterative work: CC over the contracted meta graph
+    meta_map = duplicate_clusters(meta_edges, "u", "v").select(
+        F.col("doc_id").alias("old_label"),
+        F.col("cluster_id").alias("new_label"),
+    )
+    n_meta_nodes = meta_map.count()
+    if n_meta_nodes == 0:
+        raise AssertionError(
+            "fixture drift: the batch merged nothing — the delta path "
+            "is unexercised"
+        )
+    if n_meta_nodes > 2 * n_batch:
+        raise AssertionError(
+            f"meta graph has {n_meta_nodes} nodes for a {n_batch}-edge "
+            "batch — contraction is not batch-bounded"
+        )
+    if n_meta_nodes >= n_total:
+        raise AssertionError(
+            f"meta graph ({n_meta_nodes} nodes) is not smaller than the "
+            f"corpus ({n_total} nodes) — this is a from-scratch recompute"
+        )
+
+    # FRONTIER-BOUNDED update: existing rows relabel through the tiny
+    # map (AQE broadcasts it); new nodes enter with their meta label
+    old_upd = (
+        lab.join(meta_map, lab["label"] == meta_map["old_label"], "left")
+        .select(
+            "node",
+            F.coalesce("new_label", "label").alias("label"),
+        )
+    )
+    new_nodes = (
+        end_lab.join(lab.select("node"), "node", "left_anti")
+        .join(
+            meta_map,
+            end_lab["label"] == meta_map["old_label"],
+            "left",
+        )
+        .select(
+            end_lab["node"],
+            F.coalesce("new_label", end_lab["label"]).alias("label"),
+        )
+    )
+    old_upd.unionByName(new_nodes).write.parquet(state2)
+
+    return (
+        spark.read.parquet(state2)
+        .groupBy(F.col("label").alias("component_id"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
     )

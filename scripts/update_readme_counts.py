@@ -3,9 +3,11 @@ they can never lag the code (the r9 VERDICT caught a hand-maintained
 "235 entries" surviving part of a round):
 
 - the registry count comes from ``len(QUERIES)``;
-- the per-round bench table (raw total + host probe + normalized) is
-  rebuilt from the committed ``BENCH_r*.json`` records between the
-  ``<!-- bench-table -->`` markers.
+- the per-round bench table (raw total + host probe + median
+  per-query ratio; the noisy ``value_normalized_32c`` stays in the
+  JSON records only — r13 verdict) is rebuilt from the committed
+  ``BENCH_r*.json`` records between the ``<!-- bench-table -->``
+  markers.
 
 Run after adding entries or landing a bench record:
 ``python scripts/update_readme_counts.py``.
@@ -90,9 +92,6 @@ def bench_rows() -> list[str]:
         n_q = doc.get("n_queries") or len(doc.get("queries", {})) or "—"
         probe = doc.get("host_probe") or {}
         eff = probe.get("effective_cores")
-        norm = doc.get("value_normalized_32c")
-        if norm is None and eff:
-            norm = round(doc["value"] * eff / 32, 1)
         label = f"r{int(rnd)}" if rnd else "local (this round)"
         ratio = doc.get("median_ratio_vs_prev")
         base = doc.get("ratio_baseline")
@@ -105,8 +104,7 @@ def bench_rows() -> list[str]:
             ratio_cell = "—"
         rows.append(
             f"| {label} | {doc['value']} | {n_q} | "
-            f"{eff if eff is not None else '—'} | "
-            f"{norm if norm is not None else '—'} | {ratio_cell} |"
+            f"{eff if eff is not None else '—'} | {ratio_cell} |"
         )
     return rows
 
@@ -126,8 +124,8 @@ def main() -> None:
     table = "\n".join(
         [
             "| round | raw total (s) | queries | effective cores | "
-            "normalized 32c (s) | median per-query ratio |",
-            "|---|---|---|---|---|---|",
+            "median per-query ratio |",
+            "|---|---|---|---|---|",
             *bench_rows(),
         ]
     )

@@ -207,6 +207,10 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str, str], str] = {
     ("r13_queries.py", "emb_ivf_incremental", "q_reb"): (
         "10 query vectors (vec_id < 10), exploded over <= 2 probe cells"
     ),
+    # --- r14_queries.py ----------------------------------------------
+    ("r14_queries.py", "emb_ivf_incremental_refresh", "qs"): (
+        "10 query vectors (vec_id < 10), exploded over <= 2 probe cells"
+    ),
 }
 
 BANNED_SUBSTRINGS = (

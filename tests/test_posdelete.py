@@ -414,3 +414,56 @@ def test_pruned_read_null_bounds_are_must_read(spark, tmp_path):
     )
     assert n_read2 == 1
     assert sorted(r.k for r in pruned2.collect()) == [3, 4]
+
+
+def test_merge_mor_upsert_semantics_and_no_rewrite(spark, tmp_path):
+    """MoR MERGE: matched keys survive as the SOURCE row (old version
+    becomes DV bits), unmatched source keys insert, unmatched target
+    rows pass through — and every pre-existing data file survives
+    byte-identical (no COW rewrites)."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path / "mormerge")
+    target = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b"), (3, 1, "c")], "k long, grp long, val string"
+    )
+    posdelete.write_data(spark, target, path, "grp", "k")
+    before = dict(posdelete._list_data_files_sized(spark, path))
+
+    src = spark.createDataFrame(
+        [(2, 0, "B2"), (9, 1, "new")], "k long, grp long, val string"
+    )
+    n_matched, n_source = posdelete.merge_mor(spark, path, src, "k", "grp", "k")
+    assert (n_matched, n_source) == (1, 2)
+
+    after = dict(posdelete._list_data_files_sized(spark, path))
+    assert set(before) <= set(after)
+    assert all(after[f] == sz for f, sz in before.items())
+    assert len(after) > len(before)
+
+    got = {r.k: r.val for r in posdelete.read_mor_dv(spark, path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+    # the matched row is a VECTOR bit, not a residual tombstone
+    dv = spark.read.parquet(f"{path}/dv")
+    assert dv.agg({"__cardinality": "sum"}).collect()[0][0] == 1
+
+
+def test_merge_mor_repeated_merge_is_result_stable(spark, tmp_path):
+    """Re-merging the same source converges: the second pass tombstones
+    the first pass's written rows and rewrites them from the source —
+    the visible table is unchanged and still duplicate-free."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path / "mormerge2")
+    target = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b")], "k long, grp long, val string"
+    )
+    posdelete.write_data(spark, target, path, "grp", "k")
+    src = spark.createDataFrame([(2, 0, "B")], "k long, grp long, val string")
+    posdelete.merge_mor(spark, path, src, "k", "grp", "k")
+    n_matched2, _ = posdelete.merge_mor(spark, path, src, "k", "grp", "k")
+    assert n_matched2 == 1  # the previously-merged row re-matches
+    got = sorted(
+        (r.k, r.val) for r in posdelete.read_mor_dv(spark, path).collect()
+    )
+    assert got == [(1, "a"), (2, "B")]
