@@ -280,6 +280,7 @@ HEADLINE = [
     "emb_ivf_incremental_refresh",
     "graph_cc_incremental",
     "lake_merge_mor",
+    "stream_cdc_to_mor",
 ]
 
 

@@ -901,20 +901,38 @@ _ROTATE_FIRST_R14 = (
 )
 
 
+# Entries added AFTER the round-14 window plan locked (5 rotate-first +
+# 3 fresh + 18 r6-stale + 24 r7-stale = exactly 50): they sort to the
+# BACK of the registry so the staleness-drain cohort keeps its slots,
+# and round 15's `_last_graded() == 0` rule pulls them forward
+# automatically (the r11 deferral mechanism). All bare-oracle-green at
+# sf0.01 the round they were added.
+_DEFER_FRESH_R15 = (
+    "stream_cdc_to_mor",
+)
+
+
 def _window_order() -> list[str]:
     """Round-14 order, per the written plan above: (1) code-moved
     entries (_ROTATE_FIRST_R14), (2) fresh round-14 entries
     (_last_graded() == 0 — nothing else is ungraded after r13 cleared
-    the defer debt), (3) the staleness drain (last-graded round
-    ascending: the 18-entry r6 remainder leads, then the r7 cohort).
+    the defer debt) EXCEPT the _DEFER_FRESH_R15 late additions, (3)
+    the staleness drain (last-graded round ascending: the 18-entry r6
+    remainder leads, then the r7 cohort), (4) the deferred late
+    additions, at the very back — outside the driver's [:50] window.
     Whatever the 50-slot window cannot fit of (3) spills to round 15's
     drain."""
     registered = list(QUERIES)
     front = [n for n in _ROTATE_FIRST_R14 if n in QUERIES]
+    defer = [
+        n
+        for n in _DEFER_FRESH_R15
+        if n in QUERIES and _last_graded(n) == 0 and n not in front
+    ]
     fresh = [
         n
         for n in registered
-        if _last_graded(n) == 0 and n not in front
+        if _last_graded(n) == 0 and n not in front and n not in defer
     ]
     pos = {n: i for i, n in enumerate(registered)}
     graded = sorted(
@@ -925,7 +943,7 @@ def _window_order() -> list[str]:
         ),
         key=lambda n: (_last_graded(n), pos[n]),
     )
-    return front + fresh + graded
+    return front + fresh + graded + defer
 
 
 def _apply_order() -> None:

@@ -555,3 +555,131 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("label").alias("component_id"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC stream applied as merge-on-read MERGEs (streaming x lake composition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_cdc_to_mor",
+    """
+    WITH t AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               round(c_acctbal, 2) AS bal
+        FROM customer
+    ),
+    b1 AS (SELECT k, seg, round(bal + 500, 2) AS bal FROM t WHERE k % 3 = 1),
+    b2u AS (SELECT k, seg, round(bal - 250, 2) AS bal FROM t WHERE k % 3 = 2),
+    b2i AS (SELECT k + 1000000 AS k, seg, round(bal + 125, 2) AS bal
+            FROM t WHERE k % 13 = 0),
+    src AS (SELECT * FROM b1
+            UNION ALL SELECT * FROM b2u
+            UNION ALL SELECT * FROM b2i)
+    SELECT k, seg, bal FROM t WHERE k % 3 = 0
+    UNION ALL
+    SELECT k, seg, bal FROM src
+    """,
+)
+def stream_cdc_to_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC STREAM → MERGE-ON-READ table: each upsert micro-batch
+    applies through ``posdelete.merge_mor`` inside ``foreachBatch`` —
+    matched rows become deletion-vector bits, batch rows land in new
+    files, and NO pre-existing data file is ever rewritten across the
+    whole stream. This is the streaming×lake composition a 100 TB CDC
+    consumer actually runs (Delta/Iceberg `MERGE` in foreachBatch with
+    DV write mode): per-batch write cost is batch-proportional, where
+    the COW flavor (``stream_cdc_apply``'s serving copy) rewrites
+    every touched partition per batch.
+
+    Fixture: two upsert batches land as separate files in a streamed
+    source directory (``maxFilesPerTrigger=1`` → one MERGE per file);
+    their key sets are DISJOINT by construction (k % 3 = 1 vs 2, plus
+    a k+1e6 insert arm riding batch 2), so the final state is
+    independent of file pickup order and keys k % 3 = 0 prove
+    pass-through. Gates: exactly two micro-batches ran; every
+    pre-stream data file survives byte-identical (path+length); the
+    folded vectors carry exactly the stream's total matched rows
+    (per-batch folds MERGE with existing vectors — the idempotent
+    union ``compact_to_deletion_vectors`` guarantees). Oracle = the
+    last-writer-wins state computed directly in SQL."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_cdcmor_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    posdelete.write_data(spark, cust, table, "seg", "k")
+    before = dict(posdelete._list_data_files_sized(spark, table))
+
+    b1 = cust.filter(F.col("k") % 3 == 1).select(
+        "k", "seg", F.round(F.col("bal") + 500, 2).alias("bal")
+    )
+    b2 = (
+        cust.filter(F.col("k") % 3 == 2)
+        .select("k", "seg", F.round(F.col("bal") - 250, 2).alias("bal"))
+        .unionByName(
+            cust.filter(F.col("k") % 13 == 0).select(
+                (F.col("k") + 1000000).alias("k"),
+                "seg",
+                F.round(F.col("bal") + 125, 2).alias("bal"),
+            )
+        )
+    )
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    audit = {"n_batches": 0, "n_matched": 0}
+
+    def cdc_merge(batch: DataFrame, batch_id: int) -> None:
+        n_matched, _ = posdelete.merge_mor(
+            batch.sparkSession, table, batch, "k", "seg", "k"
+        )
+        audit["n_batches"] += 1
+        audit["n_matched"] += n_matched
+
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(cdc_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    if audit["n_batches"] != 2:
+        raise AssertionError(
+            f"expected 2 CDC micro-batches, ran {audit['n_batches']}"
+        )
+    after = dict(posdelete._list_data_files_sized(spark, table))
+    if not set(before) <= set(after):
+        raise AssertionError(
+            "CDC MoR stream deleted a pre-existing data file"
+        )
+    rewritten = [f for f, sz in before.items() if after[f] != sz]
+    if rewritten:
+        raise AssertionError(
+            f"CDC MoR stream rewrote {len(rewritten)} pre-existing "
+            "files in place — per-batch cost is no longer "
+            "batch-proportional"
+        )
+    dv = spark.read.parquet(f"{table}/dv")
+    n_bits = dv.agg(F.sum("__cardinality")).collect()[0][0]
+    if n_bits != audit["n_matched"]:
+        raise AssertionError(
+            f"vectors carry {n_bits} bits for {audit['n_matched']} "
+            "matched rows across the stream"
+        )
+    return posdelete.read_mor_dv(spark, table).select("k", "seg", "bal")
