@@ -281,6 +281,7 @@ HEADLINE = [
     "graph_cc_incremental",
     "lake_merge_mor",
     "stream_cdc_to_mor",
+    "graph_cc_decremental",
 ]
 
 

@@ -909,6 +909,7 @@ _ROTATE_FIRST_R14 = (
 # sf0.01 the round they were added.
 _DEFER_FRESH_R15 = (
     "stream_cdc_to_mor",
+    "graph_cc_decremental",
 )
 
 

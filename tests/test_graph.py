@@ -779,3 +779,35 @@ def test_boruvka_mst_matches_prim_and_handles_forest(spark):
 
     assert got == prim(range(13), E)
     assert rounds <= 5  # ceil(log2(7)) + margin; never node-sequential
+
+
+def test_local_cc_matches_distributed_min_label(spark):
+    """_local_cc (driver union-find, the hybrid fast path of the
+    incremental/decremental CC entries) lands on exactly the fixed
+    point dedup.duplicate_clusters' converged min-label propagation
+    computes — components labeled by their minimum node id."""
+    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        _local_cc,
+    )
+
+    # chains, a triangle, a star, singleton-free isolates via self-free
+    # pairs, and a merge-order-adversarial zig-zag
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (11, 12), (12, 10),    # triangle
+        (20, 21), (20, 22), (20, 23),    # star
+        (30, 31),                        # pair
+        (41, 40), (42, 41), (40, 43),    # zig-zag, larger-first unions
+    ]
+    local = dict(_local_cc(edges))
+    df = spark.createDataFrame(edges, "u long, v long")
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(df, "u", "v").collect()
+    }
+    assert local == dist
+    assert local[4] == 1 and local[12] == 10 and local[23] == 20
+    assert local[43] == 40 and local[42] == 40
