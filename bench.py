@@ -282,6 +282,7 @@ HEADLINE = [
     "lake_merge_mor",
     "stream_cdc_to_mor",
     "graph_cc_decremental",
+    "text_bm25_incremental",
 ]
 
 

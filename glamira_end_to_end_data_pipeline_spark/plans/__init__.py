@@ -910,6 +910,7 @@ _ROTATE_FIRST_R14 = (
 _DEFER_FRESH_R15 = (
     "stream_cdc_to_mor",
     "graph_cc_decremental",
+    "text_bm25_incremental",
 )
 
 

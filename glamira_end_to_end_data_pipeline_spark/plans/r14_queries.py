@@ -916,3 +916,194 @@ def graph_cc_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{n_del} bridges vs {n_comp_before} before — nothing split"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental BM25 index maintenance (persisted postings + mergeable stats)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash", "filter")
+_BM25_BUCKETS = 16
+
+
+def _register_text_bm25_incremental() -> None:
+    """Registered via a helper so the oracle is REUSED verbatim from
+    ``text_bm25_topk`` — the index round-trip must be invisible to
+    results (the ``dedup_lsh_index_incremental`` pattern)."""
+    from glamira_end_to_end_data_pipeline_spark.plans.queries import ORACLES
+
+    @query("text_bm25_incremental", ORACLES["text_bm25_topk"])
+    def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """INCREMENTAL BM25 index maintenance — ``text_bm25_topk``
+        recomputes postings from raw text per query; a 100 TB search
+        slice amortizes that: the inverted index persists as
+        (term, doc, tf, dl) postings PARTITIONED BY TERM BUCKET, and
+        the corpus-level scalars BM25 needs (N, avgdl) persist as
+        MERGEABLE SUFFICIENT SUMS (n_docs, total_dl) — so a document
+        batch costs (1) tokenizing THE BATCH ONLY (plan-gated: no scan
+        of the index layout), (2) appending its postings
+        partition-aligned, (3) adding two numbers to the stats row.
+        Nothing corpus-proportional ever re-runs; df needs no store at
+        all — it falls out of the query-term postings read.
+
+        The query path opens ONLY the query terms' bucket directories
+        (runtime file gate: files read < files total), derives each
+        term's df by counting its postings, merges (N, avgdl) from the
+        summed stats, and scores the identical Lucene-idf formula.
+        Oracle = ``text_bm25_topk``'s full-recompute SQL, shared
+        verbatim: the index round-trip must be invisible.
+
+        Scale: postings partitioning makes query cost proportional to
+        the query terms' posting lists (an inverted index's defining
+        property); the stats row is O(1) state; batch admission is
+        batch-proportional. The split (doc_id % 5) reassembles the
+        whole documents table, so full-corpus scores are comparable."""
+        from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
+            normalized_tokens,
+        )
+
+        tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        idx = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_bm25idx_{tag}"
+        )
+        shutil.rmtree(idx, ignore_errors=True)
+        postings_dir = os.path.join(idx, "postings")
+        stats_dir = os.path.join(idx, "stats")
+        stats2_dir = os.path.join(idx, "stats_v2")
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        init = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+        def postings_of(d: DataFrame) -> DataFrame:
+            base = d.select(
+                F.col("doc_id"), normalized_tokens("text").alias("__toks")
+            )
+            toks = base.select(
+                "doc_id",
+                F.size("__toks").alias("dl"),
+                F.explode("__toks").alias("term"),
+            )
+            return (
+                toks.groupBy("doc_id", "term")
+                .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.crc32(F.col("term")), F.lit(_BM25_BUCKETS)),
+                )
+            )
+
+        def stats_of(d: DataFrame) -> DataFrame:
+            return d.select(
+                F.size(normalized_tokens("text")).alias("dl")
+            ).agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").cast("long").alias("total_dl"),
+            )
+
+        # ADMISSION: postings partition-aligned by term bucket + the
+        # two-number stats row
+        postings_of(init).repartition("bucket").write.partitionBy(
+            "bucket"
+        ).parquet(postings_dir)
+        stats_of(init).write.parquet(stats_dir)
+
+        # INCREMENTAL batch: tokenize the batch only — plan-gated that
+        # the admission layout is never re-read
+        p_b = postings_of(batch)
+        plan = p_b._jdf.queryExecution().optimizedPlan().toString()
+        if "bm25idx" in plan:
+            raise AssertionError(
+                "batch postings plan scans the index layout — admission "
+                "must never re-run"
+            )
+        p_b.repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(postings_dir)
+        s0 = spark.read.parquet(stats_dir)
+        sb = stats_of(batch)
+        (
+            s0.unionByName(sb)
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_dl").cast("long").alias("total_dl"),
+            )
+            .write.parquet(stats2_dir)
+        )
+
+        # QUERY through the maintained index: open only the query
+        # terms' buckets (partition-pruned), df from the pruned read
+        terms = list(_BM25_TERMS)
+        buckets = sorted(
+            {
+                r[0]
+                for r in spark.range(1)
+                .select(
+                    F.explode(
+                        F.array(*[F.lit(t) for t in terms])
+                    ).alias("t")
+                )
+                .select(F.pmod(F.crc32(F.col("t")), F.lit(_BM25_BUCKETS)))
+                .collect()
+            }
+        )
+        post = spark.read.parquet(postings_dir).filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        n_read = (
+            post.select(F.col("_metadata.file_path")).distinct().count()
+        )
+        from glamira_end_to_end_data_pipeline_spark.sources.lake import (
+            _hadoop_fs,
+        )
+
+        fs, pdir = _hadoop_fs(spark, postings_dir)
+        n_total_files = 0
+        it = fs.listFiles(pdir, True)
+        while it.hasNext():
+            if not it.next().getPath().getName().startswith(("_", ".")):
+                n_total_files += 1
+        if not 0 < n_read < n_total_files:
+            raise AssertionError(
+                f"query read opened {n_read} of {n_total_files} posting "
+                "files — bucket pruning did not engage"
+            )
+
+        df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        stats = spark.read.parquet(stats2_dir)
+        scored = (
+            post.join(F.broadcast(df_t), "term")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                (
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + F.lit(1.2)
+                        * (
+                            1
+                            - 0.75
+                            + F.lit(0.75)
+                            * F.col("dl")
+                            / (F.col("total_dl") / F.col("n_docs"))
+                        )
+                    )
+                ).alias("__s"),
+            )
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("__s"), 4).alias("bm25_score"))
+        )
+        return scored.orderBy(
+            F.desc("bm25_score"), F.asc("doc_id")
+        ).limit(10)
+
+
+_register_text_bm25_incremental()
