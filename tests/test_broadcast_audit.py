@@ -211,6 +211,12 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str, str], str] = {
     ("r14_queries.py", "emb_ivf_incremental_refresh", "qs"): (
         "10 query vectors (vec_id < 10), exploded over <= 2 probe cells"
     ),
+    ("r14_queries.py", "text_bm25_incremental", "df_t"): (
+        "per-query-term df rows: <= 3 (|_BM25_TERMS|) at any SF"
+    ),
+    ("r14_queries.py", "text_bm25_incremental", "stats"): (
+        "one-row merged (n_docs, total_dl) corpus aggregate"
+    ),
 }
 
 BANNED_SUBSTRINGS = (

@@ -52,6 +52,10 @@ BNLJ_OK = {
     # Kneser-Ney's bigram-type total is a ONE-ROW broadcast onto the
     # count-ordered top-15 (the text_bm25_topk scalar pattern).
     "text_kneser_ney_bigram",
+    # incremental BM25: the ONE-ROW merged (n_docs, total_dl) stats
+    # broadcast crossed onto the query terms' pruned postings (the
+    # same scalar pattern as text_bm25_topk's corpus row).
+    "text_bm25_incremental",
     # MW's one-row (r2) stats × one-row totals scalar cross — O(1).
     "dq_mann_whitney_u",
     # t-closeness dense grid: |nations| × |balance-buckets| ≈ 275-row
