@@ -1493,6 +1493,106 @@ def test_deletion_vectors_match_reference_model(spark, tmp_path_factory, ops):
 @settings(max_examples=6, deadline=None)
 @given(
     st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=40),
+                        st.integers(min_value=0, max_value=9),
+                    ),
+                    min_size=1,
+                    max_size=6,
+                ),
+            ),
+            st.tuples(
+                st.just("delete"),
+                st.integers(min_value=0, max_value=9),
+            ),
+            st.tuples(st.just("compact"), st.just(0)),
+            st.tuples(
+                st.just("merge"),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=40),
+                        st.integers(min_value=100, max_value=109),
+                    ),
+                    min_size=1,
+                    max_size=5,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=7,
+    )
+)
+def test_merge_mor_matches_reference_model(spark, tmp_path_factory, ops):
+    """MoR MERGE joins the multiset model: under random
+    append/delete/compact/MERGE interleavings, a merge upserts by key —
+    EVERY live copy of a merged key dies (as DV bits after the fold)
+    and the source rows (distinct val range, so they are tellable from
+    appends) land as new files; deletes and compaction keep their laws
+    around it. The visible table must equal the sequential model at
+    every end state, and merge must never touch a pre-existing file."""
+    from glamira_end_to_end_data_pipeline_spark.sources import posdelete
+
+    path = str(tmp_path_factory.mktemp("mmprop") / "mmtab")
+    live = []
+    seq = 0
+    wrote = False
+    for op, arg in ops:
+        if op == "append":
+            rows = [
+                (seq * 1000 + i, k % 3, k, v)
+                for i, (k, v) in enumerate(arg)
+            ]
+            seq += 1
+            df = spark.createDataFrame(
+                rows, "rid long, grp long, k long, val long"
+            )
+            posdelete.write_data(spark, df, path, "grp", "rid")
+            live.extend((k, v) for k, v in arg)
+            wrote = True
+        elif op == "delete" and wrote:
+            n = posdelete.position_delete(
+                spark, path, F.col("val") == int(arg)
+            )
+            assert n == sum(1 for _, v in live if v == arg)
+            live = [(k, v) for k, v in live if v != arg]
+        elif op == "compact" and wrote:
+            posdelete.compact_to_deletion_vectors(spark, path)
+        elif op == "merge" and wrote:
+            rows = [
+                (seq * 1000 + i, k % 3, k, v)
+                for i, (k, v) in enumerate(arg)
+            ]
+            seq += 1
+            before = dict(posdelete._list_data_files_sized(spark, path))
+            df = spark.createDataFrame(
+                rows, "rid long, grp long, k long, val long"
+            )
+            n_matched, n_src = posdelete.merge_mor(
+                spark, path, df, "k", "grp", "rid"
+            )
+            keys = {k for k, _ in arg}
+            assert n_matched == sum(1 for k, _ in live if k in keys)
+            assert n_src == len(arg)
+            after = dict(posdelete._list_data_files_sized(spark, path))
+            assert set(before) <= set(after)
+            assert all(after[f] == sz for f, sz in before.items())
+            live = [(k, v) for k, v in live if k not in keys]
+            live.extend(arg)
+    if not wrote:
+        return
+    got = sorted(
+        (r.k, r.val) for r in posdelete.read_mor_dv(spark, path).collect()
+    )
+    assert got == sorted(live)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=14),
             st.integers(min_value=0, max_value=14),
