@@ -283,6 +283,7 @@ HEADLINE = [
     "stream_cdc_to_mor",
     "graph_cc_decremental",
     "text_bm25_incremental",
+    "lake_shallow_clone",
 ]
 
 

@@ -911,6 +911,7 @@ _DEFER_FRESH_R15 = (
     "stream_cdc_to_mor",
     "graph_cc_decremental",
     "text_bm25_incremental",
+    "lake_shallow_clone",
 )
 
 

@@ -1107,3 +1107,116 @@ def _register_text_bm25_incremental() -> None:
 
 
 _register_text_bm25_incremental()
+
+
+# ---------------------------------------------------------------------------
+# Zero-copy shallow clone (Delta CLONE / Iceberg snapshot ref as a table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_shallow_clone",
+    """
+    WITH t AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               round(c_acctbal, 2) AS bal
+        FROM customer
+    )
+    SELECT k, seg, bal FROM t WHERE k % 3 <> 0 AND k % 5 <> 0
+    UNION ALL
+    SELECT k, seg, round(bal + 77, 2) AS bal FROM t WHERE k % 5 = 0
+    UNION ALL
+    SELECT k, seg, round(bal - 11, 2) AS bal FROM t WHERE k % 5 = 0
+    """,
+)
+def lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY SHALLOW CLONE (``lake.shallow_clone`` — Delta's
+    SHALLOW CLONE / an Iceberg snapshot ref as a standalone table):
+    dev/test forks of a 100 TB table must not copy 100 TB, so the
+    clone is ONE manifest write referencing the source's data files
+    byte-for-byte, immediately readable (plain + MoR) and writable on
+    its own version line.
+
+    Source lifecycle: v1 appends customers with k % 3 ≠ 0, v2
+    equality-deletes keys k % 5 = 0, v3 re-inserts k % 5 = 0 rows at
+    bal+77 (the sequence rule must travel: re-inserts outrank the v2
+    delete INSIDE the clone too). Clone at v3, then DIVERGE: the
+    source appends marker rows (k ≥ 9e5) the clone must never see,
+    and the clone appends k % 5 = 0 rows at bal−11 — keys that
+    COLLIDE with the carried v2 delete, proving the order-preserving
+    era remap (carried deletes land ≤ 1, clone commits start at 2; an
+    unremapped v2 delete would silently kill the clone-side append).
+
+    Gates: (a) metadata-only — zero parquet files under the clone root
+    before its own append; (b) the source's sized data listing is
+    byte-identical across the clone call; (c) the clone read contains
+    no source-post-clone marker row. Oracle = the cloned state plus
+    the clone-side append, computed directly in SQL."""
+    from glamira_end_to_end_data_pipeline_spark.sources import (
+        lake,
+        posdelete,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_clone_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    clone = os.path.join(root, "clone")
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    lake.write_snapshot(spark, cust.filter(F.col("k") % 3 != 0), src)
+    lake.delete_snapshot(
+        spark, cust.filter(F.col("k") % 5 == 0).select("k"), src, ["k"]
+    )
+    lake.write_snapshot(
+        spark,
+        cust.filter(F.col("k") % 5 == 0).withColumn(
+            "bal", F.round(F.col("bal") + 77, 2)
+        ),
+        src,
+    )
+
+    before = sorted(posdelete._list_data_files_sized(spark, src))
+    lake.shallow_clone(spark, src, clone)
+    after = sorted(posdelete._list_data_files_sized(spark, src))
+    if before != after:
+        raise AssertionError(
+            "shallow clone touched the source's data files — it must "
+            "be a metadata-only commit"
+        )
+    n_clone_parquet = len(posdelete._list_data_files_sized(spark, clone))
+    if n_clone_parquet != 0:
+        raise AssertionError(
+            f"clone root holds {n_clone_parquet} data files before its "
+            "own first append — zero bytes may be copied"
+        )
+
+    # DIVERGE: source marker append the clone must never see; clone
+    # append whose keys collide with the carried delete (era-remap
+    # proof — an unremapped carried v2 would kill these era-2 rows)
+    lake.write_snapshot(
+        spark,
+        cust.filter(F.col("k") % 11 == 0).select(
+            (F.col("k") + 900000).alias("k"), "seg", "bal"
+        ),
+        src,
+    )
+    lake.write_snapshot(
+        spark,
+        cust.filter(F.col("k") % 5 == 0).withColumn(
+            "bal", F.round(F.col("bal") - 11, 2)
+        ),
+        clone,
+    )
+    out = lake.read_snapshot_mor(spark, clone).select("k", "seg", "bal")
+    n_leak = out.filter(F.col("k") >= 900000).count()
+    if n_leak:
+        raise AssertionError(
+            f"{n_leak} source-post-clone rows leaked into the clone — "
+            "snapshot isolation broke"
+        )
+    return out

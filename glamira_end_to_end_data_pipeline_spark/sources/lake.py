@@ -951,6 +951,7 @@ def _commit_manifest(
     delete_files: list[str] | None = None,
     carried_deletes: list[dict] | None = None,
     delete_checkpoint: bool = False,
+    eras_override: list[int] | None = None,
 ) -> None:
     """Atomically publish a version's manifest (temp write + rename).
 
@@ -992,13 +993,20 @@ def _commit_manifest(
             prev_eras = dict(zip(pd.get("files", []), pd.get("eras", [])))
         except FileNotFoundError:
             pass
-    eras: list[int] = []
-    for f in files:
-        if f in prev_eras:
-            eras.append(int(prev_eras[f]))
-        else:
-            pe = _path_era(f)
-            eras.append(pe if pe is not None else version)
+    if eras_override is not None:
+        # the caller carries authoritative eras (shallow_clone's
+        # remapped source timeline) — parallel to ``files`` by contract
+        if len(eras_override) != len(files):
+            raise ValueError("eras_override must parallel files")
+        eras = [int(e) for e in eras_override]
+    else:
+        eras = []
+        for f in files:
+            if f in prev_eras:
+                eras.append(int(prev_eras[f]))
+            else:
+                pe = _path_era(f)
+                eras.append(pe if pe is not None else version)
     doc = {
         "version": version,
         "files": files,
@@ -1551,6 +1559,70 @@ def rewrite_manifests(spark: SparkSession, path: str) -> dict:
         "consolidated_deletes": len(carried_docs),
         "manifests_walked": walked,
     }
+
+
+def shallow_clone(
+    spark: SparkSession,
+    src_path: str,
+    clone_path: str,
+    version: int | None = None,
+) -> int:
+    """ZERO-COPY SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW
+    CLONE`` / an Iceberg snapshot ref materialized as its own table):
+    commit a v1 manifest at ``clone_path`` that references the
+    SOURCE's data files byte-for-byte — not one data byte moves, the
+    whole clone is one small JSON write. The clone is immediately a
+    first-class table: reads (plain, MoR, pruned) resolve through its
+    own manifest, its own appends/deletes/compactions commit on its
+    own version line, and NOTHING it does ever touches the source
+    (snapshot isolation in both directions falls out of the manifests
+    being separate files).
+
+    Equality deletes visible at the cloned version come along as
+    ``carried_deletes`` and the clone manifest is a
+    ``delete_checkpoint``, so the clone's MoR reader never walks
+    source history. SEQUENCE-RULE SAFETY: the source's eras and delete
+    versions are REMAPPED order-preservingly onto integers ≤ 1 before
+    committing — clone-side commits start at version 2, so a carried
+    delete can never outrank a post-clone append (without the remap, a
+    source delete at v5 would silently kill clone rows appended at
+    clone-v2), while every source-internal era/delete comparison is
+    preserved exactly.
+
+    The standard shallow-clone caveat applies (same as Delta's):
+    source-side GC/expiry does not know about clone references — run
+    retention on a source with live shallow clones only after
+    re-pointing or deep-copying them.
+
+    Returns the clone's committed version (always 1)."""
+    if version is None:
+        version = latest_snapshot_version(spark, src_path)
+    doc = _read_manifest_doc(spark, src_path, version)
+    files = doc["files"]
+    eras = doc.get("eras") or [
+        (_path_era(f) if _path_era(f) is not None else version)
+        for f in files
+    ]
+    dels, _walked = _collect_deletes(spark, src_path, version, head_doc=doc)
+    points = sorted({int(e) for e in eras} | {int(v) for v, _ in dels})
+    remap = {p: i + 2 - len(points) for i, p in enumerate(points)}
+    carried = [
+        {"version": remap[int(v)], "files": list(fs)}
+        for v, fs in sorted({(int(v), tuple(fs)) for v, fs in dels})
+    ]
+    _commit_manifest(
+        spark,
+        clone_path,
+        1,
+        files,
+        operation="clone",
+        stats=doc.get("stats"),
+        spec=doc.get("spec"),
+        carried_deletes=carried or None,
+        delete_checkpoint=True,
+        eras_override=[remap[int(e)] for e in eras],
+    )
+    return 1
 
 
 def delete_snapshot(

@@ -788,3 +788,67 @@ def test_write_snapshot_checked_null_only_probe(spark, tmp_path):
     with pytest.raises(lake.CheckConstraintViolation):
         lake.write_snapshot_checked(spark, probe, path, "bal >= 0")
     assert lake.latest_snapshot_version(spark, path) == v1
+
+
+def test_shallow_clone_zero_copy_isolation_and_sequence_rule(
+    spark, tmp_path
+):
+    """Shallow clone: (a) metadata-only — no data file appears under
+    the clone root; (b) the clone reads the source's cloned-version
+    state including carried equality deletes and re-insert survival;
+    (c) post-clone commits on EITHER side are invisible to the other;
+    (d) the era remap keeps carried deletes from outranking post-clone
+    clone appends even when keys collide."""
+    import os
+
+    from glamira_end_to_end_data_pipeline_spark.sources import lake
+
+    src = str(tmp_path / "src")
+    clone = str(tmp_path / "clone")
+    rows1 = [(1, "a"), (2, "b"), (5, "e"), (10, "j")]
+    lake.write_snapshot(
+        spark, spark.createDataFrame(rows1, "k long, val string"), src
+    )
+    lake.delete_snapshot(
+        spark, spark.createDataFrame([(5,), (10,)], "k long"), src, ["k"]
+    )
+    # v3 re-inserts key 5 — must survive the v2 delete in the clone too
+    lake.write_snapshot(
+        spark, spark.createDataFrame([(5, "E2")], "k long, val string"), src
+    )
+    assert lake.shallow_clone(spark, src, clone) == 1
+    # (a) zero-copy: nothing but manifest metadata under the clone
+    for root, _dirs, fnames in os.walk(clone):
+        for f in fnames:
+            assert not f.endswith(".parquet"), f"data file in clone: {f}"
+    got = {
+        (r.k, r.val) for r in lake.read_snapshot_mor(spark, clone).collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (5, "E2")}
+    # (c)+(d): divergent writes — the clone re-adds a DELETED key; the
+    # carried delete (source v2) must not kill the clone-v2 append
+    lake.write_snapshot(
+        spark, spark.createDataFrame([(10, "J2")], "k long, val string"),
+        clone,
+    )
+    lake.write_snapshot(
+        spark, spark.createDataFrame([(99, "z")], "k long, val string"), src
+    )
+    got_clone = {
+        (r.k, r.val) for r in lake.read_snapshot_mor(spark, clone).collect()
+    }
+    assert got_clone == {(1, "a"), (2, "b"), (5, "E2"), (10, "J2")}
+    got_src = {
+        (r.k, r.val) for r in lake.read_snapshot_mor(spark, src).collect()
+    }
+    assert got_src == {(1, "a"), (2, "b"), (5, "E2"), (99, "z")}
+    # a delete issued ON THE CLONE stays clone-local
+    lake.delete_snapshot(
+        spark, spark.createDataFrame([(1,)], "k long"), clone, ["k"]
+    )
+    assert (1, "a") not in {
+        (r.k, r.val) for r in lake.read_snapshot_mor(spark, clone).collect()
+    }
+    assert (1, "a") in {
+        (r.k, r.val) for r in lake.read_snapshot_mor(spark, src).collect()
+    }
