@@ -769,11 +769,16 @@ def _register_dedup_lsh_index_incremental() -> None:
                 "doc_id",
             ).distinct()
         )
+        # jaccard_for_pairs consumes its shingle frame THREE times
+        # (per-doc sizes + both sides of the intersection join) — the
+        # candidate-bounded union is persisted so the restrict+distinct
+        # runs once, not thrice
+        sh_verify = tracked_persist(sh_new_cand.unionByName(sh_cand))
         pairs = dedup.jaccard_for_pairs(
             cand.select(
                 F.col("new_id").alias("a"), F.col("corpus_id").alias("b")
             ),
-            sh_new_cand.unionByName(sh_cand),
+            sh_verify,
         ).filter(F.col("jaccard") >= 0.5)
         out = pairs.select(
             F.col("a").alias("new_id"),
