@@ -284,6 +284,7 @@ HEADLINE = [
     "graph_cc_decremental",
     "text_bm25_incremental",
     "lake_shallow_clone",
+    "emb_ivfpq_incremental",
 ]
 
 

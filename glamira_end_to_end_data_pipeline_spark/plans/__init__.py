@@ -912,6 +912,7 @@ _DEFER_FRESH_R15 = (
     "graph_cc_decremental",
     "text_bm25_incremental",
     "lake_shallow_clone",
+    "emb_ivfpq_incremental",
 )
 
 

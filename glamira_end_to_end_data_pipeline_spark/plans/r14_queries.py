@@ -1220,3 +1220,240 @@ def lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snapshot isolation broke"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF-PQ: the compressed ANN index under append maintenance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_ivfpq_incremental",
+    f"""
+    WITH seeds AS (
+        SELECT embedding::DOUBLE[] AS v,
+               row_number() OVER (ORDER BY vec_id) - 1 AS j
+        FROM (SELECT * FROM embeddings
+              WHERE vec_id >= 10 AND vec_id % 5 <> 0
+              ORDER BY vec_id LIMIT 16)
+    ),
+    cb AS (
+        SELECT sub.i AS s, j, v[sub.i*8+1 : sub.i*8+8] AS cvec
+        FROM seeds, (SELECT unnest(generate_series(0, 7)) AS i) sub
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id >= 10),
+    cent AS (
+        SELECT vec_id AS ccid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id >= 10 AND vec_id % 5 <> 0
+        ORDER BY vec_id LIMIT 8
+    ),
+    dists AS (
+        SELECT c.vec_id, cb.s, cb.j,
+               round(list_sum(list_transform(generate_series(1, 8),
+                   i -> (c.v[cb.s*8 + i] - cb.cvec[i])
+                      * (c.v[cb.s*8 + i] - cb.cvec[i]))), 6) AS d
+        FROM corpus c, cb
+    ),
+    best AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d, j) AS rn
+            FROM dists) t WHERE rn = 1
+    ),
+    c_cell AS (
+        SELECT vec_id, ccid AS cell FROM (
+            SELECT c.vec_id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {_COS_SQL.format(a="c.v", b="cent.cvec")} DESC,
+                                cent.ccid) AS rn
+            FROM corpus c, cent) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 10),
+    q_cell AS (
+        SELECT query_id, ccid AS cell FROM (
+            SELECT q.query_id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_COS_SQL.format(a="q.v", b="cent.cvec")} DESC,
+                                cent.ccid) AS rn
+            FROM q, cent) t WHERE rn <= 2
+    ),
+    qlut AS (
+        SELECT q.query_id, cb.s, cb.j AS code,
+               round(list_sum(list_transform(generate_series(1, 8),
+                   i -> (q.v[cb.s*8 + i] - cb.cvec[i])
+                      * (q.v[cb.s*8 + i] - cb.cvec[i]))), 6) AS d
+        FROM q, cb
+    ),
+    scored AS (
+        SELECT qc.query_id, cc.vec_id AS neighbor_id,
+               round(sum(l.d), 6) AS adc_sq_dist
+        FROM q_cell qc
+        JOIN c_cell cc ON cc.cell = qc.cell
+        JOIN best b ON b.vec_id = cc.vec_id
+        JOIN qlut l ON l.query_id = qc.query_id
+                   AND l.s = b.s AND l.code = b.code
+        GROUP BY qc.query_id, cc.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_sq_dist, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY adc_sq_dist, neighbor_id) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def emb_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF-PQ — the COMPRESSED ANN index under append
+    maintenance, completing the family (``emb_ivf_incremental``
+    maintains raw-vector cells; at 100T vectors the index you actually
+    store is (cell, 32-bit PQ code), a few bytes per vector). Both
+    quantizers train ONCE on the initial corpus and freeze as driver
+    metadata (8 centroids + 8×16 sub-codebooks); an append batch costs
+    ONE map-side projection — coarse assign + PQ encode, both from
+    literal codebooks, plan-gated join-free and layout-scan-free —
+    appended cell-partitioned. Frozen quantizers make incremental
+    encoding BYTE-IDENTICAL to bulk encoding, so the maintained index
+    equals a from-scratch build by construction, and the oracle
+    replays init-trained quantizers over the full corpus.
+
+    Query path: 2-cell probe opens only the probed cell directories
+    (runtime file gate), codes unpack map-side, the |Q|·m·k ADC lookup
+    table broadcasts, ranking never touches a raw vector.
+
+    Scale: the 100 TB write path is the append projection (no shuffle
+    at all — codes land partition-aligned); queries read
+    nprobe/n_cells of a few-bytes-per-vector layout. Drift-gated
+    codebook refresh would compose exactly as
+    ``emb_ivf_incremental_refresh`` does for the coarse quantizer."""
+    from glamira_end_to_end_data_pipeline_spark.operators.similarity import (
+        _adc_lut,
+        _dbl,
+        _pq_assign,
+        _unpack_digits,
+        ivf_cell_bulk,
+        ivf_centroids,
+        ivf_probe_cells,
+        norm,
+        pq_centroids,
+    )
+    from glamira_end_to_end_data_pipeline_spark.sources.lake import (
+        _hadoop_fs,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivfpqinc_{tag}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    init = corpus.filter(F.col("vec_id") % 5 != 0)
+    append = corpus.filter(F.col("vec_id") % 5 == 0)
+
+    ivf_cents = ivf_centroids(init, n_cells=8)
+    pq_cents = pq_centroids(init, 8, 16)
+
+    def encode(d: DataFrame) -> DataFrame:
+        v = _dbl(F.col("embedding"))
+        return d.select(
+            F.col("vec_id").alias("neighbor_id"),
+            ivf_cell_bulk(v, norm(F.col("embedding")), ivf_cents).alias(
+                "cell"
+            ),
+            _pq_assign(pq_cents)(v)["pq_code"].alias("pq_code"),
+        )
+
+    encode(init).repartition("cell").write.partitionBy("cell").parquet(
+        path
+    )
+    enc_app = encode(append)
+    plan = enc_app._jdf.queryExecution().optimizedPlan().toString()
+    if "Join" in plan:
+        raise AssertionError(
+            "append-path encode plans a join — assign+PQ-encode must be "
+            "a map-side literal projection"
+        )
+    if "ivfpqinc" in plan:
+        raise AssertionError(
+            "append-path encode scans the index layout — the append "
+            "must not re-read the initial corpus"
+        )
+    enc_app.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
+
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    qv = _dbl(F.col("embedding"))
+    probed = queries_df.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            ivf_probe_cells(qv, norm(F.col("embedding")), ivf_cents, 2)
+        ).alias("cell"),
+    )
+    cells = sorted(r["cell"] for r in probed.select("cell").distinct().collect())
+    lake_read = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    # PRUNING GATES. With 10 isotropic queries probing 2 cells each,
+    # the probed UNION usually covers all 8 cells at graded SFs, so a
+    # bare files-read < files-total check cannot fire; instead (1) the
+    # scan must carry a non-empty PartitionFilters clause on `cell`
+    # (partition pruning ENGAGED — the plan-shape proof), (2) the
+    # files actually opened must be exactly the probed cell
+    # directories' files, and (3) whenever some cell went unprobed,
+    # strictly fewer than all files may be read.
+    pstr = lake_read._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: []" in pstr or "PartitionFilters" not in pstr:
+        raise AssertionError(
+            "probe scan carries no partition filter — cell pruning "
+            "did not engage"
+        )
+    n_read = (
+        lake_read.select(F.col("_metadata.file_path")).distinct().count()
+    )
+    fs, pdir = _hadoop_fs(spark, path)
+    n_total = 0
+    n_probed_files = 0
+    probed_dirs = {f"cell={c}" for c in cells}
+    it = fs.listFiles(pdir, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if p.getName().startswith(("_", ".")):
+            continue
+        n_total += 1
+        if p.getParent().getName() in probed_dirs:
+            n_probed_files += 1
+    if n_read != n_probed_files:
+        raise AssertionError(
+            f"probe opened {n_read} files but the probed cells hold "
+            f"{n_probed_files} — the read is not cell-bounded"
+        )
+    if len(cells) < 8 and n_read >= n_total:
+        raise AssertionError(
+            f"{8 - len(cells)} cells went unprobed yet all {n_total} "
+            "files were read — pruning did not engage"
+        )
+
+    digits = lake_read.join(F.broadcast(probed), "cell").select(
+        "query_id",
+        "neighbor_id",
+        _unpack_digits(F.col("pq_code"), 8, 16).alias("s", "code"),
+    )
+    lut = _adc_lut(queries_df, pq_cents, "vec_id", "embedding")
+    scored = (
+        digits.join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_sq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_sq_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
+    )

@@ -217,6 +217,12 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str, str], str] = {
     ("r14_queries.py", "text_bm25_incremental", "stats"): (
         "one-row merged (n_docs, total_dl) corpus aggregate"
     ),
+    ("r14_queries.py", "emb_ivfpq_incremental", "probed"): (
+        "10 query vectors (vec_id < 10), exploded over <= 2 probe cells"
+    ),
+    ("r14_queries.py", "emb_ivfpq_incremental", "lut"): (
+        "ADC lookup table: |Q|*m*k = 10*8*16 rows, k-bounded"
+    ),
 }
 
 BANNED_SUBSTRINGS = (
