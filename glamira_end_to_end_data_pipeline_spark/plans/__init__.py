@@ -955,8 +955,16 @@ _DEFER_FRESH_R15 = (
 # re-graded the round their code moves. graph_cc_incremental: the
 # vacuous contraction gate replaced with a falsifiable one (meta CC
 # node set == distinct batch endpoint labels — ADVICE r14).
+# lake_mor_dense_deletes: read_snapshot_mor now RAISES on a
+# manifest-eras normalization miss instead of silently falling back to
+# the path-derived era (ADVICE r14) — this entry is the densest
+# consumer of the era path (both WAP and plain eras under expiry), so
+# it re-grades the shared read-path change; lake_shallow_clone, the
+# other principal and the motivating consumer, is already in the
+# window as a first-grade.
 _ROTATE_FIRST_R15 = (
     "graph_cc_incremental",
+    "lake_mor_dense_deletes",
 )
 
 

@@ -1704,10 +1704,31 @@ def read_snapshot_mor(
         norm_col = F.regexp_replace(
             F.input_file_name(), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/"
         )
+        # When the manifest CARRIES an eras list it is authoritative for
+        # every listed file — a normalization miss must surface, not
+        # silently coalesce to the path-derived era (for a shallow
+        # clone the path era is the SOURCE's unremapped version number,
+        # which can let a carried delete spare rows it should kill —
+        # ADVICE r14). The path_era fallback remains only for legacy
+        # manifests with no eras list (the else branch below).
         base = (
             base.withColumn("__fn", norm_col)
             .join(F.broadcast(era_df), "__fn", "left")
-            .withColumn("__era", F.coalesce(F.col("__mf_era"), path_era))
+            .withColumn(
+                "__era",
+                F.when(
+                    F.col("__mf_era").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "manifest eras list does not key file "
+                                "(normalization miss): "
+                            ),
+                            F.input_file_name(),
+                        )
+                    ),
+                ).otherwise(F.col("__mf_era")),
+            )
             .drop("__fn", "__mf_era")
         )
     else:
