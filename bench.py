@@ -285,6 +285,8 @@ HEADLINE = [
     "text_bm25_incremental",
     "lake_shallow_clone",
     "emb_ivfpq_incremental",
+    "lake_bloom_pruned_read",
+    "graph_triangles_incremental",
 ]
 
 

@@ -182,6 +182,87 @@ def triangle_count(
     return per_node
 
 
+# edge-rank base for triangle_count_delta: node ids stay far below
+# 2^31 on every fixture, so u*2^31+v is a unique total order over
+# undirected pairs (u < v) that fits a long with large headroom
+_TRI_EKEY_BASE = 1 << 31
+
+
+def triangle_count_delta(
+    base: DataFrame,
+    batch: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Per-node NEW-triangle counts from an edge-APPEND batch, without
+    re-enumerating any old triangle: every triangle gained contains
+    >=1 batch edge, so it is a wedge CLOSED THROUGH a batch edge —
+    enumerable from ``batch ⋈ adjacency``, work ∝ |batch| x degree.
+
+    Exactly-once counting: batch edges carry a total-order rank
+    (``u*2^31+v``; base edges rank -1) and a triangle is credited only
+    at its HIGHEST-ranked batch edge — for batch edge (u, v) with rank
+    r, a closing node w counts iff BOTH wedge arms rank strictly below
+    r (base arms always do; batch arms only when smaller). Triangles
+    with 1, 2, or 3 batch edges are each counted exactly once — no
+    fractional weights, no dedup pass. Inputs are distinct undirected
+    ``u < v`` pairs with ``base ∩ batch = ∅`` (caller contract).
+
+    Returns ``(delta_counts(node, dn), wedge_frame, adjacency)`` —
+    ``wedge_frame`` is the PERSISTED first-hop join (count it to gate
+    the work actually performed), ``adjacency`` the persisted
+    full-graph undirected adjacency (degree-aggregate it for the
+    corpus wedge bound Σ_d C(d,2) a from-scratch recount would face).
+    Equivalence with :func:`triangle_count` over ``base ∪ batch`` is
+    property-tested in tests/test_graph.py."""
+    b = base.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    d = batch.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).withColumn("ek", F.col("u") * F.lit(_TRI_EKEY_BASE) + F.col("v"))
+    d = tracked_persist(d, StorageLevel.MEMORY_AND_DISK)
+    tagged = b.withColumn("ek", F.lit(-1).cast("long")).unionByName(d)
+    und = tracked_persist(
+        tagged.select(
+            F.col("u").alias("a"), F.col("v").alias("b"), "ek"
+        ).unionByName(
+            tagged.select(F.col("v").alias("a"), F.col("u").alias("b"), "ek")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    # first hop: wedge arms out of u — the (u, v) edge itself can never
+    # slip in as an arm (w == v is excluded; its own rank fails ek < ek)
+    j1 = tracked_persist(
+        d.join(
+            und.select(
+                F.col("a").alias("u"),
+                F.col("b").alias("w"),
+                F.col("ek").alias("ek_uw"),
+            ),
+            "u",
+        ).filter((F.col("w") != F.col("v")) & (F.col("ek_uw") < F.col("ek"))),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    # second hop closes the wedge through (v, w) under the same rule
+    tri = j1.join(
+        und.select(
+            F.col("a").alias("v"),
+            F.col("b").alias("w"),
+            F.col("ek").alias("ek_vw"),
+        ),
+        ["v", "w"],
+    ).filter(F.col("ek_vw") < F.col("ek"))
+    delta = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dn"))
+    )
+    return delta, j1, und
+
+
 def jaccard_link_prediction(
     edges: DataFrame,
     k_top: int = 20,

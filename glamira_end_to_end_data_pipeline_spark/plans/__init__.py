@@ -77,6 +77,10 @@ from glamira_end_to_end_data_pipeline_spark.plans import r13_queries  # noqa: E4
 # them behind the round-14 rotate-first block, inside the window.
 from glamira_end_to_end_data_pipeline_spark.plans import r14_queries  # noqa: E402,F401
 
+# round-15 fresh entries — the ``_last_graded() == 0`` rule places
+# them behind the round-15 deferral first-grades, inside the window.
+from glamira_end_to_end_data_pipeline_spark.plans import r15_queries  # noqa: E402,F401
+
 # Round-8 front-loads: entries whose code changed in round 8, re-graded
 # the round their implementation moves. graph_scc_exact: TRIM pre-pass
 # + trivial-chain fixture + doubling probes; dedup_minhash_lsh /

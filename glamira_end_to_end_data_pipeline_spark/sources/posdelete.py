@@ -622,8 +622,189 @@ def rewrite_compact(
             )
         raise IOError(f"could not swap {tmp} -> {path}/{_DATA}")
     fs.delete(backup, True)
-    for sub in (_DV, _DELETES, _STATS):
+    for sub in (_DV, _DELETES, _STATS, _BLOOMS):
         fs_s, spath = _hadoop_fs(spark, f"{path}/{sub}")
         if fs_s.exists(spath):
             fs_s.delete(spath, True)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom data-skipping index (point-lookup pruning)
+# ---------------------------------------------------------------------------
+
+_BLOOMS = "blooms"
+_FBLOOM_BITS = 1 << 17  # 131072 bits/file -> <=4096 32-bit words, ~16 KB
+_FBLOOM_K = 4
+
+
+def _fbloom_tag(col: str) -> str:
+    # column name participates in the hash preimage so indexes over
+    # different columns can never be confused for one another
+    return f"fbloom:{col}:"
+
+
+def collect_file_blooms(
+    spark: SparkSession, path: str, col: str, incremental: bool = False
+) -> int:
+    """Per-DATA-FILE Bloom bitmap over ``col`` written to ``blooms/``
+    — the point-lookup complement of :func:`collect_file_stats`:
+    min/max bounds prune RANGE predicates but are useless against an
+    equality probe on a high-cardinality column whose values are
+    shuffled across files (every file's [min, max] spans the probed
+    key). Iceberg/Delta solve this with per-file Bloom metrics; this
+    is that, as derived ``stats/``-style metadata (rebuildable from
+    data/, plain append/overwrite, dropped wholesale by
+    :func:`rewrite_compact` with the files it describes).
+
+    Layout: one row per (file, 32-bit word) holding the OR-fold of
+    ``_FBLOOM_K`` md5-derived bit positions per key (the
+    ``a_bloom_filter_probe`` scheme — bit_or is commutative +
+    associative, so map-side partials merge for free). Words never set
+    are NOT stored: an absent word row means an all-zero word, which
+    the probe reads as "bit unset". NULL keys set no bits (equality
+    probes never match NULL).
+
+    ``incremental=True`` is the commit-proportional maintenance path:
+    already-profiled files (from the existing ``blooms/`` rows —
+    file-count-bounded driver metadata) are skipped, discovery is a
+    FileSystem listing, and the scan opens ONLY unprofiled files.
+    Returns the number of files profiled by THIS call."""
+    from .lake import _hadoop_fs
+
+    d = _data_with_identity(spark, path)
+    fs, bpath = _hadoop_fs(spark, f"{path}/{_BLOOMS}")
+    mode = "overwrite"
+    if incremental and fs.exists(bpath):
+        known = {
+            r[0]
+            for r in spark.read.parquet(f"{path}/{_BLOOMS}")
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+        fresh = sorted(_list_data_files(spark, path) - known)
+        if not fresh:
+            return 0
+        d = (
+            spark.read.option("basePath", f"{path}/{_DATA}")
+            .parquet(*fresh)
+            .select("*", F.col("_metadata.file_path").alias("__file"))
+        )
+        mode = "append"
+    j = F.explode(F.sequence(F.lit(0), F.lit(_FBLOOM_K - 1))).alias("j")
+    pos = d.select(
+        "__file", F.col(col).cast("string").alias("__k"), j
+    ).withColumn(
+        "p",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_fbloom_tag(col)),
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("__k"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _FBLOOM_BITS,
+    )
+    from glamira_end_to_end_data_pipeline_spark.caching import tracked_persist
+
+    # persisted: the profiled-file count and the write would otherwise
+    # each re-run the md5 fan over the scanned files
+    words = tracked_persist(
+        pos.filter(F.col("p").isNotNull())
+        .select(
+            "__file",
+            F.expr("p DIV 32").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("__file", "word")
+        .agg(F.expr("CAST(bit_or(mask) AS BIGINT)").alias("bits"))
+    )
+    n = words.select("__file").distinct().count()
+    words.write.mode(mode).parquet(f"{path}/{_BLOOMS}")
+    return n
+
+
+def _fbloom_positions(col: str, value) -> list:
+    """Driver-side replica of the build hash: (word, bit) per hash
+    function for one probe value. Byte-identical preimage to the
+    Spark-side md5 (string cast of an integer key matches ``str``)."""
+    import hashlib
+
+    out = []
+    for jj in range(_FBLOOM_K):
+        pre = f"{_fbloom_tag(col)}{jj}:{value}".encode()
+        p = int(hashlib.md5(pre).hexdigest()[:15], 16) % _FBLOOM_BITS
+        out.append((p // 32, p % 32))
+    return out
+
+
+def read_bloom_pruned(
+    spark: SparkSession, path: str, col: str, values: list
+) -> tuple:
+    """POINT-LOOKUP-PRUNED merge-on-read: plan the scan from the
+    per-file Bloom bitmaps (:func:`collect_file_blooms`), open only
+    the files whose filter admits at least one probed value, and apply
+    deletion vectors + residual tombstones to exactly those files.
+    Returns ``(df, n_files_read, n_files_total)``.
+
+    Planning is DRIVER-side metadata, bounded by file count x probed
+    words: only the ``len(values) * _FBLOOM_K`` word slots the probe
+    touches are fetched from ``blooms/``, never whole bitmaps. A Bloom
+    "no" is definite (zero false negatives by construction), so a
+    skipped file provably holds none of the probed keys; a "yes" is a
+    maybe — callers apply the row predicate on top, exactly as with
+    min/max pruning (superset-filter contract shared with
+    :func:`read_mor_dv_pruned`).
+
+    STALE-INDEX SAFETY (same rule as the stats path): the profiled
+    file set is diffed against the live ``data/`` listing and any data
+    file WITHOUT bloom rows (appended after the last
+    ``collect_file_blooms``) is read unconditionally — files lacking
+    metrics are must-read. ``n_files_total`` counts the live listing."""
+    bl = spark.read.parquet(f"{path}/{_BLOOMS}")
+    plan = {v: _fbloom_positions(col, v) for v in values}
+    needed_words = sorted({w for ps in plan.values() for w, _ in ps})
+    wordmap = {
+        (r["__file"], r["word"]): r["bits"]
+        for r in bl.filter(F.col("word").isin(needed_words)).collect()
+    }
+    profiled = {r[0] for r in bl.select("__file").distinct().collect()}
+    live = _list_data_files(spark, path)
+    unprofiled = sorted(live - profiled)
+    total = len(live)
+    cands = set()
+    for f in profiled & live:
+        for ps in plan.values():
+            if all(wordmap.get((f, w), 0) & (1 << b) for w, b in ps):
+                cands.add(f)
+                break
+    files = sorted(cands) + unprofiled
+    if not files:
+        d = _data_with_identity(spark, path).limit(0)
+        return (
+            _apply_tombstones(spark, path, d).drop("__file", "__pos"),
+            0,
+            total,
+        )
+    d = (
+        spark.read.option("basePath", f"{path}/{_DATA}")
+        .parquet(*files)
+        .select("*", F.col("_metadata.file_path").alias("__file"))
+    )
+    return (
+        _apply_tombstones(spark, path, d).drop("__file", "__pos"),
+        len(files),
+        total,
+    )

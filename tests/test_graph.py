@@ -811,3 +811,46 @@ def test_local_cc_matches_distributed_min_label(spark):
     assert local == dist
     assert local[4] == 1 and local[12] == 10 and local[23] == 20
     assert local[43] == 40 and local[42] == 40
+
+
+def test_triangle_delta_matches_full_recount(spark):
+    """triangle_count_delta's per-node increments, merged onto the
+    base counts, equal triangle_count over the union graph — across
+    random base/batch splits of seeded random graphs, including
+    triangles with 1, 2, and 3 batch edges."""
+    import itertools
+    import random
+
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        triangle_count,
+        triangle_count_delta,
+    )
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        nodes = list(range(1, 25))
+        edges = [
+            (u, v)
+            for u, v in itertools.combinations(nodes, 2)
+            if rng.random() < 0.18
+        ]
+        batch = [e for e in edges if rng.random() < 0.35]
+        base = [e for e in edges if e not in set(batch)]
+        assert batch and base
+        bdf = spark.createDataFrame(base, "u long, v long")
+        ddf = spark.createDataFrame(batch, "u long, v long")
+        full = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_count(
+                spark.createDataFrame(edges, "u long, v long")
+            ).collect()
+        }
+        base_counts = {
+            r["node"]: r["n_triangles"] for r in triangle_count(bdf).collect()
+        }
+        delta, _j1, _und = triangle_count_delta(bdf, ddf)
+        merged = dict(base_counts)
+        for r in delta.collect():
+            merged[r["node"]] = merged.get(r["node"], 0) + r["dn"]
+        merged = {k: v for k, v in merged.items() if v > 0}
+        assert merged == full, f"seed {seed}: {merged} != {full}"

@@ -467,3 +467,118 @@ def test_merge_mor_repeated_merge_is_result_stable(spark, tmp_path):
         (r.k, r.val) for r in posdelete.read_mor_dv(spark, path).collect()
     )
     assert got == [(1, "a"), (2, "B")]
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom data-skipping index
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_pruned_read_no_false_negatives_and_prunes(spark, tmp_path):
+    """Every present key survives a bloom-planned read (a Bloom 'no'
+    must be definite), and probing a key confined to one file group's
+    files opens fewer files than the table holds."""
+    path = str(tmp_path / "btab")
+    rows = [(k, k % 4, f"v{k}") for k in range(1, 201)]
+    df = spark.createDataFrame(rows, "k long, grp long, val string")
+    posdelete.write_data(spark, df, path, "grp", "k")
+    assert posdelete.collect_file_blooms(spark, path, "k") > 0
+    for probe in (1, 57, 200):
+        got, n_read, n_total = posdelete.read_bloom_pruned(
+            spark, path, "k", [probe]
+        )
+        ks = {r.k for r in got.collect()}
+        assert probe in ks, f"false negative for {probe}"
+    # a multi-key probe still opens fewer files than the table holds
+    _, n_read, n_total = posdelete.read_bloom_pruned(
+        spark, path, "k", [3, 7]
+    )
+    assert 0 < n_read < n_total
+
+
+def test_bloom_absent_key_reads_zero_files(spark, tmp_path):
+    """A key absent from every file is (with these tiny filters)
+    pruned everywhere: the planned scan opens nothing and returns an
+    empty frame with the table schema intact."""
+    path = str(tmp_path / "btab2")
+    df = spark.createDataFrame(
+        [(k, k % 2, "x") for k in range(1, 51)], "k long, grp long, val string"
+    )
+    posdelete.write_data(spark, df, path, "grp", "k")
+    posdelete.collect_file_blooms(spark, path, "k")
+    got, n_read, n_total = posdelete.read_bloom_pruned(
+        spark, path, "k", [999_999]
+    )
+    assert n_read == 0 and n_total > 0
+    assert got.count() == 0
+    assert "val" in got.columns
+
+
+def test_bloom_incremental_profiles_only_new_files(spark, tmp_path):
+    """incremental=True profiles only files missing from blooms/ and
+    appends; already-profiled files are never rescanned (returned
+    profile count covers the fresh commit only)."""
+    path = str(tmp_path / "btab3")
+    df1 = spark.createDataFrame(
+        [(k, k % 2, "a") for k in range(1, 41)], "k long, grp long, val string"
+    )
+    posdelete.write_data(spark, df1, path, "grp", "k")
+    n1 = posdelete.collect_file_blooms(spark, path, "k")
+    assert n1 > 0
+    # nothing new -> zero work
+    assert posdelete.collect_file_blooms(spark, path, "k", incremental=True) == 0
+    df2 = spark.createDataFrame(
+        [(k, k % 2, "b") for k in range(100, 141)],
+        "k long, grp long, val string",
+    )
+    posdelete.write_data(spark, df2, path, "grp", "k")
+    n2 = posdelete.collect_file_blooms(spark, path, "k", incremental=True)
+    assert 0 < n2 <= n1  # only the fresh commit's files
+    # both eras probe correctly through the merged index
+    got, n_read, n_total = posdelete.read_bloom_pruned(
+        spark, path, "k", [5, 105]
+    )
+    ks = {r.k for r in got.collect()}
+    assert {5, 105} <= ks
+    assert n_read < n_total
+
+
+def test_bloom_unprofiled_files_are_must_read(spark, tmp_path):
+    """A data file appended AFTER the last bloom pass has no bitmap —
+    the stale-safe rule reads it unconditionally, so its rows are
+    served even though no bloom admits them."""
+    path = str(tmp_path / "btab4")
+    df1 = spark.createDataFrame(
+        [(k, 0, "old") for k in range(1, 21)], "k long, grp long, val string"
+    )
+    posdelete.write_data(spark, df1, path, "grp", "k")
+    posdelete.collect_file_blooms(spark, path, "k")
+    df2 = spark.createDataFrame(
+        [(500, 0, "fresh")], "k long, grp long, val string"
+    )
+    posdelete.write_data(spark, df2, path, "grp", "k")
+    got, n_read, n_total = posdelete.read_bloom_pruned(
+        spark, path, "k", [500]
+    )
+    assert [r.val for r in got.filter(F.col("k") == 500).collect()] == [
+        "fresh"
+    ]
+
+
+def test_rewrite_compact_drops_bloom_index(spark, tmp_path):
+    """rewrite_compact rewrites data files, so the bloom index it
+    describes is dropped with them (derived metadata lifecycle, same
+    as stats/)."""
+    path = str(tmp_path / "btab5")
+    df = spark.createDataFrame(
+        [(k, k % 2, "x") for k in range(1, 31)], "k long, grp long, val string"
+    )
+    posdelete.write_data(spark, df, path, "grp", "k")
+    posdelete.collect_file_blooms(spark, path, "k")
+    posdelete.position_delete(spark, path, F.col("k") <= 5)
+    posdelete.rewrite_compact(spark, path, "grp", "k")
+    import os
+
+    assert not os.path.exists(f"{path}/blooms")
+    # a fresh pass over the compacted files works from scratch
+    assert posdelete.collect_file_blooms(spark, path, "k") > 0
