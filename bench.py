@@ -287,6 +287,8 @@ HEADLINE = [
     "emb_ivfpq_incremental",
     "lake_bloom_pruned_read",
     "graph_triangles_incremental",
+    "dedup_lsh_index_decremental",
+    "emb_ivf_decremental",
 ]
 
 

@@ -40,7 +40,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from glamira_end_to_end_data_pipeline_spark.plans.queries import query
@@ -343,3 +343,363 @@ def _register_graph_triangles_incremental() -> None:
 
 
 _register_graph_triangles_incremental()
+
+
+# ---------------------------------------------------------------------------
+# Decremental LSH index maintenance (takedown deletes via tombstones)
+# ---------------------------------------------------------------------------
+
+
+def _register_dedup_lsh_index_decremental() -> None:
+    """Registered via a helper so the oracle is the
+    ``dedup_cross_batch_minhash`` SQL VERBATIM except for the
+    deletion predicate spliced into its corpus CTE — the two strings
+    stay hash-locked on every shared term (shingling, minhash
+    coefficients, banding, jaccard), and the splice is asserted so a
+    refactor of the r5 oracle cannot silently decouple them."""
+    from glamira_end_to_end_data_pipeline_spark.plans.queries import ORACLES
+
+    base_sql = ORACLES["dedup_cross_batch_minhash"]
+    corpus_cte = "WITH corpus AS (SELECT doc_id, text FROM documents)"
+    if corpus_cte not in base_sql:
+        raise AssertionError(
+            "dedup_cross_batch_minhash oracle no longer carries the "
+            "expected corpus CTE — re-splice the decremental filter"
+        )
+    dec_sql = base_sql.replace(
+        corpus_cte,
+        "WITH corpus AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 17 <> 0)",
+    )
+
+    @query("dedup_lsh_index_decremental", dec_sql)
+    def dedup_lsh_index_decremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Takedown DELETES against a persisted LSH band index — the
+        decremental half of ``dedup_lsh_index_incremental`` (the
+        right-to-be-forgotten / licensing-takedown operation every
+        production crawl corpus eventually faces): corpus docs with
+        ``doc_id % 17 == 0`` are withdrawn, and the index must stop
+        matching them WITHOUT a rebuild.
+
+        Maintenance shape: the index's 4 band partitions each hold a
+        slice of EVERY doc, so physically removing a doc's band rows
+        would rewrite the whole index — corpus-proportional, the exact
+        cost deletion must avoid. Instead deletes land as a TOMBSTONE
+        sidecar (id list, ∝ batch — the deletion-vector pattern from
+        the lake family composed into the dedup index), and the probe
+        anti-joins it (tombstone-sized side). An in-query gate proves
+        the discipline: every index data file survives maintenance
+        byte-identical (path+length — the ``lake_merge_mor`` survival
+        gate), so a green grade certifies that deletion wrote ONLY
+        tombstones.
+
+        Probe: the same new-crawl batch as the incremental entry — its
+        near-dups of DELETED source docs (``doc_id % 170 == 0``) are
+        the hard case: their band rows still collide with the stored
+        index, so only the tombstone join can suppress them; a gate
+        RAISES unless >=1 candidate actually hit a tombstone (the
+        suppression path ran). Exact verify then restores set
+        semantics on the SURVIVING candidates only, from the persisted
+        corpus shingle frame (the r13 job-budget discipline).
+
+        Oracle: the recompute-from-scratch SQL over the RETAINED
+        corpus — maintained index + tombstones must be
+        indistinguishable from an index never containing the deleted
+        docs.
+
+        Scale: tombstones accumulate ∝ total deletions and broadcast;
+        the fold-back (rewrite band partitions minus tombstoned rows,
+        then clear the sidecar) is the same periodic compaction the
+        MoR family grades — cost ∝ index, paid on an operator
+        schedule, not per delete."""
+        from glamira_end_to_end_data_pipeline_spark.caching import (
+            tracked_persist,
+        )
+        from glamira_end_to_end_data_pipeline_spark.operators import dedup
+        from glamira_end_to_end_data_pipeline_spark.plans.r5_queries import (
+            _cross_new_batch,
+        )
+        from glamira_end_to_end_data_pipeline_spark.sources.lake import (
+            _hadoop_fs,
+        )
+
+        tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_lshdec_{tag}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        idx_path = os.path.join(root, "bands")
+        tomb_path = os.path.join(root, "tombstones")
+
+        def _sized_listing(p: str) -> set:
+            fs, hp = _hadoop_fs(spark, p)
+            out = set()
+            it = fs.listFiles(hp, True)
+            while it.hasNext():
+                st = it.next()
+                name = st.getPath().getName()
+                if not name.startswith(("_", ".")):
+                    out.add((st.getPath().toString(), st.getLen()))
+            return out
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        # ADMISSION build (identical to the incremental entry): the
+        # persisted corpus shingle frame feeds both the band build and
+        # the exact verify
+        sh_c = tracked_persist(
+            dedup.exploded_shingles(docs, distinct=False)
+        )
+        b_c = dedup.lsh_bands(
+            dedup.minhash_signatures(sh_c)
+        ).select(F.col("doc_id").alias("corpus_id"), "band_id", "band_hash")
+        b_c.repartition("band_id").write.partitionBy("band_id").parquet(
+            idx_path
+        )
+
+        # DELETE batch -> tombstone sidecar: the ONLY write maintenance
+        # performs; the survival gate below proves it
+        before = _sized_listing(idx_path)
+        docs.filter(F.col("doc_id") % 17 == 0).select(
+            F.col("doc_id").alias("corpus_id")
+        ).write.parquet(tomb_path)
+        after = _sized_listing(idx_path)
+        if before != after:
+            raise AssertionError(
+                "decremental maintenance touched index data files — "
+                f"{len(before ^ after)} paths/lengths changed; deletes "
+                "must land as tombstones only"
+            )
+
+        # PROBE — batch-only compute; the stored index is never
+        # re-shingled, candidates are tombstone-suppressed
+        newb = _cross_new_batch(docs)
+        sh_n = tracked_persist(
+            dedup.exploded_shingles(newb, distinct=False)
+        )
+        b_n = dedup.lsh_bands(
+            dedup.minhash_signatures(sh_n)
+        ).select(F.col("doc_id").alias("new_id"), "band_id", "band_hash")
+        idx = tracked_persist(spark.read.parquet(idx_path))
+        tomb = spark.read.parquet(tomb_path)
+        cand_raw = tracked_persist(
+            idx.join(b_n, ["band_id", "band_hash"])
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
+        # hard-case gate: the suppression path must actually fire —
+        # some batch doc's bands collide with a tombstoned doc
+        n_hit = cand_raw.join(tomb, "corpus_id", "left_semi").count()
+        if n_hit == 0:
+            raise AssertionError(
+                "fixture drift: no candidate hit a tombstone — the "
+                "deletion path is unexercised"
+            )
+        cand = tracked_persist(
+            cand_raw.join(tomb, "corpus_id", "left_anti")
+        )
+        cand_docs = cand.select(
+            F.col("corpus_id").alias("doc_id")
+        ).distinct()
+        n_cand = cand_docs.count()
+        n_corpus = docs.count()
+        if not 0 < n_cand < n_corpus:
+            raise AssertionError(
+                f"candidate fetch is not selective ({n_cand} of "
+                f"{n_corpus}) — the probe must bound the re-read"
+            )
+
+        # EXACT verify on surviving candidates, from the persisted
+        # shingle frames (no re-shingle, no text re-fetch)
+        sh_cand = sh_c.join(cand_docs, "doc_id").distinct()
+        sh_new_cand = (
+            sh_n.join(
+                cand.select(F.col("new_id").alias("doc_id")).distinct(),
+                "doc_id",
+            ).distinct()
+        )
+        sh_verify = tracked_persist(sh_new_cand.unionByName(sh_cand))
+        pairs = dedup.jaccard_for_pairs(
+            cand.select(
+                F.col("new_id").alias("a"), F.col("corpus_id").alias("b")
+            ),
+            sh_verify,
+        ).filter(F.col("jaccard") >= 0.5)
+        return pairs.select(
+            F.col("a").alias("new_id"),
+            F.col("b").alias("corpus_id"),
+            "jaccard",
+        ).orderBy("new_id", "corpus_id")
+
+
+_register_dedup_lsh_index_decremental()
+
+
+# ---------------------------------------------------------------------------
+# Decremental IVF maintenance (vector deletes via tombstones)
+# ---------------------------------------------------------------------------
+
+
+def _register_emb_ivf_decremental() -> None:
+    """Registered via a helper so the oracle is the ``emb_ivf_topk``
+    SQL VERBATIM except for the deletion predicate spliced into its
+    corpus CTE (the quantizer CTE stays UNFILTERED — centroids are
+    frozen metadata, deleting a member vector does not move them).
+    The splice is asserted so an oracle refactor cannot silently
+    decouple the pair."""
+    from glamira_end_to_end_data_pipeline_spark.plans.queries import ORACLES
+
+    base_sql = ORACLES["emb_ivf_topk"]
+    c_cte = (
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec\n"
+        "          FROM embeddings WHERE vec_id >= 10),"
+    )
+    if c_cte not in base_sql:
+        raise AssertionError(
+            "emb_ivf_topk oracle no longer carries the expected corpus "
+            "CTE — re-splice the decremental filter"
+        )
+    dec_sql = base_sql.replace(
+        c_cte,
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec\n"
+        "          FROM embeddings WHERE vec_id >= 10 "
+        "AND vec_id % 9 <> 0),",
+    )
+
+    @query("emb_ivf_decremental", dec_sql)
+    def emb_ivf_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Vector DELETES against a persisted IVF layout — the
+        decremental member of the ANN maintenance family
+        (``emb_ivf_incremental`` appends assign-only,
+        ``emb_ivf_incremental_refresh`` drift-rebuilds,
+        ``emb_ivfpq_incremental`` appends compressed codes; takedowns
+        and re-embedding invalidations are the remaining lifecycle
+        arm): corpus vectors with ``vec_id % 9 == 0`` are withdrawn
+        and the index must stop serving them WITHOUT a rebuild.
+
+        Maintenance shape: a cell directory holds many vectors, so
+        physically removing members would rewrite cell files —
+        index-proportional. Deletes land as a TOMBSTONE id sidecar
+        (∝ batch) the probe anti-joins (broadcast-sized) — the same
+        deletion-vector discipline the lake and LSH families grade.
+        The quantizer is FROZEN metadata: deletion moves no centroid
+        (the oracle's quantizer CTE is deliberately unfiltered), so
+        cell assignment of future appends stays byte-identical — the
+        property that keeps incremental + decremental maintenance
+        composable on one layout.
+
+        In-query gates, all RAISE: every cell-layout file survives
+        maintenance byte-identical (path+length); the probed cells'
+        candidate set contains >=1 tombstoned vector (the suppression
+        path ran, not vacuous); the probe read stays partition-pruned
+        to the probed cell directories.
+
+        Scale: tombstones broadcast; the fold-back (rewrite affected
+        cells minus tombstoned members, clear the sidecar) is periodic
+        compaction — cost ∝ affected cells, on an operator schedule,
+        never per delete."""
+        from glamira_end_to_end_data_pipeline_spark.operators.similarity import (
+            _pair_cosine,
+            _side,
+            ivf_cell_bulk,
+            ivf_centroids,
+            ivf_probe_cells,
+        )
+        from glamira_end_to_end_data_pipeline_spark.sources.lake import (
+            _hadoop_fs,
+        )
+
+        tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_ivfdec_{tag}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        layout = os.path.join(root, "cells")
+        tomb_path = os.path.join(root, "tombstones")
+
+        def _sized_listing(p: str) -> set:
+            fs, hp = _hadoop_fs(spark, p)
+            out = set()
+            it = fs.listFiles(hp, True)
+            while it.hasNext():
+                st = it.next()
+                if not st.getPath().getName().startswith(("_", ".")):
+                    out.add((st.getPath().toString(), st.getLen()))
+            return out
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= 10)
+
+        # BUILD: frozen quantizer, cell-partitioned layout (one file
+        # per cell directory — the emb_ivf_incremental write shape)
+        cents = ivf_centroids(corpus, n_cells=8)
+        c_all = _side(
+            corpus, "vec_id", "embedding", "neighbor_id", "c_vec", "c_norm"
+        ).withColumn(
+            "cell", ivf_cell_bulk(F.col("c_vec"), F.col("c_norm"), cents)
+        )
+        c_all.repartition("cell").write.partitionBy("cell").parquet(layout)
+
+        # DELETE -> tombstone sidecar: the ONLY write; survival gated
+        before = _sized_listing(layout)
+        corpus.filter(F.col("vec_id") % 9 == 0).select(
+            F.col("vec_id").alias("neighbor_id")
+        ).write.parquet(tomb_path)
+        after = _sized_listing(layout)
+        if before != after:
+            raise AssertionError(
+                "decremental maintenance touched cell files — "
+                f"{len(before ^ after)} paths/lengths changed; deletes "
+                "must land as tombstones only"
+            )
+
+        # PROBE through the maintained index: 2-cell probe, partition-
+        # pruned read, tombstone-suppressed candidates
+        qs = _side(
+            emb.filter(F.col("vec_id") < 10),
+            "vec_id",
+            "embedding",
+            "query_id",
+            "q_vec",
+            "q_norm",
+        ).withColumn(
+            "cell",
+            F.explode(
+                ivf_probe_cells(F.col("q_vec"), F.col("q_norm"), cents, 2)
+            ),
+        )
+        probed = sorted(
+            r["cell"] for r in qs.select("cell").distinct().collect()
+        )
+        lake_read = spark.read.parquet(layout).filter(
+            F.col("cell").isin(probed)
+        )
+        tomb = spark.read.parquet(tomb_path)
+        cand = lake_read.join(F.broadcast(qs), "cell")
+        # hard-case gate: the suppression path must actually fire
+        # tombstones are SF-proportional (corpus/9 ids) — no hint;
+        # the id-only side is tiny and AQE/statistics broadcast it
+        n_hit = lake_read.join(tomb, "neighbor_id", "left_semi").count()
+        if n_hit == 0:
+            raise AssertionError(
+                "fixture drift: no tombstoned vector in the probed "
+                "cells — the deletion path is unexercised"
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.asc("neighbor_id")
+        )
+        return (
+            cand.join(tomb, "neighbor_id", "left_anti")
+            .select(
+                "query_id", "neighbor_id", _pair_cosine().alias("cosine_sim")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        )
+
+
+_register_emb_ivf_decremental()

@@ -223,6 +223,10 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str, str], str] = {
     ("r14_queries.py", "emb_ivfpq_incremental", "lut"): (
         "ADC lookup table: |Q|*m*k = 10*8*16 rows, k-bounded"
     ),
+    # --- r15_queries.py ----------------------------------------------
+    ("r15_queries.py", "emb_ivf_decremental", "qs"): (
+        "10 query vectors (vec_id < 10), exploded over <= 2 probe cells"
+    ),
 }
 
 BANNED_SUBSTRINGS = (
