@@ -866,14 +866,24 @@ def _last_graded(name: str) -> int:
 # fully drained this round), (4) the first 24 of the 37-entry r7-stale
 # cohort. 5 + 3 + 18 + 24 = exactly the 50-slot window.
 #
-# ROUND-15 WINDOW PLAN: grade (1) entries whose code moves in r15,
-# (2) fresh r15 entries, (3) the 13-entry r7-stale remainder
-# (registration order after this round's 24-entry drain: text_pii_scrub
-# onward — _last_graded()==7 names outside the r14 window), then
-# (4) the r8-stale cohort oldest-first with remaining slots (~41
-# entries graded r8; expect ~30 slots if r15 adds the usual 3-5 fresh
-# entries). Update the green sets from CORRECTNESS_r14 before
-# reordering.
+# ROUND-15 WINDOW PLAN (executed): grade (1) the 2 code-moved
+# _ROTATE_FIRST_R15 entries (graph_cc_incremental — falsifiable
+# contraction gate; lake_mor_dense_deletes — era-miss raise in
+# read_snapshot_mor), (2) the 5 _DEFER_FRESH_R15 first-grades, (3) the
+# 4 fresh r15 entries (lake_bloom_pruned_read,
+# graph_triangles_incremental, dedup_lsh_index_decremental,
+# emb_ivf_decremental), (4) the 13-entry r7-stale remainder, (5) the
+# first 26 of the 41-entry r8-stale cohort. 2+5+4+13+26 = exactly the
+# 50-slot window.
+#
+# ROUND-16 WINDOW PLAN: grade (1) entries whose code moves in r16,
+# (2) fresh r16 entries, (3) the 15-entry r8-stale remainder
+# (registration order after this round's 26-entry drain:
+# lake_compact_commit onward — _last_graded()==8 names outside the
+# r15 window), then (4) the r9-stale cohort oldest-first with
+# remaining slots (32 entries graded r9; expect ~25-28 slots if r16
+# adds the usual fresh entries and rotates 2-3). Update the green sets
+# from CORRECTNESS_r15 before reordering.
 _DEFER_FRESH_R13 = (
     "text_kneser_ney_bigram",
     "a_market_basket_rules",
