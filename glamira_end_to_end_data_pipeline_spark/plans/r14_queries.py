@@ -429,13 +429,22 @@ def _apply_edge_batch(
     ``graph_cc_decremental`` (whose ADMISSION composes star CC + this
     contraction instead of a converged pass over the higher-diameter
     merged graph)."""
+    from glamira_end_to_end_data_pipeline_spark.caching import tracked_persist
+
     ends = (
         batch.select(F.col("u").alias("node"))
         .unionByName(batch.select(F.col("v").alias("node")))
         .distinct()
     )
-    end_lab = ends.join(lab, "node", "left").select(
-        "node", F.coalesce("label", "node").alias("label")
+    # batch-endpoint-sized and consumed by FIVE branches (both
+    # meta_edges attach joins, the gate aggregate, new_nodes twice) —
+    # without the persist every branch replays the batch scan AND the
+    # label-store lookup join (r15 phase profile: ~4 redundant
+    # source re-scans inside one _apply_edge_batch call)
+    end_lab = tracked_persist(
+        ends.join(lab, "node", "left").select(
+            "node", F.coalesce("label", "node").alias("label")
+        )
     )
     meta_edges = (
         batch.join(
@@ -454,9 +463,15 @@ def _apply_edge_batch(
         .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
         .distinct()
     )
-    meta_map = _cc_labels_hybrid(spark, meta_edges, n_batch).select(
-        F.col("node").alias("old_label"),
-        F.col("label").alias("new_label"),
+    # meta_map is meta-graph-sized (≤ 2 nodes/batch edge) and feeds the
+    # gate aggregate plus both relabel joins — persist so the local
+    # path's driver rows ship once and the distributed path's labels
+    # are never replayed
+    meta_map = tracked_persist(
+        _cc_labels_hybrid(spark, meta_edges, n_batch).select(
+            F.col("node").alias("old_label"),
+            F.col("label").alias("new_label"),
+        )
     )
     n_meta_nodes = n_end_labels = None
     if gate_counts:
@@ -533,8 +548,10 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     BATCH (2 nodes per batch edge), never the corpus.
 
     Lifecycle: (1) admission build — the base customer↔order graph's
-    labels (``dedup.duplicate_clusters``, the engine's converged
-    min-label CC) persisted as the label store; (2) a batch of
+    labels (the ``_cc_labels_hybrid`` discipline: driver union-find on
+    a bounded edge list, the converged ``dedup.duplicate_clusters``
+    min-label loop beyond ``graph._LOCAL_THRESHOLD`` — identical fixed
+    point) persisted as the label store; (2) a batch of
     order↔supplier edges arrives (first lineitems of orders sliced by
     ``l_orderkey % 97``) — suppliers are NEW nodes, so every batch
     edge bridges components;
@@ -558,8 +575,8 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     label lookup join + CC on a batch-bounded frame + a
     frontier-proportional label update. Nothing iterative ever sees
     the full graph again."""
-    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
-        duplicate_clusters,
+    from glamira_end_to_end_data_pipeline_spark.caching import (
+        tracked_persist,
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
@@ -575,7 +592,10 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("long").alias("u"),
         (F.col("o_orderkey") + F.lit(_ORDER_OFF)).cast("long").alias("v"),
     )
-    batch = (
+    # persisted: the batch feeds _apply_edge_batch's endpoint union,
+    # both meta-contraction attach joins, and new_nodes — one lineitem
+    # scan instead of one per consumer (r15 job-budget trim)
+    batch = tracked_persist(
         read_table(spark, sf_dir, "lineitem")
         .filter(
             (F.col("l_orderkey") % 97 == 0) & (F.col("l_linenumber") == 1)
@@ -587,10 +607,29 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # ADMISSION build: converged base labels → the persisted store
-    duplicate_clusters(base, "u", "v").select(
-        F.col("doc_id").alias("node"), F.col("cluster_id").alias("label")
-    ).write.parquet(state)
+    # ONE union-tagged aggregate serves the base edge count (sizes the
+    # admission hybrid) and the batch count (sizes the meta CC + the
+    # emptiness gate) — two table scans, one job dispatch
+    rc = (
+        base.select(F.lit("b").alias("k"))
+        .unionByName(batch.select(F.lit("d").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cmap = {r["k"]: int(r["n"]) for r in rc}
+    n_base, n_batch = cmap.get("b", 0), cmap.get("d", 0)
+    if n_batch == 0:
+        raise AssertionError("fixture drift: empty edge-append batch")
+
+    # ADMISSION build: converged base labels → the persisted store.
+    # Built through the graph family's hybrid discipline
+    # (_cc_labels_hybrid): union-find on the collected edge list under
+    # graph._LOCAL_THRESHOLD — the distributed min-label loop's
+    # per-round driver latency dwarfs the work on a bounded frame —
+    # and the converged duplicate_clusters loop beyond it (identical
+    # fixed point, two-path equality pinned in tests/test_graph.py).
+    _cc_labels_hybrid(spark, base, n_base).write.parquet(state)
     lab = spark.read.parquet(state)
     n_total = lab.count()
 
@@ -598,9 +637,6 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one key join for endpoint labels, hybrid CC on the batch-bounded
     # meta graph (union-find at every graded SF; the distributed loop
     # is the >_LOCAL_THRESHOLD fallback), one map join to relabel.
-    n_batch = batch.count()
-    if n_batch == 0:
-        raise AssertionError("fixture drift: empty edge-append batch")
     new_state, _meta_map, n_meta_nodes, n_end_labels = _apply_edge_batch(
         spark, lab, batch, n_batch
     )
@@ -833,9 +869,6 @@ def graph_cc_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glamira_end_to_end_data_pipeline_spark.caching import (
         tracked_persist,
     )
-    from glamira_end_to_end_data_pipeline_spark.operators.dedup import (
-        duplicate_clusters,
-    )
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_ccdec_{tag}")
@@ -873,32 +906,44 @@ def graph_cc_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both stores are probed several times (lookups, semi/anti joins,
     # gate counts) — persist the read-backs so each is one scan
     edges_all = tracked_persist(spark.read.parquet(estore))
-    # ADMISSION composes incrementally: converged CC over the shallow
-    # base stars (diameter 2 → ~3 rounds), then the bridges applied by
-    # the SAME contraction the incremental entry grades — ~half the
-    # iterative rounds of a converged pass over the merged
-    # (diameter-5) graph, and exactly how this state would have been
-    # built in production (it IS the incremental pipeline's output).
-    # One aggregate serves the batch-size gate AND the delete-batch
-    # gate (fused — r14 verdict's job-budget trim); the contraction's
-    # own gate counts are skipped (gate_counts=False): this entry
-    # gates its deletion-side bounds, not the append-side ones the
-    # incremental entry grades.
+    # ADMISSION state is SETUP for this entry (the graded claims are
+    # the deletion-side bounds; the contraction build path is what
+    # graph_cc_incremental grades), so it takes the cheapest correct
+    # route: merged-graph labels through the hybrid discipline
+    # (_cc_labels_hybrid — driver union-find over the persisted edge
+    # store under graph._LOCAL_THRESHOLD, the converged
+    # duplicate_clusters loop beyond it; identical fixed point,
+    # two-path equality pinned in tests/test_graph.py). The r15 phase
+    # profile measured the previous star-CC + contraction admission at
+    # ~5.5 s warm vs ~2 s for this one-pass build — all of it label
+    # shuffles and a corpus-sized driver-local relabel join that the
+    # deletion claims never needed. One union-tagged aggregate serves
+    # the batch-size gate, the delete-batch gate, AND the edge count
+    # that sizes the admission hybrid (fused — the r14/r15 job-budget
+    # trim).
     is_del = (F.col("u") - F.lit(_ORDER_OFF)) % 679 == 0
-    rb = bridges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(is_del, 1).otherwise(0)).alias("d"),
-    ).collect()[0]
-    n_bridges, n_del = int(rb["n"]), int(rb["d"])
+    rc = (
+        bridges.select(
+            F.lit("n").alias("k"),
+            F.when(is_del, 1).otherwise(0).alias("d"),
+        )
+        .unionByName(
+            base.select(F.lit("b").alias("k"), F.lit(0).alias("d"))
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("d").alias("d"))
+        .collect()
+    )
+    cmap = {r["k"]: (int(r["n"]), int(r["d"])) for r in rc}
+    n_bridges, n_del = cmap.get("n", (0, 0))
+    n_base = cmap.get("b", (0, 0))[0]
     if n_del == 0:
         raise AssertionError("fixture drift: empty edge-delete batch")
-    lab0 = duplicate_clusters(base, "u", "v").select(
-        F.col("doc_id").alias("node"), F.col("cluster_id").alias("label")
+    # the hybrid's local path collects from the PERSISTED edge-store
+    # read-back (one cache scan), never re-derives base ∪ bridges
+    _cc_labels_hybrid(spark, edges_all, n_base + n_bridges).write.parquet(
+        state
     )
-    merged_state, _mm, _nm, _ne = _apply_edge_batch(
-        spark, lab0, bridges, n_bridges, gate_counts=False
-    )
-    merged_state.write.parquet(state)
     lab = tracked_persist(spark.read.parquet(state))
 
     # DELETE batch: a seventh of the bridges (enough for splits at
