@@ -254,6 +254,9 @@ def _register_graph_triangles_incremental() -> None:
             tracked_persist,
         )
         from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+            _LOCAL_THRESHOLD,
+            _local_triangle_counts,
+            _local_triangle_delta,
             triangle_count,
             triangle_count_delta,
         )
@@ -275,12 +278,9 @@ def _register_graph_triangles_incremental() -> None:
         all_edges = tracked_persist(copurchase_edges(spark, sf_dir))
         is_batch = (F.col("u") + F.col("v")) % 13 == 0
 
-        # ADMISSION: base edge store + converged per-node counts
+        # ADMISSION edge store; sizes fused into ONE aggregate job
         all_edges.filter(~is_batch).write.parquet(estore)
         base = tracked_persist(spark.read.parquet(estore))
-        triangle_count(base).write.parquet(cstore)
-        base_counts = spark.read.parquet(cstore)
-
         batch = tracked_persist(all_edges.filter(is_batch))
         rb = base.select(
             F.count(F.lit(1)).alias("nb")
@@ -294,33 +294,59 @@ def _register_graph_triangles_incremental() -> None:
                 f"store ({n_base}) — this is a rebuild, not maintenance"
             )
 
-        # the delta core (operators/graph.py:triangle_count_delta):
-        # wedge arms out of each batch edge, exactly-once by the
-        # highest-ranked-batch-edge rule; property-tested equivalent
-        # to the full recount in tests/test_graph.py
-        delta, j1, und = triangle_count_delta(base, batch)
-        n_wedges = j1.count()
-
-        # corpus wedge count Σ_d C(d,2) — what a recount enumerates
-        wd = (
-            und.groupBy("a")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .agg(
-                F.sum(
-                    (F.col("d") * (F.col("d") - 1) / 2).cast("long")
-                ).alias("w")
+        # Hybrid discipline (graph._LOCAL_THRESHOLD — the _local_cc
+        # precedent): on a bounded co-purchase graph the distributed
+        # wedge joins cost pure per-stage driver latency (r15 phase
+        # profile: ~3.3 s admission recount + ~4 s delta/gate jobs for
+        # a 3.6k-edge graph vs milliseconds sequentially), so both the
+        # admission recount and the delta pass collect-and-finish
+        # locally under the threshold; the distributed operators are
+        # the beyond-threshold path. Both twins are pinned equal to
+        # the distributed operators in tests/test_graph.py, and every
+        # gate below checks the SAME numbers either way.
+        if n_base + n_batch <= _LOCAL_THRESHOLD:
+            base_rows = [(int(r["u"]), int(r["v"])) for r in base.collect()]
+            batch_rows = [
+                (int(r["u"]), int(r["v"])) for r in batch.collect()
+            ]
+            spark.createDataFrame(
+                _local_triangle_counts(base_rows),
+                "node long, n_triangles long",
+            ).write.parquet(cstore)
+            delta_rows, n_wedges, corpus_wedges = _local_triangle_delta(
+                base_rows, batch_rows
             )
-            .first()
-        )
-        corpus_wedges = int(wd["w"])
+            delta = spark.createDataFrame(delta_rows, "node long, dn long")
+            n_delta_nodes = len(delta_rows)
+        else:
+            triangle_count(base).write.parquet(cstore)
+            # the delta core (operators/graph.py:triangle_count_delta):
+            # wedge arms out of each batch edge, exactly-once by the
+            # highest-ranked-batch-edge rule; property-tested
+            # equivalent to the full recount in tests/test_graph.py
+            delta, j1, und = triangle_count_delta(base, batch)
+            n_wedges = j1.count()
+            # corpus wedge count Σ_d C(d,2) — what a recount enumerates
+            wd = (
+                und.groupBy("a")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .agg(
+                    F.sum(
+                        (F.col("d") * (F.col("d") - 1) / 2).cast("long")
+                    ).alias("w")
+                )
+                .first()
+            )
+            corpus_wedges = int(wd["w"])
+            delta = tracked_persist(delta)
+            n_delta_nodes = delta.count()
+        base_counts = spark.read.parquet(cstore)
+
         if n_wedges >= corpus_wedges:
             raise AssertionError(
                 f"delta pass examined {n_wedges} wedges vs the corpus's "
                 f"{corpus_wedges} — the work is not batch-bounded"
             )
-
-        delta = tracked_persist(delta)
-        n_delta_nodes = delta.count()
         if n_delta_nodes == 0:
             raise AssertionError(
                 "fixture drift: the batch closed no triangles — the "

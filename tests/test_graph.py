@@ -854,3 +854,64 @@ def test_triangle_delta_matches_full_recount(spark):
             merged[r["node"]] = merged.get(r["node"], 0) + r["dn"]
         merged = {k: v for k, v in merged.items() if v > 0}
         assert merged == full, f"seed {seed}: {merged} != {full}"
+
+
+def test_local_triangle_twins_match_distributed(spark):
+    """_local_triangle_counts / _local_triangle_delta (the hybrid fast
+    path of graph_triangles_incremental) produce EXACTLY the
+    distributed operators' numbers — per-node counts, per-node delta
+    increments, AND the two gate quantities (n_wedges = the j1 row
+    count, corpus_wedges = Σ_d C(d,2) over the merged adjacency) —
+    across random base/batch splits of seeded random graphs."""
+    import itertools
+    import random
+
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        _local_triangle_counts,
+        _local_triangle_delta,
+        triangle_count,
+        triangle_count_delta,
+    )
+    from pyspark.sql import functions as F
+
+    for seed in (5, 17, 101):
+        rng = random.Random(seed)
+        nodes = list(range(1, 25))
+        edges = [
+            (u, v)
+            for u, v in itertools.combinations(nodes, 2)
+            if rng.random() < 0.2
+        ]
+        batch = [e for e in edges if rng.random() < 0.3]
+        base = [e for e in edges if e not in set(batch)]
+        assert batch and base
+        bdf = spark.createDataFrame(base, "u long, v long")
+        ddf = spark.createDataFrame(batch, "u long, v long")
+        # full-count twin
+        dist_counts = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_count(
+                spark.createDataFrame(edges, "u long, v long")
+            ).collect()
+        }
+        assert dict(_local_triangle_counts(edges)) == dist_counts
+        # delta twin, including both gate numbers
+        delta, j1, und = triangle_count_delta(bdf, ddf)
+        dist_delta = {r["node"]: r["dn"] for r in delta.collect()}
+        dist_wedges = j1.count()
+        dist_corpus = int(
+            und.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(
+                F.sum(
+                    (F.col("d") * (F.col("d") - 1) / 2).cast("long")
+                ).alias("w")
+            )
+            .first()["w"]
+        )
+        loc_delta, loc_wedges, loc_corpus = _local_triangle_delta(
+            base, batch
+        )
+        assert dict(loc_delta) == dist_delta, f"seed {seed}"
+        assert loc_wedges == dist_wedges, f"seed {seed}"
+        assert loc_corpus == dist_corpus, f"seed {seed}"
