@@ -625,6 +625,17 @@ def lpa_communities(
 # distributed path end-to-end.
 _LOCAL_THRESHOLD = 200_000
 
+# The triangle twins pay WEDGE-shaped Python work (Σ_d C(d,2) set
+# probes, up to ~m^1.5 under degree ordering) — not the near-linear
+# union-find cost _LOCAL_THRESHOLD was sized for — so the local
+# triangle path is additionally gated on the corpus wedge count
+# (ADVICE r15). 2M set probes is well under a second of driver CPU,
+# still far below the multi-second distributed stage latency the
+# local path exists to avoid; a high-degree graph whose wedge count
+# exceeds the cap takes the distributed operators even when its edge
+# list would fit on the driver.
+_LOCAL_TRIANGLE_WEDGE_CAP = 2_000_000
+
 
 def _tarjan_scc(edge_list: list[tuple[int, int]]) -> dict[int, int]:
     """Iterative Tarjan over a bounded edge list; returns

@@ -820,11 +820,43 @@ _R14_GREEN = frozenset(
 )
 
 
+# Driver-green in CORRECTNESS_r15.json (round-15 window, 50/50 green:
+# 2 code-moved rotate-first + the 5 _DEFER_FRESH_R15 first-grades +
+# 4 fresh r15 entries + the 13-entry r7-stale remainder + the first
+# 26 of the r8-stale cohort).
+_R15_GREEN = frozenset(
+    {
+        "graph_cc_incremental", "lake_mor_dense_deletes",
+        "stream_cdc_to_mor", "graph_cc_decremental",
+        "text_bm25_incremental", "lake_shallow_clone",
+        "emb_ivfpq_incremental", "lake_bloom_pruned_read",
+        "graph_triangles_incremental", "dedup_lsh_index_decremental",
+        "emb_ivf_decremental", "text_pii_scrub", "lake_merge_upsert",
+        "scd2_apply_changes", "scd2_apply_wide_dim",
+        "text_url_canonicalize", "dq_referential_integrity",
+        "j_asof_tolerance", "a_histogram_rollup_merge", "dq_outlier_mad",
+        "dedup_exact_spans", "emb_filtered_ann_topk", "w_gaps_islands",
+        "a_decimal_money_sum", "graph_pagerank", "dedup_minhash_lsh",
+        "dedup_simhash", "star_stg_summary", "star_dim_customer",
+        "star_dim_session_context", "star_date_range", "star_dim_date",
+        "star_dim_product", "star_dim_location", "star_fact_sales_order",
+        "stream_star_fact_incremental", "stream_tumbling_event_counts",
+        "stream_session_windows", "stream_sliding_window_counts",
+        "stream_dedup_replayed", "stream_interval_join_attribution",
+        "s5_s6_incremental_ingest", "s_csv_round_trip",
+        "s_schema_evolution", "s_partitioned_lake", "mm_extract_features",
+        "mm_feature_ann_topk", "mm_resize_images",
+        "mm_video_frame_sample", "lake_snapshot_read",
+    }
+)
+
+
 def _last_graded(name: str) -> int:
     """Latest round whose driver window graded ``name`` green (0 =
     never graded — fresh this round). Later rounds win: r5 re-graded
     19 entries first greened in r2/r3."""
     for rnd, green in (
+        (15, _R15_GREEN),
         (14, _R14_GREEN),
         (13, _R13_GREEN),
         (12, _R12_GREEN),
@@ -988,18 +1020,32 @@ _ROTATE_FIRST_R15 = (
 _DEFER_FRESH_R16: tuple[str, ...] = ()
 
 
+# Round-16 front-loads: entries whose IMPLEMENTATION moved in round 16
+# (the optimization round), re-graded the round their code moves.
+# Maintained incrementally as the round's optimizations land; every
+# name here was oracle-re-verified at sf0.01 the session its code
+# moved. graph_triangles_incremental: wedge-count local-path gate
+# (ADVICE r15 medium) + the distributed arm's degree aggregate hoisted;
+# graph_cc_incremental: _apply_edge_batch's dead gate_counts branch
+# dropped (ADVICE r15 low).
+_ROTATE_FIRST_R16 = (
+    "graph_triangles_incremental",
+    "graph_cc_incremental",
+)
+
+
 def _window_order() -> list[str]:
-    """Round-15 order, per the written plan above: (1) code-moved
-    entries (_ROTATE_FIRST_R15), (2) never-graded entries in
-    registration order — the five _DEFER_FRESH_R15 first-grades lead
-    (registered in round 14), then fresh round-15 entries — EXCEPT the
+    """Round-16 order, per the written plan above: (1) code-moved
+    entries (_ROTATE_FIRST_R16 — the optimization round's touched
+    entries), (2) never-graded entries in registration order (none
+    expected: optimization rounds add no features) EXCEPT the
     _DEFER_FRESH_R16 late additions, (3) the staleness drain
-    (last-graded round ascending: the 13-entry r7 remainder leads,
-    then the r8 cohort oldest-first), (4) the deferred late additions,
+    (last-graded round ascending: the 15-entry r8 remainder leads,
+    then the r9 cohort oldest-first), (4) the deferred late additions,
     at the very back — outside the driver's [:50] window. Whatever the
-    50-slot window cannot fit of (3) spills to round 16's drain."""
+    50-slot window cannot fit of (3) spills to round 17's drain."""
     registered = list(QUERIES)
-    front = [n for n in _ROTATE_FIRST_R15 if n in QUERIES]
+    front = [n for n in _ROTATE_FIRST_R16 if n in QUERIES]
     defer = [
         n
         for n in _DEFER_FRESH_R16

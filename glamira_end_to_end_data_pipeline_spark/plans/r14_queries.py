@@ -407,7 +407,6 @@ def _apply_edge_batch(
     lab: DataFrame,
     batch: DataFrame,
     n_batch: int,
-    gate_counts: bool = True,
 ):
     """Apply an edge-APPEND batch to a persisted label store by
     CONTRACTION: batch endpoints look up their labels (unseen nodes
@@ -420,15 +419,10 @@ def _apply_edge_batch(
     so callers can gate ``n_meta_nodes <= n_end_labels`` falsifiably
     (a meta CC that leaked onto the full edge set would count corpus
     labels, not endpoint labels — ADVICE r14). All lazily-planned
-    except the meta CC itself and the two counts;
-    ``gate_counts=False`` skips both count jobs and returns ``None``
-    for them (the decremental entry's ADMISSION reuses the
-    contraction but gates its own deletion-side bounds instead — no
-    reason to pay two extra jobs for discarded numbers). Shared by
-    ``graph_cc_incremental`` (the graded delta path) and
-    ``graph_cc_decremental`` (whose ADMISSION composes star CC + this
-    contraction instead of a converged pass over the higher-diameter
-    merged graph)."""
+    except the meta CC itself and the fused gate-count job. Sole
+    caller: ``graph_cc_incremental`` (the graded delta path) —
+    ``graph_cc_decremental`` builds its admission labels via
+    ``_cc_labels_hybrid`` directly since the r15 trim."""
     from glamira_end_to_end_data_pipeline_spark.caching import tracked_persist
 
     ends = (
@@ -473,29 +467,27 @@ def _apply_edge_batch(
             F.col("label").alias("new_label"),
         )
     )
-    n_meta_nodes = n_end_labels = None
-    if gate_counts:
-        # ONE job for both gate counts: meta_map carries one row per
-        # meta node (CC label output), so countDistinct(old_label) ==
-        # its row count; union-tag the two small frames and aggregate
-        counts = {
-            r["k"]: r["n"]
-            for r in (
-                meta_map.select(
-                    F.lit("m").alias("k"), F.col("old_label").alias("x")
-                )
-                .unionByName(
-                    end_lab.select(
-                        F.lit("e").alias("k"), F.col("label").alias("x")
-                    )
-                )
-                .groupBy("k")
-                .agg(F.countDistinct("x").alias("n"))
-                .collect()
+    # ONE job for both gate counts: meta_map carries one row per
+    # meta node (CC label output), so countDistinct(old_label) ==
+    # its row count; union-tag the two small frames and aggregate
+    counts = {
+        r["k"]: r["n"]
+        for r in (
+            meta_map.select(
+                F.lit("m").alias("k"), F.col("old_label").alias("x")
             )
-        }
-        n_meta_nodes = int(counts.get("m", 0))
-        n_end_labels = int(counts.get("e", 0))
+            .unionByName(
+                end_lab.select(
+                    F.lit("e").alias("k"), F.col("label").alias("x")
+                )
+            )
+            .groupBy("k")
+            .agg(F.countDistinct("x").alias("n"))
+            .collect()
+        )
+    }
+    n_meta_nodes = int(counts.get("m", 0))
+    n_end_labels = int(counts.get("e", 0))
     old_upd = lab.join(
         meta_map, lab["label"] == meta_map["old_label"], "left"
     ).select("node", F.coalesce("new_label", "label").alias("label"))

@@ -255,6 +255,7 @@ def _register_graph_triangles_incremental() -> None:
         )
         from glamira_end_to_end_data_pipeline_spark.operators.graph import (
             _LOCAL_THRESHOLD,
+            _LOCAL_TRIANGLE_WEDGE_CAP,
             _local_triangle_counts,
             _local_triangle_delta,
             triangle_count,
@@ -294,17 +295,46 @@ def _register_graph_triangles_incremental() -> None:
                 f"store ({n_base}) — this is a rebuild, not maintenance"
             )
 
+        # Corpus wedge count Σ_d C(d,2) over the merged graph — both
+        # the batch-boundedness gate's denominator AND (ADVICE r15)
+        # the local-path admission signal: the triangle twins pay
+        # wedge-shaped Python work, so the edge-count bound sized for
+        # near-linear union-find is not sufficient on its own. One
+        # degree aggregate over the two persisted frames, paid by
+        # either path (the distributed arm previously ran the same
+        # aggregate after the delta join).
+        und_all = base.unionByName(batch).select(
+            F.col("u").alias("a"), F.col("v").alias("b")
+        )
+        und_all = und_all.unionByName(
+            und_all.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        corpus_wedges = int(
+            und_all.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(
+                F.sum(
+                    (F.col("d") * (F.col("d") - 1) / 2).cast("long")
+                ).alias("w")
+            )
+            .first()["w"]
+        )
+
         # Hybrid discipline (graph._LOCAL_THRESHOLD — the _local_cc
         # precedent): on a bounded co-purchase graph the distributed
         # wedge joins cost pure per-stage driver latency (r15 phase
         # profile: ~3.3 s admission recount + ~4 s delta/gate jobs for
         # a 3.6k-edge graph vs milliseconds sequentially), so both the
         # admission recount and the delta pass collect-and-finish
-        # locally under the threshold; the distributed operators are
-        # the beyond-threshold path. Both twins are pinned equal to
-        # the distributed operators in tests/test_graph.py, and every
+        # locally when both the edge list AND the wedge work are
+        # driver-bounded; the distributed operators are the
+        # beyond-threshold path. Both twins are pinned equal to the
+        # distributed operators in tests/test_graph.py, and every
         # gate below checks the SAME numbers either way.
-        if n_base + n_batch <= _LOCAL_THRESHOLD:
+        if (
+            n_base + n_batch <= _LOCAL_THRESHOLD
+            and corpus_wedges <= _LOCAL_TRIANGLE_WEDGE_CAP
+        ):
             base_rows = [(int(r["u"]), int(r["v"])) for r in base.collect()]
             batch_rows = [
                 (int(r["u"]), int(r["v"])) for r in batch.collect()
@@ -313,9 +343,14 @@ def _register_graph_triangles_incremental() -> None:
                 _local_triangle_counts(base_rows),
                 "node long, n_triangles long",
             ).write.parquet(cstore)
-            delta_rows, n_wedges, corpus_wedges = _local_triangle_delta(
+            delta_rows, n_wedges, local_wedges = _local_triangle_delta(
                 base_rows, batch_rows
             )
+            if local_wedges != corpus_wedges:
+                raise AssertionError(
+                    f"wedge-count drift: local {local_wedges} != "
+                    f"distributed {corpus_wedges} over the same graph"
+                )
             delta = spark.createDataFrame(delta_rows, "node long, dn long")
             n_delta_nodes = len(delta_rows)
         else:
@@ -326,18 +361,6 @@ def _register_graph_triangles_incremental() -> None:
             # equivalent to the full recount in tests/test_graph.py
             delta, j1, und = triangle_count_delta(base, batch)
             n_wedges = j1.count()
-            # corpus wedge count Σ_d C(d,2) — what a recount enumerates
-            wd = (
-                und.groupBy("a")
-                .agg(F.count(F.lit(1)).alias("d"))
-                .agg(
-                    F.sum(
-                        (F.col("d") * (F.col("d") - 1) / 2).cast("long")
-                    ).alias("w")
-                )
-                .first()
-            )
-            corpus_wedges = int(wd["w"])
             delta = tracked_persist(delta)
             n_delta_nodes = delta.count()
         base_counts = spark.read.parquet(cstore)

@@ -25,11 +25,19 @@ def main() -> None:
     runs = 3
     if "--runs" in args:
         i = args.index("--runs")
+        if i + 1 >= len(args) or not args[i + 1].isdigit():
+            sys.exit("usage: time_entry.py <name> [...] [--runs N]")
         runs = int(args[i + 1])
         del args[i : i + 2]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="time_entry")
     qs = queries()
+    unknown = [n for n in args if n not in qs]
+    if unknown or not args:
+        sys.exit(
+            f"unknown entries: {unknown or '(none given)'}; available: "
+            + ", ".join(sorted(qs))
+        )
+    spark = get_spark(app_name="time_entry")
 
     def consume(df):
         df.write.format("noop").mode("overwrite").save()
