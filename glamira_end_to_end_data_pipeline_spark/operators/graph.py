@@ -1780,12 +1780,49 @@ def betweenness_batched(
     )
 
 
+def _local_pointer_jump(
+    rows: list[tuple[int, int]],
+    max_rounds: int,
+    check_dangling: bool = True,
+) -> tuple[list[tuple[int, int, int]], int]:
+    """Sequential twin of :func:`pointer_jump_roots`' doubling pass
+    over a bounded (node, parent) list: the identical p ← p∘p
+    composition with the identical round count (each composition
+    increments ``rounds``, including the final no-change one the
+    convergence probe needs), so callers' log₂-round execution-shape
+    gates see the same number on either path. Cost is O(|V| log depth)
+    dict passes — near-linear, the regime _LOCAL_THRESHOLD is sized
+    for. With ``check_dangling=False`` the caller guarantees every
+    parent id is a node row (the Borůvka contraction contract)."""
+    anc: dict[int, int] = {}
+    d: dict[int, int] = {}
+    for n_, p_ in rows:
+        anc[n_] = p_
+        d[n_] = 0 if p_ == n_ else 1
+    if check_dangling and any(p_ not in anc for p_ in anc.values()):
+        raise ValueError(
+            "pointer_jump_roots: parent id(s) reference no node row — "
+            "malformed forest (dangling ancestor)"
+        )
+    rounds = 0
+    for _ in range(max_rounds):
+        new_anc = {n_: anc[anc[n_]] for n_ in anc}
+        new_d = {n_: d[n_] + d[anc[n_]] for n_ in anc}
+        rounds += 1
+        moved = any(new_anc[n_] != anc[n_] for n_ in anc)
+        anc, d = new_anc, new_d
+        if not moved:
+            break
+    return [(n_, anc[n_], d[n_]) for n_ in anc], rounds
+
+
 def pointer_jump_roots(
     parents: DataFrame,
     node: str = "node",
     parent: str = "parent",
     max_rounds: int = 40,
     check_dangling: bool = True,
+    local_threshold: int = _LOCAL_THRESHOLD,
 ) -> tuple[DataFrame, int]:
     """Forest transitive closure by POINTER JUMPING (path doubling):
     every node's root ancestor and exact depth in O(log depth) rounds —
@@ -1805,13 +1842,36 @@ def pointer_jump_roots(
     Scale shape: the map is |V|-sized; each round is one key-partitioned
     self-join + a fixed-point probe on the bounded unresolved count,
     lineage cut per round. Composition is exact: d(node) accumulates
-    d(anc half) + d(upper half), both already exact."""
+    d(anc half) + d(upper half), both already exact. Under
+    ``local_threshold`` rows the hybrid local fast path runs the same
+    doubling sequentially (:func:`_local_pointer_jump` — identical
+    composition, identical round count; the graph family's standing
+    two-path pattern): each distributed round costs ~1 s of pure
+    per-stage latency on a bounded map, which dwarfs the work. The
+    probe collect doubles as the decision (limit threshold+1 — one
+    job fetches the rows AND proves the bound); pass 0 to force the
+    distributed path end-to-end."""
+    spark = parents.sparkSession
+    sel = parents.select(
+        F.col(node).cast("long").alias("node"),
+        F.col(parent).cast("long").alias("anc"),
+    )
+    if local_threshold > 0:
+        probe_rows = sel.limit(local_threshold + 1).collect()
+        if len(probe_rows) <= local_threshold:
+            out, rounds = _local_pointer_jump(
+                [(r["node"], r["anc"]) for r in probe_rows],
+                max_rounds,
+                check_dangling,
+            )
+            return (
+                spark.createDataFrame(
+                    out, "node long, root long, depth long"
+                ),
+                rounds,
+            )
     m = (
-        parents.select(
-            F.col(node).cast("long").alias("node"),
-            F.col(parent).cast("long").alias("anc"),
-        )
-        .withColumn(
+        sel.withColumn(
             "d", F.when(F.col("anc") == F.col("node"), F.lit(0)).otherwise(F.lit(1))
         )
         .localCheckpoint()

@@ -1027,10 +1027,28 @@ _DEFER_FRESH_R16: tuple[str, ...] = ()
 # moved. graph_triangles_incremental: wedge-count local-path gate
 # (ADVICE r15 medium) + the distributed arm's degree aggregate hoisted;
 # graph_cc_incremental: _apply_edge_batch's dead gate_counts branch
-# dropped (ADVICE r15 low).
+# dropped (ADVICE r15 low); graph_pointer_jump_roots +
+# graph_mst_boruvka: pointer_jump_roots gained the hybrid local
+# doubling twin (identical composition and round count; Borůvka's
+# per-round contraction rides it).
+# posdelete.py job-budget trims (persisted victims/source/vectors/
+# stats, footer-count in rewrite_compact) move code under every MoR
+# lifecycle entry; star_fact_sales_order_incremental: fused per-date
+# manifest aggregate + persisted events/slice.
 _ROTATE_FIRST_R16 = (
     "graph_triangles_incremental",
     "graph_cc_incremental",
+    "graph_pointer_jump_roots",
+    "graph_mst_boruvka",
+    "star_fact_sales_order_incremental",
+    "lake_dv_zorder_read",
+    "lake_mor_rewrite_compaction",
+    "lake_stats_incremental_maintenance",
+    "lake_position_deletes",
+    "lake_deletion_vectors",
+    "lake_merge_mor",
+    "stream_cdc_to_mor",
+    "lake_bloom_pruned_read",
 )
 
 

@@ -1973,7 +1973,10 @@ def graph_pointer_jump_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution. An in-query gate RAISES unless the doubling pass
     resolved the 1000-deep chain within 14 rounds — the log₂-round
     count IS the algorithm's signature, so the green grade is an
-    execution-shape proof. Fixture: nodes 2..1000 chain to their
+    execution-shape proof (the hybrid local fast path runs the SAME
+    doubling composition with the SAME round count — two-path equality
+    incl. rounds pinned in tests/test_graph.py — so the gate holds on
+    either path). Fixture: nodes 2..1000 chain to their
     predecessor, nodes 1001..2000 attach at i div 2; root 1."""
     from glamira_end_to_end_data_pipeline_spark.operators.graph import (
         pointer_jump_roots,

@@ -73,7 +73,6 @@ def _incremental_fact_run(
     md5-of-naturals or yyyymmdd, so a slice-derived dim row is
     IDENTICAL to its full-rebuild twin and match-vs-'-1' outcomes
     agree row-for-row (the property the oracle hashes)."""
-    from glamira_end_to_end_data_pipeline_spark.caching import tracked_persist
     from glamira_end_to_end_data_pipeline_spark.plans import models
     from glamira_end_to_end_data_pipeline_spark.plans.star_queries import (
         ip_locations_from_events,
@@ -81,17 +80,28 @@ def _incremental_fact_run(
         summary_from_events,
     )
 
-    src = spark.read.parquet(src_path).filter(
-        F.col("event_date").isin(list(touched))
+    # localCheckpoint WITH the file identity: materializes the pruned
+    # slice once (the gate, the stg build and both event-derived dims
+    # each re-opened the staging files before — 4 scans per run) AND
+    # truncates the logical plan to a leaf. The leaf is the bigger
+    # win: the fact model references the staging subtree from five dim
+    # branches plus its own, and PySpark analyzes the growing tree per
+    # transformation — measured 1.3-2.8 s of pure driver-side Catalyst
+    # analysis per run against the scan-rooted plan, ~0.2 s against
+    # leaves (guide §3.3: very wide join plans — planning time itself
+    # becomes the bottleneck; materialize/localCheckpoint truncates).
+    src = (
+        spark.read.parquet(src_path)
+        .filter(F.col("event_date").isin(list(touched)))
+        .withColumn("__file", F.input_file_name())
+        .localCheckpoint()
     )
     # RUNTIME FILES GATE — the incremental contract: the staging scan
     # must open only files under the touched partition directories
     # (partition pruning, the thing that makes an incremental run
     # cheap at 100 TB). input_file_name() reports the files the
     # executed scan actually opened; the list is file-count-bounded.
-    opened = [
-        r[0] for r in src.select(F.input_file_name()).distinct().collect()
-    ]
+    opened = [r[0] for r in src.select("__file").distinct().collect()]
     want = {f"event_date={d}" for d in touched}
     bad = [f for f in opened if not any(t in f for t in want)]
     if bad:
@@ -114,8 +124,9 @@ def _incremental_fact_run(
             "the pruning gate is vacuous"
         )
 
-    ev = src.drop("event_date")
-    stg = tracked_persist(models.stg_summary(summary_from_events(ev)))
+    ev = src.drop("event_date", "__file")
+    # leaf for the same reason as src: stg feeds five model branches
+    stg = models.stg_summary(summary_from_events(ev)).localCheckpoint()
     fact = models.fact_sales_order(
         stg,
         models.dim_product(product_details_from_events(ev)),
@@ -168,6 +179,9 @@ def star_fact_sales_order_incremental(
     shared with ``star_fact_sales_order`` and the streaming capstone):
     after both incremental runs the fact must equal the one-shot
     rebuild row-for-row, value-hash included."""
+    from glamira_end_to_end_data_pipeline_spark.caching import (
+        tracked_persist,
+    )
     from glamira_end_to_end_data_pipeline_spark.plans.star_queries import (
         _events,
     )
@@ -178,20 +192,33 @@ def star_fact_sales_order_incremental(
     src_path = os.path.join(base, "staging")
     fact_path = os.path.join(base, "fact")
 
-    events = _events(spark, sf_dir).withColumn(
-        "event_date", F.to_date("ts")
+    # persisted: events feeds the per-date manifest aggregate plus both
+    # load writes — one source scan instead of one per consumer (the
+    # r15 job-budget discipline)
+    events = tracked_persist(
+        _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
     )
-    # bounded driver metadata: the date span (one row)
-    b = events.agg(
-        F.min("event_date").alias("lo"), F.max("event_date").alias("hi")
-    ).collect()[0]
+    # bounded driver metadata: the per-date load manifest (|dates| rows
+    # — date span, touched sets and the late-row existence check all
+    # read off this ONE aggregate; previously three separate full scans
+    # computed the span and the two touched lists)
+    drows = (
+        events.groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("event_id") % 11 == 0, 1)).alias("n11"),
+        )
+        .collect()
+    )
+    dinfo = {r["event_date"]: (int(r["n"]), int(r["n11"])) for r in drows}
+    lo, hi = min(dinfo), max(dinfo)
     import datetime as _dt
 
-    cut = b["lo"] + _dt.timedelta(days=19)
-    lateday = b["lo"] + _dt.timedelta(days=5)
-    if b["hi"] <= cut:
+    cut = lo + _dt.timedelta(days=19)
+    lateday = lo + _dt.timedelta(days=5)
+    if hi <= cut:
         raise AssertionError(
-            f"fixture drift: date span [{b['lo']}, {b['hi']}] too short "
+            f"fixture drift: date span [{lo}, {hi}] too short "
             "for a two-load split"
         )
     late = (F.col("event_date") == F.lit(lateday)) & (
@@ -201,14 +228,19 @@ def star_fact_sales_order_incremental(
     load2 = events.filter((F.col("event_date") > F.lit(cut)) | late)
     # each loader records the partitions it appended to (the GCS/BQ
     # load-job manifest every warehouse loader produces) — that list,
-    # not a max-watermark, is what makes late data incremental-safe
-    touched2 = sorted(
-        r[0]
-        for r in load2.select("event_date").distinct().collect()
-    )
+    # not a max-watermark, is what makes late data incremental-safe.
+    # Derived from the per-date manifest: load 1 touches every date
+    # ≤ cut that keeps at least one non-late row; load 2 touches every
+    # date > cut plus the late day when late rows exist.
     touched1 = sorted(
-        r[0]
-        for r in load1.select("event_date").distinct().collect()
+        d
+        for d, (n, n11) in dinfo.items()
+        if d <= cut and (d != lateday or n - n11 > 0)
+    )
+    touched2 = sorted(
+        d
+        for d, (n, n11) in dinfo.items()
+        if d > cut or (d == lateday and n11 > 0)
     )
     if lateday not in touched2:
         raise AssertionError(

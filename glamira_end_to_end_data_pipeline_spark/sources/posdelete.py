@@ -80,10 +80,16 @@ def position_delete(spark: SparkSession, path: str, predicate) -> int:
     read, so a delete issued after a compaction neither re-tombstones
     dead rows nor over-counts its victims."""
     live = read_mor_dv(spark, path, _internal=True)
-    victims = live.filter(predicate).select("__file", "__pos")
-    n = victims.count()
-    if n:
-        victims.write.mode("append").parquet(f"{path}/{_DELETES}")
+    # persisted: the count gate and the tombstone write otherwise each
+    # pay the full DV-aware table scan — victims are tombstone-sized,
+    # so the cache is bounded by the delete, never the table
+    victims = live.filter(predicate).select("__file", "__pos").persist()
+    try:
+        n = victims.count()
+        if n:
+            victims.write.mode("append").parquet(f"{path}/{_DELETES}")
+    finally:
+        victims.unpersist()
     return n
 
 
@@ -246,8 +252,14 @@ def compact_to_deletion_vectors(spark: SparkSession, path: str) -> int:
         ).alias("__bits"),
         F.sum("__n").cast("long").alias("__cardinality"),
     )
-    n = dv.count()
-    dv.write.mode("overwrite").parquet(tmp.toString())
+    # persisted: the vector count and the tmp write otherwise each
+    # re-run the tombstone decode + both groupBys (tombstone-sized)
+    dv = dv.persist()
+    try:
+        n = dv.count()
+        dv.write.mode("overwrite").parquet(tmp.toString())
+    finally:
+        dv.unpersist()
     if fs_v.exists(vpath):
         if not fs_v.rename(vpath, backup):
             raise IOError(f"could not stage {path}/{_DV} -> {backup}")
@@ -303,14 +315,28 @@ def merge_mor(
     read-then-overwrite discipline every lake writer here follows).
     """
     live = read_mor_dv(spark, path, _internal=True)
-    victims = live.join(
-        source.select(key_col).distinct(), key_col, "left_semi"
-    ).select("__file", "__pos")
-    n_matched = victims.count()
-    if n_matched:
-        victims.write.mode("append").parquet(f"{path}/{_DELETES}")
-    n_source = source.count()
-    write_data(spark, source, path, file_col, order_col)
+    # persisted: source feeds the victim semi-join's key set, the
+    # source count AND the append (its caller-side derivation would
+    # otherwise re-execute three times), and the cache additionally
+    # freezes the source rows before the tombstones commit —
+    # strengthening the no-lazy-self-read contract below; victims feed
+    # the matched count and the tombstone write (each a full DV-aware
+    # table scan without the cache). Both are commit-sized.
+    src = source.persist()
+    victims = (
+        live.join(src.select(key_col).distinct(), key_col, "left_semi")
+        .select("__file", "__pos")
+        .persist()
+    )
+    try:
+        n_matched = victims.count()
+        if n_matched:
+            victims.write.mode("append").parquet(f"{path}/{_DELETES}")
+        n_source = src.count()
+        write_data(spark, src, path, file_col, order_col)
+    finally:
+        victims.unpersist()
+        src.unpersist()
     if fold_dv and n_matched:
         compact_to_deletion_vectors(spark, path)
     return n_matched, n_source
@@ -422,13 +448,23 @@ def collect_file_stats(
             .parquet(*fresh)
             .select("*", F.col("_metadata.file_path").alias("__file"))
         )
-        stats = d.groupBy("__file").agg(*aggs)
-        n = stats.count()
-        stats.write.mode("append").parquet(f"{path}/{_STATS}")
+        stats = d.groupBy("__file").agg(*aggs).persist()
+        try:
+            # persisted: count + append otherwise each re-scan the
+            # fresh files' bytes for the min/max aggregate
+            n = stats.count()
+            stats.write.mode("append").parquet(f"{path}/{_STATS}")
+        finally:
+            stats.unpersist()
         return n
-    stats = d.groupBy("__file").agg(*aggs)
-    n = stats.count()
-    stats.write.mode("overwrite").parquet(f"{path}/{_STATS}")
+    stats = d.groupBy("__file").agg(*aggs).persist()
+    try:
+        # persisted: count + overwrite otherwise each pay a full table
+        # scan for the per-file min/max aggregate
+        n = stats.count()
+        stats.write.mode("overwrite").parquet(f"{path}/{_STATS}")
+    finally:
+        stats.unpersist()
     return n
 
 
@@ -605,13 +641,17 @@ def rewrite_compact(
     # fresh ordinals are assigned below
     w = Window.partitionBy(file_col).orderBy(order_col)
     out = rows.withColumn("__pos", F.row_number().over(w))
-    n = out.count()
     (
         out.repartition(F.col(file_col))
         .write.mode("overwrite")
         .partitionBy(file_col)
         .parquet(tmp.toString())
     )
+    # row count off the rewrite's own parquet footers (metadata-only
+    # count pushdown) — the previous pre-write count() paid the whole
+    # DV-aware scan + ordinal window a second time, table-sized work
+    # a persist could only trade for table-sized cache
+    n = spark.read.parquet(tmp.toString()).count()
     if not fs.rename(live, backup):
         raise IOError(f"could not stage {path}/{_DATA} -> {backup}")
     if not fs.rename(tmp, live):

@@ -731,6 +731,39 @@ def test_pointer_jump_roots_rejects_dangling_parent(spark):
     )
     with pytest.raises(ValueError, match="dangling"):
         pointer_jump_roots(df)
+    # both paths raise: the distributed anti-join and the local set diff
+    with pytest.raises(ValueError, match="dangling"):
+        pointer_jump_roots(df, local_threshold=0)
+
+
+def test_pointer_jump_local_twin_matches_distributed(spark):
+    """_local_pointer_jump (the hybrid fast path of pointer_jump_roots)
+    produces EXACTLY the distributed doubling pass's output — (node,
+    root, depth) AND the round count, which callers gate on as the
+    log₂-doubling execution-shape signature — across random seeded
+    forests including multi-root, chain, and star shapes."""
+    import random
+
+    from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+        pointer_jump_roots,
+    )
+
+    for seed in (3, 41, 2026):
+        rng = random.Random(seed)
+        n = rng.randint(2, 60)
+        rows = []
+        for i in range(n):
+            draw = rng.randint(0, n - 1)
+            rows.append((i, draw if draw < i else i))  # acyclic forest
+        df = spark.createDataFrame(rows, "node long, parent long")
+        loc_df, loc_rounds = pointer_jump_roots(df)
+        dist_df, dist_rounds = pointer_jump_roots(df, local_threshold=0)
+        loc = {r["node"]: (r["root"], r["depth"]) for r in loc_df.collect()}
+        dist = {
+            r["node"]: (r["root"], r["depth"]) for r in dist_df.collect()
+        }
+        assert loc == dist, (seed, loc, dist)
+        assert loc_rounds == dist_rounds, (seed, loc_rounds, dist_rounds)
 
 
 def test_boruvka_mst_matches_prim_and_handles_forest(spark):
