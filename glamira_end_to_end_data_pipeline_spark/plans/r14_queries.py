@@ -191,9 +191,18 @@ def emb_ivf_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the drifted batch — natively double — appends with an identical
     # parquet schema.
     cents = ivf_centroids(init, n_cells=8)
-    init_side = _side(
-        init, "vec_id", "embedding", "neighbor_id", "c_vec", "c_norm"
-    ).withColumn("c_vec", _dbl(F.col("c_vec")))
+    # persisted: init_side feeds the initial layout write AND (via
+    # full_side) the drift-triggered rebuild's full reassignment — one
+    # corpus scan + Arrow projection instead of one per consumer
+    from glamira_end_to_end_data_pipeline_spark.caching import (
+        tracked_persist,
+    )
+
+    init_side = tracked_persist(
+        _side(
+            init, "vec_id", "embedding", "neighbor_id", "c_vec", "c_norm"
+        ).withColumn("c_vec", _dbl(F.col("c_vec")))
+    )
     c_init = init_side.withColumn(
         "cell", ivf_cell_bulk(F.col("c_vec"), F.col("c_norm"), cents)
     )

@@ -534,22 +534,34 @@ def _register_dedup_lsh_index_decremental() -> None:
         ).select(F.col("doc_id").alias("new_id"), "band_id", "band_hash")
         idx = tracked_persist(spark.read.parquet(idx_path))
         tomb = spark.read.parquet(tomb_path)
-        cand_raw = tracked_persist(
+        # ONE tombstone join serves the hard-case gate AND the
+        # suppression filter: candidates carry a tombstone mark
+        # (left join against the tombstone-sized side), the gate
+        # counts marked rows off the persisted frame, and the
+        # surviving candidates are the unmarked remainder — the
+        # previous semi-join + anti-join pair re-joined the same
+        # sides twice
+        marked = tracked_persist(
             idx.join(b_n, ["band_id", "band_hash"])
             .select("new_id", "corpus_id")
             .distinct()
+            .join(
+                tomb.withColumn("__tomb", F.lit(1)).select(
+                    "corpus_id", "__tomb"
+                ),
+                "corpus_id",
+                "left",
+            )
         )
         # hard-case gate: the suppression path must actually fire —
         # some batch doc's bands collide with a tombstoned doc
-        n_hit = cand_raw.join(tomb, "corpus_id", "left_semi").count()
+        n_hit = marked.filter(F.col("__tomb").isNotNull()).count()
         if n_hit == 0:
             raise AssertionError(
                 "fixture drift: no candidate hit a tombstone — the "
                 "deletion path is unexercised"
             )
-        cand = tracked_persist(
-            cand_raw.join(tomb, "corpus_id", "left_anti")
-        )
+        cand = marked.filter(F.col("__tomb").isNull()).drop("__tomb")
         cand_docs = cand.select(
             F.col("corpus_id").alias("doc_id")
         ).distinct()
