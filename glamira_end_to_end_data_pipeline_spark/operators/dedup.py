@@ -735,6 +735,7 @@ def duplicate_clusters(
     id_a: str = "a",
     id_b: str = "b",
     max_iters: int = 25,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph → one canonical
     representative per group (the minimum doc id), by iterative
@@ -747,12 +748,41 @@ def duplicate_clusters(
     plan does not grow with iterations (on a cluster, a reliable
     checkpoint dir serves the same purpose).
 
+    Under ``local_threshold`` pair rows (default
+    ``graph._LOCAL_THRESHOLD``; pass 0 to force the loop) the hybrid
+    local fast path finishes with ``graph._local_cc`` union-find —
+    the identical component-minimum fixed point, pinned by two-path
+    equality tests, for the same reason as every graph-family hybrid:
+    each distributed round costs ~1 s of per-stage latency regardless
+    of how tiny the pair graph is (LSH's whole point is that the pair
+    graph ≪ corpus, so the bounded regime is the COMMON one). The
+    limit-probe collect doubles as the decision — one job fetches the
+    rows AND proves the bound. Beyond the threshold the loop runs
+    unchanged.
+
     Returns (doc_id, cluster_id) for every node that appears in a pair;
     untouched documents are implicitly their own singletons.
     """
     e = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
     )
+    if local_threshold is None:
+        from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+            _LOCAL_THRESHOLD,
+        )
+
+        local_threshold = _LOCAL_THRESHOLD
+    if local_threshold > 0:
+        probe_rows = e.limit(local_threshold + 1).collect()
+        if len(probe_rows) <= local_threshold:
+            from glamira_end_to_end_data_pipeline_spark.operators.graph import (
+                _local_cc,
+            )
+
+            out = _local_cc([(r["u"], r["v"]) for r in probe_rows])
+            return pairs.sparkSession.createDataFrame(
+                out, "doc_id long, cluster_id long"
+            )
     edges = tracked_persist(
         e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct(),
         StorageLevel.MEMORY_AND_DISK,

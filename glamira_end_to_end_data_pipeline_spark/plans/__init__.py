@@ -1035,6 +1035,10 @@ _DEFER_FRESH_R16: tuple[str, ...] = ()
 # stats, footer-count in rewrite_compact) move code under every MoR
 # lifecycle entry; star_fact_sales_order_incremental: fused per-date
 # manifest aggregate + persisted events/slice.
+# duplicate_clusters gained the union-find hybrid under
+# _LOCAL_THRESHOLD (the LSH-bounded pair graph is the common case):
+# every retain/cluster consumer moves; emb_ivf_incremental(+refresh)
+# and the LSH index pair moved via their own lifecycle trims.
 _ROTATE_FIRST_R16 = (
     "graph_triangles_incremental",
     "graph_cc_incremental",
@@ -1049,6 +1053,16 @@ _ROTATE_FIRST_R16 = (
     "lake_merge_mor",
     "stream_cdc_to_mor",
     "lake_bloom_pruned_read",
+    "emb_ivf_incremental",
+    "emb_ivf_incremental_refresh",
+    "dedup_lsh_index_incremental",
+    "dedup_lsh_index_decremental",
+    "dedup_clusters",
+    "dedup_retain_corpus",
+    "text_pretraining_pipeline",
+    "dedup_semantic_retain",
+    "emb_indexing_pipeline",
+    "graph_cc_decremental",
 )
 
 

@@ -269,13 +269,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup *clustering*: the MinHash pair graph collapsed into
-    connected components by iterative min-label propagation
-    (``operators/dedup.py::duplicate_clusters``) — the step that turns
-    pairwise verdicts into a keep/drop decision (keep the minimum-id
-    representative per component). The oracle computes the same
-    components with a recursive reachability CTE over the identical
-    pair set, so both the pair pipeline AND the iterative convergence
-    are hash-checked cross-engine."""
+    connected components (``operators/dedup.py::duplicate_clusters``)
+    — the step that turns pairwise verdicts into a keep/drop decision
+    (keep the minimum-id representative per component). The operator
+    is the graph-family hybrid: union-find on the driver under
+    ``graph._LOCAL_THRESHOLD`` pair rows (the LSH-bounded common case
+    — r16), the iterative min-label loop beyond it; both paths land
+    on the identical component-minimum fixed point (two-path equality
+    pinned in tests). The oracle computes the same components with a
+    recursive reachability CTE over the identical pair set, so the
+    pair pipeline AND the convergence are hash-checked cross-engine."""
     pairs = dedup.minhash_near_dups(
         corpus_with_dups(_docs(spark, sf_dir)), num_hashes=16, bands=4, threshold=0.5
     )

@@ -405,7 +405,9 @@ def _cc_labels_hybrid(spark, edges, n_edges: int):
         return spark.createDataFrame(
             _local_cc(rows), "node long, label long"
         )
-    return duplicate_clusters(edges, "u", "v").select(
+    # local_threshold=0: the caller-side n_edges check above already
+    # decided distributed — no second limit-probe needed
+    return duplicate_clusters(edges, "u", "v", local_threshold=0).select(
         F.col("doc_id").alias("node"), F.col("cluster_id").alias("label")
     )
 

@@ -837,11 +837,19 @@ def test_local_cc_matches_distributed_min_label(spark):
     ]
     local = dict(_local_cc(edges))
     df = spark.createDataFrame(edges, "u long, v long")
+    # local_threshold=0 forces the DISTRIBUTED min-label loop — the
+    # default would take the union-find path and compare local to local
     dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(df, "u", "v", local_threshold=0).collect()
+    }
+    assert local == dist
+    # the hybrid default (union-find under the threshold) agrees too
+    hyb = {
         r["doc_id"]: r["cluster_id"]
         for r in duplicate_clusters(df, "u", "v").collect()
     }
-    assert local == dist
+    assert hyb == dist
     assert local[4] == 1 and local[12] == 10 and local[23] == 20
     assert local[43] == 40 and local[42] == 40
 
